@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one named callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (sf0.01 check).
+
+Column names are aliased identically on both sides (the driver's compare
+sorts columns by name before hashing). Floating aggregates are rounded on
+both sides for cross-engine hash stability.
 """
 
 from __future__ import annotations
@@ -13,26 +15,196 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_python_sqlite_spark.plans import relational as R
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-shaped pricing summary on sf0.001 lineitem."""
+    return R.agg_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "fact_dim_join": R.fact_dim_join,
+        "join_filter_by_key": R.join_filter_by_key,
+        "groupby_count_avg": R.groupby_count_avg,
+        "filter_projection": R.filter_projection,
+        "distinct_dim": R.distinct_dim,
+        "anti_join_new_rows": R.anti_join_new_rows,
+        "semi_join_existing": R.semi_join_existing,
+        "agg_pricing_summary": R.agg_pricing_summary,
+        "agg_minmax_distinct": R.agg_minmax_distinct,
+        "topk_per_group": R.topk_per_group,
+        "case_cascade_classify": R.case_cascade_classify,
+        "strict_cast_json": R.strict_cast_json,
+        "normalize_names": R.normalize_names,
+        "hourly_event_rollup": R.hourly_event_rollup,
+        "set_except_users": R.set_except_users,
+        "rollup_region_nation": R.rollup_region_nation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "fact_dim_join": """
+            SELECT c_custkey, c_name, n_name AS nation, r_name AS region, c_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            ORDER BY c_custkey
+        """,
+        "join_filter_by_key": """
+            SELECT c_custkey, c_name, n_name AS nation, c_mktsegment
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            ORDER BY c_custkey
+        """,
+        "groupby_count_avg": """
+            SELECT nation, total_personas,
+                   ((2 * p * 1 + cnt) // (2 * cnt)) / 100.0 AS acctbal_promedio
+            FROM (
+                SELECT n_name AS nation,
+                       COUNT(*) AS total_personas,
+                       CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS p,
+                       COUNT(c_acctbal) AS cnt
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY n_name
+            )
+            ORDER BY total_personas DESC, nation
+        """,
+        "filter_projection": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+            FROM lineitem
+            WHERE l_quantity >= 25 AND l_discount > 0.02
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "distinct_dim": """
+            SELECT DISTINCT c_nationkey, c_mktsegment
+            FROM customer
+            ORDER BY c_nationkey, c_mktsegment
+        """,
+        "anti_join_new_rows": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "semi_join_existing": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum_qty, sum_base_price, sum_disc_price, sum_charge,
+                   ((2 * pq * 100 + cnt) // (2 * cnt)) / 10000.0 AS avg_qty,
+                   ((2 * pe * 100 + cnt) // (2 * cnt)) / 10000.0 AS avg_price,
+                   ((2 * pd * 1 + cnt) // (2 * cnt)) / 10000.0 AS avg_disc,
+                   count_order
+            FROM (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+                       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS pq,
+                       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS pe,
+                       CAST(SUM(CAST(CAST(l_discount AS DECIMAL(28,4)) * 10000 AS BIGINT)) AS BIGINT) AS pd,
+                       COUNT(l_quantity) AS cnt,
+                       COUNT(*) AS count_order
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+                GROUP BY l_returnflag, l_linestatus
+            )
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "agg_minmax_distinct": """
+            SELECT o_orderpriority,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price,
+                   COUNT(DISTINCT o_custkey) AS n_customers,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "topk_per_group": """
+            SELECT c_nationkey, c_custkey, c_acctbal, rk
+            FROM (
+                SELECT c_nationkey, c_custkey, c_acctbal,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey ASC
+                       ) AS rk
+                FROM customer
+            )
+            WHERE rk <= 3
+            ORDER BY c_nationkey, rk
+        """,
+        "case_cascade_classify": """
+            SELECT motivo, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+            FROM (
+                SELECT CASE
+                         WHEN value IS NULL THEN 'Valor None en campo requerido'
+                         WHEN value < 10.0 THEN 'value < 10'
+                         WHEN event_type = 'error' THEN 'tipo error'
+                         ELSE 'ok'
+                       END AS motivo,
+                       value
+                FROM events
+            )
+            GROUP BY motivo
+            ORDER BY motivo
+        """,
+        "strict_cast_json": """
+            SELECT event_type,
+                   COUNT(k) AS n_castable,
+                   COUNT(*) - COUNT(k) AS n_reject,
+                   CAST(SUM(k) AS BIGINT) AS sum_k
+            FROM (
+                SELECT event_type,
+                       CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^[+-]?[0-9]+$')
+                            THEN CAST(trim(json_extract_string(props, '$.k')) AS BIGINT)
+                       END AS k
+                FROM events
+            )
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "normalize_names": """
+            SELECT p_partkey,
+                   upper(t[1]) || t[2:] AS name_capitalize,
+                   array_to_string(
+                       list_transform(string_split(t, ' '),
+                                      w -> upper(w[1]) || w[2:]),
+                       ' ') AS name_title
+            FROM (SELECT p_partkey, lower(trim(p_name)) AS t FROM part)
+            ORDER BY p_partkey
+        """,
+        "hourly_event_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY hour, event_type
+        """,
+        "set_except_users": """
+            SELECT user_id FROM events WHERE event_type = 'view'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id
+        """,
+        "rollup_region_nation": """
+            SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY region NULLS FIRST, nation NULLS FIRST
+        """,
+    }

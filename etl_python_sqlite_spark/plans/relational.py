@@ -1,0 +1,393 @@
+"""Relational query surface over the testdata star schema.
+
+Each function mirrors an operator row in SURVEY.md §2 and the reference
+query shapes (fact ⋈ dim join at reference scr/etl_relational.py:182-194;
+GROUP BY COUNT/AVG at scr/etl_relational.py:197-204), re-expressed on the
+TPC-H-ish tables so the DuckDB oracle can check them.
+
+Scale design applied throughout:
+
+* Dimension joins (`nation`, `region`, `supplier`) are explicitly
+  ``F.broadcast`` — at 100 TB the fact side never shuffles for these.
+* Aggregations go through ``groupBy`` (map-side partial aggregation) and
+  only shuffle the grouped keys.
+* Projections/filters sit directly on the scan so Catalyst pushes them
+  into the parquet reader (verified via ``.explain``: PushedFilters /
+  ReadSchema).
+* Floating aggregates are rounded in BOTH the Spark plan and the oracle
+  SQL so value-hash comparison is stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_python_sqlite_spark.sources.parquet import load_table as table
+
+
+def _dsum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent SUM for float columns: cast each value to an exact
+    DECIMAL first, so partial-aggregation order (which differs run-to-run
+    and engine-to-engine) cannot change the result by an ulp. Output cast
+    back to double. The oracle SQL mirrors the same cast."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def _scaled_sum(col: Column | str, scale: int) -> Column:
+    """SUM as an exact integer in units of 10^-scale (long). Basis for the
+    cross-engine-deterministic AVG below."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum((c.cast(f"decimal(28,{scale})") * (10**scale)).cast("long"))
+
+
+def _avg_expr(p: str, cnt: str, scale: int, round_to: int) -> Column:
+    """Deterministic AVG rounded to ``round_to`` decimals, computed entirely
+    in integer arithmetic: round_half_up(p / (10^scale · cnt)) at 10^-round_to
+    = trunc((2·p·k + cnt) / (2·cnt)) / 10^round_to, k = 10^(round_to-scale).
+
+    Spark ``div`` and DuckDB ``//`` both truncate toward zero, so the oracle
+    SQL replays this bit-identically — float ROUND() at half-way points is
+    NOT portable across engines (Java rounds the shortest-repr decimal,
+    DuckDB the exact binary value), integer math is.
+    """
+    assert round_to >= scale
+    k = 10 ** (round_to - scale)
+    # trailing D: Spark parses bare `100.0` as a DECIMAL literal; `100.0D`
+    # is a double, keeping the output double like the oracle's
+    return F.expr(
+        f"((2 * {p} * {k} + {cnt}) div (2 * {cnt})) / {float(10**round_to)}D"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 — fact ⋈ dim equi-joins (reference scr/etl_relational.py:182-194)
+# ---------------------------------------------------------------------------
+
+def fact_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region with projection + rename, ordered by PK.
+
+    The reference's validation join projects fact columns plus the dim's
+    natural name under an alias; nation/region are broadcast (small dims).
+    """
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "c_acctbal",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def join_filter_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — join + parameterized equality filter (run-lineage preview shape,
+    reference scr/etl_incremental_audit.py:263-269): one region's customers."""
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — GROUP BY + COUNT + AVG (reference scr/etl_relational.py:197-204)
+# ---------------------------------------------------------------------------
+
+def groupby_count_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dim-value COUNT(*) + AVG ordered by count desc — the reference's
+    per-city aggregate, on customer ⋈ nation."""
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("total_personas"),
+            _scaled_sum("c_acctbal", 2).alias("_p"),
+            F.count("c_acctbal").alias("_cnt"),
+        )
+        .select(
+            "nation",
+            "total_personas",
+            _avg_expr("_p", "_cnt", 2, 2).alias("acctbal_promedio"),
+        )
+        .orderBy(F.desc("total_personas"), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P5 — projection + business-rule filter
+# ---------------------------------------------------------------------------
+
+def filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushdown-friendly scan: filter + 3-column projection on lineitem.
+
+    The predicate and ReadSchema reach the parquet reader (P1/P5 —
+    reference scr/etl_basic.py:20-24 keep-if-above-threshold semantics).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") >= 25) & (F.col("l_discount") > 0.02))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — distinct / dedup-by-natural-key
+# ---------------------------------------------------------------------------
+
+def distinct_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct natural keys — the dimension-dedup semantic (UNIQUE nombre,
+    reference scr/etl_batch.py:89)."""
+    customer = table(spark, sf_dir, "customer")
+    return (
+        customer.select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti / semi joins — the idempotent-append primitive (A6/S4)
+# ---------------------------------------------------------------------------
+
+def anti_join_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with NO orders — left_anti, the "insert only new rows" half
+    of INSERT OR IGNORE (reference scr/etl_batch.py:139-146)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def semi_join_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers WITH orders — left_semi (EXISTS), the duplicate-detection
+    half of INSERT OR IGNORE."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full aggregate suite (superset of reference's COUNT/AVG — SURVEY §2.4 note)
+# ---------------------------------------------------------------------------
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped wide aggregate on lineitem — the bench flagship.
+
+    Map-side partial agg + single shuffle on the (tiny-cardinality) group
+    keys; AQE coalesces post-shuffle partitions. All double outputs rounded
+    for cross-engine hash stability.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    # Money math in exact decimal end-to-end: casting each 2-decimal FACTOR
+    # to decimal is boundary-safe, whereas casting a double PRODUCT to
+    # decimal is not portable across engines (shortest-repr vs exact-binary
+    # rounding at the last ulp).
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    dd = F.col("l_discount").cast("decimal(4,2)")
+    tt = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", 2).alias("sum_qty"),
+            _dsum("l_extendedprice", 2).alias("sum_base_price"),
+            F.sum(ep * (F.lit(1) - dd)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (F.lit(1) - dd) * (F.lit(1) + tt))
+            .cast("double")
+            .alias("sum_charge"),
+            _scaled_sum("l_quantity", 2).alias("_pq"),
+            _scaled_sum("l_extendedprice", 2).alias("_pe"),
+            _scaled_sum("l_discount", 4).alias("_pd"),
+            F.count("l_quantity").alias("_cnt"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            _avg_expr("_pq", "_cnt", 2, 4).alias("avg_qty"),
+            _avg_expr("_pe", "_cnt", 2, 4).alias("avg_price"),
+            _avg_expr("_pd", "_cnt", 4, 4).alias("avg_disc"),
+            "count_order",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def agg_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX/COUNT DISTINCT per group — rounds out SURVEY §2.4's 'absent
+    in reference, built into Spark' aggregate forms."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / top-k
+# ---------------------------------------------------------------------------
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by acctbal per nation (row_number window, deterministic
+    tie-break on custkey)."""
+    customer = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        customer.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rk")
+        .orderBy("c_nationkey", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 — ordered CASE cascade (the motivo semantics, SQL-expressible shape)
+# ---------------------------------------------------------------------------
+
+def case_cascade_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-failing-check classification over events, then count per reason —
+    the reject-routing cascade (reference scr/etl_relational.py:30-92) as a
+    pure CASE WHEN pipeline the oracle can replay."""
+    ev = table(spark, sf_dir, "events")
+    motivo = (
+        F.when(F.col("value").isNull(), "Valor None en campo requerido")
+        .when(F.col("value") < 10.0, "value < 10")
+        .when(F.col("event_type") == "error", "tipo error")
+        .otherwise("ok")
+    )
+    return (
+        ev.withColumn("motivo", motivo)
+        .groupBy("motivo")
+        .agg(F.count("*").alias("n"), _dsum("value", 2).alias("sum_value"))
+        .orderBy("motivo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — strict int cast with error routing (JSON-extracted field)
+# ---------------------------------------------------------------------------
+
+def strict_cast_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract props.k, strict-int cast (Python int() semantics), aggregate.
+
+    Null-on-failure replaces the reference's try/except routing
+    (scr/etl_relational.py:71-79)."""
+    from etl_python_sqlite_spark.functions.normalize import strict_int
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k_raw", F.get_json_object("props", "$.k"))
+        .withColumn("k", strict_int("k_raw", "bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_castable"),
+            (F.count("*") - F.count("k")).alias("n_reject"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2/P3 — exact-Python normalization over real strings
+# ---------------------------------------------------------------------------
+
+def normalize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """py_capitalize vs py_title over part names — P2/P3 semantics
+    (reference scr/etl_basic.py:20-22) at scan width."""
+    from etl_python_sqlite_spark.functions.normalize import py_capitalize, py_title
+
+    part = table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            py_capitalize("p_name").alias("name_capitalize"),
+            py_title("p_name").alias("name_title"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-window aggregation over events
+# ---------------------------------------------------------------------------
+
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event_type (batch analog of the streaming
+    windowed agg; SURVEY §2.6)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), _dsum("value", 2).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operators (SURVEY §2.4 'absent in reference' — exposed on Spark)
+# ---------------------------------------------------------------------------
+
+def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who viewed but never purchased — EXCEPT (distinct semantics)."""
+    ev = table(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.subtract(buyers).orderBy("user_id")
+
+
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) customer counts — hierarchical totals
+    (grouping-sets family, SURVEY §2.4)."""
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.col("region").asc_nulls_first(), F.col("nation").asc_nulls_first())
+    )

@@ -1,0 +1,42 @@
+"""Parquet scan helpers for the testdata star schema.
+
+One quirk: the driver-generated ``events.parquet`` stores ``ts`` as
+parquet TIMESTAMP(NANOS), which Spark's reader rejects outright
+([PARQUET_TYPE_ILLEGAL]). We flip ``spark.sql.legacy.parquet.nanosAsLong``
+so the column arrives as nanos-since-epoch LONG, then rebuild a
+microsecond TimestampType column (integer division, matching DuckDB's
+ns→us truncation). The conversion is a pure projection — stays in
+whole-stage codegen, no UDF, no extra pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+#: columns stored as TIMESTAMP(NANOS) per table (driver testdata quirk)
+_NANO_TS_COLS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read ``{sf_dir}/{name}.parquet`` with schema fix-ups applied."""
+    nano_cols = _NANO_TS_COLS.get(name, [])
+    if not nano_cols:
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    prev = spark.conf.get(_NANOS_CONF, "false")
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Schema resolution happens eagerly at read time, so the conf can be
+        # restored immediately after.
+        for c in nano_cols:
+            if dict(df.dtypes).get(c) == "bigint":
+                # integer `div`, not `/`: float division of a nanos-epoch
+                # long exceeds double's 53-bit mantissa and loses microseconds
+                df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        return df
+    finally:
+        spark.conf.set(_NANOS_CONF, prev)
