@@ -1,0 +1,183 @@
+"""Idempotent append + surrogate-key dimension upsert.
+
+The reference gets dedup/idempotency for free from the storage layer:
+``UNIQUE`` constraints + ``INSERT OR IGNORE`` (reference
+scr/etl_batch.py:100,139-146) and AUTOINCREMENT surrogate keys
+(scr/etl_batch.py:86-91). Spark sinks have neither, so this module is the
+engine's genuinely custom machinery (SURVEY.md §4.2):
+
+* ``idempotent_append`` — first-writer-wins append with accurate
+  inserted/ignored counters, computed from the anti-join itself (not
+  before/after table counts, which double-count under concurrent runs).
+* ``upsert_dimension`` — set-based replacement for the reference's
+  N+1 per-row "get or create" (scr/etl_relational.py:130-135): distinct
+  natural keys → left-anti vs existing dim → assign contiguous surrogate
+  ids → append.
+
+Scale notes:
+
+* The anti-join shuffles on the natural key. At 100 TB the target side
+  should be stored bucketed/partitioned by the key (pass
+  ``target_partition_cols``) so only matching partitions are scanned;
+  the new-batch side is typically small → Catalyst broadcasts it when
+  under the threshold, making dedup a broadcast-anti-join (no shuffle of
+  the large target).
+* Contiguous id assignment needs a global order — a single-task window.
+  That is fine for dimensions (small by definition) and per-batch fact
+  appends (bounded), and is the reference's AUTOINCREMENT contract. For
+  scale-mode appends where contiguity is not required, pass
+  ``contiguous=False`` to use partition-local id blocks (fully parallel).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_or_empty(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Read a parquet 'table' directory, or an empty frame if absent."""
+    if _exists(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def _exists(path: str) -> bool:
+    # local-fs check is enough for this engine's warehouse layout; on a
+    # cluster the warehouse would be a catalog/Delta table instead.
+    return os.path.exists(path)
+
+
+def assign_ids(
+    df: DataFrame,
+    id_col: str,
+    start: int = 1,
+    order_by: list[str] | None = None,
+    contiguous: bool = True,
+) -> DataFrame:
+    """Attach surrogate ids ``start, start+1, …`` to ``df``.
+
+    contiguous=True  → deterministic dense ids via a global-order window
+                       (single task — use for dims / bounded batches; this
+                       is AUTOINCREMENT parity).
+    contiguous=False → ``monotonically_increasing_id()`` offset by
+                       ``start`` — parallel, unique, NOT dense (scale mode).
+    """
+    if contiguous:
+        w = Window.orderBy(*(order_by or df.columns))
+        return df.withColumn(id_col, (F.row_number().over(w) + start - 1).cast("long"))
+    return df.withColumn(id_col, (F.monotonically_increasing_id() + start).cast("long"))
+
+
+@dataclass
+class AppendResult:
+    attempted: int
+    inserted_new: int
+    ignored_duplicates: int
+    target_path: str
+
+
+def idempotent_append(
+    spark: SparkSession,
+    batch: DataFrame,
+    target_path: str,
+    keys: list[str],
+    target_schema: T.StructType | None = None,
+    id_col: str | None = None,
+    id_start: int | None = None,
+) -> AppendResult:
+    """INSERT OR IGNORE semantics onto a parquet table.
+
+    1. in-batch dedup: ``dropDuplicates(keys)`` (first writer wins);
+    2. cross-run dedup: left-anti join against existing target keys;
+    3. surrogate ids assigned AFTER dedup when ``id_col`` is given —
+       SQLite does not consume rowids for IGNOREd inserts, so ids stay
+       dense across re-runs only if assigned to genuinely-new rows;
+    4. append only genuinely new rows;
+    5. metrics from the anti-join count — the reference derives
+       inserted/ignored from before/after COUNT(*) (scr/etl_batch.py:150-154)
+       which races under concurrency; counting the appended frame itself is
+       exact under the same single-writer contract.
+    """
+    attempted = batch.count()
+    deduped = batch.dropDuplicates(keys)
+
+    schema = target_schema or batch.schema
+    if _exists(target_path):
+        existing_keys = spark.read.schema(schema).parquet(target_path).select(*keys)
+        new_rows = deduped.join(existing_keys, on=keys, how="left_anti")
+    else:
+        new_rows = deduped
+
+    # One pass: persist the (small) new-rows frame so count + write don't
+    # recompute the anti-join twice.
+    new_rows = new_rows.persist()
+    try:
+        inserted = new_rows.count()
+        if inserted:
+            out = new_rows
+            if id_col is not None:
+                out = assign_ids(out, id_col, start=id_start or 1, order_by=keys)
+            out.select([F.col(f.name).cast(f.dataType) for f in schema.fields]).write.mode(
+                "append"
+            ).parquet(target_path)
+    finally:
+        new_rows.unpersist()
+
+    return AppendResult(
+        attempted=attempted,
+        inserted_new=inserted,
+        ignored_duplicates=attempted - inserted,
+        target_path=target_path,
+    )
+
+
+def upsert_dimension(
+    spark: SparkSession,
+    values: DataFrame,
+    dim_path: str,
+    natural_key: str = "nombre",
+    surrogate_key: str = "ciudad_id",
+) -> DataFrame:
+    """Set-based get-or-create for a surrogate-key dimension.
+
+    Replaces the reference's 2-statements-per-row loop
+    (scr/etl_relational.py:130-135) with:
+    distinct(batch keys) → left-anti vs dim → contiguous ids from
+    max(existing)+1 → append. Returns the up-to-date dimension.
+
+    Existing rows keep their ids across runs (stability contract —
+    SURVEY.md §4.2 item 2).
+    """
+    dim_schema = T.StructType(
+        [
+            T.StructField(surrogate_key, T.LongType(), False),
+            T.StructField(natural_key, T.StringType(), False),
+        ]
+    )
+    dim = read_or_empty(spark, dim_path, dim_schema)
+
+    batch_keys = values.select(F.col(natural_key)).where(
+        F.col(natural_key).isNotNull()
+    ).distinct()
+    new_keys = batch_keys.join(dim.select(natural_key), on=natural_key, how="left_anti")
+
+    new_keys = new_keys.persist()
+    try:
+        n_new = new_keys.count()
+        if n_new:
+            start = (dim.agg(F.max(surrogate_key)).first()[0] or 0) + 1
+            new_rows = assign_ids(
+                new_keys, surrogate_key, start=start, order_by=[natural_key]
+            ).select(surrogate_key, natural_key)
+            new_rows.write.mode("append").parquet(dim_path)
+    finally:
+        new_keys.unpersist()
+
+    return spark.read.schema(dim_schema).parquet(dim_path)

@@ -1,0 +1,157 @@
+"""End-to-end batch pipeline vs the reference's etl_batch.main() contract."""
+
+from __future__ import annotations
+
+import csv
+from datetime import datetime, timezone
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_python_sqlite_spark.pipeline import (
+    AUDIT_SCHEMA,
+    FACT_SCHEMA,
+    PipelineConfig,
+    make_run_id,
+    migrate_fact_if_needed,
+    run_batch,
+    run_directory_combined,
+)
+
+DIRTY = [
+    ["nombre", "edad", "ciudad"],
+    ["  guillermo ", "26", "san luis"],
+    ["NOEMI", "52", "SAN LUIS"],
+    ["Naomi ", "23", " san juan"],
+    ["Pedro", "error", "Querétaro"],
+    ["sofia", "29", "san luis"],
+]
+
+CLEAN = [
+    ["nombre", "edad", "ciudad"],
+    ["Marta", "33", "Lima"],
+    ["guillermo", "26", "San Luis"],   # post-normalization dupe of DIRTY row 1
+]
+
+
+def _write_csv(path: Path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with path.open("w", newline="", encoding="utf-8") as f:
+        csv.writer(f).writerows(rows)
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    c = PipelineConfig(
+        data_in=str(tmp_path / "in"),
+        data_rejected=str(tmp_path / "rejected"),
+        warehouse=str(tmp_path / "wh"),
+    )
+    _write_csv(Path(c.data_in) / "a_dirty.csv", DIRTY)
+    _write_csv(Path(c.data_in) / "b_clean.csv", CLEAN)
+    return c
+
+
+NOW = datetime(2024, 6, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def test_run_id_format():
+    rid = make_run_id("archivo final.csv", NOW)
+    assert rid == "20240601T120000000000Z_archivo_final_csv"
+
+
+def test_batch_end_to_end(spark, cfg):
+    result = run_batch(spark, cfg, now=NOW)
+    by_file = {r.source_file: r for r in result.files}
+
+    a = by_file["a_dirty.csv"]
+    assert (a.valid_count, a.rejected_count) == (3, 2)
+    assert (a.inserted_new, a.ignored_duplicates) == (3, 0)
+
+    b = by_file["b_clean.csv"]
+    assert (b.valid_count, b.rejected_count) == (2, 0)
+    # 'guillermo,26,San Luis' normalizes to the same natural key as the
+    # dirty file's first row → ignored as cross-file duplicate
+    assert (b.inserted_new, b.ignored_duplicates) == (1, 1)
+
+    fact = spark.read.parquet(cfg.fact_path)
+    assert fact.count() == 4
+    # lineage columns attached
+    assert {"processed_at", "run_id"} <= set(fact.columns)
+    # AUTOINCREMENT parity: dense ids — IGNOREd duplicates consume none
+    assert sorted(r["persona_id"] for r in fact.collect()) == [1, 2, 3, 4]
+
+    # reject CSV written with motivo, one per dirty file only
+    rej = Path(cfg.data_rejected)
+    assert (rej / "rejected_a_dirty.csv").exists()
+    assert not (rej / "rejected_b_clean.csv").exists()
+    with (rej / "rejected_a_dirty.csv").open() as f:
+        rows = list(csv.DictReader(f))
+    assert {r["motivo"] for r in rows} == {"Edad < 25", "Edad no convertible a int"}
+    # raw values preserved verbatim (incl. whitespace) like the reference
+    naomi = next(r for r in rows if r["motivo"] == "Edad < 25")
+    assert naomi["nombre"] == "Naomi " and naomi["ciudad"] == " san juan"
+
+    # audit table: one row per file with the same metrics
+    audit = {r["source_file"]: r for r in spark.read.parquet(cfg.audit_path).collect()}
+    assert audit["a_dirty.csv"]["inserted_new"] == 3
+    assert audit["b_clean.csv"]["ignored_duplicates"] == 1
+
+
+def test_rerun_is_idempotent(spark, cfg):
+    run_batch(spark, cfg, now=NOW)
+    result2 = run_batch(spark, cfg, now=NOW)
+    assert all(r.inserted_new == 0 for r in result2.files)
+    assert all(r.ignored_duplicates == r.valid_count for r in result2.files)
+    assert spark.read.parquet(cfg.fact_path).count() == 4
+    # audit keeps appending: 2 files × 2 runs
+    assert spark.read.parquet(cfg.audit_path).count() == 4
+
+
+def test_dim_fact_join_roundtrip(spark, cfg):
+    """The reference's validation join (scr/etl_relational.py:182-194)."""
+    run_batch(spark, cfg, now=NOW)
+    fact = spark.read.parquet(cfg.fact_path)
+    dim = spark.read.parquet(cfg.dim_path)
+    joined = (
+        fact.join(F.broadcast(dim), "ciudad_id")
+        .select("persona_id", fact.nombre, "edad", dim.nombre.alias("ciudad"))
+        .orderBy("persona_id")
+    )
+    got = {(r["nombre"], r["edad"], r["ciudad"]) for r in joined.collect()}
+    assert got == {
+        ("Guillermo", 26, "San Luis"),
+        ("Noemi", 52, "San Luis"),
+        ("Sofia", 29, "San Luis"),
+        ("Marta", 33, "Lima"),
+    }
+
+
+def test_migration_backfill(spark, tmp_path):
+    """Legacy fact without lineage columns gains them with reference
+    backfill values (scr/etl_incremental_audit.py:144-151)."""
+    fact_path = str(tmp_path / "fact_legacy")
+    legacy = spark.createDataFrame(
+        [(1, "Ana", 30, 1)], "persona_id long, nombre string, edad int, ciudad_id long"
+    )
+    legacy.write.parquet(fact_path)
+
+    assert migrate_fact_if_needed(spark, fact_path) is True
+    migrated = spark.read.parquet(fact_path)
+    row = migrated.first()
+    assert row["processed_at"] == "1970-01-01T00:00:00Z"
+    assert row["run_id"] == "MIGRATION"
+    # idempotent: second call is a no-op
+    assert migrate_fact_if_needed(spark, fact_path) is False
+
+
+def test_combined_directory_run_matches_per_file(spark, cfg, tmp_path):
+    """The scale-path single-scan variant produces the same warehouse state."""
+    audit = run_directory_combined(spark, cfg, now=NOW)
+    fact = spark.read.parquet(cfg.fact_path)
+    assert fact.count() == 4
+    rows = {r["source_file"]: r for r in audit.collect()}
+    assert rows["a_dirty.csv"]["valid_count"] == 3
+    assert rows["a_dirty.csv"]["rejected_count"] == 2
+    assert rows["b_clean.csv"]["valid_count"] == 2
