@@ -15,12 +15,43 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_python_sqlite_spark.functions.text import LANG_STOPWORDS
+from etl_python_sqlite_spark.plans import ext as E
 from etl_python_sqlite_spark.plans import relational as R
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-shaped pricing summary on sf0.001 lineitem."""
     return R.agg_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+# -- SQL fragments reused by the EXT oracles (kept in Python so the Spark
+#    expressions and the SQL stay provably in sync) ------------------------
+
+_WORDS = "string_split_regex(trim({c}), '\\s+')"
+_N_WORDS = (
+    "CASE WHEN length(trim({c})) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim({c}), '\\s+')) END"
+)
+_TOKEN_RE_SQL = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _langid_sql(text: str = "text") -> str:
+    """CASE cascade mirroring functions.text.langid (alphabetical
+    tie-break, 'und' when no stopword fires)."""
+    langs = sorted(LANG_STOPWORDS)
+    scores = {}
+    for lang in langs:
+        in_list = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        scores[lang] = (
+            f"len(list_filter(string_split_regex(trim(lower({text})), '\\s+'), "
+            f"w -> w IN ({in_list})))"
+        )
+    best = "greatest(" + ", ".join(scores[lang] for lang in langs) + ")"
+    whens = " ".join(
+        f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens} END"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -41,6 +72,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_rollup": R.hourly_event_rollup,
         "set_except_users": R.set_except_users,
         "rollup_region_nation": R.rollup_region_nation,
+        # EXT — training-data pipeline operators (SURVEY §2.7)
+        "ext_exact_dedup": E.ext_exact_dedup,
+        "ext_normalized_dedup": E.ext_normalized_dedup,
+        "ext_ngram_jaccard_pairs": E.ext_ngram_jaccard_pairs,
+        "ext_minhash_near_dups": E.ext_minhash_near_dups,       # rows-only
+        "ext_simhash_fingerprints": E.ext_simhash_fingerprints,  # rows-only
+        "ext_cosine_topk": E.ext_cosine_topk,
+        "ext_cosine_pairs_sample": E.ext_cosine_pairs_sample,
+        "ext_ann_topk_lsh": E.ext_ann_topk_lsh,                  # rows-only
+        "ext_text_stats": E.ext_text_stats,
+        "ext_langid": E.ext_langid,
+        "ext_quality_scores": E.ext_quality_scores,
+        "ext_token_count_by_source": E.ext_token_count_by_source,
     }
 
 
@@ -206,5 +250,158 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
             ORDER BY region NULLS FIRST, nation NULLS FIRST
+        """,
+        # ------------------------------------------------------------------
+        # EXT oracles
+        # ------------------------------------------------------------------
+        "ext_exact_dedup": """
+            SELECT sha256(text) AS content_hash,
+                   MIN(doc_id) AS keeper_id,
+                   COUNT(*) AS n_copies
+            FROM documents
+            GROUP BY sha256(text)
+            ORDER BY keeper_id
+        """,
+        "ext_normalized_dedup": f"""
+            SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+            FROM (
+                SELECT doc_id,
+                       array_to_string({_WORDS.format(c='text')}, ' ') AS norm
+                FROM documents
+            )
+            GROUP BY norm
+            ORDER BY keeper_id
+        """,
+        "ext_ngram_jaccard_pairs": f"""
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(
+                               range(1, greatest(len(w) - 2, 1) + 1),
+                               i -> array_to_string(w[i:i+2], ' ')
+                           )
+                       ) AS shingles
+                FROM (
+                    SELECT doc_id, {_WORDS.format(c='text')} AS w
+                    FROM documents WHERE doc_id < 150
+                )
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                       / (len(a.shingles) + len(b.shingles)
+                          - len(list_intersect(a.shingles, b.shingles))) AS j
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+            FROM pairs
+            WHERE j >= 0.05
+            ORDER BY id_a, id_b
+        """,
+        "ext_cosine_topk": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+                SELECT vec_id,
+                       ROUND(
+                           list_reduce(list_transform(range(1, len(v)+1),
+                                                      i -> v[i] * qv[i]),
+                                       (x, y) -> x + y)
+                           / (sqrt(list_reduce(list_transform(range(1, len(v)+1),
+                                                              i -> v[i] * v[i]),
+                                               (x, y) -> x + y))
+                              * sqrt(list_reduce(list_transform(range(1, len(qv)+1),
+                                                                i -> qv[i] * qv[i]),
+                                                 (x, y) -> x + y))), 6) AS cos_sim
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings WHERE vec_id != 0), q
+            )
+            SELECT vec_id, cos_sim FROM scored
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT 20
+        """,
+        "ext_cosine_pairs_sample": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 100
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       ROUND(
+                           list_reduce(list_transform(range(1, len(a.v)+1),
+                                                      i -> a.v[i] * b.v[i]),
+                                       (x, y) -> x + y)
+                           / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1),
+                                                              i -> a.v[i] * a.v[i]),
+                                               (x, y) -> x + y))
+                              * sqrt(list_reduce(list_transform(range(1, len(b.v)+1),
+                                                                i -> b.v[i] * b.v[i]),
+                                                 (x, y) -> x + y))), 6) AS cos_sim
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cos_sim FROM pairs
+            WHERE cos_sim >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "ext_text_stats": f"""
+            SELECT doc_id,
+                   {_N_WORDS.format(c='text')} AS n_words,
+                   length(text) AS n_chars_actual,
+                   len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_tokens,
+                   CASE WHEN {_N_WORDS.format(c='text')} > 0 THEN
+                       ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                             / {_N_WORDS.format(c='text')}, 6)
+                   END AS avg_word_len,
+                   CASE WHEN length(text) > 0 THEN
+                       ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                             / length(text), 6)
+                   ELSE 0.0 END AS punct_ratio
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "ext_langid": f"""
+            SELECT lang_detected,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN lang = lang_detected THEN 1 ELSE 0 END) AS BIGINT) AS n_label_agree
+            FROM (
+                SELECT doc_id, lang, {_langid_sql('text')} AS lang_detected
+                FROM documents
+            )
+            GROUP BY lang_detected
+            ORDER BY lang_detected
+        """,
+        "ext_quality_scores": f"""
+            SELECT doc_id,
+                   ROUND(
+                       0.4e0 * least(CAST(n_words AS DOUBLE) / 100.0e0, 1.0e0)
+                       + 0.4e0 * least(sw_ratio * 5.0e0, 1.0e0)
+                       + 0.2e0 * (1.0e0 - least(p_ratio * 10.0e0, 1.0e0)), 6) AS quality
+            FROM (
+                SELECT doc_id,
+                       {_N_WORDS.format(c='text')} AS n_words,
+                       CASE WHEN {_N_WORDS.format(c='text')} > 0 THEN
+                           CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                    w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                           / {_N_WORDS.format(c='text')}
+                       ELSE 0.0e0 END AS sw_ratio,
+                       CASE WHEN length(text) > 0 THEN
+                           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                           / length(text)
+                       ELSE 0.0e0 END AS p_ratio
+                FROM documents
+            )
+            ORDER BY doc_id
+        """,
+        "ext_token_count_by_source": f"""
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))) AS BIGINT) AS total_tokens,
+                   CAST(SUM({_N_WORDS.format(c='text')}) AS BIGINT) AS total_words,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY source
+            ORDER BY source
         """,
     }

@@ -1,0 +1,135 @@
+"""Text-analysis column expressions for training-data pipelines (EXT).
+
+All pure JVM column expressions (split/transform/aggregate/regexp) — no
+Python UDFs — so they vectorize inside whole-stage codegen and scale
+linearly with executors. Built for the ``documents`` table
+(doc_id, text, lang, source, n_chars) but column-generic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: small per-language stopword dictionaries for the n-gram/stopword
+#: language-ID heuristic. Deliberately tiny + hard-coded: the langid score
+#: must be reproducible in the DuckDB oracle SQL.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "los"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "den"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"),
+}
+
+#: BPE-ish token pattern: letter runs, digit runs, single punctuation.
+#: Kept to a subset portable between Java regex (Spark) and RE2 (DuckDB).
+TOKEN_RE = r"[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization (Python ``str.split()`` semantics: any run
+    of whitespace, no empty tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def n_words(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(words(c)))
+
+
+def regex_tokens(col: Column | str) -> Column:
+    """BPE-ish tokenizer — token count ≈ what a subword tokenizer yields."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(TOKEN_RE), 0)
+
+
+def char_len(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def avg_word_len(col: Column | str) -> Column:
+    """Mean word length = (chars excluding whitespace) / word count, as an
+    exact ratio of two ints (portable double division)."""
+    c = F.col(col) if isinstance(col, str) else col
+    non_ws = F.length(F.regexp_replace(c, r"\s+", ""))
+    return F.when(n_words(c) > 0, non_ws.cast("double") / n_words(c))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty strings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_hits(col: Column | str, stopwords: tuple[str, ...]) -> Column:
+    """Number of (lowercased) words that are in ``stopwords``."""
+    c = F.col(col) if isinstance(col, str) else col
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(words(F.lower(c)), lambda w: F.array_contains(sw, w)))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        n_words(c) > 0,
+        stopword_hits(c, LANG_STOPWORDS[lang]).cast("double") / n_words(c),
+    ).otherwise(F.lit(0.0))
+
+
+def langid(col: Column | str) -> Column:
+    """Stopword-scoring language ID: argmax of per-language hit counts,
+    alphabetical tie-break, 'und' when no stopword fires.
+
+    A CASE-over-greatest cascade — identical logic is replayable in SQL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scores = {lang: stopword_hits(c, sw) for lang, sw in sorted(LANG_STOPWORDS.items())}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # build the WHEN chain in reverse-alphabetical order so that earlier
+    # (alphabetically smaller) languages win ties
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in sorted(scores):
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document quality in [0,1]: rewards mid-length docs, a
+    healthy stopword ratio and low punctuation density. Heuristic in the
+    spirit of C4/Gopher quality filters; exact formula is arbitrary but
+    deterministic and oracle-replayable.
+
+        0.4·min(n_words/100,1) + 0.4·min(stopword_ratio·5,1) + 0.2·(1−min(punct_ratio·10,1))
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    length_term = F.least(n_words(c).cast("double") / 100.0, F.lit(1.0))
+    sw_term = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
+    punct_term = 1.0 - F.least(punct_ratio(c) * 10.0, F.lit(1.0))
+    return 0.4 * length_term + 0.4 * sw_term + 0.2 * punct_term
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array (basis for Jaccard/MinHash).
+
+    Pure expressions: sequence over word offsets → slice+join. Documents
+    shorter than k words yield a single whole-doc shingle.
+    """
+    w = words(col)
+    n = F.size(w)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    )
+
+
+def token_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive 64-bit document fingerprint: xxhash64 of the
+    whitespace-normalized text (fast exact-dup key that ignores spacing)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(F.concat_ws(" ", words(c)))

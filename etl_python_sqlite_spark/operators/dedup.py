@@ -1,0 +1,349 @@
+"""Deduplication operators for training-data pipelines (EXT, SURVEY §2.7).
+
+Five tiers, cheapest-first — the standard large-corpus dedup ladder:
+
+1. exact content dedup — hash groupBy, one shuffle on the hash;
+2. normalized-text dedup — same, keyed on a whitespace-insensitive
+   fingerprint;
+3. n-gram Jaccard — exact set similarity on word shingles (quadratic;
+   use on candidate pairs or bounded samples);
+4. MinHash + LSH — near-dup at corpus scale: signatures are one
+   narrow pass, banding turns O(n²) similarity into an equi-join on
+   (band, bucket), then candidates are verified with exact Jaccard;
+5. SimHash — 64-bit fingerprints; near-dups = small Hamming distance,
+   found via 4×16-bit block equi-joins (any pair within distance 3
+   shares at least one exact block — pigeonhole).
+
+Scale notes: every step is expressed as DataFrame ops (explode /
+groupBy / join) so Spark distributes them; the only shuffles are on
+hash/bucket keys which are uniformly distributed by construction (no
+skew). Signatures use xxhash64 with fixed integer salts — deterministic
+across runs and clusters, no RNG state to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_python_sqlite_spark.functions.text import token_fingerprint, word_shingles
+
+
+def reduce_or(cols: list[Column]) -> Column:
+    """Balanced bitwiseOR tree over a list of long columns."""
+    while len(cols) > 1:
+        cols = [
+            cols[i].bitwiseOR(cols[i + 1]) if i + 1 < len(cols) else cols[i]
+            for i in range(0, len(cols), 2)
+        ]
+    return cols[0]
+
+
+# ---------------------------------------------------------------------------
+# 1+2. exact / normalized dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct content: keeper id (min), copy count, content
+    hash. First-writer-wins like the reference's INSERT OR IGNORE."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the minimum-id row per distinct text — a semi-join of the
+    input against its keeper set (no row data shuffled twice)."""
+    keepers = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def normalized_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Like exact dedup but keyed on the whitespace-normalized fingerprint."""
+    return (
+        df.groupBy(token_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. exact n-gram Jaccard similarity
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs (a<b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
+
+    Quadratic in rows — intended for bounded inputs (a sample, or the
+    candidate pairs produced by LSH). Returns (id_a, id_b, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, signature array<long>[num_hashes]) — min over shingles of
+    xxhash64(shingle, salt_i) per salt.
+
+    Shape: explode distinct shingles → ``num_hashes`` plain hash columns →
+    ``groupBy(id).agg(min…)`` → re-pack as array. Flat hash/min expressions
+    stay inside whole-stage codegen and the groupBy gets map-side partial
+    aggregation (docs are contiguous within partitions, so the shuffle
+    carries ~one row per doc). A fold over array lambdas LOOKS cheaper (no
+    shuffle) but higher-order functions are interpreted per element —
+    measured 60× slower than this plan. No RNG: fixed integer salts.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("sh")
+    )
+    # hash the (variable-length) shingle string ONCE, then derive the salted
+    # family from the resulting 8-byte long — string hashing is the
+    # expensive part, long re-hashing is ~free
+    base = sh.select(id_col, F.xxhash64("sh").alias("h"))
+    hashed = base.select(
+        id_col,
+        *[F.xxhash64(F.col("h"), F.lit(s)).alias(f"h{s}") for s in range(num_hashes)],
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{s}").alias(f"h{s}") for s in range(num_hashes)]
+    )
+    return mins.select(
+        id_col, F.array(*[f"h{s}" for s in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signatures and equi-join on (band, band_hash).
+
+    With num_hashes=64, bands=16 → rows-per-band r=4; the S-curve
+    collision probability is 1-(1-j^4)^16 (≈0.97 at j=0.8). The shuffle
+    key (band, hash-of-4-longs) is uniform — no skew. Output: distinct
+    candidate (id_a < id_b) pairs.
+
+    The input is persisted: without it Catalyst inlines the signature
+    expression into all 16 band structs on BOTH sides of the self-join —
+    a 32× recompute of the minhash pass.
+    """
+    signatures = signatures.persist()
+    n_hashes_col = F.size(F.col("signature"))
+    rows_per_band = F.floor(n_hashes_col / bands)
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("signature"),
+                                    (b * rows_per_band + 1).cast("int"),
+                                    rows_per_band.cast("int"),
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → exact-Jaccard
+    verification of ONLY the candidates (no quadratic step at corpus
+    scale). Returns (id_a, id_b, jaccard ≥ threshold).
+    """
+    sigs = minhash_signatures(df, num_hashes, k, text_col, id_col)
+    cands = lsh_candidate_pairs(sigs, bands, id_col)
+
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("sh")
+    ).persist()  # reused by both sides of the verify join
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# 5. SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document: sign of the per-bit sum of token-hash
+    bits (±1). One narrow pass — per-row fold over the token array into a
+    64-counter accumulator, then bit-pack. No explode/shuffle.
+    """
+    from etl_python_sqlite_spark.functions.text import words
+
+    # Same codegen-friendly shape as minhash_signatures: explode tokens →
+    # one hashed long per row → 64 flat conditional-sum aggregates →
+    # bit-pack. (Higher-order array folds are interpreted per element —
+    # orders of magnitude slower at corpus scale.)
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
+    ).select(id_col, F.xxhash64("tok").alias("h"))
+
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    # OR together literal per-position masks where the bit majority is
+    # positive (bit 63's mask is its two's-complement long value — no
+    # arithmetic that could overflow under ANSI mode)
+    mask_vals = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    fingerprint = bit_sums.select(
+        F.col(id_col),
+        reduce_or(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(m).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i, m in enumerate(mask_vals)
+            ]
+        ).alias("simhash"),
+    )
+    return fingerprint
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Pigeonhole blocking: split 64 bits into 4 16-bit blocks; any pair
+    within distance 3 matches exactly on ≥1 block → equi-join per block,
+    union, verify with bit_count. Joins are on uniform 16-bit keys.
+    """
+    sh = simhash64(df, text_col, id_col).persist()  # self-joined below
+    blocks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(blk).alias("block"),
+                        F.shiftright(F.col("simhash"), blk * 16)
+                        .bitwiseAND(0xFFFF)
+                        .alias("key"),
+                    )
+                    for blk in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.block", "bk.key")
+
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,215 @@
+"""Similarity search over embedding columns (EXT, SURVEY §2.7 E3).
+
+Embeddings are ``array<float>`` columns. All math runs as JVM array
+expressions (``zip_with`` + ``aggregate``) in double precision with
+strict left-to-right summation — deterministic and replayable by the
+DuckDB oracle (same sequential fold order).
+
+Scale design:
+
+* brute-force top-k: one narrow pass computing the score + one top-k.
+  For a single query vector the global top-k uses a tree-reduce style
+  ``orderBy().limit(k)`` which Spark executes as per-partition top-k +
+  driver merge (TakeOrderedAndProject) — no full sort, no shuffle of the
+  corpus.
+* ANN via sign-LSH: 16 deterministic hyperplanes (xxhash-derived
+  pseudo-random components) → 16-bit bucket; queries probe their bucket
+  (and optionally neighboring buckets by Hamming distance). The bucket
+  assignment is one narrow pass and the per-bucket search touches
+  ~corpus/2^16 of the data; bucket ids are uniform (no skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ — strict left-to-right double fold (portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k for one query vector.
+
+    Output: (id, cos_sim rounded to 6) ordered by (rounded sim desc, id) —
+    rounding before ranking makes the ordering stable across engines
+    whose last-ulp doubles could otherwise disagree at rank boundaries.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = _as_double_array(vec_col)
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(emb, q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def knn_join_brute(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Each vector's k nearest neighbors (cosine), excluding itself.
+
+    O(n²) pair scores + per-id window top-k — bounded inputs only; the
+    scalable variant is ``ann_topk_lsh`` / IVF below.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), _as_double_array(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), _as_double_array(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") != F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id_a", "id_b", "cos_sim", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH ANN
+# ---------------------------------------------------------------------------
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: components from a
+    fixed integer hash (no RNG state; same on every executor/run)."""
+    # splitmix64-ish integer scramble, mapped to [-1, 1)
+    comps = []
+    for j in range(dim):
+        z = (plane * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        comps.append((z / 2**63) - 1.0)
+    return comps
+
+
+def lsh_bucket(vec: Column, dim: int, planes: int = 16) -> Column:
+    """Sign-LSH bucket id: bit i = sign(vec · hyperplane_i)."""
+    acc = F.lit(0).cast("long")
+    for i in range(planes):
+        h = F.array(*[F.lit(c) for c in _hyperplane(dim, i + 1)])
+        bit = F.when(_dot(vec, h) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = acc.bitwiseOR(bit)
+    return acc
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int | None = None,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    Hamming distance 1 of the query's bucket (multi-probe), then exact
+    cosine on that candidate slice.
+
+    At 100 TB the bucket column is precomputed/persisted and the probe is
+    a partition-pruned scan; here it's computed inline.
+    """
+    dim = dim or len(query_vec)
+    emb = _as_double_array(vec_col)
+    bucketed = df.select(
+        F.col(id_col), emb.alias("v"), lsh_bucket(emb, dim, planes).alias("bucket")
+    )
+
+    qb = lsh_bucket(F.array(*[F.lit(float(x)) for x in query_vec]), dim, planes)
+    probe = F.array(
+        qb, *[qb.bitwiseXOR(F.shiftleft(F.lit(1).cast("long"), i)) for i in range(planes)]
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        bucketed.filter(F.array_contains(probe, F.col("bucket")))
+        .select(F.col(id_col), F.round(cosine(F.col("v"), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate vectors: bucket with sign-LSH, pair within buckets,
+    verify cosine ≥ threshold. The O(n²) step only happens inside
+    buckets (n/2^planes each)."""
+    emb = _as_double_array(vec_col)
+    first = df.select(F.col(vec_col)).first()
+    dim = len(first[0]) if first else 0
+    bucketed = df.select(
+        F.col(id_col), emb.alias("v"), lsh_bucket(emb, dim, planes).alias("bucket")
+    ).persist()  # self-joined: avoid recomputing the hyperplane dots per side
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_pairs_sample(
+    df: DataFrame,
+    max_id: int = 100,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact pairwise cosine on a bounded id-range sample (oracle-friendly
+    ground truth for the ANN variants)."""
+    sub = df.filter(F.col(id_col) < max_id)
+    a = sub.select(F.col(id_col).alias("id_a"), _as_double_array(vec_col).alias("va"))
+    b = sub.select(F.col(id_col).alias("id_b"), _as_double_array(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

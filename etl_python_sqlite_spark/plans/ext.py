@@ -1,0 +1,165 @@
+"""EXT query surface: dedup / similarity / text analysis over the
+``documents`` and ``embeddings`` testdata tables (SURVEY §2.7).
+
+Wrappers bind the generic operators in ``operators/dedup.py``,
+``operators/similarity.py`` and ``functions/text.py`` to concrete
+(spark, sf_dir) query callables for the driver contract. Where DuckDB can
+express the same computation, ``__spark_entry__.oracle_sql`` carries the
+twin; hash-based operators (MinHash/SimHash/sign-LSH) are engine-internal
+and get rows-only checks plus pytest ground-truth tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_python_sqlite_spark.functions import text as X
+from etl_python_sqlite_spark.operators import dedup as D
+from etl_python_sqlite_spark.operators import similarity as S
+from etl_python_sqlite_spark.sources.parquet import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def ext_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — exact content dedup groups (sha256 key)."""
+    return D.exact_dedup_groups(_docs(spark, sf_dir)).orderBy("keeper_id")
+
+
+def ext_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1b — whitespace-insensitive dedup; oracle groups by the normalized
+    text itself (the fingerprint is engine-internal)."""
+    docs = _docs(spark, sf_dir)
+    norm = F.concat_ws(" ", X.words(F.col("text")))
+    return (
+        docs.groupBy(norm.alias("_norm"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+        .select("keeper_id", "n_copies")
+        .orderBy("keeper_id")
+    )
+
+
+def ext_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2-exact — 3-gram Jaccard pairs over a bounded sample (ground truth
+    for the LSH path; quadratic by design)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.05, k=3)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def ext_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — MinHash+LSH near-dup pipeline (rows-only check; pytest carries
+    the ground-truth comparison against exact Jaccard)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        D.minhash_near_dups(docs, threshold=0.3)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ext_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2b — SimHash fingerprints (rows-only: xxhash64 is engine-internal)."""
+    return D.simhash64(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity family
+# ---------------------------------------------------------------------------
+
+def ext_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — brute-force cosine top-20 for the vec_id=0 query vector."""
+    embs = _embs(spark, sf_dir)
+    qrow = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in qrow["embedding"]]
+    return S.cosine_topk(embs.filter(F.col("vec_id") != 0), q, k=20)
+
+
+def ext_cosine_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3-exact — pairwise cosine ≥ 0.5 among vec_id < 100 (oracle ground
+    truth for near-dup detection)."""
+    return S.cosine_pairs_sample(
+        _embs(spark, sf_dir), max_id=100, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def ext_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3-scale — sign-LSH multi-probe ANN top-20 (rows-only; pytest
+    measures recall vs brute force)."""
+    embs = _embs(spark, sf_dir)
+    qrow = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in qrow["embedding"]]
+    return S.ann_topk_lsh(embs.filter(F.col("vec_id") != 0), q, k=20, planes=8)
+
+
+# ---------------------------------------------------------------------------
+# text-analysis family
+# ---------------------------------------------------------------------------
+
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 — per-document stats: words, chars, tokens, avg word length,
+    punctuation ratio."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        X.n_words(F.col("text")).alias("n_words"),
+        F.length("text").alias("n_chars_actual"),
+        F.size(X.regex_tokens(F.col("text"))).alias("n_tokens"),
+        F.round(X.avg_word_len(F.col("text")), 6).alias("avg_word_len"),
+        F.round(X.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4b — stopword-scoring language ID + agreement with the labeled
+    ``lang`` column, aggregated per detected language."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", "lang", X.langid(F.col("text")).alias("lang_detected"))
+        .groupBy("lang_detected")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("lang") == F.col("lang_detected"), 1).otherwise(0)
+            ).alias("n_label_agree"),
+        )
+        .orderBy("lang_detected")
+    )
+
+
+def ext_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4c — composite quality score per doc + decile bucketing."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", F.round(X.quality_score(F.col("text")), 6).alias("quality")
+    )
+    return scored.orderBy("doc_id")
+
+
+def ext_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4d — corpus token accounting per source (the 'how many tokens do
+    we have' query every training pipeline runs)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(X.regex_tokens(F.col("text")))).alias("total_tokens"),
+            F.sum(X.n_words(F.col("text"))).alias("total_words"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("source")
+    )

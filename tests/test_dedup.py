@@ -1,0 +1,117 @@
+"""Ground-truth tests for the dedup ladder (exact / Jaccard / MinHash-LSH /
+SimHash) on synthetic corpora with planted near-duplicates."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_python_sqlite_spark.operators import dedup as D
+
+VOCAB = [
+    "spark", "query", "join", "filter", "scan", "merge", "sort", "hash",
+    "table", "row", "column", "batch", "stream", "window", "group", "agg",
+]
+
+
+def _doc(rng: random.Random, n: int = 40) -> str:
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+
+def _mutate(rng: random.Random, text: str, n_edits: int) -> str:
+    words = text.split()
+    for _ in range(n_edits):
+        words[rng.randrange(len(words))] = rng.choice(VOCAB)
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 random docs + 10 planted near-dup pairs (2-edit mutations) +
+    3 exact dups."""
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        rows.append((i, _doc(rng)))
+    for j in range(10):  # ids 100+2j (original), 101+2j (near-dup)
+        base = _doc(rng)
+        rows.append((100 + 2 * j, base))
+        rows.append((101 + 2 * j, _mutate(rng, base, 2)))
+    rows.append((200, rows[0][1]))  # exact dup of doc 0
+    rows.append((201, rows[1][1]))
+    rows.append((202, rows[1][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, corpus):
+    groups = D.exact_dedup_groups(corpus).collect()
+    dup_groups = [g for g in groups if g["n_copies"] > 1]
+    assert {(g["keeper_id"], g["n_copies"]) for g in dup_groups} == {(0, 2), (1, 3)}
+    kept = D.drop_exact_dups(corpus)
+    assert kept.count() == corpus.count() - 3
+    assert {r["doc_id"] for r in kept.collect()} & {200, 201, 202} == set()
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, corpus):
+    """Every exact-Jaccard pair ≥ 0.7 must be found by MinHash-LSH
+    (64 hashes / 16 bands ⇒ ~99.9% collision prob at j=0.7), and the
+    reported jaccard values must be the exact ones (verification step)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(corpus, threshold=0.7).collect()
+    }
+    assert len(exact) >= 5, "fixture should plant high-sim pairs"
+
+    found = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_near_dups(corpus, threshold=0.7).collect()
+    }
+    missing = set(exact) - set(found)
+    assert not missing, f"LSH missed {missing}"
+    for pair, j in exact.items():
+        assert abs(found[pair] - j) < 1e-12  # exact verify, not estimate
+
+
+def test_minhash_no_false_positives_below_threshold(spark, corpus):
+    """Verification step guarantees: nothing below the threshold sneaks in."""
+    exact_low = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(corpus, threshold=0.0).filter(
+            F.col("jaccard") < 0.5
+        ).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_dups(corpus, threshold=0.5).collect()
+    }
+    assert not (found & exact_low)
+
+
+def test_simhash_identical_and_near(spark, corpus):
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash64(corpus).collect()}
+    # exact dups → identical fingerprints
+    assert fp[0] == fp[200]
+    assert fp[1] == fp[201] == fp[202]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_dups(corpus, max_hamming=10).collect()
+    }
+    assert pairs[(0, 200)] == 0
+    assert pairs[(1, 201)] == 0
+    # planted 2-edit mutations of 40-word docs should be hamming-close;
+    # at least half of the planted pairs must surface within distance 10
+    planted = [(100 + 2 * j, 101 + 2 * j) for j in range(10)]
+    assert sum(p in pairs for p in planted) >= 5
+
+
+def test_normalized_dedup_collapses_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "a b  c"), (2, " a b c "), (3, "a b d")],
+        "doc_id long, text string",
+    )
+    groups = D.normalized_dedup_groups(df).collect()
+    dup = [g for g in groups if g["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["keeper_id"] == 1

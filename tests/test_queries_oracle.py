@@ -32,6 +32,14 @@ def test_every_oracle_key_has_query():
     )
 
 
+@pytest.mark.parametrize("qname", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_query_runs(spark, qname):
+    """Non-SQL-expressible queries: the driver's weaker rows-only check."""
+    df = QUERIES[qname](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
 @pytest.mark.parametrize("qname", sorted(ORACLES.keys()))
 def test_query_matches_oracle(spark, qname):
     q = QUERIES[qname]

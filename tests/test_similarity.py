@@ -1,0 +1,91 @@
+"""Similarity-search tests: brute-force correctness vs numpy ground truth,
+ANN recall vs brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_python_sqlite_spark.operators import similarity as S
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(80, DIM))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    # planted near-dups of vector 0: tiny perturbations
+    for j, eps in enumerate((0.01, 0.02)):
+        v = base[0] + eps * rng.normal(size=DIM)
+        rows.append((500 + j, [float(x) for x in v]))
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in rows},
+    )
+
+
+def _np_cosine(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors):
+    df, truth = vectors
+    q = [float(x) for x in truth[0]]
+    got = S.cosine_topk(df.filter(F.col("vec_id") != 0), q, k=5).collect()
+
+    expected = sorted(
+        ((i, round(_np_cosine(v, truth[0]), 6)) for i, v in truth.items() if i != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == pytest.approx(expected)
+    # the planted near-dups of vector 0 must rank first
+    assert {got[0]["vec_id"], got[1]["vec_id"]} == {500, 501}
+
+
+def test_knn_join_brute(spark, vectors):
+    df, truth = vectors
+    got = S.knn_join_brute(df.filter(F.col("vec_id") >= 500), k=1).collect()
+    # with only the two planted vectors they are each other's NN
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(500, 501), (501, 500)}
+
+
+def test_ann_lsh_recall(spark, vectors):
+    df, truth = vectors
+    q = [float(x) for x in truth[0]]
+    brute = [
+        r["vec_id"]
+        for r in S.cosine_topk(df.filter(F.col("vec_id") != 0), q, k=5).collect()
+    ]
+    ann = [
+        r["vec_id"]
+        for r in S.ann_topk_lsh(
+            df.filter(F.col("vec_id") != 0), q, k=5, planes=6
+        ).collect()
+    ]
+    # multi-probe LSH must recover the planted near-dups (the high-cosine
+    # hits that matter); the low-similarity tail of the top-5 is allowed to
+    # differ — that's the approximation being traded for the bucket prune
+    assert {500, 501} <= set(ann)
+    assert len(set(ann) & set(brute)) >= 2
+
+
+def test_embedding_near_dup_pairs(spark, vectors):
+    df, _ = vectors
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in S.embedding_near_dup_pairs(df, threshold=0.98, planes=6).collect()
+    }
+    assert (500, 501) in pairs or (0, 500) in pairs  # planted cluster found
+
+
+def test_cosine_pairs_sample_threshold(spark, vectors):
+    df, truth = vectors
+    got = S.cosine_pairs_sample(df, max_id=600, threshold=0.98).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in got}
+    assert (0, 500) in ids and (0, 501) in ids and (500, 501) in ids
+    for r in got:
+        a, b = truth[r["id_a"]], truth[r["id_b"]]
+        assert r["cos_sim"] == pytest.approx(round(_np_cosine(a, b), 6), abs=2e-6)
