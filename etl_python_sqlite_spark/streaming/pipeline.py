@@ -1,0 +1,248 @@
+"""Streaming mirror of the batch ETL pipeline (SURVEY §2.6 / §7 phase 6).
+
+The reference is batch-only; its "incremental" behavior is append-with-
+dedup across re-runs (reference scr/etl_incremental_audit.py:193-250).
+The natural Spark upgrade is a file-arrival-driven Structured Streaming
+job with identical per-batch semantics:
+
+    readStream(csv dir) ─► motivo cascade ─► foreachBatch:
+        rejects  → per-file reject CSVs
+        valid    → dim upsert + fact idempotent append + audit rows
+
+``foreachBatch`` reuses the SAME library code as the batch path — the
+idempotent-append contract makes micro-batch replays safe (at-least-once
+delivery + first-writer-wins dedup ⇒ effectively-exactly-once on the
+natural key), which is precisely why the reference's INSERT OR IGNORE
+semantic translates so well to streaming.
+
+Also here: a watermarked tumbling-window aggregation over the ``events``
+stream shape (late-data tolerant), the streaming analog of
+``plans.relational.hourly_event_rollup``.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_python_sqlite_spark.operators.transform import annotate_rejections
+from etl_python_sqlite_spark.pipeline import (
+    AUDIT_SCHEMA,
+    FACT_NATURAL_KEY,
+    FACT_SCHEMA,
+    PipelineConfig,
+)
+
+RAW_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("nombre", T.StringType(), True),
+        T.StructField("edad", T.StringType(), True),
+        T.StructField("ciudad", T.StringType(), True),
+    ]
+)
+
+
+def stream_raw_csv(spark: SparkSession, data_in: str) -> DataFrame:
+    """File-source stream over the input directory (schema must be
+    explicit for streams; all-string like the batch reader) with per-file
+    lineage."""
+    return (
+        spark.readStream.schema(RAW_CSV_SCHEMA)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 16)
+        .csv(data_in)
+        .withColumn(
+            "source_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+    )
+
+
+def process_microbatch(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    batch_df: DataFrame,
+    batch_id: int,
+    now: datetime | None = None,
+) -> None:
+    """foreachBatch body — same load semantics as pipeline.run_batch but
+    driven by whatever files arrived in this micro-batch. Idempotent under
+    replay: a re-delivered file inserts 0 new fact rows."""
+    from etl_python_sqlite_spark.operators.idempotent import (
+        idempotent_append,
+        read_or_empty,
+        upsert_dimension,
+    )
+    from etl_python_sqlite_spark.pipeline import write_rejects_csv
+
+    batch_df = batch_df.persist()
+    try:
+        if batch_df.isEmpty():
+            return
+        ts = (now or datetime.now(timezone.utc)).strftime("%Y%m%dT%H%M%S%fZ")
+        started_at = (now or datetime.now(timezone.utc)).isoformat()
+
+        # extra columns (source_file) pass through the cascade untouched
+        ann = annotate_rejections(batch_df, edad_min=cfg.edad_min).persist()
+
+        # reject sink: one CSV per source file in this micro-batch
+        rejects = ann.filter(F.col("motivo").isNotNull())
+        for (fname,) in rejects.select("source_file").distinct().collect():
+            write_rejects_csv(
+                rejects.filter(F.col("source_file") == fname).select(
+                    F.coalesce("nombre", F.lit("")).alias("nombre"),
+                    F.coalesce("edad", F.lit("")).alias("edad"),
+                    F.coalesce("ciudad", F.lit("")).alias("ciudad"),
+                    "motivo",
+                ),
+                Path(cfg.data_rejected) / f"rejected_{fname}",
+            )
+
+        valid = ann.filter(F.col("motivo").isNull())
+        dim = upsert_dimension(
+            spark, valid.select(F.col("ciudad_norm").alias("nombre")), cfg.dim_path
+        )
+        resolved = valid.join(
+            F.broadcast(dim), valid.ciudad_norm == dim.nombre
+        ).select(
+            F.col("nombre_norm").alias("nombre"),
+            F.col("edad_int").cast("int").alias("edad"),
+            "ciudad_id",
+            "source_file",
+        )
+        existing = read_or_empty(spark, cfg.fact_path, FACT_SCHEMA)
+        start = (existing.agg(F.max("persona_id")).first()[0] or 0) + 1
+        run_id_col = F.concat(
+            F.lit(ts + "_"), F.regexp_replace("source_file", r"[^\p{L}\p{N}]", "_")
+        )
+        batch = (
+            resolved.withColumn("processed_at", F.lit(started_at))
+            .withColumn("run_id", run_id_col)
+            .drop("source_file")
+        )
+        res = idempotent_append(
+            spark,
+            batch,
+            cfg.fact_path,
+            FACT_NATURAL_KEY,
+            target_schema=FACT_SCHEMA,
+            id_col="persona_id",
+            id_start=start,
+        )
+
+        audit = (
+            ann.groupBy("source_file")
+            .agg(
+                F.sum(F.when(F.col("motivo").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("valid_count"),
+                F.sum(F.when(F.col("motivo").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("rejected_count"),
+            )
+            .select(
+                F.concat(
+                    F.lit(ts + "_"),
+                    F.regexp_replace("source_file", r"[^\p{L}\p{N}]", "_"),
+                ).alias("run_id"),
+                F.lit(started_at).alias("started_at"),
+                "source_file",
+                "valid_count",
+                "rejected_count",
+                F.lit(res.inserted_new).cast("long").alias("inserted_new"),
+                F.lit(res.ignored_duplicates).cast("long").alias("ignored_duplicates"),
+            )
+        )
+        audit.write.mode("append").parquet(cfg.audit_path)
+    finally:
+        batch_df.unpersist()
+
+
+def start_stream(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    checkpoint_dir: str,
+    now: datetime | None = None,
+):
+    """Launch the streaming pipeline; returns the StreamingQuery.
+
+    Checkpointing + idempotent append give effectively-exactly-once fact
+    rows across restarts.
+    """
+    raw = stream_raw_csv(spark, cfg.data_in)
+    return (
+        raw.writeStream.foreachBatch(
+            lambda bdf, bid: process_microbatch(spark, cfg, bdf, bid, now=now)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# watermarked windowed aggregation (streaming analog of hourly_event_rollup)
+# ---------------------------------------------------------------------------
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def windowed_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1-hour tumbling windows per event_type with late-data tolerance.
+
+    State is bounded by the watermark: windows older than max(event time)
+    − watermark are finalized and evicted. Works on both a streaming and a
+    batch DataFrame (same plan — Spark's unified semantics).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_windowed_stream_once(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+) -> None:
+    """Drive the watermarked aggregation over a parquet-file stream to a
+    parquet sink (append mode: only watermark-finalized windows emit)."""
+    # one file per micro-batch: append-mode windows only emit in a batch
+    # AFTER the watermark passes them, so multi-batch consumption (plus the
+    # trailing no-data batch) is what flushes finalized windows
+    events = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    q = (
+        windowed_event_counts(events, watermark=watermark)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start(sink_dir)
+    )
+    q.awaitTermination()

@@ -1,0 +1,118 @@
+"""Streaming mirror tests: file-stream ETL with foreachBatch idempotent
+load; watermarked windowed aggregation."""
+
+from __future__ import annotations
+
+import csv
+from datetime import datetime, timedelta, timezone
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_python_sqlite_spark.pipeline import PipelineConfig
+from etl_python_sqlite_spark.streaming.pipeline import (
+    run_windowed_stream_once,
+    start_stream,
+    windowed_event_counts,
+)
+
+DIRTY = [
+    ["nombre", "edad", "ciudad"],
+    ["  guillermo ", "26", "san luis"],
+    ["NOEMI", "52", "SAN LUIS"],
+    ["Naomi ", "23", " san juan"],
+]
+
+
+def _write_csv(path: Path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with path.open("w", newline="", encoding="utf-8") as f:
+        csv.writer(f).writerows(rows)
+
+
+NOW = datetime(2024, 6, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def test_stream_etl_end_to_end(spark, tmp_path):
+    cfg = PipelineConfig(
+        data_in=str(tmp_path / "in"),
+        data_rejected=str(tmp_path / "rej"),
+        warehouse=str(tmp_path / "wh"),
+    )
+    _write_csv(Path(cfg.data_in) / "f1.csv", DIRTY)
+
+    q = start_stream(spark, cfg, str(tmp_path / "ckpt"), now=NOW)
+    q.awaitTermination(120)
+
+    fact = spark.read.parquet(cfg.fact_path)
+    assert {(r["nombre"], r["edad"]) for r in fact.collect()} == {
+        ("Guillermo", 26),
+        ("Noemi", 52),
+    }
+    assert (Path(cfg.data_rejected) / "rejected_f1.csv").exists()
+
+    # new file arrives (incl. a cross-batch duplicate) → second availableNow
+    # run picks it up from the checkpoint; duplicate is ignored
+    _write_csv(
+        Path(cfg.data_in) / "f2.csv",
+        [["nombre", "edad", "ciudad"], ["guillermo", "26", "San Luis"],
+         ["Marta", "33", "Lima"]],
+    )
+    q2 = start_stream(spark, cfg, str(tmp_path / "ckpt"), now=NOW)
+    q2.awaitTermination(120)
+
+    fact = spark.read.parquet(cfg.fact_path)
+    assert fact.count() == 3  # Marta added, duplicate Guillermo ignored
+    audit = spark.read.parquet(cfg.audit_path)
+    f2 = [r for r in audit.collect() if r["source_file"] == "f2.csv"]
+    assert len(f2) == 1
+    assert (f2[0]["inserted_new"], f2[0]["ignored_duplicates"]) == (1, 1)
+
+
+def _events_rows():
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for h, n in [(0, 3), (1, 2), (2, 4)]:
+        for i in range(n):
+            rows.append(
+                (h * 10 + i, base + timedelta(hours=h, minutes=i), 1, "click", 1.0)
+            )
+    return rows
+
+
+def test_windowed_agg_batch_equivalence(spark):
+    """The same windowed plan works on a batch frame (unified semantics)."""
+    df = spark.createDataFrame(
+        _events_rows(),
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        (r["window_start"].hour, r["n_events"])
+        for r in windowed_event_counts(df).collect()
+    }
+    assert got == {(0, 3), (1, 2), (2, 4)}
+
+
+def test_windowed_stream_with_watermark(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    # one file per hour → consumed as separate micro-batches (in ts order,
+    # file listing is name-ordered) so the watermark advances between them
+    rows = _events_rows()
+    for h in (0, 1, 2):
+        spark.createDataFrame(
+            [r for r in rows if r[1].hour == h], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "events_sink")
+    run_windowed_stream_once(
+        spark, src, sink, str(tmp_path / "ckpt2"), watermark="30 minutes"
+    )
+
+    out = spark.read.parquet(sink)
+    # append mode: a window emits once the watermark (max ts − 30min)
+    # passes its END. max ts = 02:03 ⇒ wm 01:33 ⇒ hour-0 ([00:00,01:00))
+    # finalized; hours 1-2 still open ⇒ withheld
+    got = {(r["window_start"].hour, r["n_events"]) for r in out.collect()}
+    assert got == {(0, 3)}
