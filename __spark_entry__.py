@@ -72,6 +72,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_rollup": R.hourly_event_rollup,
         "set_except_users": R.set_except_users,
         "rollup_region_nation": R.rollup_region_nation,
+        # extended SQL surface (SURVEY §2.4/§2.5 — beyond the reference)
+        "string_funcs": R.string_funcs,
+        "date_parts_agg": R.date_parts_agg,
+        "sql_exists_subquery": R.sql_exists_subquery,
+        "percentiles_by_group": R.percentiles_by_group,
+        "pivot_event_types": R.pivot_event_types,
+        "union_all_tagged": R.union_all_tagged,
+        "having_filter": R.having_filter,
+        "sessionize_events": R.sessionize_events,
+        "top_orders_limit": R.top_orders_limit,
+        "null_handling_outer_join": R.null_handling_outer_join,
         # EXT — training-data pipeline operators (SURVEY §2.7)
         "ext_exact_dedup": E.ext_exact_dedup,
         "ext_normalized_dedup": E.ext_normalized_dedup,
@@ -250,6 +261,123 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
             ORDER BY region NULLS FIRST, nation NULLS FIRST
+        """,
+        # ------------------------------------------------------------------
+        # extended SQL surface oracles
+        # ------------------------------------------------------------------
+        "string_funcs": """
+            SELECT p_partkey,
+                   concat_ws('-', p_brand, upper(p_type)) AS brand_type,
+                   substring(p_name, 1, 5) AS name5,
+                   regexp_replace(p_name, 'gear', 'cog', 'g') AS renamed,
+                   lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+                   length(p_name) AS name_len
+            FROM part
+            WHERE p_name LIKE '%gear%'
+            ORDER BY p_partkey
+        """,
+        "date_parts_agg": """
+            SELECT EXTRACT(year FROM o_orderdate) AS yr,
+                   EXTRACT(month FROM o_orderdate) AS mo,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+            FROM orders
+            GROUP BY 1, 2
+            ORDER BY yr, mo
+        """,
+        "sql_exists_subquery": """
+            SELECT c.c_custkey, c.c_name,
+                   (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
+                       AS n_orders
+            FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+            )
+            ORDER BY c.c_custkey
+        """,
+        "percentiles_by_group": """
+            SELECT o_orderpriority,
+                   ROUND(q[1], 4) AS p25,
+                   ROUND(q[2], 4) AS p50,
+                   ROUND(q[3], 4) AS p75
+            FROM (
+                SELECT o_orderpriority,
+                       quantile_cont(CAST(o_totalprice AS DOUBLE),
+                                     [0.25, 0.5, 0.75]) AS q
+                FROM orders
+                GROUP BY o_orderpriority
+            )
+            ORDER BY o_orderpriority
+        """,
+        "pivot_event_types": """
+            SELECT dayofweek(ts) + 1 AS dow,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+            FROM events
+            GROUP BY 1
+            ORDER BY dow
+        """,
+        "union_all_tagged": """
+            SELECT c_custkey, 'high' AS tier FROM customer WHERE c_acctbal >= 9000
+            UNION ALL
+            SELECT c_custkey, 'low' AS tier FROM customer WHERE c_acctbal < 1000
+            ORDER BY c_custkey, tier
+        """,
+        "having_filter": """
+            SELECT l_suppkey, COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
+            FROM lineitem
+            GROUP BY l_suppkey
+            HAVING COUNT(*) > 100
+            ORDER BY l_suppkey
+        """,
+        "sessionize_events": """
+            WITH gapped AS (
+                SELECT user_id, ts, event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w AS gap_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END
+                           AS new_session
+                FROM gapped
+            ),
+            sessioned AS (
+                SELECT user_id,
+                       SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events
+            FROM sessioned
+            GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "top_orders_limit": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 25
+        """,
+        "null_handling_outer_join": """
+            SELECT c_custkey,
+                   COALESCE(n, 0) AS n_orders,
+                   CAST(n IS NULL AS INT) AS has_no_orders
+            FROM customer
+            LEFT JOIN (
+                SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+            ) ON c_custkey = o_custkey
+            ORDER BY c_custkey
         """,
         # ------------------------------------------------------------------
         # EXT oracles

@@ -391,3 +391,173 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy(F.col("region").asc_nulls_first(), F.col("nation").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended SQL surface (SURVEY §2.4/§2.5 "absent in reference, exposed on
+# Spark"): string/date functions, subqueries, percentiles, pivot, windows
+# ---------------------------------------------------------------------------
+
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function coverage: concat, substring, replace, pad,
+    case mapping, length, LIKE filter."""
+    part = table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%gear%"))
+        .select(
+            "p_partkey",
+            F.concat_ws("-", F.col("p_brand"), F.upper(F.col("p_type"))).alias(
+                "brand_type"
+            ),
+            F.substring("p_name", 1, 5).alias("name5"),
+            F.regexp_replace("p_name", "gear", "cog").alias("renamed"),
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+            F.length("p_name").alias("name_len"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + aggregation: orders per (year, month)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum("o_totalprice", 2).alias("total_value"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery through the SQL entry point — customers
+    with at least one order over a threshold, plus a scalar subquery."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               (SELECT COUNT(*) FROM v_orders o WHERE o.o_custkey = c.c_custkey)
+                   AS n_orders
+        FROM v_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM v_orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75) of order value per
+    priority — linear interpolation semantics shared with quantile_cont."""
+    orders = table(spark, sf_dir, "orders")
+    pct = F.percentile(F.col("o_totalprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(pct[0], 4).alias("p25"),
+            F.round(pct[1], 4).alias("p50"),
+            F.round(pct[2], 4).alias("p75"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: events per (weekday, type) in wide layout. Spark's pivot()
+    relational operator; the oracle replays it as portable CASE sums."""
+    ev = table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.dayofweek("ts").alias("dow"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .orderBy("dow")
+    )
+    return wide
+
+
+def union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two branch queries with a literal tag column."""
+    c = table(spark, sf_dir, "customer")
+    hi = c.filter(F.col("c_acctbal") >= 9000).select(
+        "c_custkey", F.lit("high").alias("tier")
+    )
+    lo = c.filter(F.col("c_acctbal") < 1000).select(
+        "c_custkey", F.lit("low").alias("tier")
+    )
+    return hi.unionAll(lo).orderBy("c_custkey", "tier")
+
+
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING — post-aggregation predicate."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_items"), _dsum("l_quantity", 2).alias("qty"))
+        .filter(F.col("n_items") > 100)
+        .orderBy("l_suppkey")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window functions: a new session starts after a
+    >30-minute gap; count events per (user, session). lag + conditional
+    cumulative sum — the canonical pattern, fully portable SQL."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+        ).alias("gap_s"),
+    ).withColumn(
+        "new_session",
+        F.when(F.col("gap_s").isNull() | (F.col("gap_s") > 1800), 1).otherwise(0),
+    )
+    sessioned = gapped.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+def top_orders_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ORDER BY ... LIMIT (top-k by value, key tie-break)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+def null_handling_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + COALESCE/null predicates: order counts per
+    customer including order-less customers as zero."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+            F.col("n").isNull().cast("int").alias("has_no_orders"),
+        )
+        .orderBy("c_custkey")
+    )
