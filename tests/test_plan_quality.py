@@ -1,0 +1,106 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+These tests freeze the *plan shape*, not the results: filters must reach
+the parquet scan, projections must prune the read schema, dimension joins
+must broadcast, and nothing may degenerate into a cartesian product.
+A regression here is invisible at test scale but catastrophic at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from etl_python_sqlite_spark.plans import relational as R
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, df, mode: str = "formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = R.filter_projection(spark, SF_SMOKE)
+    plan = _plan(spark, df)
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_quantity,25.0)" in plan
+    assert "GreaterThan(l_discount,0.02)" in plan
+
+
+def test_projection_prunes_read_schema(spark):
+    df = R.filter_projection(spark, SF_SMOKE)
+    read_schema = next(
+        l for l in _plan(spark, df).splitlines() if "ReadSchema" in l
+    )
+    # only the 4 referenced columns are read — not the 11-column table
+    for col in ("l_orderkey", "l_linenumber", "l_quantity", "l_discount"):
+        assert col in read_schema
+    for col in ("l_extendedprice", "l_shipdate", "l_returnflag"):
+        assert col not in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, R.fact_dim_join(spark, SF_SMOKE), "simple")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """groupBy compiles to partial + final HashAggregate around one
+    exchange — map-side combine is what keeps 100 TB aggregations sane."""
+    plan = _plan(spark, R.agg_pricing_summary(spark, SF_SMOKE), "simple")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") <= 3  # agg shuffle + sort; no extra churn
+
+
+def test_semi_anti_joins_stay_joins(spark):
+    for q in (R.anti_join_new_rows, R.semi_join_existing):
+        plan = _plan(spark, q(spark, SF_SMOKE), "simple")
+        assert "CartesianProduct" not in plan
+        assert "LeftSemi" in plan or "LeftAnti" in plan
+
+
+def test_no_query_uses_cartesian_or_bnlj(spark):
+    """Sweep every declared query: no plan may contain a cartesian product,
+    and broadcast-nested-loop is allowed only for the bounded-sample
+    pair queries that are quadratic by design."""
+    allowed_bnlj = {
+        "ext_ngram_jaccard_pairs",   # bounded sample, pair-join by design
+        "ext_cosine_pairs_sample",   # bounded sample, pair-join by design
+        "ext_minhash_near_dups",     # id_a < id_b range condition on tiny cands
+        "ext_simhash_near_dups",
+        "ext_ann_topk_lsh",          # probe-array membership on bucketed slice
+    }
+    for name, q in entrymod.queries().items():
+        plan = _plan(spark, q(spark, SF_SMOKE), "simple")
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+        if name not in allowed_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name} uses BNLJ"
+
+
+def test_whole_stage_codegen_in_hot_paths(spark):
+    """The cascade + flagship agg must run inside WholeStageCodegen spans."""
+    for q in (R.agg_pricing_summary, R.case_cascade_classify):
+        # AQE finalizes the physical plan only at execution time — run the
+        # query, then inspect the executed plan for codegen spans
+        df = q(spark, SF_SMOKE)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # '*(n)' prefixes mark WholeStageCodegen spans in the executed plan
+        assert "*(1)" in plan, f"no codegen spans:\n{plan[:400]}"
+
+
+def test_events_loader_prunes_columns(spark):
+    """The nanos-timestamp shim must not defeat column pruning for
+    queries that don't touch ts."""
+    from etl_python_sqlite_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type").distinct()
+    read_schema = next(
+        l for l in _plan(spark, ev).splitlines() if "ReadSchema" in l
+    )
+    assert "event_type" in read_schema and "props" not in read_schema
