@@ -34,7 +34,7 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ext_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 — exact content dedup groups (sha256 key)."""
-    return D.exact_dedup_groups(_docs(spark, sf_dir)).orderBy("keeper_id")
+    return D.exact_dedup_groups(_docs(spark, sf_dir))
 
 
 def ext_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,7 +46,6 @@ def ext_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy(norm.alias("_norm"))
         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
         .select("keeper_id", "n_copies")
-        .orderBy("keeper_id")
     )
 
 
@@ -57,7 +56,7 @@ def ext_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.05, k=3)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def ext_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,13 +66,12 @@ def ext_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         D.minhash_near_dups(docs, threshold=0.3)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
     )
 
 
 def ext_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2b — SimHash fingerprints (rows-only: xxhash64 is engine-internal)."""
-    return D.simhash64(_docs(spark, sf_dir)).orderBy("doc_id")
+    return D.simhash64(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -93,7 +91,7 @@ def ext_cosine_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth for near-dup detection)."""
     return S.cosine_pairs_sample(
         _embs(spark, sf_dir), max_id=100, threshold=0.5
-    ).orderBy("id_a", "id_b")
+    )
 
 
 def ext_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,7 +118,7 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(X.regex_tokens(F.col("text"))).alias("n_tokens"),
         F.round(X.avg_word_len(F.col("text")), 6).alias("avg_word_len"),
         F.round(X.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-    ).orderBy("doc_id")
+    )
 
 
 def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,7 +134,6 @@ def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("lang") == F.col("lang_detected"), 1).otherwise(0)
             ).alias("n_label_agree"),
         )
-        .orderBy("lang_detected")
     )
 
 
@@ -146,7 +143,7 @@ def ext_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id", F.round(X.quality_score(F.col("text")), 6).alias("quality")
     )
-    return scored.orderBy("doc_id")
+    return scored
 
 
 def ext_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,5 +158,4 @@ def ext_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(X.n_words(F.col("text"))).alias("total_words"),
             F.sum(F.length("text")).alias("total_chars"),
         )
-        .orderBy("source")
     )

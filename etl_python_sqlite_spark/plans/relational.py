@@ -84,7 +84,6 @@ def fact_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region"),
             "c_acctbal",
         )
-        .orderBy("c_custkey")
     )
 
 
@@ -101,7 +100,6 @@ def join_filter_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             nation.n_regionkey == region.r_regionkey,
         )
         .select("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_mktsegment")
-        .orderBy("c_custkey")
     )
 
 
@@ -127,7 +125,6 @@ def groupby_count_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_personas",
             _avg_expr("_p", "_cnt", 2, 2).alias("acctbal_promedio"),
         )
-        .orderBy(F.desc("total_personas"), "nation")
     )
 
 
@@ -145,7 +142,6 @@ def filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter((F.col("l_quantity") >= 25) & (F.col("l_discount") > 0.02))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -160,7 +156,6 @@ def distinct_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.select("c_nationkey", "c_mktsegment")
         .distinct()
-        .orderBy("c_nationkey", "c_mktsegment")
     )
 
 
@@ -176,7 +171,6 @@ def anti_join_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
     )
 
 
@@ -188,7 +182,6 @@ def semi_join_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -239,7 +232,6 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _avg_expr("_pd", "_cnt", 4, 4).alias("avg_disc"),
             "count_order",
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -255,7 +247,6 @@ def agg_minmax_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count("*").alias("n_orders"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -274,7 +265,6 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("c_nationkey", "c_custkey", "c_acctbal", "rk")
-        .orderBy("c_nationkey", "rk")
     )
 
 
@@ -297,7 +287,6 @@ def case_cascade_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("motivo", motivo)
         .groupBy("motivo")
         .agg(F.count("*").alias("n"), _dsum("value", 2).alias("sum_value"))
-        .orderBy("motivo")
     )
 
 
@@ -322,7 +311,6 @@ def strict_cast_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count("k")).alias("n_reject"),
             F.sum("k").alias("sum_k"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -342,7 +330,6 @@ def normalize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             py_capitalize("p_name").alias("name_capitalize"),
             py_title("p_name").alias("name_title"),
         )
-        .orderBy("p_partkey")
     )
 
 
@@ -360,7 +347,6 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
         .agg(F.count("*").alias("n_events"), _dsum("value", 2).alias("sum_value"))
-        .orderBy("hour", "event_type")
     )
 
 
@@ -373,7 +359,7 @@ def set_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     viewers = ev.filter(F.col("event_type") == "view").select("user_id")
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    return viewers.subtract(buyers).orderBy("user_id")
+    return viewers.subtract(buyers)
 
 
 def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,7 +375,6 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(F.count("*").alias("n_customers"))
-        .orderBy(F.col("region").asc_nulls_first(), F.col("nation").asc_nulls_first())
     )
 
 
@@ -414,7 +399,6 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
             F.length("p_name").alias("name_len"),
         )
-        .orderBy("p_partkey")
     )
 
 
@@ -429,7 +413,6 @@ def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             _dsum("o_totalprice", 2).alias("total_value"),
         )
-        .orderBy("yr", "mo")
     )
 
 
@@ -465,7 +448,6 @@ def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pct[1], 4).alias("p50"),
             F.round(pct[2], 4).alias("p75"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -478,7 +460,6 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
         .count()
         .na.fill(0)
-        .orderBy("dow")
     )
     return wide
 
@@ -492,7 +473,7 @@ def union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = c.filter(F.col("c_acctbal") < 1000).select(
         "c_custkey", F.lit("low").alias("tier")
     )
-    return hi.unionAll(lo).orderBy("c_custkey", "tier")
+    return hi.unionAll(lo)
 
 
 def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,7 +483,6 @@ def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey")
         .agg(F.count("*").alias("n_items"), _dsum("l_quantity", 2).alias("qty"))
         .filter(F.col("n_items") > 100)
-        .orderBy("l_suppkey")
     )
 
 
@@ -532,7 +512,6 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sessioned.groupBy("user_id", "session_id")
         .agg(F.count("*").alias("n_events"))
-        .orderBy("user_id", "session_id")
     )
 
 
@@ -559,5 +538,4 @@ def null_handling_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
             F.col("n").isNull().cast("int").alias("has_no_orders"),
         )
-        .orderBy("c_custkey")
     )
