@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_rollup": R.hourly_event_rollup,
         "set_except_users": R.set_except_users,
         "rollup_region_nation": R.rollup_region_nation,
+        "inline_cascade_annotated": R.inline_cascade_annotated,
+        "cube_status_priority": R.cube_status_priority,
         # extended SQL surface (SURVEY §2.4/§2.5 — beyond the reference)
         "string_funcs": R.string_funcs,
         "date_parts_agg": R.date_parts_agg,
@@ -96,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_langid": E.ext_langid,
         "ext_quality_scores": E.ext_quality_scores,
         "ext_token_count_by_source": E.ext_token_count_by_source,
+        "ext_winnowing_pairs": E.ext_winnowing_pairs,            # rows-only
     }
 
 
@@ -261,6 +264,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
             ORDER BY region NULLS FIRST, nation NULLS FIRST
+        """,
+        "inline_cascade_annotated": """
+            WITH raw(nombre, edad, ciudad) AS (
+                VALUES ('  guillermo ', '26', 'san luis'),
+                       ('NOEMI', '52', 'SAN LUIS'),
+                       ('Naomi ', '23', ' san juan'),
+                       ('Pedro', 'error', 'Querétaro'),
+                       ('ana maría', '31', 'san luis potosí'),
+                       (NULL, '40', 'Lima'),
+                       ('Luis', '26 ', 'Bogotá'),
+                       ('Eva', '26.5', 'Quito')
+            ),
+            norm AS (
+                SELECT nombre, edad, ciudad,
+                       lower(trim(nombre)) AS tn,
+                       lower(trim(ciudad)) AS tc,
+                       CASE WHEN regexp_matches(trim(edad), '^[+-]?[0-9]+$')
+                            THEN CAST(trim(edad) AS INTEGER) END AS edad_i
+                FROM raw
+            )
+            SELECT COALESCE(nombre, '') AS nombre,
+                   COALESCE(edad, '') AS edad,
+                   COALESCE(ciudad, '') AS ciudad,
+                   CASE
+                     WHEN nombre IS NULL OR edad IS NULL OR ciudad IS NULL
+                       THEN 'Valor None en campo requerido'
+                     WHEN edad_i IS NULL THEN 'Edad no convertible a int'
+                     WHEN edad_i < 25 THEN 'Edad < 25'
+                     ELSE 'OK'
+                   END AS motivo,
+                   COALESCE(upper(tn[1]) || tn[2:], '') AS nombre_norm,
+                   COALESCE(array_to_string(
+                       list_transform(string_split(tc, ' '),
+                                      w -> upper(w[1]) || w[2:]), ' '), '')
+                       AS ciudad_norm,
+                   COALESCE(CAST(edad_i AS VARCHAR), '') AS edad_int
+            FROM norm
+        """,
+        "cube_status_priority": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS value
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         # ------------------------------------------------------------------
         # extended SQL surface oracles

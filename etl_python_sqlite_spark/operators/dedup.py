@@ -391,3 +391,74 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Winnowing (rolling-hash document fingerprinting, MOSS-style)
+# ---------------------------------------------------------------------------
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional rolling-hash fingerprints: hash the k-word shingle at
+    every position, slide a ``window``-wide frame, keep each frame's
+    minimum hash, dedupe. Guarantees: any shared run of ≥ k+window-1
+    words between two documents yields at least one shared fingerprint
+    (the winnowing coverage property).
+
+    All codegen: posexplode → lead-concat shingles → xxhash64 → windowed
+    min → distinct. One shuffle on the uniform doc id.
+    Output: (id, fingerprint) rows.
+    """
+    from etl_python_sqlite_spark.functions.text import words
+
+    wtok = Window.partitionBy(id_col).orderBy("pos")
+    toks = df.select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "w0")
+    )
+    cols = [F.col("w0")] + [
+        F.lead("w0", i).over(wtok).alias(f"w{i}") for i in range(1, k)
+    ]
+    grams = (
+        toks.select(F.col(id_col), F.col("pos"), *cols)
+        .filter(F.col(f"w{k-1}").isNotNull() | (F.col("pos") == 0))
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.xxhash64(F.concat_ws(" ", *[f"w{i}" for i in range(k)])).alias("h"),
+        )
+    )
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    )
+    return (
+        grams.select(F.col(id_col), F.min("h").over(frame).alias("fingerprint"))
+        .distinct()
+    )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    plagiarism/near-dup detection as a self-equi-join on the fingerprint
+    (uniform key, no skew) + a pair-count aggregate."""
+    fp = winnowing_fingerprints(df, k, window, text_col, id_col).persist()
+    a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

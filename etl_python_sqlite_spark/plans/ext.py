@@ -159,3 +159,10 @@ def ext_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).alias("total_chars"),
         )
     )
+
+
+def ext_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2c — rolling-hash winnowing fingerprint overlap pairs (rows-only:
+    xxhash64 fingerprints are engine-internal; pytest asserts the
+    coverage guarantee on planted overlaps)."""
+    return D.winnowing_overlap_pairs(_docs(spark, sf_dir), min_shared=3)

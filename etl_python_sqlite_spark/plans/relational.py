@@ -539,3 +539,47 @@ def null_handling_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().cast("int").alias("has_no_orders"),
         )
     )
+
+
+def inline_cascade_annotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + P2-P8 — the reference's canonical inline fixture rows
+    (scr/etl_refactor.py:10-15 shapes) pushed through the REAL motivo
+    cascade, exposing normalized columns and the first-failing reason.
+    The oracle replays capitalize/title/strict-int/threshold in SQL, so
+    the exact Python semantics are hash-checked end-to-end.
+
+    sf_dir is unused (inline literal source) — part of the signature
+    contract only.
+    """
+    from etl_python_sqlite_spark.operators.transform import annotate_rejections
+
+    rows = [
+        ("  guillermo ", "26", "san luis"),
+        ("NOEMI", "52", "SAN LUIS"),
+        ("Naomi ", "23", " san juan"),
+        ("Pedro", "error", "Querétaro"),
+        ("ana maría", "31", "san luis potosí"),
+        (None, "40", "Lima"),
+        ("Luis", "26 ", "Bogotá"),
+        ("Eva", "26.5", "Quito"),
+    ]
+    raw = spark.createDataFrame(rows, "nombre string, edad string, ciudad string")
+    ann = annotate_rejections(raw, edad_min=25)
+    return ann.select(
+        F.coalesce("nombre", F.lit("")).alias("nombre"),
+        F.coalesce("edad", F.lit("")).alias("edad"),
+        F.coalesce("ciudad", F.lit("")).alias("ciudad"),
+        F.coalesce("motivo", F.lit("OK")).alias("motivo"),
+        F.coalesce("nombre_norm", F.lit("")).alias("nombre_norm"),
+        F.coalesce("ciudad_norm", F.lit("")).alias("ciudad_norm"),
+        F.coalesce(F.col("edad_int").cast("string"), F.lit("")).alias("edad_int"),
+    )
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping-set combinations of (status, priority)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _dsum("o_totalprice", 2).alias("value"))
+    )

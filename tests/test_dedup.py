@@ -115,3 +115,26 @@ def test_normalized_dedup_collapses_whitespace(spark):
     groups = D.normalized_dedup_groups(df).collect()
     dup = [g for g in groups if g["n_copies"] == 2]
     assert len(dup) == 1 and dup[0]["keeper_id"] == 1
+
+
+def test_winnowing_identical_docs_share_all(spark, corpus):
+    fp = D.winnowing_fingerprints(corpus)
+    by_doc = {
+        r["doc_id"]: set()
+        for r in fp.select("doc_id").distinct().collect()
+    }
+    for r in fp.collect():
+        by_doc[r["doc_id"]].add(r["fingerprint"])
+    assert by_doc[0] == by_doc[200]          # exact dup → identical sets
+    assert by_doc[1] == by_doc[201] == by_doc[202]
+
+
+def test_winnowing_overlap_pairs_find_planted(spark, corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in D.winnowing_overlap_pairs(corpus, min_shared=3).collect()
+    }
+    assert (0, 200) in pairs and (1, 201) in pairs
+    # planted 2-edit mutations share long word runs → fingerprints overlap
+    planted = [(100 + 2 * j, 101 + 2 * j) for j in range(10)]
+    assert sum(p in pairs for p in planted) >= 8
