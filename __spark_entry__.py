@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_quality_scores": E.ext_quality_scores,
         "ext_token_count_by_source": E.ext_token_count_by_source,
         "ext_winnowing_pairs": E.ext_winnowing_pairs,            # rows-only
+        "ext_simhash_near_dups": E.ext_simhash_near_dups,        # rows-only
+        "skew_salted_agg": R.skew_salted_agg,
     }
 
 
@@ -424,6 +426,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
             ) ON c_custkey = o_custkey
             ORDER BY c_custkey
+        """,
+        "skew_salted_agg": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+                   COUNT(l_quantity) AS count_qty
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
         # ------------------------------------------------------------------
         # EXT oracles

@@ -166,3 +166,9 @@ def ext_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 fingerprints are engine-internal; pytest asserts the
     coverage guarantee on planted overlaps)."""
     return D.winnowing_overlap_pairs(_docs(spark, sf_dir), min_shared=3)
+
+
+def ext_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2b-pairs — SimHash Hamming-distance near-dups via pigeonhole
+    block joins (rows-only)."""
+    return D.simhash_near_dups(_docs(spark, sf_dir), max_hamming=6)

@@ -583,3 +583,21 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(F.count("*").alias("n"), _dsum("o_totalprice", 2).alias("value"))
     )
+
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation (operators/skew.py) — result is
+    identical to a direct GROUP BY, which is exactly what the oracle
+    checks. Values go through exact decimals so the two-phase partial
+    sums are order-independent."""
+    from etl_python_sqlite_spark.operators.skew import salted_sum_count
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("decimal(28,2)").alias("qty")
+    )
+    out = salted_sum_count(li, ["l_returnflag"], "qty", n_salts=16)
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("count_qty").alias("count_qty"),
+    )
