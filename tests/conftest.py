@@ -26,10 +26,17 @@ TABLES = [
 def spark():
     from etl_python_sqlite_spark.session import get_spark
 
+    import tempfile
+
     s = get_spark(
         app_name="tests",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
         shuffle_partitions=8,
+        extra_conf={
+            # static conf: must be set at session creation (bucketing tests
+            # saveAsTable into the warehouse)
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
     )
     yield s
 
