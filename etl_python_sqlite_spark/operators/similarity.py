@@ -213,3 +213,87 @@ def cosine_pairs_sample(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + probed partitions
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max dot product).
+
+    Centroids arrive as driver-side literals (the coarse codebook is tiny
+    by definition); scoring is a flat max-of-structs expression. At
+    warehouse scale the assignment is precomputed once and the table is
+    PARTITIONED BY (centroid_id) — probing then prunes partitions.
+    """
+    emb = _as_double_array(vec_col)
+    scored = F.array(
+        *[
+            F.struct(
+                _dot(emb, F.array(*[F.lit(float(x)) for x in c])).alias("score"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    best = F.array_max(scored)["cid"]
+    return df.select(F.col(id_col), emb.alias("v"), best.alias("centroid_id"))
+
+
+def deterministic_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic codebook: the ``n_centroids`` lowest-id vectors.
+
+    A k-means refinement would improve balance; for a reproducible
+    engine-level operator the fixed seed set is the point (no RNG state),
+    and the IVF machinery is identical either way.
+    """
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: score only vectors whose centroid is among the query's
+    ``n_probe`` nearest centroids — the classic recall/cost dial
+    (n_probe = n_centroids ⇒ exact brute force)."""
+    import math
+
+    cents = deterministic_centroids(df, n_centroids, vec_col, id_col)
+
+    def _np_dot(a: list[float], b: list[float]) -> float:
+        return sum(x * y for x, y in zip(a, b))
+
+    probe = [
+        cid
+        for cid, _ in sorted(
+            cents, key=lambda c: -(_np_dot(query_vec, c[1]))
+        )[:n_probe]
+    ]
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe))
+        .select(F.col(id_col), F.round(cosine(F.col("v"), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -172,3 +172,13 @@ def ext_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2b-pairs — SimHash Hamming-distance near-dups via pigeonhole
     block joins (rows-only)."""
     return D.simhash_near_dups(_docs(spark, sf_dir), max_hamming=6)
+
+
+def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3-scale-b — IVF ANN top-20 (rows-only; pytest measures recall)."""
+    embs = _embs(spark, sf_dir)
+    qrow = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in qrow["embedding"]]
+    return S.ivf_topk(
+        embs.filter(F.col("vec_id") != 0), q, k=20, n_centroids=16, n_probe=6
+    )

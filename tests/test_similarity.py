@@ -89,3 +89,32 @@ def test_cosine_pairs_sample_threshold(spark, vectors):
     for r in got:
         a, b = truth[r["id_a"]], truth[r["id_b"]]
         assert r["cos_sim"] == pytest.approx(round(_np_cosine(a, b), 6), abs=2e-6)
+
+
+def test_ivf_recall(spark, vectors):
+    df, truth = vectors
+    q = [float(x) for x in truth[0]]
+    brute = [
+        r["vec_id"]
+        for r in S.cosine_topk(df.filter(F.col("vec_id") != 0), q, k=5).collect()
+    ]
+    ivf = [
+        r["vec_id"]
+        for r in S.ivf_topk(
+            df.filter(F.col("vec_id") != 0), q, k=5, n_centroids=8, n_probe=4
+        ).collect()
+    ]
+    assert {500, 501} <= set(ivf)          # planted near-dups recovered
+    assert len(set(ivf) & set(brute)) >= 2
+
+def test_ivf_full_probe_equals_brute(spark, vectors):
+    """n_probe == n_centroids degenerates to exact brute force."""
+    df, truth = vectors
+    q = [float(x) for x in truth[0]]
+    sub = df.filter(F.col("vec_id") != 0)
+    brute = [(r["vec_id"], r["cos_sim"]) for r in S.cosine_topk(sub, q, k=10).collect()]
+    ivf = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.ivf_topk(sub, q, k=10, n_centroids=8, n_probe=8).collect()
+    ]
+    assert ivf == brute
