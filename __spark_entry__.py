@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_cosine_pairs_sample": E.ext_cosine_pairs_sample,
         "ext_ann_topk_lsh": E.ext_ann_topk_lsh,                  # rows-only
         "ext_ivf_topk": E.ext_ivf_topk,                          # rows-only
+        "ext_embedding_near_dups": E.ext_embedding_near_dups,    # rows-only
         "ext_text_stats": E.ext_text_stats,
         "ext_langid": E.ext_langid,
         "ext_quality_scores": E.ext_quality_scores,

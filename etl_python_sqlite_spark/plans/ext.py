@@ -182,3 +182,12 @@ def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         embs.filter(F.col("vec_id") != 0), q, k=20, n_centroids=16, n_probe=6
     )
+
+
+def ext_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 — embedding-cosine near-duplicate pairs via sign-LSH buckets +
+    exact verification (rows-only; cosine ground truth is oracle-checked
+    by ext_cosine_pairs_sample)."""
+    return S.embedding_near_dup_pairs(
+        _embs(spark, sf_dir), threshold=0.9, planes=6
+    )

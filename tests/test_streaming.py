@@ -116,3 +116,37 @@ def test_windowed_stream_with_watermark(spark, tmp_path):
     # finalized; hours 1-2 still open ⇒ withheld
     got = {(r["window_start"].hour, r["n_events"]) for r in out.collect()}
     assert got == {(0, 3)}
+
+
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    """Streaming exact-dedup: withWatermark + dropDuplicates keeps state
+    bounded and drops re-delivered ids across micro-batches."""
+    src = str(tmp_path / "dd_src")
+    schema = "id long, ts timestamp, v double"
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    spark.createDataFrame(
+        [(1, base, 1.0), (2, base + timedelta(minutes=1), 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(2, base + timedelta(minutes=1), 2.0),   # duplicate redelivery
+         (3, base + timedelta(minutes=2), 3.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [1, 2, 3]
