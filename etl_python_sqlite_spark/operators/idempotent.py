@@ -16,12 +16,11 @@ engine's genuinely custom machinery (SURVEY.md §4.2):
 
 Scale notes:
 
-* The anti-join shuffles on the natural key. At 100 TB the target side
-  should be stored bucketed/partitioned by the key (pass
-  ``target_partition_cols``) so only matching partitions are scanned;
-  the new-batch side is typically small → Catalyst broadcasts it when
-  under the threshold, making dedup a broadcast-anti-join (no shuffle of
-  the large target).
+* The anti-join shuffles on the natural key. At 100 TB use
+  ``idempotent_append_bucketed`` — the target lives in a catalog table
+  bucketed by the key, so the anti-join consumes the bucket layout with
+  NO exchange over the accumulated table (asserted in
+  tests/test_idempotent.py); alternatively a small batch side broadcasts.
 * Contiguous id assignment needs a global order — a single-task window.
   That is fine for dimensions (small by definition) and per-batch fact
   appends (bounded), and is the reference's AUTOINCREMENT contract. For
@@ -181,3 +180,49 @@ def upsert_dimension(
         new_keys.unpersist()
 
     return spark.read.schema(dim_schema).parquet(dim_path)
+
+
+def idempotent_append_bucketed(
+    spark: SparkSession,
+    batch: DataFrame,
+    table_name: str,
+    keys: list[str],
+    buckets: int = 16,
+) -> AppendResult:
+    """Scale-path INSERT OR IGNORE onto a catalog table bucketed by the
+    natural key.
+
+    The reference's UNIQUE-constraint dedup becomes an anti-join whose
+    TARGET side is pre-hashed into buckets: the join consumes the bucket
+    layout directly (no exchange over the accumulated table — only the
+    small new batch shuffles). This is the variant that holds at 100 TB,
+    where re-shuffling the target per batch would dominate.
+    """
+    attempted = batch.count()
+    deduped = batch.dropDuplicates(keys)
+
+    if spark.catalog.tableExists(table_name):
+        existing_keys = spark.table(table_name).select(*keys)
+        new_rows = deduped.join(existing_keys, on=keys, how="left_anti")
+    else:
+        new_rows = deduped
+
+    new_rows = new_rows.persist()
+    try:
+        inserted = new_rows.count()
+        if inserted:
+            (
+                new_rows.write.mode("append")
+                .bucketBy(buckets, keys[0])
+                .sortBy(keys[0])
+                .saveAsTable(table_name)
+            )
+    finally:
+        new_rows.unpersist()
+
+    return AppendResult(
+        attempted=attempted,
+        inserted_new=inserted,
+        ignored_duplicates=attempted - inserted,
+        target_path=table_name,
+    )

@@ -76,3 +76,31 @@ def test_dimension_dedup_within_batch(spark, tmp_path):
     v = spark.createDataFrame([("Lima",), ("Lima",), ("Quito",)], "nombre: string")
     d = upsert_dimension(spark, v, dim_path)
     assert d.count() == 2
+
+
+def test_bucketed_append_idempotent_and_prunes_shuffle(spark):
+    from etl_python_sqlite_spark.operators.idempotent import (
+        idempotent_append_bucketed,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS fact_bucketed")
+    batch = _df(spark, [("Ana", 30), ("Luis", 40)])
+    r1 = idempotent_append_bucketed(spark, batch, "fact_bucketed", ["nombre", "edad"])
+    assert (r1.inserted_new, r1.ignored_duplicates) == (2, 0)
+
+    r2 = idempotent_append_bucketed(spark, batch, "fact_bucketed", ["nombre", "edad"])
+    assert (r2.inserted_new, r2.ignored_duplicates) == (0, 2)
+    assert spark.table("fact_bucketed").count() == 2
+
+    # the target side of the anti-join must consume the bucket layout:
+    # the bucketed scan needs no Exchange, so the whole join has exactly
+    # one (the tiny probe batch)
+    probe = _df(spark, [("Eva", 22)]).hint("merge").join(
+        spark.table("fact_bucketed").select("nombre"), on="nombre", how="left_anti"
+    )
+    probe.collect()
+    final_plan = (
+        probe._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert "Bucketed: true" in final_plan
+    assert final_plan.count("Exchange hashpartitioning") == 1
