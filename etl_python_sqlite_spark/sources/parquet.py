@@ -22,6 +22,12 @@ _NANO_TS_COLS = {"events": ["ts"]}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read ``{sf_dir}/{name}.parquet`` with schema fix-ups applied."""
+    # The driver may hand us a session without a pinned timezone; every
+    # date/time expression (date_trunc, year, dayofweek, casts to long)
+    # must interpret the file's naive timestamps as UTC to match the
+    # DuckDB oracle. Runtime conf — safe to set per read.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     nano_cols = _NANO_TS_COLS.get(name, [])
     if not nano_cols:
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")
