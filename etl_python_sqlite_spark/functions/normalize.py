@@ -31,14 +31,57 @@ _MAX_LEN = 2147483647
 #: reference data never uses them and the oracle SQL must stay portable.)
 _INT_RE = r"^[+-]?[0-9]+$"
 
+#: Characters Python's ``str.strip()`` removes (``str.isspace()`` set):
+#: ASCII whitespace, the \x1c-\x1f separators, NEL, NBSP and the unicode
+#: space category. Spark's ``trim()`` strips ONLY ASCII spaces — found by
+#: fuzzing against Python (tests/test_normalize_fuzz.py).
+_PY_WS = "[\\s\u001c\u001d\u001e\u001f\u0085\u00a0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000]"
+
+
+def py_strip(col: Column | str) -> Column:
+    """``s.strip()`` with Python's exact whitespace set."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, f"^{_PY_WS}+|{_PY_WS}+$", "")
+
+
+def _titlecase_exceptions() -> dict[str, str]:
+    """Chars (lowercase fixed points) whose Python TITLEcase differs from
+    their uppercase — ß→'Ss', the ǆ/ǉ/ǌ/ǳ digraphs, Armenian և, Georgian
+    Mkhedruli (titlecase = identity). Python's ``str.capitalize()``
+    titlecases the first char, so ``upper()`` alone is wrong for these
+    (found by fuzzing, tests/test_normalize_fuzz.py)."""
+    return {
+        c: c.title()
+        for c in map(chr, range(0x10000))
+        if c.lower() == c and c.title() != c.upper()
+    }
+
+
+_CAP_EXC = _titlecase_exceptions()
+_cap_exc_map: Column | None = None
+
+
+def _cap_exc_lookup(first: Column) -> Column:
+    global _cap_exc_map
+    if _cap_exc_map is None:
+        _cap_exc_map = F.create_map(
+            *[F.lit(x) for kv in _CAP_EXC.items() for x in kv]
+        )
+    return _cap_exc_map[first]
+
 
 def py_capitalize(col: Column | str) -> Column:
     """``s.strip().lower().capitalize()`` — reference scr/etl_relational.py:58.
 
-    First char uppercased, ALL remaining chars lowercased. Null-safe.
+    First char TITLEcased (exception map for the ~100 chars where that
+    differs from uppercase), ALL remaining chars lowercased. Null-safe.
     """
-    t = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
-    return F.concat(F.upper(F.substring(t, 1, 1)), F.substring(t, 2, _MAX_LEN))
+    t = F.lower(py_strip(col))
+    first = F.substring(t, 1, 1)
+    return F.concat(
+        F.coalesce(_cap_exc_lookup(first), F.upper(first)),
+        F.substring(t, 2, _MAX_LEN),
+    )
 
 
 #: marker that cannot occur in real text (unit separator control char)
@@ -56,14 +99,15 @@ def py_title(col: Column | str) -> Column:
     split-into-array + per-piece ``transform`` was interpreted per
     element and ~10× slower at scan width):
 
-    1. append a marker+space after EVERY non-letter char — now every
-       letter-run starts a whitespace-separated token;
-    2. ``initcap`` — capitalizes each token's first letter (input is
-       already lowercased, so the rest is untouched);
+    1. append a marker+space after every non-CASED char (uncased letters
+       like CJK are word boundaries to Python, hence Lu/Ll/Lt not \\p{L} —
+       found by fuzzing) — now every cased run starts a whitespace token;
+    2. ``initcap`` — titlecases each token's first letter (matches
+       Python's titlecase on all exceptional chars, verified empirically);
     3. strip the marker+space pairs back out.
     """
-    t = F.lower(F.trim(F.col(col) if isinstance(col, str) else col))
-    marked = F.regexp_replace(t, r"([^\p{L}])", "$1" + _TITLE_MARK)
+    t = F.lower(py_strip(col))
+    marked = F.regexp_replace(t, r"([^\p{Lu}\p{Ll}\p{Lt}])", "$1" + _TITLE_MARK)
     return F.regexp_replace(F.initcap(marked), _TITLE_MARK, "")
 
 
@@ -74,7 +118,7 @@ def strict_int(col: Column | str, target: str = "int") -> Column:
     scr/etl_relational.py:71-79 routes those rows to rejects). Unlike a
     bare Spark cast this rejects decimals ("26.5") and partial garbage.
     """
-    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    c = py_strip(col)
     return F.when(c.rlike(_INT_RE), c.cast(target))
 
 

@@ -1,0 +1,99 @@
+"""Fuzz the exact-Python-semantics normalization against Python itself.
+
+One generated corpus (unicode letters, digits, punctuation, whitespace,
+accents, apostrophes, empty-ish strings), one Spark job per function —
+every row's output must equal the corresponding Python string method.
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_python_sqlite_spark.functions.normalize import (
+    py_capitalize,
+    py_title,
+    sanitize_token,
+    strict_int,
+)
+
+ALPHABETS = [
+    string.ascii_lowercase,
+    string.ascii_uppercase,
+    "áéíóúñüçàâêîôûäöß",
+    "0123456789",
+    " \t",
+    "'-_.,;:!()",
+    "абвгдежз",   # cyrillic letters
+    "中文字符",     # CJK (uncased letters)
+]
+
+
+def _rand_string(rng: random.Random) -> str:
+    n = rng.randrange(0, 24)
+    return "".join(
+        rng.choice(rng.choice(ALPHABETS)) for _ in range(n)
+    )
+
+
+def _rand_intish(rng: random.Random) -> str:
+    choices = [
+        lambda: str(rng.randrange(-10**9, 10**9)),
+        lambda: f" {rng.randrange(0, 999)} ",
+        lambda: f"+{rng.randrange(0, 999)}",
+        lambda: f"{rng.randrange(0, 999)}.{rng.randrange(0, 99)}",
+        lambda: _rand_string(rng),
+        lambda: "",
+        lambda: f"{rng.randrange(0,99)}e{rng.randrange(0,5)}",
+        lambda: f"0x{rng.randrange(0,255):x}",
+    ]
+    return rng.choice(choices)()
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = random.Random(1234)
+    strings = [_rand_string(rng) for _ in range(400)]
+    intish = [_rand_intish(rng) for _ in range(400)]
+    return strings, intish
+
+
+def _batch_eval(spark, values, expr):
+    df = spark.createDataFrame([(v,) for v in values], "v: string")
+    return [r["out"] for r in df.select(expr.alias("out")).collect()]
+
+
+def test_fuzz_capitalize(spark, corpus):
+    strings, _ = corpus
+    got = _batch_eval(spark, strings, py_capitalize("v"))
+    for raw, g in zip(strings, got):
+        assert g == raw.strip().lower().capitalize(), repr(raw)
+
+
+def test_fuzz_title(spark, corpus):
+    strings, _ = corpus
+    got = _batch_eval(spark, strings, py_title("v"))
+    for raw, g in zip(strings, got):
+        assert g == raw.strip().lower().title(), repr(raw)
+
+
+def test_fuzz_strict_int(spark, corpus):
+    _, intish = corpus
+    got = _batch_eval(spark, intish, strict_int("v", "long"))
+    for raw, g in zip(intish, got):
+        try:
+            expected = int(raw)
+        except ValueError:
+            expected = None
+        assert g == expected, repr(raw)
+
+
+def test_fuzz_sanitize(spark, corpus):
+    strings, _ = corpus
+    got = _batch_eval(spark, strings, sanitize_token("v"))
+    for raw, g in zip(strings, got):
+        expected = "".join(ch if ch.isalnum() else "_" for ch in raw)
+        assert g == expected, repr(raw)
