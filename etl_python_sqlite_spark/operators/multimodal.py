@@ -21,7 +21,6 @@ Scale notes:
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Callable
 
 import pandas as pd
 

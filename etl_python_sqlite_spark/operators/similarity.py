@@ -276,8 +276,6 @@ def ivf_topk(
     """IVF ANN: score only vectors whose centroid is among the query's
     ``n_probe`` nearest centroids — the classic recall/cost dial
     (n_probe = n_centroids ⇒ exact brute force)."""
-    import math
-
     cents = deterministic_centroids(df, n_centroids, vec_col, id_col)
 
     def _np_dot(a: list[float], b: list[float]) -> float:

@@ -17,7 +17,7 @@ Salts are deterministic (`pmod(xxhash64(row-id-ish), n)`) — no RNG.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

@@ -38,7 +38,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_python_sqlite_spark.operators.idempotent import (
-    assign_ids,
     idempotent_append,
     read_or_empty,
     upsert_dimension,

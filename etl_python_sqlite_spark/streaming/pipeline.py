@@ -31,7 +31,6 @@ from pyspark.sql import types as T
 
 from etl_python_sqlite_spark.operators.transform import annotate_rejections
 from etl_python_sqlite_spark.pipeline import (
-    AUDIT_SCHEMA,
     FACT_NATURAL_KEY,
     FACT_SCHEMA,
     PipelineConfig,
