@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_winnowing_pairs": E.ext_winnowing_pairs,            # rows-only
         "ext_simhash_near_dups": E.ext_simhash_near_dups,        # rows-only
         "skew_salted_agg": R.skew_salted_agg,
+        "asof_purchase_click": R.asof_purchase_click,
+        "range_join_errors": R.range_join_errors,
     }
 
 
@@ -435,6 +437,35 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(l_quantity) AS count_qty
             FROM lineitem
             GROUP BY l_returnflag
+        """,
+        "asof_purchase_click": """
+            WITH purchases AS (
+                SELECT user_id, event_id AS purchase_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+                FROM events WHERE event_type = 'purchase'
+            ),
+            clicks AS (
+                SELECT user_id, MAX(event_id) AS click_id, epoch_s
+                FROM (SELECT user_id, event_id,
+                             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+                      FROM events WHERE event_type = 'click')
+                GROUP BY user_id, epoch_s
+            )
+            SELECT p.user_id, p.purchase_id, c.click_id,
+                   p.epoch_s - c.epoch_s AS gap_s
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.epoch_s >= c.epoch_s
+        """,
+        "range_join_errors": """
+            SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b,
+                   CAST(floor(epoch(b.ts)) AS BIGINT)
+                   - CAST(floor(epoch(a.ts)) AS BIGINT) AS gap_s
+            FROM (SELECT * FROM events WHERE event_type = 'error') a
+            JOIN (SELECT * FROM events WHERE event_type = 'error') b
+              ON a.user_id = b.user_id
+             AND floor(epoch(b.ts)) > floor(epoch(a.ts))
+             AND floor(epoch(b.ts)) - floor(epoch(a.ts)) <= 1800
         """,
         # ------------------------------------------------------------------
         # EXT oracles

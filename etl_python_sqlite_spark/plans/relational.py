@@ -601,3 +601,49 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").cast("double").alias("sum_qty"),
         F.col("count_qty").alias("count_qty"),
     )
+
+
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): each purchase event matched to
+    the latest click AT OR BEFORE it by the same user. Oracle = DuckDB's
+    native ASOF LEFT JOIN."""
+    from etl_python_sqlite_spark.operators.temporal import asof_join
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.col("ts").cast("long")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "epoch_s"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "epoch_s")
+        .agg(F.max("event_id").alias("click_id"))  # deterministic tie-break
+        .select("user_id", "click_id", "epoch_s")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        left_time="epoch_s",
+        right_time="epoch_s",
+        right_payload=["click_id", "epoch_s"],
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.col("click_id_asof").alias("click_id"),
+        (F.col("epoch_s") - F.col("epoch_s_asof")).alias("gap_s"),
+    )
+
+
+def range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/temporal.py): ordered pairs of error events
+    by the same user within 30 minutes — bucketed equi-joins, no
+    inequality nested loop. Oracle = plain inequality join."""
+    from etl_python_sqlite_spark.operators.temporal import range_join_within
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    return range_join_within(
+        ev, by="user_id", time_col="ts", max_gap_s=1800, id_col="event_id"
+    )
