@@ -26,7 +26,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # date/time expression (date_trunc, year, dayofweek, casts to long)
     # must interpret the file's naive timestamps as UTC to match the
     # DuckDB oracle. Runtime conf — safe to set per read.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # note: conf.get with a default value would VALIDATE the default as a
+    # timezone (fails on ""); the key always has an effective value
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     nano_cols = _NANO_TS_COLS.get(name, [])
     if not nano_cols:
