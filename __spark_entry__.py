@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": R.skew_salted_agg,
         "asof_purchase_click": R.asof_purchase_click,
         "range_join_errors": R.range_join_errors,
+        "ext_pii_scan": E.ext_pii_scan,
+        "ext_stratified_split": E.ext_stratified_split,
     }
 
 
@@ -466,6 +468,35 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND floor(epoch(b.ts)) > floor(epoch(a.ts))
              AND floor(epoch(b.ts)) - floor(epoch(a.ts)) <= 1800
+        """,
+        "ext_pii_scan": """
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+                   CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+                   CAST(SUM(n_digit_runs) AS BIGINT) AS total_digit_runs,
+                   CAST(SUM(CASE WHEN n_emails + n_urls + n_digit_runs > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_docs
+            FROM (
+                SELECT doc_id, source,
+                       len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
+                       len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+                       len(regexp_extract_all(text, '[0-9]{6,}')) AS n_digit_runs
+                FROM documents
+            )
+            GROUP BY source
+        """,
+        "ext_stratified_split": """
+            SELECT lang,
+                   CASE WHEN h < 80 THEN 'train'
+                        WHEN h < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n_docs
+            FROM (
+                SELECT lang, (doc_id * 2654435761) % 4294967296 % 100 AS h
+                FROM documents
+            )
+            GROUP BY 1, 2
         """,
         # ------------------------------------------------------------------
         # EXT oracles

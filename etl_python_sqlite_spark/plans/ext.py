@@ -191,3 +191,57 @@ def ext_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(
         _embs(spark, sf_dir), threshold=0.9, planes=6
     )
+
+
+def ext_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4e — PII / contamination scan: regex hit counts per document
+    (emails, URLs, long digit runs) + corpus rollup per source. The
+    mandatory pre-training compliance sweep; patterns kept to the
+    Java-regex ∩ RE2 subset so the oracle replays them exactly."""
+    docs = _docs(spark, sf_dir)
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    url = r"https?://[^\s]+"
+    digits = r"[0-9]{6,}"
+    counted = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(email), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(url), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all("text", F.lit(digits), 0)).alias("n_digit_runs"),
+    )
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_emails").cast("long").alias("total_emails"),
+            F.sum("n_urls").cast("long").alias("total_urls"),
+            F.sum("n_digit_runs").cast("long").alias("total_digit_runs"),
+            F.sum(
+                F.when(
+                    (F.col("n_emails") + F.col("n_urls") + F.col("n_digit_runs")) > 0, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_flagged_docs"),
+        )
+    )
+
+
+def ext_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4f — deterministic train/val/test split, stratified by lang.
+
+    The split key is pure portable arithmetic on doc_id (Knuth
+    multiplicative hash mod 100) — reproducible across engines/runs with
+    NO RNG state, which is exactly what a training pipeline needs for a
+    stable split. 80/10/10; output = per-(lang, split) counts the oracle
+    replays bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    h = F.pmod(F.col("doc_id") * 2654435761, F.lit(2**32)) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
