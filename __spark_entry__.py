@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_errors": R.range_join_errors,
         "ext_pii_scan": E.ext_pii_scan,
         "ext_stratified_split": E.ext_stratified_split,
+        "multires_rollup": R.multires_rollup,
     }
 
 
@@ -468,6 +469,14 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND floor(epoch(b.ts)) > floor(epoch(a.ts))
              AND floor(epoch(b.ts)) - floor(epoch(a.ts)) <= 1800
+        """,
+        "multires_rollup": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS sum_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "ext_pii_scan": """
             SELECT source,

@@ -647,3 +647,36 @@ def range_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_within(
         ev, by="user_id", time_col="ts", max_gap_s=1800, id_col="event_id"
     )
+
+
+def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: daily totals derived
+    from HOURLY partial aggregates (count/sum re-aggregate losslessly;
+    avg = derived sum/count at the coarser grain). The oracle computes the
+    daily rollup DIRECTLY from raw events — hash-equality proves the
+    cascade is exact, which is what makes materialized hourly rollups
+    safe to serve daily queries from at scale."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        _scaled_sum("value", 2).alias("_p"),
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("hour")).alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("_p").alias("_p"),
+            F.sum("n").alias("_cnt"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            (F.col("_p").cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+    return daily
