@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_python_sqlite_spark.functions.text import LANG_STOPWORDS
+from etl_python_sqlite_spark.functions.text import LANG_CHAR_NGRAMS, LANG_STOPWORDS
 from etl_python_sqlite_spark.plans import ext as E
 from etl_python_sqlite_spark.plans import relational as R
 
@@ -51,6 +51,22 @@ def _langid_sql(text: str = "text") -> str:
     whens = " ".join(
         f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in langs
     )
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens} END"
+
+
+def _langid_char_sql(text: str = "text") -> str:
+    """CASE cascade mirroring functions.text.langid_char_ngrams (substring
+    counts via the portable len-replace formula, left-assoc double sums)."""
+    langs = sorted(LANG_CHAR_NGRAMS)
+    scores = {}
+    for lang in langs:
+        terms = [
+            f"(length(lower({text})) - length(replace(lower({text}), '{g}', ''))) / {len(g)}"
+            for g in LANG_CHAR_NGRAMS[lang]
+        ]
+        scores[lang] = "(CAST(0 AS DOUBLE) + " + " + ".join(terms) + ")"
+    best = "greatest(" + ", ".join(scores[lang] for lang in langs) + ")"
+    whens = " ".join(f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in langs)
     return f"CASE WHEN {best} = 0 THEN 'und' {whens} END"
 
 
@@ -108,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_pii_scan": E.ext_pii_scan,
         "ext_stratified_split": E.ext_stratified_split,
         "multires_rollup": R.multires_rollup,
+        "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
     }
 
 
@@ -477,6 +494,16 @@ def oracle_sql() -> dict[str, str]:
                        / 100.0 AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "ext_langid_char_ngrams": f"""
+            SELECT lang_detected,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN lang = lang_detected THEN 1 ELSE 0 END) AS BIGINT) AS n_label_agree
+            FROM (
+                SELECT doc_id, lang, {_langid_char_sql('text')} AS lang_detected
+                FROM documents
+            )
+            GROUP BY lang_detected
         """,
         "ext_pii_scan": """
             SELECT source,

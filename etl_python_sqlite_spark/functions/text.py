@@ -133,3 +133,39 @@ def token_fingerprint(col: Column | str) -> Column:
     whitespace-normalized text (fast exact-dup key that ignores spacing)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.xxhash64(F.concat_ws(" ", words(c)))
+
+
+#: distinctive character trigrams per language for the char-n-gram
+#: language-ID profile (tiny, hard-coded — must be replayable in SQL)
+LANG_CHAR_NGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "ing", "and", "ion", "ent"),
+    "es": ("que", "ión", "los", "ent", "ado"),
+    "de": ("der", "ein", "ich", "sch", "und"),
+    "fr": ("les", "ent", "que", "ion", "ait"),
+}
+
+
+def substr_count(col: Column | str, sub: str) -> Column:
+    """Occurrences of ``sub`` in ``col`` — (len(x) − len(replace(x,sub,'')))
+    / len(sub); pure string ops, portable to any SQL engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) - F.length(F.replace(c, F.lit(sub), F.lit("")))) / len(sub)
+
+
+def langid_char_ngrams(col: Column | str) -> Column:
+    """Char-trigram-profile language ID: argmax of per-language trigram
+    hit counts over the lowercased text, alphabetical tie-break, 'und'
+    when nothing matches. Same cascade shape as the stopword scorer —
+    the two heuristics can be ensembled by the caller."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    scores = {
+        lang: sum(
+            (substr_count(c, g) for g in grams), F.lit(0).cast("double")
+        )
+        for lang, grams in sorted(LANG_CHAR_NGRAMS.items())
+    }
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in sorted(scores):
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr

@@ -245,3 +245,23 @@ def ext_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def ext_langid_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4b-2 — char-trigram-profile language ID (the n-gram heuristic
+    proper), aggregated per detected language with label agreement."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id", "lang", X.langid_char_ngrams(F.col("text")).alias("lang_detected")
+        )
+        .groupBy("lang_detected")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("lang") == F.col("lang_detected"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_label_agree"),
+        )
+    )
