@@ -5,8 +5,10 @@
 ``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (sf0.01 check).
 
 Column names are aliased identically on both sides (the driver's compare
-sorts columns by name before hashing). Floating aggregates are rounded on
-both sides for cross-engine hash stability.
+sorts columns by name before hashing). Floating aggregates are computed
+through exact decimal/integer arithmetic on BOTH sides so the value-hash
+cannot drift by an ulp (see plans/relational._dsum/_avg_expr and the
+cross-engine notes in README.md).
 """
 
 from __future__ import annotations
