@@ -179,7 +179,9 @@ def upsert_dimension(
     finally:
         new_keys.unpersist()
 
-    return spark.read.schema(dim_schema).parquet(dim_path)
+    # read_or_empty, not a bare read: with an empty first batch nothing was
+    # ever written and the path doesn't exist yet
+    return read_or_empty(spark, dim_path, dim_schema)
 
 
 def idempotent_append_bucketed(

@@ -155,3 +155,51 @@ def test_combined_directory_run_matches_per_file(spark, cfg, tmp_path):
     assert rows["a_dirty.csv"]["valid_count"] == 3
     assert rows["a_dirty.csv"]["rejected_count"] == 2
     assert rows["b_clean.csv"]["valid_count"] == 2
+
+
+def test_edge_empty_and_all_reject_files(spark, tmp_path):
+    """Header-only files and 100%-reject files must flow through without
+    errors, with correct audit metrics."""
+    cfg = PipelineConfig(
+        data_in=str(tmp_path / "in"),
+        data_rejected=str(tmp_path / "rej"),
+        warehouse=str(tmp_path / "wh"),
+    )
+    _write_csv(Path(cfg.data_in) / "empty.csv", [["nombre", "edad", "ciudad"]])
+    _write_csv(
+        Path(cfg.data_in) / "allbad.csv",
+        [["nombre", "edad", "ciudad"], ["A", "error", "X"], ["B", "12", "Y"]],
+    )
+    result = run_batch(spark, cfg, now=NOW)
+    by_file = {r.source_file: r for r in result.files}
+    assert (by_file["empty.csv"].valid_count, by_file["empty.csv"].rejected_count) == (0, 0)
+    assert (by_file["allbad.csv"].valid_count, by_file["allbad.csv"].rejected_count) == (0, 2)
+    assert by_file["allbad.csv"].inserted_new == 0
+    # no fact table written at all (zero valid rows anywhere)
+    import os
+    assert not os.path.exists(cfg.fact_path)
+    # audit has both rows regardless
+    assert spark.read.parquet(cfg.audit_path).count() == 2
+
+
+def test_edge_extra_columns_pass_through_to_rejects(spark, tmp_path):
+    """Extra CSV columns survive into the reject file (reference keeps
+    them via {**row}, scr/etl_batch.py:52)."""
+    cfg = PipelineConfig(
+        data_in=str(tmp_path / "in"),
+        data_rejected=str(tmp_path / "rej"),
+        warehouse=str(tmp_path / "wh"),
+    )
+    _write_csv(
+        Path(cfg.data_in) / "extra.csv",
+        [["nombre", "edad", "ciudad", "nota"],
+         ["Ana", "30", "Lima", "ok-row"],
+         ["Eva", "error", "Quito", "bad-row"]],
+    )
+    run_batch(spark, cfg, now=NOW)
+    with (Path(cfg.data_rejected) / "rejected_extra.csv").open() as f:
+        rows = list(csv.DictReader(f))
+    assert rows[0]["nota"] == "bad-row"
+    assert rows[0]["motivo"] == "Edad no convertible a int"
+    # valid row loaded normally
+    assert spark.read.parquet(cfg.fact_path).count() == 1
