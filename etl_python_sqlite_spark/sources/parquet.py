@@ -19,9 +19,24 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 #: columns stored as TIMESTAMP(NANOS) per table (driver testdata quirk)
 _NANO_TS_COLS = {"events": ["ts"]}
 
+#: (session_id, sf_dir, name) → DataFrame. A DataFrame is a reusable plan
+#: fragment; memoizing skips the repeated parquet-footer read + schema
+#: analysis when many queries touch the same tables in one session.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read ``{sf_dir}/{name}.parquet`` with schema fix-ups applied."""
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver may hand us a session without a pinned timezone; every
     # date/time expression (date_trunc, year, dayofweek, casts to long)
     # must interpret the file's naive timestamps as UTC to match the
