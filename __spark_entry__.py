@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_stratified_split": E.ext_stratified_split,
         "multires_rollup": R.multires_rollup,
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
+        "ext_ann_knn_join": E.ext_ann_knn_join,                  # rows-only
     }
 
 

@@ -263,23 +263,25 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max dot product).
 
-    Centroids arrive as driver-side literals (the coarse codebook is tiny
-    by definition); scoring is a flat max-of-structs expression. At
-    warehouse scale the assignment is precomputed once and the table is
+    Vectorized: one Arrow-batched numpy argmax over the (tiny) codebook
+    matrix — same pattern as ``lsh_bucket_vectorized``. At warehouse
+    scale the assignment is precomputed once and the table is
     PARTITIONED BY (centroid_id) — probing then prunes partitions.
     """
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([cid for cid, _ in centroids])
+    C = np.array([c for _, c in centroids]).T  # dim × n_centroids
+
+    @pandas_udf("int")
+    def _nearest(s: pd.Series) -> pd.Series:
+        M = np.vstack(s.to_numpy())
+        return pd.Series(cids[(M @ C).argmax(axis=1)].astype("int32"))
+
     emb = _as_double_array(vec_col)
-    scored = F.array(
-        *[
-            F.struct(
-                _dot(emb, F.array(*[F.lit(float(x)) for x in c])).alias("score"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in centroids
-        ]
+    return df.select(
+        F.col(id_col), emb.alias("v"), _nearest(emb).alias("centroid_id")
     )
-    best = F.array_max(scored)["cid"]
-    return df.select(F.col(id_col), emb.alias("v"), best.alias("centroid_id"))
 
 
 def deterministic_centroids(
@@ -330,4 +332,64 @@ def ivf_topk(
         .select(F.col(id_col), F.round(cosine(F.col("v"), q), 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def ann_knn_join_lsh(
+    df: DataFrame,
+    k: int = 5,
+    planes: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate kNN JOIN: every vector's top-k neighbors among its own
+    LSH bucket (vectorized bucket pass → within-bucket pair scores →
+    per-id window top-k). The O(n²) step shrinks to Σ|bucket|² and the
+    shuffle keys are uniform.
+
+    Multi-probe: the build side is replicated into its Hamming-1 bucket
+    neighborhood, so true neighbors split by one hyperplane boundary are
+    still found; remaining misses need ≥2 disagreeing planes (rare for
+    near-dups). Cost: (planes+1)× build rows, still Σ|bucket|² pair work.
+    """
+    first = df.select(F.col(vec_col)).first()
+    dim = len(first[0]) if first else 0
+    bucketed = df.select(
+        F.col(id_col),
+        _as_double_array(vec_col).alias("v"),
+        lsh_bucket_vectorized(vec_col, dim, planes).alias("bucket"),
+    ).persist()
+    a = bucketed.alias("a")
+    # multi-probe build side: each vector is also findable from every
+    # Hamming-1 neighbor bucket, so a single near-zero hyperplane dot
+    # can't hide a true neighbor ((planes+1)× build rows, probe side 1×)
+    b = (
+        bucketed.select(
+            F.col(id_col),
+            "v",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                        for i in range(planes)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id_a", "id_b", "cos_sim", "rk")
     )

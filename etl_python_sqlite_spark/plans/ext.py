@@ -265,3 +265,9 @@ def ext_langid_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_label_agree"),
         )
     )
+
+
+def ext_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3-scale-c — approximate kNN join over all embeddings (rows-only;
+    pytest checks that planted near-dup pairs find each other)."""
+    return S.ann_knn_join_lsh(_embs(spark, sf_dir), k=3, planes=6)

@@ -118,3 +118,16 @@ def test_ivf_full_probe_equals_brute(spark, vectors):
         for r in S.ivf_topk(sub, q, k=10, n_centroids=8, n_probe=8).collect()
     ]
     assert ivf == brute
+
+
+def test_ann_knn_join_finds_planted(spark, vectors):
+    df, _ = vectors
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.ann_knn_join_lsh(df, k=3, planes=4).collect()
+    }
+    # the planted near-identical cluster {0, 500, 501}: most of its mutual
+    # pairs must surface (an LSH boundary may split one member — that's
+    # the documented recall trade, not a bug)
+    planted = {(a, b) for a in (0, 500, 501) for b in (0, 500, 501) if a != b}
+    assert len(got & planted) >= 3, got & planted
