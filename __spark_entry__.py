@@ -491,7 +491,7 @@ def oracle_sql() -> dict[str, str]:
              AND floor(epoch(b.ts)) - floor(epoch(a.ts)) <= 1800
         """,
         "multires_rollup": """
-            SELECT date_trunc('day', ts) AS day, event_type,
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT)) AS DOUBLE)
                        / 100.0 AS sum_value

@@ -111,11 +111,13 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 — per-document stats: words, chars, tokens, avg word length,
     punctuation ratio."""
     docs = _docs(spark, sf_dir)
+    # integer outputs cast to long: DuckDB's len()/length() are BIGINT and
+    # a type-strict schema compare must not trip on int32-vs-int64
     return docs.select(
         "doc_id",
-        X.n_words(F.col("text")).alias("n_words"),
-        F.length("text").alias("n_chars_actual"),
-        F.size(X.regex_tokens(F.col("text"))).alias("n_tokens"),
+        X.n_words(F.col("text")).cast("long").alias("n_words"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(X.regex_tokens(F.col("text"))).cast("long").alias("n_tokens"),
         F.round(X.avg_word_len(F.col("text")), 6).alias("avg_word_len"),
         F.round(X.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
     )

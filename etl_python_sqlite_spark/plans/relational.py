@@ -264,7 +264,12 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("c_nationkey", "c_custkey", "c_acctbal", "rk")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.col("rk").cast("long").alias("rk"),  # DuckDB ROW_NUMBER is BIGINT
+        )
     )
 
 
@@ -397,7 +402,7 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("p_name", 1, 5).alias("name5"),
             F.regexp_replace("p_name", "gear", "cog").alias("renamed"),
             F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
-            F.length("p_name").alias("name_len"),
+            F.length("p_name").cast("long").alias("name_len"),  # DuckDB length() is BIGINT
         )
     )
 
@@ -407,7 +412,8 @@ def date_parts_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     return (
         orders.groupBy(
-            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),  # EXTRACT is BIGINT in DuckDB
         )
         .agg(
             F.count("*").alias("n_orders"),
@@ -456,7 +462,7 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational operator; the oracle replays it as portable CASE sums."""
     ev = table(spark, sf_dir, "events")
     wide = (
-        ev.groupBy(F.dayofweek("ts").alias("dow"))
+        ev.groupBy(F.dayofweek("ts").cast("long").alias("dow"))
         .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
         .count()
         .na.fill(0)
