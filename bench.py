@@ -15,6 +15,13 @@ computation, no driver-side collect tax):
    44 independent queries on a 32-core executor, overlapping the fixed
    per-query scheduling overhead is the realistic way this engine runs a
    workload batch; the sequential sum is also reported for transparency.
+
+Apples-to-apples extras (VERDICT r1 §bench-hygiene): the oracle-checked
+subset and the rows-only EXT/ANN subset get separate concurrent walls
+("oracle_wall_sec" / "rows_only_wall_sec"), and the SAME oracle SQL is
+timed in-process on DuckDB over the same parquet ("duckdb_oracle_sec"),
+so the ≤2× bar is measured against the exact query set DuckDB can run,
+every round, on this machine.
 """
 
 from __future__ import annotations
@@ -78,6 +85,42 @@ def main() -> None:
             concurrent_total, round(time.perf_counter() - t0, 4)
         )
 
+    # pass 3: split walls — the DuckDB-comparable subset vs the rows-only
+    # EXT/ANN subset (plans already warm from passes 1-2)
+    oracles = entrymod.oracle_sql()
+    oracle_items = {k: v for k, v in queries.items() if k in oracles}
+    rows_only_items = {k: v for k, v in queries.items() if k not in oracles}
+
+    def concurrent_wall(items: dict) -> float:
+        if not items:
+            return 0.0
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(8) as ex:
+            list(ex.map(run_one, items.items()))
+        return round(time.perf_counter() - t0, 4)
+
+    oracle_wall = concurrent_wall(oracle_items)
+    rows_only_wall = concurrent_wall(rows_only_items)
+
+    # DuckDB baseline: identical SQL, identical parquet, in-process
+    duckdb_sec = None
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        t0 = time.perf_counter()
+        for sql in oracles.values():
+            con.sql(sql).fetchall()
+        duckdb_sec = round(time.perf_counter() - t0, 4)
+        con.close()
+    except Exception as exc:
+        print(f"bench: duckdb baseline skipped: {exc}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -91,7 +134,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sequential_total_sec": sequential_total,
+                "oracle_wall_sec": oracle_wall,
+                "rows_only_wall_sec": rows_only_wall,
+                "duckdb_oracle_sec": duckdb_sec,
                 "n_queries": len(queries),
+                "n_oracle_queries": len(oracle_items),
                 "sf": sf_val,
             }
         )

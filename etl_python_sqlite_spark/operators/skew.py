@@ -12,7 +12,14 @@ expressed as reusable library code:
   pile-up without AQE; with AQE on, `skewJoin` handles sort-merge cases
   automatically and these helpers cover broadcast-ineligible shapes.
 
-Salts are deterministic (`pmod(xxhash64(row-id-ish), n)`) — no RNG.
+Salts come from a per-ROW source (`monotonically_increasing_id`), not a
+row-content hash: the canonical skew case is a hot key whose rows are
+byte-identical (one constant value repeated 10⁹ times) — a content hash
+maps all of them to ONE salt and spreads nothing. The monotonic id is
+unique per row, so `pmod(id, n)` cycles uniformly through the salts
+within every partition regardless of payload. It is deterministic for a
+given partition layout (no RNG), and the aggregate/join results are
+salt-invariant anyway.
 """
 
 from __future__ import annotations
@@ -21,12 +28,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(n_salts: int):
+    """Per-row salt in [0, n_salts): uniform even when all row payloads
+    are identical (the hot-key case salting exists for)."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+
+
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic per-row salt in [0, n_salts) from a hash of all
-    columns (uniform, reproducible — unlike rand())."""
-    return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
-    )
+    """Attach a per-row salt in [0, n_salts) — uniform for any payload
+    distribution, including a single repeated value."""
+    return df.withColumn(salt_col, _row_salt(n_salts))
 
 
 def salted_sum_count(
@@ -66,9 +77,7 @@ def salted_broadcast_join(
     has unique keys; the hot probe key now spreads over ``n_salts``
     tasks. ``small`` is broadcast — its replication factor is n_salts.
     """
-    salted_big = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
-    )
+    salted_big = big.withColumn("_salt", _row_salt(n_salts))
     exploded_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -187,12 +187,11 @@ def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5 — embedding-cosine near-duplicate pairs via sign-LSH buckets +
-    exact verification (rows-only; cosine ground truth is oracle-checked
-    by ext_cosine_pairs_sample)."""
-    return S.embedding_near_dup_pairs(
-        _embs(spark, sf_dir), threshold=0.9, planes=6
-    )
+    """E5 — embedding-cosine near-duplicate pairs via multi-table sign-LSH
+    + exact verification (rows-only; cosine ground truth is oracle-checked
+    by ext_cosine_pairs_sample; recall SLO asserted by
+    tests/test_similarity.py::test_embedding_near_dup_recall)."""
+    return S.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.9)
 
 
 def ext_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,4 +271,4 @@ def ext_langid_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3-scale-c — approximate kNN join over all embeddings (rows-only;
     pytest checks that planted near-dup pairs find each other)."""
-    return S.ann_knn_join_lsh(_embs(spark, sf_dir), k=3, planes=6)
+    return S.ann_knn_join_lsh(_embs(spark, sf_dir), k=3)

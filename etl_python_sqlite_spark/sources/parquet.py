@@ -19,20 +19,28 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 #: columns stored as TIMESTAMP(NANOS) per table (driver testdata quirk)
 _NANO_TS_COLS = {"events": ["ts"]}
 
-#: (session_id, sf_dir, name) → DataFrame. A DataFrame is a reusable plan
-#: fragment; memoizing skips the repeated parquet-footer read + schema
-#: analysis when many queries touch the same tables in one session.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+#: per-session attribute holding {(sf_dir, name): DataFrame}. A DataFrame
+#: is a reusable plan fragment; memoizing skips the repeated parquet-footer
+#: read + schema analysis when many queries touch the same tables in one
+#: session. Living ON the session object (not in a module global keyed by
+#: id(spark)) means the cache dies with its session — a later session that
+#: happens to reuse the same memory address can never receive frames bound
+#: to a dead session, and nothing pins stopped sessions' plans alive.
+_CACHE_ATTR = "_spark_graft_table_cache"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read ``{sf_dir}/{name}.parquet`` with schema fix-ups applied."""
-    key = (id(spark), sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
+    cache: dict[tuple[str, str], DataFrame] | None = getattr(spark, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _CACHE_ATTR, cache)
+    key = (sf_dir, name)
+    cached = cache.get(key)
     if cached is not None:
         return cached
     df = _load_table_uncached(spark, sf_dir, name)
-    _TABLE_CACHE[key] = df
+    cache[key] = df
     return df
 
 

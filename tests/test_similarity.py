@@ -120,6 +120,39 @@ def test_ivf_full_probe_equals_brute(spark, vectors):
     assert ivf == brute
 
 
+def test_embedding_near_dup_recall(spark):
+    """Measured recall SLO for the multi-table LSH near-dup operator.
+
+    60 clusters × 4 perturbed copies gives 360 true pairs at cos ≥ 0.9;
+    analytic candidate recall at (planes=2 adaptive for n=240, L=6) is
+    ≥ 0.99 — assert the measured value ≥ 0.95 against exact brute force.
+    """
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for c in range(60):
+        base = rng.normal(size=DIM)
+        for _ in range(4):
+            v = base + 0.03 * rng.normal(size=DIM)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    V = np.vstack([np.array(v, dtype=np.float32).astype(np.float64) for _, v in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = np.round(Vn @ Vn.T, 6)
+    iu, ju = np.triu_indices(len(rows), k=1)
+    truth = {(int(i), int(j)) for i, j in zip(iu[sims[iu, ju] >= 0.9], ju[sims[iu, ju] >= 0.9])}
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    assert not got - truth, "LSH emitted a pair below threshold (precision must be 1.0)"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"recall {recall:.3f} < 0.95 SLO ({len(truth)} true pairs)"
+
+
 def test_ann_knn_join_finds_planted(spark, vectors):
     df, _ = vectors
     got = {
