@@ -80,6 +80,9 @@ class AppendResult:
     inserted_new: int
     ignored_duplicates: int
     target_path: str
+    #: group value → (inserted_new, ignored_duplicates); populated only
+    #: when ``group_col`` was given (per-source-file audit accounting)
+    per_group: dict | None = None
 
 
 def idempotent_append(
@@ -90,10 +93,11 @@ def idempotent_append(
     target_schema: T.StructType | None = None,
     id_col: str | None = None,
     id_start: int | None = None,
+    group_col: str | None = None,
 ) -> AppendResult:
     """INSERT OR IGNORE semantics onto a parquet table.
 
-    1. in-batch dedup: ``dropDuplicates(keys)`` (first writer wins);
+    1. in-batch dedup: first writer wins;
     2. cross-run dedup: left-anti join against existing target keys;
     3. surrogate ids assigned AFTER dedup when ``id_col`` is given —
        SQLite does not consume rowids for IGNOREd inserts, so ids stay
@@ -103,11 +107,27 @@ def idempotent_append(
        inserted/ignored from before/after COUNT(*) (scr/etl_batch.py:150-154)
        which races under concurrency; counting the appended frame itself is
        exact under the same single-writer contract.
+
+    ``group_col`` (e.g. ``source_file`` in combined multi-file runs) rides
+    through dedup/anti-join for accounting only — it is dropped before the
+    write and ``per_group`` reports (inserted, ignored) per value. In-batch
+    duplicates then resolve to the lexicographically FIRST group, matching
+    the reference's sorted per-file processing order (a key seen in file A
+    then file B inserts from A, ignores in B); plain ``dropDuplicates``
+    would pick an arbitrary winner.
     """
     attempted = batch.count()
-    deduped = batch.dropDuplicates(keys)
+    if group_col is None:
+        deduped = batch.dropDuplicates(keys)
+    else:
+        w = Window.partitionBy(*keys).orderBy(group_col)
+        deduped = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
-    schema = target_schema or batch.schema
+    schema = target_schema or batch.drop(*([group_col] if group_col else [])).schema
     if _exists(target_path):
         existing_keys = spark.read.schema(schema).parquet(target_path).select(*keys)
         new_rows = deduped.join(existing_keys, on=keys, how="left_anti")
@@ -119,8 +139,20 @@ def idempotent_append(
     new_rows = new_rows.persist()
     try:
         inserted = new_rows.count()
+        per_group = None
+        if group_col is not None:
+            attempted_by = {
+                r[0]: r[1] for r in batch.groupBy(group_col).count().collect()
+            }
+            inserted_by = {
+                r[0]: r[1] for r in new_rows.groupBy(group_col).count().collect()
+            }
+            per_group = {
+                g: (inserted_by.get(g, 0), n - inserted_by.get(g, 0))
+                for g, n in attempted_by.items()
+            }
         if inserted:
-            out = new_rows
+            out = new_rows.drop(group_col) if group_col else new_rows
             if id_col is not None:
                 out = assign_ids(out, id_col, start=id_start or 1, order_by=keys)
             out.select([F.col(f.name).cast(f.dataType) for f in schema.fields]).write.mode(
@@ -134,6 +166,7 @@ def idempotent_append(
         inserted_new=inserted,
         ignored_duplicates=attempted - inserted,
         target_path=target_path,
+        per_group=per_group,
     )
 
 

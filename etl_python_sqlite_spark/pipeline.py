@@ -150,6 +150,41 @@ def write_rejects_csv(rejects: DataFrame, out_path: str | Path) -> int:
     return n
 
 
+def write_rejects_csv_by_file(
+    rejects: DataFrame, out_dir: str | Path, file_col: str = "source_file"
+) -> dict[str, int]:
+    """Reject sink for combined multi-file runs: ONE partitioned write
+    produces every per-file ``rejected_<name>.csv`` (vs a driver loop of
+    N jobs). ``partitionBy`` routes each source file's rows to its own
+    directory; ``repartition(file_col)`` guarantees exactly one part file
+    (hence exactly one CSV header) per source file. Returns per-file
+    reject counts.
+    """
+    counts = {r[0]: r[1] for r in rejects.groupBy(file_col).count().collect()}
+    if not counts:
+        return {}
+    out_dir = Path(out_dir)
+    tmp = str(out_dir / "._spark_rejects_tmp")
+    (
+        rejects.repartition(F.col(file_col))
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .partitionBy(file_col)
+        .csv(tmp)
+    )
+    from urllib.parse import unquote
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for d in Path(tmp).glob(f"{file_col}=*"):
+        fname = unquote(d.name.split("=", 1)[1])
+        part = next(d.glob("part-*.csv"))
+        shutil.move(str(part), str(out_dir / f"rejected_{fname}"))
+    shutil.rmtree(tmp)
+    return counts
+
+
 def load_file(
     spark: SparkSession,
     cfg: PipelineConfig,
@@ -298,6 +333,12 @@ def run_directory_combined(
     ``run_batch``; run_id embeds the file name per the reference contract.
 
     Returns the audit DataFrame that was appended.
+
+    Audit parity with the per-file loop: rejects are routed to one
+    ``rejected_<file>.csv`` per source file (single partitioned write),
+    and ``inserted_new`` / ``ignored_duplicates`` are computed PER FILE
+    from the anti-join survivors (``idempotent_append(group_col=...)``),
+    not stamped batch-global onto every row.
     """
     from etl_python_sqlite_spark.operators.transform import annotate_rejections
     from etl_python_sqlite_spark.sources.csv import read_csv_directory
@@ -307,62 +348,86 @@ def run_directory_combined(
     started_at = (now or datetime.now(timezone.utc)).isoformat()
 
     # the cascade runs with source_file carried through row-wise, so one
-    # scan feeds both the load and the per-file audit metrics
-    ann = annotate_rejections(raw, edad_min=cfg.edad_min)
-    valid = ann.filter(F.col("motivo").isNull())
-    dim = upsert_dimension(
-        spark, valid.select(F.col("ciudad_norm").alias("nombre")), cfg.dim_path
-    )
-    resolved = valid.join(F.broadcast(dim), valid.ciudad_norm == dim.nombre).select(
-        F.col("nombre_norm").alias("nombre"),
-        F.col("edad_int").cast("int").alias("edad"),
-        "ciudad_id",
-        "source_file",
-    )
-    existing = read_or_empty(spark, cfg.fact_path, FACT_SCHEMA)
-    start = (existing.agg(F.max("persona_id")).first()[0] or 0) + 1
-    batch = (
-        resolved.withColumn("processed_at", F.lit(started_at))
-        .withColumn(
-            "run_id",
-            F.concat(
-                F.lit(ts + "_"),
-                F.regexp_replace("source_file", r"[^\p{L}\p{N}]", "_"),
-            ),
-        )
-    )
-    res = idempotent_append(
-        spark,
-        batch.drop("source_file"),
-        cfg.fact_path,
-        FACT_NATURAL_KEY,
-        target_schema=FACT_SCHEMA,
-        id_col="persona_id",
-        id_start=start,
-    )
-
-    audit = (
-        ann.groupBy("source_file")
-        .agg(
-            F.sum(F.when(F.col("motivo").isNull(), 1).otherwise(0)).alias(
-                "valid_count"
-            ),
-            F.sum(F.when(F.col("motivo").isNotNull(), 1).otherwise(0)).alias(
-                "rejected_count"
-            ),
-        )
-        .select(
-            F.concat(
-                F.lit(ts + "_"),
-                F.regexp_replace("source_file", r"[^\p{L}\p{N}]", "_"),
-            ).alias("run_id"),
-            F.lit(started_at).alias("started_at"),
+    # scan feeds the load, the reject sink and the per-file audit metrics;
+    # persist: three consumers, one materialization
+    ann = annotate_rejections(raw, edad_min=cfg.edad_min).persist()
+    try:
+        raw_cols = [
+            c
+            for c in ann.columns
+            if c not in ("motivo", "nombre_norm", "ciudad_norm", "edad_int", "source_file")
+        ]
+        rejects = ann.filter(F.col("motivo").isNotNull()).select(
+            *[F.coalesce(F.col(c), F.lit("")).alias(c) for c in raw_cols],
+            "motivo",
             "source_file",
-            F.col("valid_count").cast("long"),
-            F.col("rejected_count").cast("long"),
-            F.lit(res.inserted_new).cast("long").alias("inserted_new"),
-            F.lit(res.ignored_duplicates).cast("long").alias("ignored_duplicates"),
         )
-    )
-    audit.write.mode("append").parquet(cfg.audit_path)
+        write_rejects_csv_by_file(rejects, cfg.data_rejected)
+
+        valid = ann.filter(F.col("motivo").isNull())
+        dim = upsert_dimension(
+            spark, valid.select(F.col("ciudad_norm").alias("nombre")), cfg.dim_path
+        )
+        resolved = valid.join(F.broadcast(dim), valid.ciudad_norm == dim.nombre).select(
+            F.col("nombre_norm").alias("nombre"),
+            F.col("edad_int").cast("int").alias("edad"),
+            "ciudad_id",
+            "source_file",
+        )
+        existing = read_or_empty(spark, cfg.fact_path, FACT_SCHEMA)
+        start = (existing.agg(F.max("persona_id")).first()[0] or 0) + 1
+        batch = (
+            resolved.withColumn("processed_at", F.lit(started_at))
+            .withColumn(
+                "run_id",
+                F.concat(
+                    F.lit(ts + "_"),
+                    F.regexp_replace("source_file", r"[^\p{L}\p{N}]", "_"),
+                ),
+            )
+        )
+        res = idempotent_append(
+            spark,
+            batch,
+            cfg.fact_path,
+            FACT_NATURAL_KEY,
+            target_schema=FACT_SCHEMA,
+            id_col="persona_id",
+            id_start=start,
+            group_col="source_file",
+        )
+
+        per_file = spark.createDataFrame(
+            [(g, ins, ign) for g, (ins, ign) in (res.per_group or {}).items()],
+            "source_file string, inserted_new long, ignored_duplicates long",
+        )
+        audit = (
+            ann.groupBy("source_file")
+            .agg(
+                F.sum(F.when(F.col("motivo").isNull(), 1).otherwise(0)).alias(
+                    "valid_count"
+                ),
+                F.sum(F.when(F.col("motivo").isNotNull(), 1).otherwise(0)).alias(
+                    "rejected_count"
+                ),
+            )
+            .join(F.broadcast(per_file), on="source_file", how="left")
+            .select(
+                F.concat(
+                    F.lit(ts + "_"),
+                    F.regexp_replace("source_file", r"[^\p{L}\p{N}]", "_"),
+                ).alias("run_id"),
+                F.lit(started_at).alias("started_at"),
+                "source_file",
+                F.col("valid_count").cast("long"),
+                F.col("rejected_count").cast("long"),
+                F.coalesce("inserted_new", F.lit(0)).cast("long").alias("inserted_new"),
+                F.coalesce("ignored_duplicates", F.lit(0))
+                .cast("long")
+                .alias("ignored_duplicates"),
+            )
+        )
+        audit.write.mode("append").parquet(cfg.audit_path)
+    finally:
+        ann.unpersist()
     return spark.read.schema(AUDIT_SCHEMA).parquet(cfg.audit_path)

@@ -75,7 +75,7 @@ def process_microbatch(
         read_or_empty,
         upsert_dimension,
     )
-    from etl_python_sqlite_spark.pipeline import write_rejects_csv
+    from etl_python_sqlite_spark.pipeline import write_rejects_csv_by_file
 
     batch_df = batch_df.persist()
     try:
@@ -87,18 +87,15 @@ def process_microbatch(
         # extra columns (source_file) pass through the cascade untouched
         ann = annotate_rejections(batch_df, edad_min=cfg.edad_min).persist()
 
-        # reject sink: one CSV per source file in this micro-batch
-        rejects = ann.filter(F.col("motivo").isNotNull())
-        for (fname,) in rejects.select("source_file").distinct().collect():
-            write_rejects_csv(
-                rejects.filter(F.col("source_file") == fname).select(
-                    F.coalesce("nombre", F.lit("")).alias("nombre"),
-                    F.coalesce("edad", F.lit("")).alias("edad"),
-                    F.coalesce("ciudad", F.lit("")).alias("ciudad"),
-                    "motivo",
-                ),
-                Path(cfg.data_rejected) / f"rejected_{fname}",
-            )
+        # reject sink: one CSV per source file, single partitioned write
+        rejects = ann.filter(F.col("motivo").isNotNull()).select(
+            F.coalesce("nombre", F.lit("")).alias("nombre"),
+            F.coalesce("edad", F.lit("")).alias("edad"),
+            F.coalesce("ciudad", F.lit("")).alias("ciudad"),
+            "motivo",
+            "source_file",
+        )
+        write_rejects_csv_by_file(rejects, cfg.data_rejected)
 
         valid = ann.filter(F.col("motivo").isNull())
         dim = upsert_dimension(
@@ -117,11 +114,12 @@ def process_microbatch(
         run_id_col = F.concat(
             F.lit(ts + "_"), F.regexp_replace("source_file", r"[^\p{L}\p{N}]", "_")
         )
-        batch = (
-            resolved.withColumn("processed_at", F.lit(started_at))
-            .withColumn("run_id", run_id_col)
-            .drop("source_file")
+        batch = resolved.withColumn("processed_at", F.lit(started_at)).withColumn(
+            "run_id", run_id_col
         )
+        # group_col threads source_file through the anti-join so each
+        # (run, file) audit row carries ITS OWN inserted/ignored counts,
+        # not microbatch-global ones (the per-(run,file) audit contract)
         res = idempotent_append(
             spark,
             batch,
@@ -130,8 +128,13 @@ def process_microbatch(
             target_schema=FACT_SCHEMA,
             id_col="persona_id",
             id_start=start,
+            group_col="source_file",
         )
 
+        per_file = spark.createDataFrame(
+            [(g, ins, ign) for g, (ins, ign) in (res.per_group or {}).items()],
+            "source_file string, inserted_new long, ignored_duplicates long",
+        )
         audit = (
             ann.groupBy("source_file")
             .agg(
@@ -142,6 +145,7 @@ def process_microbatch(
                 .cast("long")
                 .alias("rejected_count"),
             )
+            .join(F.broadcast(per_file), on="source_file", how="left")
             .select(
                 F.concat(
                     F.lit(ts + "_"),
@@ -151,8 +155,10 @@ def process_microbatch(
                 "source_file",
                 "valid_count",
                 "rejected_count",
-                F.lit(res.inserted_new).cast("long").alias("inserted_new"),
-                F.lit(res.ignored_duplicates).cast("long").alias("ignored_duplicates"),
+                F.coalesce("inserted_new", F.lit(0)).cast("long").alias("inserted_new"),
+                F.coalesce("ignored_duplicates", F.lit(0))
+                .cast("long")
+                .alias("ignored_duplicates"),
             )
         )
         audit.write.mode("append").parquet(cfg.audit_path)

@@ -147,7 +147,8 @@ def test_migration_backfill(spark, tmp_path):
 
 
 def test_combined_directory_run_matches_per_file(spark, cfg, tmp_path):
-    """The scale-path single-scan variant produces the same warehouse state."""
+    """The scale-path single-scan variant produces the same warehouse state
+    AND the same per-(run,file) audit/reject contract as the driver loop."""
     audit = run_directory_combined(spark, cfg, now=NOW)
     fact = spark.read.parquet(cfg.fact_path)
     assert fact.count() == 4
@@ -155,6 +156,22 @@ def test_combined_directory_run_matches_per_file(spark, cfg, tmp_path):
     assert rows["a_dirty.csv"]["valid_count"] == 3
     assert rows["a_dirty.csv"]["rejected_count"] == 2
     assert rows["b_clean.csv"]["valid_count"] == 2
+
+    # per-FILE insert accounting (not batch-global stamped on every row):
+    # the cross-file duplicate resolves to the first file in sorted order
+    a, b = rows["a_dirty.csv"], rows["b_clean.csv"]
+    assert (a["inserted_new"], a["ignored_duplicates"]) == (3, 0)
+    assert (b["inserted_new"], b["ignored_duplicates"]) == (1, 1)
+
+    # rejects routed per source file, raw values verbatim
+    rej = Path(cfg.data_rejected)
+    assert (rej / "rejected_a_dirty.csv").exists()
+    assert not (rej / "rejected_b_clean.csv").exists()
+    with (rej / "rejected_a_dirty.csv").open() as f:
+        rrows = list(csv.DictReader(f))
+    assert {r["motivo"] for r in rrows} == {"Edad < 25", "Edad no convertible a int"}
+    naomi = next(r for r in rrows if r["motivo"] == "Edad < 25")
+    assert naomi["nombre"] == "Naomi " and naomi["ciudad"] == " san juan"
 
 
 def test_edge_empty_and_all_reject_files(spark, tmp_path):

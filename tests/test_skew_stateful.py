@@ -54,6 +54,22 @@ def test_salted_join_matches_direct(spark, skewed):
     }
 
 
+def test_salt_spreads_identical_payload_rows(spark):
+    """The canonical skew case: a hot key whose rows are byte-identical.
+    A row-content-hash salt maps them all to ONE salt (ADVICE r1); the
+    per-row salt must spread them across (almost) all n_salts."""
+    constant = spark.range(4000).select(
+        F.lit("HOT").alias("k"), F.lit(1.0).alias("v")
+    )
+    n_distinct = (
+        K.with_salt(constant, n_salts=16)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_distinct >= 12, f"only {n_distinct}/16 salts used for a constant payload"
+
+
 def test_top_frequent_keys_finds_hot(spark, skewed):
     top = K.top_frequent_keys(skewed, ["k"], top_n=1).first()
     assert top["k"] == "HOT" and top["n_rows"] == 5000

@@ -70,6 +70,35 @@ def test_stream_etl_end_to_end(spark, tmp_path):
     assert (f2[0]["inserted_new"], f2[0]["ignored_duplicates"]) == (1, 1)
 
 
+def test_stream_per_file_audit_counts_in_one_microbatch(spark, tmp_path):
+    """Two files arriving in ONE micro-batch get per-(run,file) insert
+    accounting, not microbatch-global counters stamped on both rows."""
+    cfg = PipelineConfig(
+        data_in=str(tmp_path / "in"),
+        data_rejected=str(tmp_path / "rej"),
+        warehouse=str(tmp_path / "wh"),
+    )
+    _write_csv(
+        Path(cfg.data_in) / "g1.csv",
+        [["nombre", "edad", "ciudad"], ["Ana", "30", "Lima"], ["Luis", "41", "Cusco"]],
+    )
+    _write_csv(
+        Path(cfg.data_in) / "g2.csv",
+        [["nombre", "edad", "ciudad"], ["ana", "30", "LIMA"],  # dup of g1 row
+         ["Marta", "33", "Lima"]],
+    )
+
+    q = start_stream(spark, cfg, str(tmp_path / "ckpt"), now=NOW)
+    q.awaitTermination(120)
+
+    audit = {r["source_file"]: r for r in spark.read.parquet(cfg.audit_path).collect()}
+    g1, g2 = audit["g1.csv"], audit["g2.csv"]
+    # in-batch duplicate resolves to the lexicographically first file
+    assert (g1["inserted_new"], g1["ignored_duplicates"]) == (2, 0)
+    assert (g2["inserted_new"], g2["ignored_duplicates"]) == (1, 1)
+    assert spark.read.parquet(cfg.fact_path).count() == 3
+
+
 def _events_rows():
     base = datetime(2024, 1, 1, 0, 0, 0)
     rows = []
