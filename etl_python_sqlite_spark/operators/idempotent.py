@@ -116,6 +116,35 @@ def idempotent_append(
     then file B inserts from A, ignores in B); plain ``dropDuplicates``
     would pick an arbitrary winner.
     """
+    schema = target_schema or batch.drop(*([group_col] if group_col else [])).schema
+    existing_keys = (
+        spark.read.schema(schema).parquet(target_path).select(*keys)
+        if _exists(target_path)
+        else None
+    )
+
+    def _write(out: DataFrame) -> None:
+        out.write.mode("append").parquet(target_path)
+
+    return _append_with_accounting(
+        batch, keys, existing_keys, schema, id_col, id_start, group_col,
+        _write, target_path,
+    )
+
+
+def _append_with_accounting(
+    batch: DataFrame,
+    keys: list[str],
+    existing_keys: DataFrame | None,
+    schema: T.StructType,
+    id_col: str | None,
+    id_start: int | None,
+    group_col: str | None,
+    write_fn,
+    target_label: str,
+) -> AppendResult:
+    """Shared INSERT OR IGNORE core: in-batch dedup → anti-join vs target
+    keys → per-group accounting → id assignment → schema-cast write."""
     attempted = batch.count()
     if group_col is None:
         deduped = batch.dropDuplicates(keys)
@@ -127,9 +156,7 @@ def idempotent_append(
             .drop("_rn")
         )
 
-    schema = target_schema or batch.drop(*([group_col] if group_col else [])).schema
-    if _exists(target_path):
-        existing_keys = spark.read.schema(schema).parquet(target_path).select(*keys)
+    if existing_keys is not None:
         new_rows = deduped.join(existing_keys, on=keys, how="left_anti")
     else:
         new_rows = deduped
@@ -155,9 +182,9 @@ def idempotent_append(
             out = new_rows.drop(group_col) if group_col else new_rows
             if id_col is not None:
                 out = assign_ids(out, id_col, start=id_start or 1, order_by=keys)
-            out.select([F.col(f.name).cast(f.dataType) for f in schema.fields]).write.mode(
-                "append"
-            ).parquet(target_path)
+            write_fn(
+                out.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
+            )
     finally:
         new_rows.unpersist()
 
@@ -165,7 +192,7 @@ def idempotent_append(
         attempted=attempted,
         inserted_new=inserted,
         ignored_duplicates=attempted - inserted,
-        target_path=target_path,
+        target_path=target_label,
         per_group=per_group,
     )
 
@@ -223,41 +250,39 @@ def idempotent_append_bucketed(
     table_name: str,
     keys: list[str],
     buckets: int = 16,
+    target_schema: T.StructType | None = None,
+    id_col: str | None = None,
+    id_start: int | None = None,
+    group_col: str | None = None,
 ) -> AppendResult:
     """Scale-path INSERT OR IGNORE onto a catalog table bucketed by the
-    natural key.
+    natural key — full drop-in for :func:`idempotent_append` (same id
+    assignment, schema cast and per-group accounting).
 
     The reference's UNIQUE-constraint dedup becomes an anti-join whose
     TARGET side is pre-hashed into buckets: the join consumes the bucket
     layout directly (no exchange over the accumulated table — only the
-    small new batch shuffles). This is the variant that holds at 100 TB,
-    where re-shuffling the target per batch would dominate.
+    small new batch shuffles; bucketing on ``keys[0]`` satisfies the
+    ClusteredDistribution of the full-key join because it is a subset of
+    the join keys). This is the variant that holds at 100 TB, where
+    re-shuffling the target per batch would dominate.
     """
-    attempted = batch.count()
-    deduped = batch.dropDuplicates(keys)
+    schema = target_schema or batch.drop(*([group_col] if group_col else [])).schema
+    existing_keys = (
+        spark.table(table_name).select(*keys)
+        if spark.catalog.tableExists(table_name)
+        else None
+    )
 
-    if spark.catalog.tableExists(table_name):
-        existing_keys = spark.table(table_name).select(*keys)
-        new_rows = deduped.join(existing_keys, on=keys, how="left_anti")
-    else:
-        new_rows = deduped
+    def _write(out: DataFrame) -> None:
+        (
+            out.write.mode("append")
+            .bucketBy(buckets, keys[0])
+            .sortBy(keys[0])
+            .saveAsTable(table_name)
+        )
 
-    new_rows = new_rows.persist()
-    try:
-        inserted = new_rows.count()
-        if inserted:
-            (
-                new_rows.write.mode("append")
-                .bucketBy(buckets, keys[0])
-                .sortBy(keys[0])
-                .saveAsTable(table_name)
-            )
-    finally:
-        new_rows.unpersist()
-
-    return AppendResult(
-        attempted=attempted,
-        inserted_new=inserted,
-        ignored_duplicates=attempted - inserted,
-        target_path=table_name,
+    return _append_with_accounting(
+        batch, keys, existing_keys, schema, id_col, id_start, group_col,
+        _write, table_name,
     )

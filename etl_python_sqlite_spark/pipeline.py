@@ -92,6 +92,14 @@ class PipelineConfig:
     data_rejected: str
     warehouse: str
     edad_min: int = 25
+    #: catalog table name for the fact — when set, the warehouse default is
+    #: the BUCKETED layout (``idempotent_append_bucketed``): the accumulated
+    #: fact is bucketed by the natural key, so each batch's anti-join
+    #: consumes the bucket layout with NO exchange over the target. This is
+    #: the 100 TB path; the path-parquet layout (``fact_table=None``) stays
+    #: as the zero-setup default for small warehouses.
+    fact_table: str | None = None
+    fact_buckets: int = 16
 
     @property
     def dim_path(self) -> str:
@@ -104,6 +112,51 @@ class PipelineConfig:
     @property
     def audit_path(self) -> str:
         return str(Path(self.warehouse) / "etl_runs")
+
+
+def read_fact(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """The accumulated fact table under either warehouse layout."""
+    if cfg.fact_table is not None:
+        if spark.catalog.tableExists(cfg.fact_table):
+            return spark.table(cfg.fact_table)
+        return spark.createDataFrame([], FACT_SCHEMA)
+    return read_or_empty(spark, cfg.fact_path, FACT_SCHEMA)
+
+
+def _append_fact(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    batch: DataFrame,
+    id_start: int,
+    group_col: str | None = None,
+):
+    """Route a fact batch to the configured warehouse layout."""
+    if cfg.fact_table is not None:
+        from etl_python_sqlite_spark.operators.idempotent import (
+            idempotent_append_bucketed,
+        )
+
+        return idempotent_append_bucketed(
+            spark,
+            batch,
+            cfg.fact_table,
+            FACT_NATURAL_KEY,
+            buckets=cfg.fact_buckets,
+            target_schema=FACT_SCHEMA,
+            id_col="persona_id",
+            id_start=id_start,
+            group_col=group_col,
+        )
+    return idempotent_append(
+        spark,
+        batch,
+        cfg.fact_path,
+        FACT_NATURAL_KEY,
+        target_schema=FACT_SCHEMA,
+        id_col="persona_id",
+        id_start=id_start,
+        group_col=group_col,
+    )
 
 
 @dataclass
@@ -216,22 +269,14 @@ def load_file(
         # surrogate persona_id start: AUTOINCREMENT parity — max existing + 1;
         # ids are assigned inside idempotent_append AFTER the anti-join so
         # IGNOREd duplicates don't consume ids (dense like SQLite)
-        existing = read_or_empty(spark, cfg.fact_path, FACT_SCHEMA)
+        existing = read_fact(spark, cfg)
         start = (existing.agg(F.max("persona_id")).first()[0] or 0) + 1
         batch = (
             resolved.withColumn("processed_at", F.lit(processed_at))
             .withColumn("run_id", F.lit(run_id))
         )
 
-        res = idempotent_append(
-            spark,
-            batch,
-            cfg.fact_path,
-            FACT_NATURAL_KEY,
-            target_schema=FACT_SCHEMA,
-            id_col="persona_id",
-            id_start=start,
-        )
+        res = _append_fact(spark, cfg, batch, id_start=start)
 
         audit_row = spark.createDataFrame(
             [
@@ -374,7 +419,7 @@ def run_directory_combined(
             "ciudad_id",
             "source_file",
         )
-        existing = read_or_empty(spark, cfg.fact_path, FACT_SCHEMA)
+        existing = read_fact(spark, cfg)
         start = (existing.agg(F.max("persona_id")).first()[0] or 0) + 1
         batch = (
             resolved.withColumn("processed_at", F.lit(started_at))
@@ -386,16 +431,7 @@ def run_directory_combined(
                 ),
             )
         )
-        res = idempotent_append(
-            spark,
-            batch,
-            cfg.fact_path,
-            FACT_NATURAL_KEY,
-            target_schema=FACT_SCHEMA,
-            id_col="persona_id",
-            id_start=start,
-            group_col="source_file",
-        )
+        res = _append_fact(spark, cfg, batch, id_start=start, group_col="source_file")
 
         per_file = spark.createDataFrame(
             [(g, ins, ign) for g, (ins, ign) in (res.per_group or {}).items()],

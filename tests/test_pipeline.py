@@ -174,6 +174,58 @@ def test_combined_directory_run_matches_per_file(spark, cfg, tmp_path):
     assert naomi["nombre"] == "Naomi " and naomi["ciudad"] == " san juan"
 
 
+def test_bucketed_warehouse_run_batch_parity(spark, tmp_path):
+    """fact_table set → the warehouse default is the bucketed catalog
+    layout: same end state and audit metrics as the path layout, and the
+    per-batch anti-join consumes the bucket layout (no Exchange over the
+    accumulated fact)."""
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS personas_limpias_bt")
+    cfg = PipelineConfig(
+        data_in=str(tmp_path / "in"),
+        data_rejected=str(tmp_path / "rejected"),
+        warehouse=str(tmp_path / "wh"),
+        fact_table="personas_limpias_bt",
+        fact_buckets=4,
+    )
+    _write_csv(Path(cfg.data_in) / "a_dirty.csv", DIRTY)
+    _write_csv(Path(cfg.data_in) / "b_clean.csv", CLEAN)
+
+    result = run_batch(spark, cfg, now=NOW)
+    by_file = {r.source_file: r for r in result.files}
+    assert (by_file["a_dirty.csv"].inserted_new, by_file["a_dirty.csv"].ignored_duplicates) == (3, 0)
+    assert (by_file["b_clean.csv"].inserted_new, by_file["b_clean.csv"].ignored_duplicates) == (1, 1)
+
+    fact = spark.table(cfg.fact_table)
+    assert fact.count() == 4
+    assert sorted(r["persona_id"] for r in fact.collect()) == [1, 2, 3, 4]
+
+    # idempotent re-run against the bucketed table
+    result2 = run_batch(spark, cfg, now=NOW)
+    assert all(r.inserted_new == 0 for r in result2.files)
+    assert spark.table(cfg.fact_table).count() == 4
+
+    # plan assertion: anti-join's TARGET side reads the bucket layout with
+    # no Exchange — only the tiny probe batch shuffles
+    probe = (
+        spark.createDataFrame([("Zoe", 28, 1)], "nombre string, edad int, ciudad_id long")
+        .hint("merge")
+        .join(
+            spark.table(cfg.fact_table).select("nombre"),
+            on="nombre",
+            how="left_anti",
+        )
+    )
+    probe.collect()
+    final_plan = (
+        probe._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert "Bucketed: true" in final_plan
+    assert final_plan.count("Exchange hashpartitioning") == 1, final_plan[:800]
+    spark.sql("DROP TABLE IF EXISTS personas_limpias_bt")
+
+
 def test_edge_empty_and_all_reject_files(spark, tmp_path):
     """Header-only files and 100%-reject files must flow through without
     errors, with correct audit metrics."""
