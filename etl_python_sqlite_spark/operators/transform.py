@@ -32,7 +32,8 @@ from etl_python_sqlite_spark.functions.normalize import (
 
 REQUIRED_COLS = ("nombre", "edad", "ciudad")
 
-#: Exact reject messages, reference scr/etl_relational.py:30-92.
+#: Exact reject messages, reference scr/etl_relational.py:30-92 (granular:
+#: each failure mode has its own message).
 REJECT_REASONS = {
     "missing_cols": "Faltan columnas requeridas",
     "none_value": "Valor None en campo requerido",
@@ -41,11 +42,31 @@ REJECT_REASONS = {
     "underage": "Edad < {edad_min}",
 }
 
+#: Exact reject messages, reference scr/etl_batch.py:48-64 (coarse: ONE
+#: try wraps normalize+cast, so a None value, a non-normalizable text and
+#: a bad int all collapse into the same message).
+REJECT_REASONS_BATCH = {
+    "missing_cols": "Faltan columnas",
+    "none_value": "Normalización o tipo inválido",
+    "bad_text": "Normalización o tipo inválido",
+    "bad_int": "Normalización o tipo inválido",
+    "underage": "Edad < {edad_min}",
+}
+
+#: message_style → message set. "relational" = scr/etl_relational.py,
+#: "batch" = scr/etl_batch.py. The cascade ORDER is identical in both
+#: scripts; only the strings differ.
+MESSAGE_STYLES = {
+    "relational": REJECT_REASONS,
+    "batch": REJECT_REASONS_BATCH,
+}
+
 
 def annotate_rejections(
     raw: DataFrame,
     edad_min: int = 25,
     required_cols: tuple[str, ...] = REQUIRED_COLS,
+    message_style: str = "relational",
 ) -> DataFrame:
     """Add ``motivo`` (NULL = valid) plus normalized columns to ``raw``.
 
@@ -54,7 +75,14 @@ def annotate_rejections(
     uniform per file) — handled by tagging every row, mirroring the
     per-row check at reference scr/etl_relational.py:33 which fires for
     all rows of a malformed file.
+
+    ``message_style`` selects which reference script's reject strings a
+    replay produces byte-for-byte: "relational" (granular, the default) or
+    "batch" (scr/etl_batch.py's single try collapses None/text/int
+    failures into "Normalización o tipo inválido"). Validity is identical
+    under both styles — only the ``motivo`` strings differ.
     """
+    reasons = MESSAGE_STYLES[message_style]
     missing_dataset_cols = [c for c in required_cols if c not in raw.columns]
     df = raw
     for c in missing_dataset_cols:
@@ -71,16 +99,16 @@ def annotate_rejections(
     # with non-string raw sources.
     motivo = (
         F.when(
-            F.lit(bool(missing_dataset_cols)), F.lit(REJECT_REASONS["missing_cols"])
+            F.lit(bool(missing_dataset_cols)), F.lit(reasons["missing_cols"])
         )
         .when(
             F.col("nombre").isNull()
             | F.col("edad").isNull()
             | F.col("ciudad").isNull(),
-            F.lit(REJECT_REASONS["none_value"]),
+            F.lit(reasons["none_value"]),
         )
-        .when(edad_int.isNull(), F.lit(REJECT_REASONS["bad_int"]))
-        .when(edad_int < edad_min, F.lit(REJECT_REASONS["underage"].format(edad_min=edad_min)))
+        .when(edad_int.isNull(), F.lit(reasons["bad_int"]))
+        .when(edad_int < edad_min, F.lit(reasons["underage"].format(edad_min=edad_min)))
         .otherwise(F.lit(None).cast("string"))
     )
 
@@ -95,13 +123,14 @@ def annotate_rejections(
 def transform_with_rejections(
     raw: DataFrame,
     edad_min: int = 25,
+    message_style: str = "relational",
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``raw`` into (valid, rejects) — reference scr/etl_batch.py:42-69.
 
     valid:   ``nombre, edad, ciudad`` — normalized, typed (int edad).
     rejects: original raw string columns + ``motivo``.
     """
-    annotated = annotate_rejections(raw, edad_min=edad_min)
+    annotated = annotate_rejections(raw, edad_min=edad_min, message_style=message_style)
     valid = (
         annotated.filter(F.col("motivo").isNull())
         .select(

@@ -100,6 +100,11 @@ class PipelineConfig:
     #: as the zero-setup default for small warehouses.
     fact_table: str | None = None
     fact_buckets: int = 16
+    #: which reference script's reject strings to reproduce byte-for-byte:
+    #: "relational" (scr/etl_relational.py:30-92, granular per-failure
+    #: messages) or "batch" (scr/etl_batch.py:48-64, whose single
+    #: try/except collapses None/text/int failures into one message).
+    message_style: str = "relational"
 
     @property
     def dim_path(self) -> str:
@@ -314,7 +319,9 @@ def run_batch(
     result = BatchResult()
     for csv_file in list_csv_files(cfg.data_in):
         raw = read_csv_all_string(spark, csv_file)
-        valid, rejects = transform_with_rejections(raw, edad_min=cfg.edad_min)
+        valid, rejects = transform_with_rejections(
+            raw, edad_min=cfg.edad_min, message_style=cfg.message_style
+        )
         n_rejects = write_rejects_csv(
             rejects, Path(cfg.data_rejected) / f"rejected_{csv_file.name}"
         )
@@ -395,7 +402,9 @@ def run_directory_combined(
     # the cascade runs with source_file carried through row-wise, so one
     # scan feeds the load, the reject sink and the per-file audit metrics;
     # persist: three consumers, one materialization
-    ann = annotate_rejections(raw, edad_min=cfg.edad_min).persist()
+    ann = annotate_rejections(
+        raw, edad_min=cfg.edad_min, message_style=cfg.message_style
+    ).persist()
     try:
         raw_cols = [
             c

@@ -85,7 +85,9 @@ def process_microbatch(
         started_at = (now or datetime.now(timezone.utc)).isoformat()
 
         # extra columns (source_file) pass through the cascade untouched
-        ann = annotate_rejections(batch_df, edad_min=cfg.edad_min).persist()
+        ann = annotate_rejections(
+            batch_df, edad_min=cfg.edad_min, message_style=cfg.message_style
+        ).persist()
 
         # reject sink: one CSV per source file, single partitioned write
         rejects = ann.filter(F.col("motivo").isNotNull()).select(

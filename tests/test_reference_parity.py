@@ -102,3 +102,65 @@ def test_reference_fixture_end_state(spark, tmp_path):
         ("Naomi ", "Edad < 25"),
         ("Pedro", "Edad no convertible a int"),
     }
+
+
+# personas_crudas plus a short row (csv.DictReader fills the missing
+# ``ciudad`` with None → reference scr/etl_batch.py:55 .strip() raises →
+# the coarse message)
+PERSONAS_CRUDAS_BATCH = PERSONAS_CRUDAS + [["Ana", "40"]]
+
+# header missing ``ciudad`` entirely → scr/etl_batch.py:50 issubset fails
+SIN_CIUDAD = [
+    ["nombre", "edad"],
+    ["Bruno", "33"],
+]
+
+
+def test_etl_batch_message_style_byte_parity(spark, tmp_path):
+    """Replay scr/etl_batch.py:42-69 fixtures with message_style="batch"
+    and assert the EXACT ``motivo`` strings that script emits: its single
+    try/except collapses None-value, bad-text and bad-int failures into
+    "Normalización o tipo inválido", and its missing-columns message is
+    the shorter "Faltan columnas" (no "requeridas")."""
+    cfg = PipelineConfig(
+        data_in=str(tmp_path / "in"),
+        data_rejected=str(tmp_path / "rejected"),
+        warehouse=str(tmp_path / "wh"),
+        message_style="batch",
+    )
+    _write(Path(cfg.data_in) / "personas.csv", PERSONAS)
+    _write(Path(cfg.data_in) / "personas_crudas.csv", PERSONAS_CRUDAS_BATCH)
+    _write(Path(cfg.data_in) / "sin_ciudad.csv", SIN_CIUDAD)
+
+    result = run_batch(spark, cfg, now=NOW)
+    by_file = {r.source_file: r for r in result.files}
+
+    # validity split is IDENTICAL to relational style — only strings differ
+    assert (by_file["personas.csv"].valid_count, by_file["personas.csv"].rejected_count) == (2, 1)
+    assert (by_file["personas_crudas.csv"].valid_count, by_file["personas_crudas.csv"].rejected_count) == (3, 3)
+    assert (by_file["sin_ciudad.csv"].valid_count, by_file["sin_ciudad.csv"].rejected_count) == (0, 1)
+
+    rej_dir = Path(cfg.data_rejected)
+    with (rej_dir / "rejected_personas.csv").open() as f:
+        assert [(r["nombre"], r["motivo"]) for r in csv.DictReader(f)] == [
+            ("Naomi", "Edad < 25")
+        ]
+    with (rej_dir / "rejected_personas_crudas.csv").open() as f:
+        got = {(r["nombre"], r["motivo"]) for r in csv.DictReader(f)}
+    assert got == {
+        ("Naomi ", "Edad < 25"),
+        ("Pedro", "Normalización o tipo inválido"),   # int("error")
+        ("Ana", "Normalización o tipo inválido"),     # None ciudad
+    }
+    with (rej_dir / "rejected_sin_ciudad.csv").open() as f:
+        assert {(r["nombre"], r["motivo"]) for r in csv.DictReader(f)} == {
+            ("Bruno", "Faltan columnas")
+        }
+
+
+def test_message_style_unknown_raises(spark):
+    from etl_python_sqlite_spark.operators.transform import annotate_rejections
+
+    df = spark.createDataFrame([("a", "1", "x")], ["nombre", "edad", "ciudad"])
+    with pytest.raises(KeyError):
+        annotate_rejections(df, message_style="nope")
