@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multires_rollup": R.multires_rollup,
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,                  # rows-only
+        "ext_multimodal_decode": E.ext_multimodal_decode,
     }
 
 
@@ -536,6 +537,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             GROUP BY 1, 2
+        """,
+        # the Spark side builds BMP/PPM/WAV bytes from text and parses them
+        # back with the real stdlib decoders; the oracle predicts the decoded
+        # metadata from octet_length(text) alone — a hash match proves the
+        # binary round trip (plans/ext.py:ext_multimodal_decode)
+        "ext_multimodal_decode": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+                   CASE WHEN doc_id % 5 = 3 THEN NULL
+                        WHEN doc_id % 4 = 0 THEN 'bmp'
+                        WHEN doc_id % 2 = 0 THEN 'ppm'
+                        ELSE 'wav' END AS format,
+                   CASE WHEN doc_id % 5 <> 3 AND doc_id % 2 = 0
+                        THEN CAST(16 AS INTEGER) END AS width,
+                   CASE WHEN doc_id % 5 <> 3 AND doc_id % 2 = 0
+                        THEN CAST(GREATEST(1, LEAST(nb, 768) // 48) AS INTEGER)
+                        END AS height,
+                   CASE WHEN doc_id % 5 <> 3 AND doc_id % 2 = 1
+                        THEN CAST(8000 AS INTEGER) END AS sample_rate,
+                   CASE WHEN doc_id % 5 <> 3 AND doc_id % 2 = 1
+                        THEN CAST(1 AS INTEGER) END AS channels,
+                   CASE WHEN doc_id % 5 <> 3 AND doc_id % 2 = 1
+                        THEN CAST(LEAST(nb, 4000) // 8 AS BIGINT) END AS duration_ms,
+                   doc_id % 5 <> 3 AS decode_ok
+            FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
         """,
         # ------------------------------------------------------------------
         # EXT oracles

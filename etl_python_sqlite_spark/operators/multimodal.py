@@ -1,11 +1,19 @@
 """Multimodal column plumbing (EXT): image/audio/video as opaque binary.
 
 Real Spark-side machinery — schema, partitioning, Arrow batch shape,
-``mapInPandas`` signatures — with the actual media decoding STUBBED
-(image/audio libraries are not in this container). The deterministic
-byte-level feature extractor exercises the identical execution path a
-real decoder would take, so swapping in PIL/ffmpeg later only changes
-the inner function.
+``mapInPandas`` signatures — with REAL stdlib decoders for the
+container-friendly formats:
+
+* images: BMP (24-bit uncompressed BI_RGB) and PPM (binary P6) parsed
+  with ``struct`` + numpy — full pixel arrays, not just headers — plus
+  matching encoders for round-trips and a real nearest-neighbor resize.
+* audio: WAV PCM via the stdlib ``wave`` module — sample rate, channels,
+  frames, and the decoded sample matrix.
+
+Formats that genuinely need external libraries (PNG/JPEG zlib+filters,
+MP3/AAC codecs) still raise ``NotImplementedError`` — swapping in
+PIL/ffmpeg later only changes the magic-number dispatch, the batching /
+schema / partitioning around it is unchanged.
 
 Scale notes:
 
@@ -16,12 +24,21 @@ Scale notes:
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of blob
   size skew. Repartition by a uniform key before heavy decode stages so
   stragglers don't serialize the pipeline.
+* per-row decode failures are DATA, not exceptions: the metadata path
+  routes them to ``decode_ok=false`` + ``decode_error`` so one corrupt
+  blob in 10¹⁰ can't fail a stage (same reject-routing philosophy as the
+  CSV cascade).
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
+from typing import NamedTuple
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -61,19 +78,145 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(content: bytes) -> "object":
-    """Stub — image decoding requires PIL/opencv, not in this container.
+class DecodedImage(NamedTuple):
+    width: int
+    height: int
+    #: (height, width, 3) uint8, RGB channel order
+    pixels: "np.ndarray"
 
-    A production build replaces this body with e.g.
-    ``PIL.Image.open(io.BytesIO(content))``; everything around it
-    (schema, batching, partitioning) is already real.
+
+class DecodedAudio(NamedTuple):
+    sample_rate: int
+    channels: int
+    n_frames: int
+    duration_ms: int
+    #: (n_frames, channels) int (PCM width-dependent dtype)
+    samples: "np.ndarray"
+
+
+def decode_image(content: bytes) -> DecodedImage:
+    """Decode BMP (24-bit BI_RGB) or binary PPM (P6) to pixels — pure
+    stdlib+numpy, no image library.
+
+    PNG/JPEG would need zlib-inflate + DEFLATE filters / a DCT codec —
+    those still raise until PIL is available; the dispatch here is the
+    only thing that changes then.
     """
-    raise NotImplementedError("image decoding not available in this environment")
+    if content is None or len(content) < 2:
+        raise ValueError("empty or truncated image payload")
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    if content[:2] == b"P6":
+        return _decode_ppm(content)
+    raise NotImplementedError(
+        "unsupported image format (only BMP/PPM decodable without external libs)"
+    )
 
 
-def decode_audio(content: bytes) -> "object":
-    """Stub — audio decoding requires soundfile/ffmpeg (see decode_image)."""
-    raise NotImplementedError("audio decoding not available in this environment")
+def _decode_bmp(b: bytes) -> DecodedImage:
+    # BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER: little-endian fields
+    if len(b) < 54:
+        raise ValueError("truncated BMP header")
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    width, height = struct.unpack_from("<ii", b, 18)
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BI_RGB BMP supported")
+    bottom_up = height > 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive BMP dimensions")
+    stride = (width * 3 + 3) & ~3  # rows padded to 4-byte boundaries
+    need = data_off + stride * height
+    if len(b) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(b, np.uint8, count=stride * height, offset=data_off)
+    px = rows.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        px = px[::-1]
+    return DecodedImage(width, height, px[..., ::-1].copy())  # BGR → RGB
+
+
+def _decode_ppm(b: bytes) -> DecodedImage:
+    # P6 header: three whitespace-separated ints (width height maxval),
+    # '#' comments allowed, exactly ONE whitespace byte before raster
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            pos = b.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    pos += 1
+    width, height, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive PPM dimensions")
+    if len(b) < pos + width * height * 3:
+        raise ValueError("truncated PPM raster")
+    px = np.frombuffer(b, np.uint8, count=width * height * 3, offset=pos)
+    return DecodedImage(width, height, px.reshape(height, width, 3).copy())
+
+
+def encode_ppm(pixels: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB → binary P6 bytes."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        pixels, dtype=np.uint8
+    ).tobytes()
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BI_RGB BMP bytes (bottom-up rows)."""
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    raster = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return header + info + raster
+
+
+def decode_audio(content: bytes) -> DecodedAudio:
+    """Decode WAV PCM via the stdlib ``wave`` module — real samples, not a
+    header peek. Compressed codecs (MP3/AAC/OGG) still raise."""
+    if content is None or len(content) < 12:
+        raise ValueError("empty or truncated audio payload")
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "unsupported audio format (only WAV PCM decodable without external libs)"
+        )
+    with wave.open(io.BytesIO(content)) as wf:
+        sr = wf.getframerate()
+        ch = wf.getnchannels()
+        sampwidth = wf.getsampwidth()
+        n_frames = wf.getnframes()
+        raw = wf.readframes(n_frames)
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sampwidth)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported PCM sample width {sampwidth}")
+    samples = np.frombuffer(raw, dtype=dtype).reshape(n_frames, ch)
+    return DecodedAudio(sr, ch, n_frames, n_frames * 1000 // sr if sr else 0, samples)
+
+
+def encode_wav(
+    samples: "np.ndarray", sample_rate: int, channels: int = 1
+) -> bytes:
+    """int16 sample array → WAV PCM bytes (stdlib ``wave`` writer)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
 
 
 def _byte_features(content: bytes | None) -> tuple[int, float | None, list[float]]:
@@ -141,15 +284,107 @@ def frame_sample_plan(
     )
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize pipeline stub: passes payloads through ``mapInPandas`` with
-    the real batch plumbing; the inner transform raises until an image
-    library is available."""
+DECODED_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),   # bmp|ppm|wav
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
+_FORMAT_BY_MAGIC = ((b"BM", "bmp"), (b"P6", "ppm"), (b"RIFF", "wav"))
+
+
+def _decode_one(modality: str, content) -> dict:
+    out = {
+        "format": None, "width": None, "height": None, "sample_rate": None,
+        "channels": None, "duration_ms": None, "decode_ok": False,
+        "decode_error": None,
+    }
+    try:
+        b = bytes(content) if content is not None else b""
+        for magic, name in _FORMAT_BY_MAGIC:
+            if b[: len(magic)] == magic:
+                out["format"] = name
+                break
+        if modality == "image":
+            img = decode_image(b)
+            out.update(width=img.width, height=img.height, decode_ok=True)
+        elif modality == "audio":
+            au = decode_audio(b)
+            out.update(
+                sample_rate=au.sample_rate, channels=au.channels,
+                duration_ms=au.duration_ms, decode_ok=True,
+            )
+        else:
+            out["decode_error"] = f"no decoder for modality {modality!r}"
+    except Exception as e:  # corrupt blob = data, not a stage failure
+        out["decode_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def decode_media_metadata(media: DataFrame) -> DataFrame:
+    """Real decode pass over binary payloads: parses BMP/PPM pixels and
+    WAV PCM frames per row, routing per-row failures to
+    ``decode_ok=false`` + ``decode_error`` (never a stage abort)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _decode_one(m, c)
+                for m, c in zip(pdf["modality"], pdf["content"])
+            ]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            out.insert(1, "modality", pdf["modality"].values)
+            yield out
+
+    return media.select("media_id", "modality", "content").mapInPandas(
+        _decode, schema=DECODED_META_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real nearest-neighbor resize for decodable image rows, re-encoded
+    as PPM; non-image rows pass through untouched. Output schema ==
+    input schema, so resize stages compose."""
+
+    def _resize_px(img: DecodedImage) -> "np.ndarray":
+        ys = np.arange(height) * img.height // height
+        xs = np.arange(width) * img.width // width
+        return img.pixels[np.ix_(ys, xs)]
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf):
-                decode_image(bytes(pdf["content"].iloc[0] or b""))
+            pdf = pdf.copy()
+            contents, mimes, metas = [], [], []
+            for modality, content, mime, meta in zip(
+                pdf["modality"], pdf["content"], pdf["mime"], pdf["meta"]
+            ):
+                if modality != "image":
+                    contents.append(content)
+                    mimes.append(mime)
+                    metas.append(meta)
+                    continue
+                img = decode_image(bytes(content) if content is not None else b"")
+                contents.append(encode_ppm(_resize_px(img)))
+                mimes.append("image/x-portable-pixmap")
+                if meta is not None:
+                    meta = dict(meta)
+                    meta["width"], meta["height"] = width, height
+                metas.append(meta)
+            pdf["content"], pdf["mime"], pdf["meta"] = contents, mimes, metas
             yield pdf
 
     return media.mapInPandas(_resize, schema=media.schema)
+
+
+#: historical name from the stub era — the implementation is real now
+resize_stub = resize_images

@@ -272,3 +272,72 @@ def ext_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3-scale-c — approximate kNN join over all embeddings (rows-only;
     pytest checks that planted near-dup pairs find each other)."""
     return S.ann_knn_join_lsh(_embs(spark, sf_dir), k=3)
+
+
+# ---------------------------------------------------------------------------
+# multimodal (EXT-M): real binary encode → decode round trip
+# ---------------------------------------------------------------------------
+
+def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-M — multimodal ingest simulation with REAL decoders.
+
+    Builds a deterministic binary payload per document (pixels / PCM
+    samples are the document's UTF-8 bytes): even doc_ids become images
+    (BMP when doc_id%4==0, else PPM), odd become WAV audio, and every
+    doc_id%5==3 payload is corrupted to exercise per-row reject routing.
+    The payloads then run through ``decode_media_metadata`` — the actual
+    stdlib BMP/PPM/WAV parsers over Arrow batches — and the decoded
+    metadata comes OUT of the parsers. The DuckDB oracle predicts every
+    column from octet_length(text) alone, so a hash match proves the
+    encode→decode round trip is bit-faithful.
+
+    Scale: two Arrow-batched stages over (doc_id, text) — no shuffle at
+    all until the driver's canonical sort; decode parallelism is the scan
+    partitioning.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from etl_python_sqlite_spark.operators import multimodal as M
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def _encode(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = (text or "").encode("utf-8")
+                nb = len(b)
+                if doc_id % 5 == 3:
+                    content = b"\xffCORRUPT" + b[:8]
+                    modality = "image" if doc_id % 2 == 0 else "audio"
+                elif doc_id % 2 == 0:
+                    w, h = 16, max(1, min(nb, 768) // 48)
+                    raw = b[: w * h * 3].ljust(w * h * 3, b"\x00")
+                    px = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+                    content = M.encode_bmp(px) if doc_id % 4 == 0 else M.encode_ppm(px)
+                    modality = "image"
+                else:
+                    nf = min(nb, 4000)
+                    samples = np.frombuffer(
+                        raw_bytes := b[:nf].ljust(nf, b"\x00"), np.uint8
+                    ).astype(np.int16) - 128
+                    content = M.encode_wav(samples, sample_rate=8000)
+                    modality = "audio"
+                out.append((doc_id, modality, content))
+            yield pd.DataFrame(out, columns=["media_id", "modality", "content"])
+
+    media = docs.mapInPandas(
+        _encode, schema="media_id long, modality string, content binary"
+    )
+    return M.decode_media_metadata(media).select(
+        F.col("media_id").alias("doc_id"),
+        "modality",
+        "format",
+        "width",
+        "height",
+        "sample_rate",
+        "channels",
+        "duration_ms",
+        "decode_ok",
+    )

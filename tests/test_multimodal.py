@@ -67,3 +67,94 @@ def test_decode_stub_raises(spark, media):
         decode_image(b"not-a-real-png")
     with pytest.raises(Exception):  # surfaced through the Spark job
         resize_stub(media.limit(1), 8, 8).collect()
+
+
+# ---------------------------------------------------------------------------
+# real decoders (BMP/PPM/WAV — stdlib only)
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from etl_python_sqlite_spark.operators.multimodal import (
+    decode_audio,
+    decode_media_metadata,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    resize_images,
+)
+
+
+def _gradient(h, w):
+    """Deterministic (h, w, 3) uint8 test image."""
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(x * 7) % 256, (y * 11) % 256, (x + y) % 256], axis=-1).astype(
+        np.uint8
+    )
+
+
+def test_bmp_roundtrip_exact():
+    px = _gradient(13, 7)  # odd width → exercises 4-byte row padding
+    img = decode_image(encode_bmp(px))
+    assert (img.width, img.height) == (7, 13)
+    assert np.array_equal(img.pixels, px)
+
+
+def test_ppm_roundtrip_exact_and_comments():
+    px = _gradient(5, 9)
+    img = decode_image(encode_ppm(px))
+    assert (img.width, img.height) == (9, 5)
+    assert np.array_equal(img.pixels, px)
+    # header comments per the netpbm spec
+    with_comment = b"P6\n# a comment\n9 5\n255\n" + px.tobytes()
+    assert np.array_equal(decode_image(with_comment).pixels, px)
+
+
+def test_wav_roundtrip_exact():
+    t = np.arange(800)
+    samples = (np.sin(2 * np.pi * 440 * t / 8000) * 3000).astype(np.int16)
+    au = decode_audio(encode_wav(samples, sample_rate=8000))
+    assert (au.sample_rate, au.channels, au.n_frames) == (8000, 1, 800)
+    assert au.duration_ms == 100
+    assert np.array_equal(au.samples[:, 0], samples)
+
+
+def test_decode_media_metadata_spark_path(spark):
+    """Real bytes through the Arrow mapInPandas decode stage, with a
+    corrupt blob routed to decode_error instead of failing the stage."""
+    rows = [
+        (1, "image", bytearray(encode_bmp(_gradient(4, 6))), "image/bmp", None),
+        (2, "image", bytearray(encode_ppm(_gradient(3, 2))), "image/x-portable-pixmap", None),
+        (3, "audio", bytearray(encode_wav(np.zeros(1600, np.int16), 16000)), "audio/wav", None),
+        (4, "image", bytearray(b"\x89PNG\r\n"), "image/png", None),
+        (5, "audio", None, "audio/wav", None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_media_metadata(media).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"], got[1]["decode_ok"]) == (
+        "bmp", 6, 4, True,
+    )
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("ppm", 2, 3)
+    assert (got[3]["sample_rate"], got[3]["channels"], got[3]["duration_ms"]) == (
+        16000, 1, 100,
+    )
+    assert got[4]["decode_ok"] is False and "NotImplementedError" in got[4]["decode_error"]
+    assert got[5]["decode_ok"] is False and got[5]["decode_error"]
+
+
+def test_resize_images_spark_path(spark):
+    px = _gradient(16, 16)
+    rows = [
+        (1, "image", bytearray(encode_bmp(px)), "image/bmp", (16, 16, None, None)),
+        (2, "audio", bytearray(encode_wav(np.zeros(80, np.int16), 8000)), "audio/wav",
+         (None, None, 10, 8000)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(media, 8, 8).collect()}
+    resized = decode_image(bytes(out[1]["content"]))
+    assert (resized.width, resized.height) == (8, 8)
+    # nearest-neighbor: top-left pixel preserved exactly
+    assert list(resized.pixels[0, 0]) == list(px[0, 0])
+    assert out[1]["meta"]["width"] == 8 and out[1]["mime"] == "image/x-portable-pixmap"
+    # non-image rows pass through byte-identical
+    assert bytes(out[2]["content"]) == bytes(rows[1][2])
