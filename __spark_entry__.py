@@ -129,6 +129,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,                  # rows-only
         "ext_multimodal_decode": E.ext_multimodal_decode,
+        # round-2 SQL-surface growth (supplier joins, window frames,
+        # lead/lag, ordered string agg, explicit grouping sets)
+        "supplier_profit_by_nation": R.supplier_profit_by_nation,
+        "window_moving_avg": R.window_moving_avg,
+        "lag_gap_analysis": R.lag_gap_analysis,
+        "string_agg_nations": R.string_agg_nations,
+        "grouping_sets_status_year": R.grouping_sets_status_year,
     }
 
 
@@ -562,6 +569,74 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(LEAST(nb, 4000) // 8 AS BIGINT) END AS duration_ms,
                    doc_id % 5 <> 3 AS decode_ok
             FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+        """,
+        "supplier_profit_by_nation": """
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                       AS revenue,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
+        """,
+        "window_moving_avg": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   ((2 * p * 1 + cnt) // (2 * cnt)) / 100.0 AS mov_avg_totalprice
+            FROM (
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       SUM(CAST(CAST(o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT))
+                           OVER w AS p,
+                       COUNT(*) OVER w AS cnt
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            )
+        """,
+        "lag_gap_analysis": """
+            SELECT o_custkey, n_orders, sum_gap_days,
+                   CASE WHEN n_gaps > 0
+                        THEN ((2 * sum_gap_days * 100 + n_gaps) // (2 * n_gaps))
+                             / 100.0 END AS avg_gap_days
+            FROM (
+                SELECT o_custkey, COUNT(*) AS n_orders,
+                       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap_days,
+                       COUNT(gap) AS n_gaps
+                FROM (
+                    SELECT o_custkey,
+                           date_diff('day',
+                               LAG(o_orderdate) OVER (
+                                   PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey),
+                               o_orderdate) AS gap
+                    FROM orders
+                )
+                GROUP BY o_custkey
+            )
+        """,
+        "string_agg_nations": """
+            SELECT r_name AS region,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   COUNT(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "grouping_sets_status_year": """
+            SELECT o_orderstatus, order_year,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE)
+                       AS total_value
+            FROM (
+                SELECT o_orderstatus,
+                       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+                       o_totalprice
+                FROM orders
+            )
+            GROUP BY GROUPING SETS ((o_orderstatus, order_year), (order_year), ())
         """,
         # ------------------------------------------------------------------
         # EXT oracles

@@ -686,3 +686,131 @@ def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return daily
+
+
+# ---------------------------------------------------------------------------
+# Round-2 surface growth: supplier-side joins, window frames, lead/lag,
+# ordered string aggregation, explicit GROUPING SETS
+# ---------------------------------------------------------------------------
+
+def supplier_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped revenue rollup: lineitem ⋈ supplier ⋈ nation,
+    grouped by supplier nation × ship year.
+
+    Scale shape: the two dims broadcast (supplier is ~1/10th of customer,
+    nation is 25 rows) so the fact table never shuffles for the joins —
+    the only exchange is the final (nation, year) aggregate, ~25×7 keys.
+    Money math in exact decimal factors (see agg_pricing_summary).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    dd = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.sum(ep * (F.lit(1) - dd)).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+            _dsum("l_quantity", 2).alias("sum_qty"),
+        )
+    )
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window frame: per-customer 4-order moving average of order
+    totals (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW).
+
+    The frame sum runs in exact integer cents (decimal→long), so the
+    moving average is bit-identical across engines regardless of the
+    order partial sums are combined in; deterministic frame membership
+    comes from the (o_orderdate, o_orderkey) total order.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, 0)
+    )
+    cents = (F.col("o_totalprice").cast("decimal(28,2)") * 100).cast("long")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.sum(cents).over(w).alias("_p"),
+            F.count("*").over(w).alias("_cnt"),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            _avg_expr("_p", "_cnt", 2, 2).alias("mov_avg_totalprice"),
+        )
+    )
+
+
+def lag_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag surface: days between consecutive orders per customer,
+    aggregated to (n_orders, sum_gap_days, avg_gap_days) — integer day
+    arithmetic end-to-end, so no float drift is possible; single-order
+    customers yield NULL avg (guarded division, ANSI-safe)."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(
+        F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+    ).alias("gap")
+    per_order = orders.select("o_custkey", gap)
+    agged = per_order.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.coalesce(F.sum("gap"), F.lit(0)).cast("long").alias("sum_gap_days"),
+        F.count("gap").alias("_n_gaps"),
+    )
+    avg_gap = F.when(
+        F.col("_n_gaps") > 0,
+        F.expr("((2 * sum_gap_days * 100 + _n_gaps) div (2 * _n_gaps)) / 100.0D"),
+    )
+    return agged.select(
+        "o_custkey", "n_orders", "sum_gap_days", avg_gap.alias("avg_gap_days")
+    )
+
+
+def string_agg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG family): the nation
+    list per region, comma-joined in collation-free bytewise sort order.
+    collect_list is unordered by contract — array_sort makes the result
+    deterministic (same trick scales: the sort is per-group, post-shuffle)."""
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+def grouping_sets_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): (status, year),
+    (year), and grand total in ONE pass — Spark expands the sets into a
+    single shuffle, not three scans."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_totalprice",
+    )
+    return orders.groupingSets(
+        [["o_orderstatus", "order_year"], ["order_year"], []],
+        "o_orderstatus",
+        "order_year",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        _dsum("o_totalprice", 2).alias("total_value"),
+    )
