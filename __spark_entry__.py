@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,                  # rows-only
         "ext_multimodal_decode": E.ext_multimodal_decode,
+        "ext_curation_funnel": E.ext_curation_funnel,
         # round-2 SQL-surface growth (supplier joins, window frames,
         # lead/lag, ordered string agg, explicit grouping sets)
         "supplier_profit_by_nation": R.supplier_profit_by_nation,
@@ -569,6 +570,50 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(LEAST(nb, 4000) // 8 AS BIGINT) END AS duration_ms,
                    doc_id % 5 <> 3 AS decode_ok
             FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+        """,
+        # the full curation cascade replayed in SQL: langid CASE, quality
+        # formula, sha256 keeper window, multiplicative-hash split — all
+        # shared fragments with their standalone oracles above
+        "ext_curation_funnel": f"""
+            SELECT stage, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+            FROM (
+                SELECT CASE
+                           WHEN lang_detected = 'und' THEN 'reject_lang'
+                           WHEN quality < 0.5e0 THEN 'reject_quality'
+                           WHEN doc_id <> keeper_id THEN 'reject_duplicate'
+                           ELSE 'kept_' || split END AS stage,
+                       n_chars
+                FROM (
+                    SELECT doc_id, n_chars,
+                           {_langid_sql('text')} AS lang_detected,
+                           ROUND(
+                               0.4e0 * least(CAST(n_words AS DOUBLE) / 100.0e0, 1.0e0)
+                               + 0.4e0 * least(sw_ratio * 5.0e0, 1.0e0)
+                               + 0.2e0 * (1.0e0 - least(p_ratio * 10.0e0, 1.0e0)), 6)
+                               AS quality,
+                           MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper_id,
+                           CASE WHEN h < 80 THEN 'train'
+                                WHEN h < 90 THEN 'val'
+                                ELSE 'test' END AS split
+                    FROM (
+                        SELECT doc_id, text, n_chars,
+                               (doc_id * 2654435761) % 4294967296 % 100 AS h,
+                               {_N_WORDS.format(c='text')} AS n_words,
+                               CASE WHEN {_N_WORDS.format(c='text')} > 0 THEN
+                                   CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                            w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                                   / {_N_WORDS.format(c='text')}
+                               ELSE 0.0e0 END AS sw_ratio,
+                               CASE WHEN length(text) > 0 THEN
+                                   CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                                   / length(text)
+                               ELSE 0.0e0 END AS p_ratio
+                        FROM documents
+                    )
+                )
+            )
+            GROUP BY stage
         """,
         "supplier_profit_by_nation": """
             SELECT n_name AS nation,

@@ -341,3 +341,46 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms",
         "decode_ok",
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation funnel (the LLM-training-data showpiece)
+# ---------------------------------------------------------------------------
+
+def ext_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-F — the full curation pipeline in ONE declarative plan:
+    language filter → quality filter → exact-dedup keeper → train/val/test
+    split, with first-failure-wins attrition accounting (the same cascade
+    discipline as the reference's motivo semantics).
+
+    Output: one row per funnel outcome (reject_lang / reject_quality /
+    reject_duplicate / kept_train / kept_val / kept_test) with doc and
+    char volumes — the numbers a data-curation run reports.
+
+    Scale shape: one scan; the only shuffles are the sha256 window for
+    keeper election (uniform 256-bit keys) and the tiny final groupBy.
+    Every stage is pure JVM expressions — langid, quality, split are all
+    codegen; nothing leaves the executor until the ≤6-row summary.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    keeper = F.min("doc_id").over(Window.partitionBy(F.sha2(F.col("text"), 256)))
+    quality6 = F.round(X.quality_score(F.col("text")), 6)
+    lang = X.langid(F.col("text"))
+    h = F.pmod(F.col("doc_id") * 2654435761, F.lit(2**32)) % 100
+    split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    stage = (
+        F.when(lang == "und", F.lit("reject_lang"))
+        .when(quality6 < 0.5, F.lit("reject_quality"))
+        .when(F.col("doc_id") != keeper, F.lit("reject_duplicate"))
+        .otherwise(F.concat(F.lit("kept_"), split))
+    )
+    return (
+        docs.select(stage.alias("stage"), "n_chars")
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars_total"),
+        )
+    )
