@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_ann_knn_join": E.ext_ann_knn_join,                  # rows-only
         "ext_multimodal_decode": E.ext_multimodal_decode,
         "ext_curation_funnel": E.ext_curation_funnel,
+        "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,  # rows-only
         # round-2 SQL-surface growth (supplier joins, window frames,
         # lead/lag, ordered string agg, explicit grouping sets)
         "supplier_profit_by_nation": R.supplier_profit_by_nation,

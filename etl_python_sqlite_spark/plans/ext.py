@@ -384,3 +384,23 @@ def ext_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars_total"),
         )
     )
+
+
+def ext_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-S — mergeable HLL distinct-user rollup (rows-only: DataSketches
+    estimates are engine-internal; tests/test_sketch.py pins the ≤5%
+    error bound and the merge≡one-shot law).
+
+    Build per-(event_type, day) sketches, union them per event_type —
+    the incremental/hypertable rollup pattern: a new day's data extends
+    the rollup by sketching ONE day and re-merging byte arrays, never
+    rescanning history."""
+    from etl_python_sqlite_spark.operators.sketch import distinct_rollup_with_exact
+    from etl_python_sqlite_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    return distinct_rollup_with_exact(
+        ev, ["event_type", "day"], ["event_type"], "user_id", lgk=12
+    )
