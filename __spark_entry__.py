@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_multimodal_decode": E.ext_multimodal_decode,
         "ext_curation_funnel": E.ext_curation_funnel,
         "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,  # rows-only
+        "ext_dedup_clusters": E.ext_dedup_clusters,
+        "ext_minhash_dedup_clusters": E.ext_minhash_dedup_clusters,  # rows-only
         # round-2 SQL-surface growth (supplier joins, window frames,
         # lead/lag, ordered string agg, explicit grouping sets)
         "supplier_profit_by_nation": R.supplier_profit_by_nation,
@@ -730,6 +732,46 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE j >= 0.05
             ORDER BY id_a, id_b
+        """,
+        "ext_dedup_clusters": f"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(
+                               range(1, greatest(len(w) - 2, 1) + 1),
+                               i -> array_to_string(w[i:i+2], ' ')
+                           )
+                       ) AS shingles
+                FROM (
+                    SELECT doc_id, {_WORDS.format(c='text')} AS w
+                    FROM documents WHERE doc_id < 500
+                )
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                      / (len(a.shingles) + len(b.shingles)
+                         - len(list_intersect(a.shingles, b.shingles))) >= 0.25
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(id, root) AS (
+                SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+                UNION
+                SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (
+                SELECT id AS doc_id, MIN(root) AS cluster_id
+                FROM reach GROUP BY id
+            )
+            SELECT doc_id, cluster_id,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM comp
+            ORDER BY doc_id
         """,
         "ext_cosine_topk": """
             WITH q AS (

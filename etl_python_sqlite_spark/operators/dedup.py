@@ -115,25 +115,49 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """All pairs (a<b) with Jaccard(shingles_a, shingles_b) ≥ threshold.
+    """All pairs (a<b) with Jaccard(shingles_a, shingles_b) ≥ threshold
+    (``threshold`` must be > 0). Returns (id_a, id_b, jaccard).
 
-    Quadratic in rows — intended for bounded inputs (a sample, or the
-    candidate pairs produced by LSH). Returns (id_a, id_b, jaccard).
+    EXACT — no recall loss — but not quadratic: a pair with jaccard > 0
+    shares at least one shingle, so candidates come from an
+    inverted-index equi-join on (distinct) exploded shingles, and the
+    exact jaccard is evaluated on candidates only. The previous
+    all-pairs formulation compiled to a BroadcastNestedLoopJoin on the
+    range condition — 125k jaccard evaluations for 500 docs (11 s at
+    sf0.1) where this plan does ~10² (1.5 s), and the equi-join keeps
+    working at corpus scale while any O(n²) plan cannot.
     """
+    # persist both derived frames: each feeds both sides of a self-join,
+    # and without it Catalyst re-inlines the shingle construction per
+    # PAIR row instead of per doc
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
-    jac = inter.cast("double") / union
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    ).persist()
+    inv = sh.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    ).persist()
+    cands = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            jac.alias("jaccard"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -404,3 +404,42 @@ def ext_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_rollup_with_exact(
         ev, ["event_type", "day"], ["event_type"], "user_id", lgk=12
     )
+
+
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-G — transitive dedup clustering: exact-Jaccard pairs over a
+    bounded sample become edges, connected components collapse them into
+    clusters, and doc_id == cluster_id elects the canonical document.
+
+    Oracle: DuckDB replays the same edges and closes them with a
+    recursive CTE (min reachable id == component minimum). The Spark
+    side uses alternating large-star/small-star (operators/graph.py) —
+    the O(log n)-round formulation that survives chain-shaped clusters
+    at corpus scale where per-hop propagation cannot.
+    """
+    from etl_python_sqlite_spark.operators.graph import dedup_cluster_assignment
+
+    sample = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    edges = D.ngram_jaccard_pairs(sample, threshold=0.25, k=3).select(
+        "id_a", "id_b"
+    )
+    return dedup_cluster_assignment(sample, edges)
+
+
+def ext_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-G2 — the full-corpus scale path: MinHash+LSH near-dup pairs →
+    connected components → per-cluster summary (rows-only: the edge set
+    is hash-derived). This is the production shape — candidate pairs
+    from LSH, never a quadratic scan, clusters closed in O(log n)
+    star rounds."""
+    from etl_python_sqlite_spark.operators.graph import dedup_cluster_assignment
+
+    docs = _docs(spark, sf_dir)
+    edges = D.minhash_near_dups(docs, threshold=0.3).select("id_a", "id_b")
+    assign = dedup_cluster_assignment(docs, edges)
+    return (
+        assign.filter(F.col("cluster_size") > 1)
+        .groupBy("cluster_id", "cluster_size")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("cluster_id")
+    )

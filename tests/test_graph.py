@@ -1,0 +1,114 @@
+"""Connected-components / dedup-clustering contracts.
+
+The star-algorithm implementation must match a trusted driver-side
+union-find on planted graphs whose shapes are chosen to break weaker
+schemes: long chains (defeat per-hop label propagation inside the
+round budget), stars, and merged multi-cluster graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_python_sqlite_spark.operators.graph import (
+    connected_components,
+    dedup_cluster_assignment,
+)
+
+
+def _union_find(edge_list):
+    par = {}
+
+    def find(x):
+        while par.setdefault(x, x) != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            par[max(ra, rb)] = min(ra, rb)
+    # min id per component for every node seen
+    comp = {}
+    for x in list(par):
+        comp[x] = find(x)
+    return comp
+
+
+def _check(spark, edge_list):
+    edges = spark.createDataFrame(edge_list, ["id_a", "id_b"])
+    expected = _union_find(edge_list)
+    # single-task union-find path (default for small edge sets)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == expected
+    # distributed star-rounds path (force it: no local finishing)
+    got_dist = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, local_edge_limit=0).collect()
+    }
+    assert got_dist == expected
+
+
+def test_chain_collapses_to_min(spark):
+    # 0-1-2-...-19 : one component rooted at 0; O(log n) star rounds
+    _check(spark, [(i, i + 1) for i in range(19)])
+
+
+def test_reverse_chain_and_duplicates(spark):
+    edges = [(i + 1, i) for i in range(19)] + [(5, 4), (10, 9)]
+    _check(spark, edges)
+
+
+def test_two_clusters_and_star(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (10, 12), (10, 13), (13, 14)]
+    _check(spark, edges)
+
+
+def test_merged_clusters_via_bridge(spark):
+    # two dense blobs joined by one bridge edge must fuse
+    blob_a = [(i, j) for i in range(0, 5) for j in range(i + 1, 5)]
+    blob_b = [(i, j) for i in range(100, 105) for j in range(i + 1, 105)]
+    _check(spark, blob_a + blob_b + [(4, 100)])
+
+
+def test_self_loops_and_empty(spark):
+    edges = spark.createDataFrame([(7, 7)], ["id_a", "id_b"])
+    assert connected_components(edges).count() == 0
+
+
+def test_cluster_assignment_includes_singletons(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    edges = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], ["id_a", "id_b"])
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_cluster_assignment(nodes, edges).collect()
+    }
+    assert rows == {
+        0: (0, 3),
+        1: (0, 3),
+        2: (0, 3),
+        3: (3, 1),
+        4: (4, 1),
+        5: (5, 2),
+        6: (5, 2),
+        7: (7, 1),
+    }
+
+
+def test_ext_dedup_clusters_partitions_sample(spark):
+    """Every sampled doc appears exactly once; sizes are consistent;
+    canonical docs are the cluster minima."""
+    from etl_python_sqlite_spark.plans.ext import ext_dedup_clusters
+
+    out = ext_dedup_clusters(spark, "/root/testdata/sf0.001").collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert len(out) == len({r["doc_id"] for r in out})
+    for cid, members in by_cluster.items():
+        assert cid == min(m["doc_id"] for m in members)
+        assert all(m["cluster_size"] == len(members) for m in members)

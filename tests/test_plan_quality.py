@@ -69,7 +69,6 @@ def test_no_query_uses_cartesian_or_bnlj(spark):
     and broadcast-nested-loop is allowed only for the bounded-sample
     pair queries that are quadratic by design."""
     allowed_bnlj = {
-        "ext_ngram_jaccard_pairs",   # bounded sample, pair-join by design
         "ext_cosine_pairs_sample",   # bounded sample, pair-join by design
         "ext_minhash_near_dups",     # id_a < id_b range condition on tiny cands
         "ext_simhash_near_dups",
