@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,  # rows-only
         "ext_dedup_clusters": E.ext_dedup_clusters,
         "ext_minhash_dedup_clusters": E.ext_minhash_dedup_clusters,  # rows-only
+        "ext_repetition_filter": E.ext_repetition_filter,
+        "ext_contamination_scan": E.ext_contamination_scan,
+        "ext_tfidf_top_terms": E.ext_tfidf_top_terms,
         # round-2 SQL-surface growth (supplier joins, window frames,
         # lead/lag, ordered string agg, explicit grouping sets)
         "supplier_profit_by_nation": R.supplier_profit_by_nation,
@@ -772,6 +775,105 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
             FROM comp
             ORDER BY doc_id
+        """,
+        "ext_repetition_filter": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       {_N_WORDS.format(c='text')} AS n_words,
+                       {_WORDS.format(c='text')} AS w
+                FROM documents
+            ),
+            metrics AS (
+                SELECT doc_id, n_words,
+                       CASE WHEN n_words > 0
+                            THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                            ELSE 0.0 END AS dup_word_frac,
+                       1.0 - CAST(len(list_distinct(
+                               list_transform(
+                                   range(1, greatest(len(w) - 2, 1) + 1),
+                                   i -> array_to_string(w[i:i+2], ' ')
+                               ))) AS DOUBLE)
+                           / len(list_transform(
+                                   range(1, greatest(len(w) - 2, 1) + 1),
+                                   i -> array_to_string(w[i:i+2], ' ')
+                             )) AS dup_3gram_frac
+                FROM base
+            ),
+            top AS (
+                SELECT doc_id, MAX(cnt) AS top_word_cnt
+                FROM (
+                    SELECT doc_id, wrd, COUNT(*) AS cnt
+                    FROM (SELECT doc_id, unnest(w) AS wrd FROM base)
+                    GROUP BY doc_id, wrd
+                )
+                GROUP BY doc_id
+            )
+            SELECT m.doc_id, m.n_words, m.dup_word_frac, m.dup_3gram_frac,
+                   CASE WHEN m.n_words > 0
+                        THEN CAST(COALESCE(t.top_word_cnt, 0) AS DOUBLE) / m.n_words
+                        ELSE 0.0 END AS top_word_frac,
+                   (m.dup_3gram_frac <= 0.9 AND
+                    CASE WHEN m.n_words > 0
+                         THEN CAST(COALESCE(t.top_word_cnt, 0) AS DOUBLE) / m.n_words
+                         ELSE 0.0 END <= 0.2) AS keep
+            FROM metrics m LEFT JOIN top t ON m.doc_id = t.doc_id
+            ORDER BY m.doc_id
+        """,
+        "ext_contamination_scan": f"""
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(
+                               range(1, greatest(len(w) - 4, 1) + 1),
+                               i -> array_to_string(w[i:i+4], ' ')
+                           )
+                       ) AS shingles
+                FROM (SELECT doc_id, {_WORDS.format(c='text')} AS w FROM documents)
+            ),
+            bench AS (
+                SELECT DISTINCT unnest(shingles) AS shingle
+                FROM sh WHERE doc_id % 50 = 0
+            ),
+            hits AS (
+                SELECT e.doc_id, COUNT(*) AS n_contaminated
+                FROM (SELECT doc_id, unnest(shingles) AS shingle
+                      FROM sh WHERE doc_id % 50 <> 0) e
+                JOIN bench b ON e.shingle = b.shingle
+                GROUP BY e.doc_id
+            )
+            SELECT s.doc_id,
+                   len(s.shingles) AS n_shingles,
+                   COALESCE(h.n_contaminated, 0) AS n_contaminated,
+                   CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+                       / len(s.shingles) AS contaminated_frac
+            FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+            WHERE s.doc_id % 50 <> 0 AND COALESCE(h.n_contaminated, 0) > 0
+            ORDER BY s.doc_id
+        """,
+        "ext_tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_WORDS.format(c='lower(text)')}) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            df AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       CAST(tf.tf AS DOUBLE) / df.df AS score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term
+                       ) AS rank
+                FROM tf JOIN df ON tf.term = df.term
+            )
+            SELECT doc_id, rank, term, tf, df, score
+            FROM scored WHERE rank <= 3
+            ORDER BY doc_id, rank
         """,
         "ext_cosine_topk": """
             WITH q AS (

@@ -128,6 +128,35 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
+def all_word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """ALL k-word n-grams in order (duplicates kept — the multiset view
+    repetition metrics need, unlike ``word_shingles`` which dedups for
+    Jaccard). Documents shorter than n words yield one whole-doc gram."""
+    w = words(col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+
+
+def dup_word_frac(col: Column | str) -> Column:
+    """Fraction of word occurrences that repeat an earlier word:
+    1 − distinct_words/total_words (0 for empty docs). Gopher-style
+    repetition signal; exact int ratio → portable double."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = words(c)
+    return F.when(
+        n_words(c) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / F.size(w),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac(col: Column | str, n: int = 3) -> Column:
+    """Fraction of n-gram occurrences that are duplicates:
+    1 − distinct_ngrams/total_ngrams. The Gopher paper's
+    duplicate-n-gram-fraction filter, as pure JVM array expressions."""
+    g = all_word_ngrams(col, n)
+    return F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g)
+
+
 def token_fingerprint(col: Column | str) -> Column:
     """Order-sensitive 64-bit document fingerprint: xxhash64 of the
     whitespace-normalized text (fast exact-dup key that ignores spacing)."""

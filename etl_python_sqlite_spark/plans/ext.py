@@ -426,6 +426,138 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_cluster_assignment(sample, edges)
 
 
+def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-Q — Gopher-style repetition quality filter: per-document
+    duplicate-word fraction, duplicate-3-gram fraction, and the corpus
+    share of the single most frequent word; docs failing any threshold
+    are labeled for removal.
+
+    Everything is a JVM expression or an explode→groupBy (the top-word
+    count) — no HOF folds in the hot path, no Python. Ratios are exact
+    int/int double divisions, so the DuckDB oracle replays bit-equal.
+    """
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        X.n_words(F.col("text")).alias("n_words"),
+        X.dup_word_frac(F.col("text")).alias("dup_word_frac"),
+        X.dup_ngram_frac(F.col("text"), 3).alias("dup_3gram_frac"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(X.words(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_word_cnt"))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "dup_word_frac",
+            "dup_3gram_frac",
+            F.when(
+                F.col("n_words") > 0,
+                F.coalesce("top_word_cnt", F.lit(0)).cast("double")
+                / F.col("n_words"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_word_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_3gram_frac") <= 0.9) & (F.col("top_word_frac") <= 0.2),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def ext_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-Q2 — benchmark-contamination scan: which corpus documents
+    share 5-gram shingles with a held-out benchmark set (here: every
+    50th doc), and how much of the document is covered.
+
+    The benchmark shingle set is tiny relative to any corpus, so the
+    join is a broadcast of the distinct benchmark shingles against the
+    exploded corpus shingles — per-doc overlap is then one groupBy.
+    This is the standard n-gram decontamination pass (GPT-3 appendix /
+    Dolma) as a pure equi-join plan.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(X.word_shingles(F.col("text"), 5)).alias("shingle"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0)
+        .select("shingle")
+        .distinct()
+    )
+    totals = docs.select(
+        "doc_id", F.size(X.word_shingles(F.col("text"), 5)).alias("n_shingles")
+    )
+    hits = (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        totals.filter(F.col("doc_id") % 50 != 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("contaminated_frac"),
+        )
+        .filter(F.col("n_contaminated") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-Q3 — per-document top-3 distinctive terms by tf·rdf
+    (term frequency × reciprocal document frequency). The score is
+    tf/df as an exact int/int double division — deliberately NOT
+    ln-based idf, because transcendentals are not bit-reproducible
+    across engines and the ranking, not the absolute value, is the
+    product. Ties break on the term itself, so output is total-ordered.
+
+    Plan: explode → groupBy(doc,term) [tf] → groupBy(term) [df] →
+    broadcast the vocabulary-sized df table back → per-doc window
+    top-3. All shuffles are on uniform keys; no driver state.
+    """
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(X.words(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
 def ext_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT-G2 — the full-corpus scale path: MinHash+LSH near-dup pairs →
     connected components → per-cluster summary (rows-only: the edge set
