@@ -1,12 +1,16 @@
 """Parquet scan helpers for the testdata star schema.
 
-One quirk: the driver-generated ``events.parquet`` stores ``ts`` as
-parquet TIMESTAMP(NANOS), which Spark's reader rejects outright
-([PARQUET_TYPE_ILLEGAL]). We flip ``spark.sql.legacy.parquet.nanosAsLong``
-so the column arrives as nanos-since-epoch LONG, then rebuild a
-microsecond TimestampType column (integer division, matching DuckDB's
-ns→us truncation). The conversion is a pure projection — stays in
-whole-stage codegen, no UDF, no extra pass.
+One quirk: the driver-generated ``events.parquet`` has stored ``ts`` as
+parquet TIMESTAMP(NANOS) in some rounds (Spark's reader rejects it
+outright — [PARQUET_TYPE_ILLEGAL]) and as naive TIMESTAMP(MICROS) in
+others (arrives as TIMESTAMP_NTZ, which refuses long casts and doesn't
+compare against TIMESTAMP). We normalize both to a session-TZ
+TimestampType column: flip ``spark.sql.legacy.parquet.nanosAsLong`` so
+nanos arrive as LONG and rebuild microseconds (integer division,
+matching DuckDB's ns→us truncation), or cast NTZ→TIMESTAMP (session TZ
+is pinned to UTC, so wall-clock values are preserved exactly). Either
+way the conversion is a pure projection — stays in whole-stage codegen,
+no UDF, no extra pass — and every downstream query sees one stable type.
 """
 
 from __future__ import annotations
@@ -64,10 +68,15 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
         # Schema resolution happens eagerly at read time, so the conf can be
         # restored immediately after.
         for c in nano_cols:
-            if dict(df.dtypes).get(c) == "bigint":
+            dtype = dict(df.dtypes).get(c)
+            if dtype == "bigint":
                 # integer `div`, not `/`: float division of a nanos-epoch
                 # long exceeds double's 53-bit mantissa and loses microseconds
                 df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+            elif dtype == "timestamp_ntz":
+                # naive micros file: reinterpret in the (UTC) session TZ so
+                # long casts / LTZ comparisons behave identically across rounds
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
         return df
     finally:
         spark.conf.set(_NANOS_CONF, prev)
