@@ -143,6 +143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_gap_analysis": R.lag_gap_analysis,
         "string_agg_nations": R.string_agg_nations,
         "grouping_sets_status_year": R.grouping_sets_status_year,
+        # round-2 training-pipeline surface (packing, mixture, vocab audit)
+        "ext_seq_packing": E.ext_seq_packing,
+        "ext_domain_mixture": E.ext_domain_mixture,
+        "ext_word_df_histogram": E.ext_word_df_histogram,
     }
 
 
@@ -980,5 +984,73 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY source
             ORDER BY source
+        """,
+        "ext_seq_packing": f"""
+            WITH toks AS (
+                SELECT source, doc_id,
+                       CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            cum AS (
+                SELECT source, doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS prev_tokens
+                FROM toks
+            )
+            SELECT source,
+                   CAST(prev_tokens // 512 AS BIGINT) AS seq_id,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+                   MIN(doc_id) AS first_doc,
+                   MAX(doc_id) AS last_doc
+            FROM cum
+            GROUP BY 1, 2
+            ORDER BY source, seq_id
+        """,
+        "ext_domain_mixture": f"""
+            WITH per_src AS (
+                SELECT source,
+                       COUNT(*) AS n_docs,
+                       CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))) AS BIGINT) AS total_tokens
+                FROM documents
+                GROUP BY source
+            ),
+            shares AS (
+                SELECT source, n_docs, total_tokens,
+                       CAST(total_tokens AS DOUBLE)
+                           / SUM(total_tokens) OVER () AS share
+                FROM per_src
+            )
+            SELECT source, n_docs, total_tokens,
+                   ROUND(share, 6) AS token_share,
+                   ROUND(sqrt(share) / SUM(sqrt(share)) OVER (), 6) AS mix_weight,
+                   ROUND(sqrt(share) / SUM(sqrt(share)) OVER () / share, 6) AS epochs_at_budget
+            FROM shares
+            ORDER BY source
+        """,
+        "ext_word_df_histogram": f"""
+            WITH words AS (
+                SELECT doc_id, unnest({_WORDS.format(c='lower(text)')}) AS word
+                FROM documents
+            ),
+            per_word AS (
+                SELECT word,
+                       COUNT(DISTINCT doc_id) AS df,
+                       COUNT(*) AS occurrences
+                FROM words WHERE word <> ''
+                GROUP BY word
+            )
+            SELECT CASE WHEN df = 1 THEN '1'
+                        WHEN df <= 10 THEN '2-10'
+                        WHEN df <= 100 THEN '11-100'
+                        WHEN df <= 1000 THEN '101-1000'
+                        ELSE '1000+' END AS df_bucket,
+                   COUNT(*) AS n_words,
+                   CAST(SUM(occurrences) AS BIGINT) AS total_occurrences
+            FROM per_word
+            GROUP BY 1
+            ORDER BY df_bucket
         """,
     }

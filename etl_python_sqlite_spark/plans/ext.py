@@ -575,3 +575,134 @@ def ext_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"))
         .orderBy("cluster_id")
     )
+
+
+def ext_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-P1 — token-budget sequence packing (GPT-style concat-and-chunk).
+
+    Assigns documents to fixed-budget training sequences: within each
+    ``source`` shard, docs are laid out in doc_id order and a sequence
+    boundary falls every 512 tokens of exclusive cumulative length — the
+    deterministic "concatenate the stream, chunk every N tokens" layout
+    every LLM pre-training loader uses. Output = one row per (source,
+    seq_id) with its doc count / token mass / doc range, so the packing
+    efficiency of the corpus is directly auditable.
+
+    Scale: the window is PARTITIONED BY source (the shard key), so the
+    cumulative sum is a per-partition sort, not a global one — each
+    source packs independently on its own executors, which is exactly
+    how a 100 TB corpus is laid out (pack within shard, never a global
+    total order). Token counting is codegen regexp; one shuffle for the
+    window, one map-side-combined groupBy on the same key prefix.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(X.regex_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = toks.withColumn(
+        "prev_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    ).withColumn("seq_id", F.expr("prev_tokens div 512"))
+    return (
+        cum.groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+def ext_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-P2 — temperature-scaled domain mixture weights (α = 0.5).
+
+    The sampling-weight table a multi-domain pre-training run needs:
+    per-source token mass → natural share → temperature-flattened mixing
+    weight w_i ∝ share_i^α (α=0.5, the standard UnifiedQA/mT5 rescale
+    that up-samples small domains), plus the implied over/under-sampling
+    factor (epochs_at_budget = weight/share). All exact-long token sums;
+    the two normalizations are the only doubles and are rounded to 6dp
+    for cross-engine hash stability.
+
+    Scale: one map-side-combined groupBy over the shard key; the window
+    normalization runs on the POST-aggregate frame (|sources| rows, a
+    driver-sized broadcast in any real corpus) so the single-partition
+    window is O(domains), never O(rows).
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(X.regex_tokens(F.col("text"))).cast("long"))
+        .cast("long")
+        .alias("total_tokens"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w_all)
+    scaled = F.sqrt(share)
+    weight = scaled / F.sum(scaled).over(w_all)
+    return (
+        per_src.select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(weight, 6).alias("mix_weight"),
+            F.round(weight / share, 6).alias("epochs_at_budget"),
+        )
+        .orderBy("source")
+    )
+
+
+def ext_word_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-P3 — vocabulary document-frequency histogram (Zipf audit).
+
+    Buckets the corpus vocabulary by document frequency (1, 2–10,
+    11–100, 101–1000, 1000+) and reports type/token counts per bucket —
+    the standard health check before fixing a tokenizer vocab: a corpus
+    whose mass sits in hapax words is noise; one with no mid-frequency
+    band is template spam.
+
+    Scale: explode → two-phase distinct-doc count per word (partial
+    aggregation both phases, uniform shuffle key = the word itself; at
+    warehouse scale the word would be xxhash64-keyed to bound key width,
+    noted here because the oracle needs the raw string). The histogram
+    re-agg is O(|vocab|) → 5 rows.
+    """
+    docs = _docs(spark, sf_dir)
+    exploded = (
+        docs.select("doc_id", F.explode(X.words(F.lower(F.col("text")))).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    per_word = exploded.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("occurrences"),
+    )
+    bucket = (
+        F.when(F.col("df") == 1, "1")
+        .when(F.col("df") <= 10, "2-10")
+        .when(F.col("df") <= 100, "11-100")
+        .when(F.col("df") <= 1000, "101-1000")
+        .otherwise("1000+")
+    )
+    return (
+        per_word.groupBy(bucket.alias("df_bucket"))
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("occurrences").cast("long").alias("total_occurrences"),
+        )
+        .orderBy("df_bucket")
+    )
