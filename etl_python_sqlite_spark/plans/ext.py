@@ -436,22 +436,58 @@ def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     count) — no HOF folds in the hot path, no Python. Ratios are exact
     int/int double divisions, so the DuckDB oracle replays bit-equal.
     """
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
     base = docs.select(
         "doc_id",
         X.n_words(F.col("text")).alias("n_words"),
         X.dup_word_frac(F.col("text")).alias("dup_word_frac"),
-        X.dup_ngram_frac(F.col("text"), 3).alias("dup_3gram_frac"),
+    )
+    # One posexplode feeds BOTH per-doc metrics. The window shuffle
+    # clusters by doc_id; every downstream groupBy keys on a superset of
+    # doc_id, so Spark reuses that single exchange for the n-gram agg,
+    # the top-word agg, and their join — explode→flat-columns→groupBy in
+    # place of the interpreted 60×-slower transform() HOF (the measured
+    # pitfall in CLAUDE.md; this cut the query from 6.4s to ~2s at sf0.1).
+    ex = docs.select(
+        "doc_id", F.posexplode(X.words(F.col("text"))).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        ex.withColumn("w1", F.lead("w", 1).over(win))
+        .withColumn("w2", F.lead("w", 2).over(win))
+        # full 3-grams only; docs shorter than 3 words keep their single
+        # whole-doc gram at pos 0 (concat_ws skips the null leads) —
+        # exactly all_word_ngrams' "starts = 1..max(size-2, 1)" multiset
+        .filter(F.col("w2").isNotNull() | (F.col("pos") == 0))
+        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("gram"))
+    )
+    ngram = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count("*").alias("n_distinct_grams"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct_grams").cast("double") / F.col("n_grams")
+            ).alias("dup_3gram_frac"),
+        )
     )
     top = (
-        docs.select("doc_id", F.explode(X.words(F.col("text"))).alias("w"))
-        .groupBy("doc_id", "w")
+        ex.groupBy("doc_id", "w")
         .agg(F.count("*").alias("cnt"))
         .groupBy("doc_id")
         .agg(F.max("cnt").alias("top_word_cnt"))
     )
     return (
-        base.join(top, "doc_id", "left")
+        base.join(ngram, "doc_id", "left")
+        .join(top, "doc_id", "left")
         .select(
             "doc_id",
             "n_words",
