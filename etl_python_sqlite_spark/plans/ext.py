@@ -521,18 +521,22 @@ def ext_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dolma) as a pure equi-join plan.
     """
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id",
-        F.explode(X.word_shingles(F.col("text"), 5)).alias("shingle"),
+    # codegen posexplode+lead shingling (NOT the interpreted word_shingles
+    # array HOF — same 60× pitfall as the repetition filter), deduped to
+    # the per-doc shingle SET and persisted: the frame feeds three
+    # branches (totals / benchmark side / corpus side) and re-inlining
+    # the window would re-shuffle it per branch.
+    sh = (
+        D.exploded_shingles(docs, k=5)
+        .dropDuplicates(["doc_id", "shingle"])
+        .persist()
     )
     bench = (
         sh.filter(F.col("doc_id") % 50 == 0)
         .select("shingle")
         .distinct()
     )
-    totals = docs.select(
-        "doc_id", F.size(X.word_shingles(F.col("text"), 5)).alias("n_shingles")
-    )
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     hits = (
         sh.filter(F.col("doc_id") % 50 != 0)
         .join(F.broadcast(bench), "shingle")
