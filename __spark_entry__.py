@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_seq_packing": E.ext_seq_packing,
         "ext_domain_mixture": E.ext_domain_mixture,
         "ext_word_df_histogram": E.ext_word_df_histogram,
+        "ext_incremental_dedup": E.ext_incremental_dedup,
+        "ext_quality_sample": E.ext_quality_sample,
     }
 
 
@@ -1028,6 +1030,60 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sqrt(share) / SUM(sqrt(share)) OVER (), 6) AS mix_weight,
                    ROUND(sqrt(share) / SUM(sqrt(share)) OVER () / share, 6) AS epochs_at_budget
             FROM shares
+            ORDER BY source
+        """,
+        "ext_incremental_dedup": """
+            WITH corpus AS (
+                SELECT text FROM documents WHERE doc_id % 5 <= 2
+            ),
+            batch AS (
+                SELECT doc_id, source, text FROM documents WHERE doc_id % 5 >= 2
+            ),
+            seen AS (
+                SELECT b.source, COUNT(*) AS n_seen
+                FROM batch b
+                WHERE EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+                GROUP BY b.source
+            )
+            SELECT p.source,
+                   p.n_batch,
+                   CAST(COALESCE(s.n_seen, 0) AS BIGINT) AS n_seen,
+                   CAST(p.n_batch - COALESCE(s.n_seen, 0) AS BIGINT) AS n_new
+            FROM (SELECT source, COUNT(*) AS n_batch FROM batch GROUP BY source) p
+            LEFT JOIN seen s ON p.source = s.source
+            ORDER BY p.source
+        """,
+        "ext_quality_sample": f"""
+            WITH scored AS (
+                SELECT source,
+                       CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT) AS n_tokens,
+                       0.4e0 * least(CAST(n_words AS DOUBLE) / 100.0e0, 1.0e0)
+                       + 0.4e0 * least(sw_ratio * 5.0e0, 1.0e0)
+                       + 0.2e0 * (1.0e0 - least(p_ratio * 10.0e0, 1.0e0)) AS quality,
+                       CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+                           / 4294967296.0e0 AS u
+                FROM (
+                    SELECT doc_id, source, text,
+                           {_N_WORDS.format(c='text')} AS n_words,
+                           CASE WHEN {_N_WORDS.format(c='text')} > 0 THEN
+                               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                        w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                               / {_N_WORDS.format(c='text')}
+                           ELSE 0.0e0 END AS sw_ratio,
+                           CASE WHEN length(text) > 0 THEN
+                               CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                               / length(text)
+                           ELSE 0.0e0 END AS p_ratio
+                    FROM documents
+                )
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN u < quality THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN u < quality THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+                   ROUND(AVG(CASE WHEN u < quality THEN quality END), 6) AS mean_kept_quality
+            FROM scored
+            GROUP BY source
             ORDER BY source
         """,
         "ext_word_df_histogram": f"""

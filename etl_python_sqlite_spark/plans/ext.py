@@ -746,3 +746,101 @@ def ext_word_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("df_bucket")
     )
+
+
+def ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-P4 — incremental batch-vs-corpus exact dedup (Bloom-style
+    broadcast prefilter + exact verification).
+
+    Models the nightly-ingest case: an already-ingested corpus (docs with
+    doc_id % 5 ≤ 2) receives a new delivery (doc_id % 5 ≥ 2) that partly
+    re-delivers existing content. A batch doc is "seen" iff its exact
+    text already exists in the corpus. Output = per-source batch /
+    seen / new counts.
+
+    Scale shape: the corpus collapses to DISTINCT 8-byte xxhash64 keys —
+    ~1/1000th the corpus bytes — which broadcast so the batch is
+    prefiltered MAP-SIDE with zero batch shuffle (the same role a Bloom
+    filter plays; exact set here since Spark exposes no public
+    bloom_filter_agg). Only prefilter survivors join corpus text for
+    exact verification, so hash collisions cannot create false "seen"
+    rows and the wide-text shuffle is bounded by the true overlap, not
+    the batch size. At corpus sizes past broadcast limits the same plan
+    degrades gracefully to a shuffled semi-join on the 8-byte key.
+    """
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 <= 2)
+    batch = docs.filter(F.col("doc_id") % 5 >= 2)
+
+    corpus_keys = corpus.select(F.xxhash64("text").alias("h")).distinct()
+    cand = (
+        batch.select("doc_id", "source", "text", F.xxhash64("text").alias("h"))
+        .join(F.broadcast(corpus_keys), "h", "left_semi")
+    )
+    corpus_kv = corpus.select(
+        F.xxhash64("text").alias("h"), F.col("text").alias("c_text")
+    ).distinct()
+    confirmed = (
+        cand.join(corpus_kv, "h")
+        .filter(F.col("text") == F.col("c_text"))
+        .select("doc_id", "source")
+        .distinct()
+    )
+    per_batch = batch.groupBy("source").agg(F.count("*").alias("n_batch"))
+    per_seen = confirmed.groupBy("source").agg(F.count("*").alias("n_seen"))
+    return (
+        per_batch.join(per_seen, "source", "left")
+        .select(
+            "source",
+            "n_batch",
+            F.coalesce("n_seen", F.lit(0)).cast("long").alias("n_seen"),
+            (F.col("n_batch") - F.coalesce("n_seen", F.lit(0)))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .orderBy("source")
+    )
+
+
+def ext_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-P5 — deterministic quality-weighted corpus sampling.
+
+    Keeps a document iff its Knuth-hash uniform (doc_id·2654435761 mod
+    2³² / 2³²) falls below its composite quality score — i.e. each doc is
+    kept with probability equal to its quality, but with NO RNG state:
+    the sample is bit-reproducible across engines, runs, and partitionings,
+    which is what makes a training-set cut auditable. Output = per-source
+    funnel (docs, kept, kept token mass, mean kept quality).
+
+    Scale: pure map-side predicate (hash + the codegen quality
+    expression) followed by one map-side-combined groupBy — no shuffle
+    beyond the aggregation; nothing here depends on row order or
+    partition count.
+    """
+    docs = _docs(spark, sf_dir)
+    u = (
+        F.pmod(F.col("doc_id") * 2654435761, F.lit(2**32)).cast("double")
+        / F.lit(2.0**32)
+    )
+    scored = docs.select(
+        "source",
+        F.size(X.regex_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        X.quality_score(F.col("text")).alias("quality"),
+        (u < X.quality_score(F.col("text"))).alias("kept"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.round(F.avg(F.when(F.col("kept"), F.col("quality"))), 6).alias(
+                "mean_kept_quality"
+            ),
+        )
+        .orderBy("source")
+    )
