@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_word_df_histogram": E.ext_word_df_histogram,
         "ext_incremental_dedup": E.ext_incremental_dedup,
         "ext_quality_sample": E.ext_quality_sample,
+        "range_interval_window": R.range_interval_window,
     }
 
 
@@ -1031,6 +1032,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sqrt(share) / SUM(sqrt(share)) OVER () / share, 6) AS epochs_at_budget
             FROM shares
             ORDER BY source
+        """,
+        "range_interval_window": """
+            SELECT event_id, user_id,
+                   COUNT(*) OVER w AS n_10m,
+                   CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS sum_value_10m
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+            )
         """,
         "ext_incremental_dedup": """
             WITH corpus AS (

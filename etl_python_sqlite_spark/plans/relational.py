@@ -814,3 +814,38 @@ def grouping_sets_status_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         _dsum("o_totalprice", 2).alias("total_value"),
     )
+
+
+def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame trailing window: per user, for every event, the count
+    and exact sum of ``value`` over the trailing 10 minutes — the
+    rate-limit / rolling-exposure query shape a ROWS frame cannot
+    express (frame membership depends on the TIME GAP, not a row count).
+
+    Cross-engine determinism: the frame is anchored on integer epoch
+    MICROSECONDS (``unix_micros`` here, ``epoch_us`` in the oracle) so
+    both engines resolve inclusion at full timestamp precision — an
+    epoch-seconds cast would truncate sub-second events and disagree at
+    boundaries. The windowed sum runs in exact decimal (the `_dsum`
+    discipline) so partial-sum order cannot move an ulp.
+
+    Scale: one shuffle on user_id (uniform), sort within partition;
+    Spark's RangeFrame advances two pointers over the sorted run — O(n)
+    per partition, no per-row rescan.
+    """
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_10m"),
+        F.sum(F.col("value").cast("decimal(28,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_value_10m"),
+    )
