@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_incremental_dedup": E.ext_incremental_dedup,
         "ext_quality_sample": E.ext_quality_sample,
         "range_interval_window": R.range_interval_window,
+        "unpivot_nation_metrics": R.unpivot_nation_metrics,
+        "ntile_value_quartiles": R.ntile_value_quartiles,
     }
 
 
@@ -1032,6 +1034,45 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sqrt(share) / SUM(sqrt(share)) OVER () / share, 6) AS epochs_at_budget
             FROM shares
             ORDER BY source
+        """,
+        "unpivot_nation_metrics": """
+            WITH c AS (
+                SELECT c_nationkey,
+                       COUNT(*) AS n_customers,
+                       CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_cust_balance
+                FROM customer GROUP BY c_nationkey
+            ),
+            s AS (
+                SELECT s_nationkey, COUNT(*) AS n_suppliers
+                FROM supplier GROUP BY s_nationkey
+            ),
+            wide AS (
+                SELECT n.n_name,
+                       CAST(COALESCE(c.n_customers, 0) AS DOUBLE) AS n_customers,
+                       CAST(COALESCE(s.n_suppliers, 0) AS DOUBLE) AS n_suppliers,
+                       COALESCE(c.total_cust_balance, 0.0e0) AS total_cust_balance
+                FROM nation n
+                LEFT JOIN c ON n.n_nationkey = c.c_nationkey
+                LEFT JOIN s ON n.n_nationkey = s.s_nationkey
+            )
+            SELECT n_name, measure, val
+            FROM (UNPIVOT wide ON n_customers, n_suppliers, total_cust_balance
+                  INTO NAME measure VALUE val)
+        """,
+        "ntile_value_quartiles": """
+            SELECT event_type,
+                   quartile,
+                   COUNT(*) AS n,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM (
+                SELECT event_type, value,
+                       NTILE(4) OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS quartile
+                FROM events
+            )
+            GROUP BY event_type, quartile
+            ORDER BY event_type, quartile
         """,
         "range_interval_window": """
             SELECT event_id, user_id,

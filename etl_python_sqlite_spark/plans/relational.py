@@ -849,3 +849,57 @@ def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value_10m"),
     )
+
+
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: per-nation wide metrics (customer count, supplier
+    count, total account balance) turned into long (nation, measure,
+    val) rows — the wide→long reshape every metrics warehouse needs,
+    via Spark's native ``unpivot`` (and ``UNPIVOT ... INTO`` in the
+    oracle). Measures are cast to one double column, the reshape is a
+    zero-shuffle projection (each input row expands in place).
+    """
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    c = customer.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        _dsum("c_acctbal", 2).alias("total_cust_balance"),
+    )
+    s = supplier.groupBy("s_nationkey").agg(F.count("*").alias("n_suppliers"))
+    wide = (
+        nation.join(c, nation.n_nationkey == c.c_nationkey, "left")
+        .join(s, nation.n_nationkey == s.s_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("n_customers", F.lit(0)).cast("double").alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).cast("double").alias("n_suppliers"),
+            F.coalesce("total_cust_balance", F.lit(0.0)).alias("total_cust_balance"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_name"],
+        values=["n_customers", "n_suppliers", "total_cust_balance"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: events split into value quartiles per event_type,
+    then per-(type, quartile) count and exact value range. Tie-broken by
+    (value, event_id) so quartile membership is a total order both
+    engines resolve identically.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type", "quartile")
+    )
