@@ -30,10 +30,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # -- SQL fragments reused by the EXT oracles (kept in Python so the Spark
 #    expressions and the SQL stay provably in sync) ------------------------
 
-_WORDS = "string_split_regex(trim({c}), '\\s+')"
+# NOT trim(): trim strips only 0x20 spaces, so trailing tab/newline would
+# leave a phantom empty token after the split — mirrors functions.text's
+# _ws_strip (tests/test_text_fuzz.py pins Python str.split() parity)
+_WS_STRIP = "regexp_replace({c}, '^\\s+|\\s+$', '', 'g')"
+_WORDS = f"string_split_regex({_WS_STRIP.format(c='{c}')}, '\\s+')"
 _N_WORDS = (
-    "CASE WHEN length(trim({c})) = 0 THEN 0 "
-    "ELSE len(string_split_regex(trim({c}), '\\s+')) END"
+    f"CASE WHEN length({_WS_STRIP.format(c='{c}')}) = 0 THEN 0 "
+    f"ELSE len(string_split_regex({_WS_STRIP.format(c='{c}')}, '\\s+')) END"
 )
 _TOKEN_RE_SQL = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
@@ -46,7 +50,7 @@ def _langid_sql(text: str = "text") -> str:
     for lang in langs:
         in_list = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
         scores[lang] = (
-            f"len(list_filter(string_split_regex(trim(lower({text})), '\\s+'), "
+            f"len(list_filter(string_split_regex(regexp_replace(lower({text}), '^\\s+|\\s+$', '', 'g'), '\\s+'), "
             f"w -> w IN ({in_list})))"
         )
     best = "greatest(" + ", ".join(scores[lang] for lang in langs) + ")"
@@ -616,7 +620,7 @@ def oracle_sql() -> dict[str, str]:
                                (doc_id * 2654435761) % 4294967296 % 100 AS h,
                                {_N_WORDS.format(c='text')} AS n_words,
                                CASE WHEN {_N_WORDS.format(c='text')} > 0 THEN
-                                   CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
                                             w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
                                    / {_N_WORDS.format(c='text')}
                                ELSE 0.0e0 END AS sw_ratio,
@@ -968,7 +972,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        {_N_WORDS.format(c='text')} AS n_words,
                        CASE WHEN {_N_WORDS.format(c='text')} > 0 THEN
-                           CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
                                     w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
                            / {_N_WORDS.format(c='text')}
                        ELSE 0.0e0 END AS sw_ratio,
@@ -1118,7 +1122,7 @@ def oracle_sql() -> dict[str, str]:
                     SELECT doc_id, source, text,
                            {_N_WORDS.format(c='text')} AS n_words,
                            CASE WHEN {_N_WORDS.format(c='text')} > 0 THEN
-                               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
                                         w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
                                / {_N_WORDS.format(c='text')}
                            ELSE 0.0e0 END AS sw_ratio,

@@ -26,16 +26,28 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 TOKEN_RE = r"[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
+def _ws_strip(c: Column) -> Column:
+    """Strip leading/trailing ASCII whitespace. NOT ``F.trim``: trim
+    removes only 0x20 spaces, so a trailing tab/newline would survive and
+    ``split`` would emit a phantom empty token (caught by
+    tests/test_text_fuzz.py). Scope is ASCII ``\\s`` — Java regex and
+    RE2 agree on it, unlike Python's unicode-whitespace ``str.split``
+    corners (NBSP etc.), which this surface deliberately excludes."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def words(col: Column | str) -> Column:
-    """Whitespace tokenization (Python ``str.split()`` semantics: any run
-    of whitespace, no empty tokens)."""
+    """Whitespace tokenization (Python ``str.split()`` semantics over
+    ASCII whitespace: any run splits, no empty tokens)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.split(_ws_strip(c), r"\s+")
 
 
 def n_words(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(words(c)))
+    return F.when(
+        F.length(_ws_strip(c)) == 0, F.lit(0)
+    ).otherwise(F.size(words(c)))
 
 
 def regex_tokens(col: Column | str) -> Column:

@@ -1,0 +1,114 @@
+"""Fuzz the text-metric column expressions against pure-Python reference
+implementations of the same definitions.
+
+The EXT text surface (word counts, token counts, dup-word fraction,
+shingles) claims exact, engine-independent semantics — these tests pin
+that claim on generated strings covering the corners the synthetic
+corpus never hits: empty/whitespace-only text, unicode words, runs of
+punctuation, single words, words shorter than the shingle width.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_python_sqlite_spark.functions import text as X
+from etl_python_sqlite_spark.operators.dedup import exploded_shingles
+
+TOKEN_RE = re.compile(r"[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+
+PIECES = [
+    "word", "Word", "WORD", "w0rd", "123", "!?", "...", "a",
+    "áccénts", "中文", "x-y", "it's", "", " ", "\t", "\n",
+]
+
+
+def _rand_text(rng: random.Random) -> str:
+    n = rng.randrange(0, 30)
+    return " ".join(rng.choice(PIECES) for _ in range(n))
+
+
+def _py_words(s: str) -> list[str]:
+    return s.split()
+
+
+def _py_shingles(words: list[str], k: int) -> list[str]:
+    """word_shingles / exploded_shingles contract: one truncated
+    whole-doc shingle for short docs, complete windows otherwise;
+    DISTINCT set."""
+    if len(words) < k:
+        return [" ".join(words)]
+    return list(dict.fromkeys(
+        " ".join(words[i : i + k]) for i in range(len(words) - k + 1)
+    ))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(4321)
+    rows = [(i, _rand_text(rng)) for i in range(300)]
+    # pin the corners explicitly
+    rows += [
+        (1000, ""),
+        (1001, "   "),
+        (1002, "one"),
+        (1003, "one two"),
+        (1004, "tab\tsep\nnewline"),
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_n_words_matches_python_split(corpus):
+    rows, df = corpus
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", X.n_words(F.col("text")).alias("n")).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == len(_py_words(text)), repr(text)
+
+
+def test_token_count_matches_python_regex(corpus):
+    rows, df = corpus
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(X.regex_tokens(F.col("text"))).alias("n")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == len(TOKEN_RE.findall(text)), repr(text)
+
+
+def test_dup_word_frac_matches_python(corpus):
+    rows, df = corpus
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", X.dup_word_frac(F.col("text")).alias("f")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        words = _py_words(text)
+        want = 1.0 - len(set(words)) / len(words) if words else 0.0
+        assert abs(got[doc_id] - want) < 1e-12, repr(text)
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_exploded_shingles_match_python_sets(corpus, k):
+    rows, df = corpus
+    out: dict[int, set] = {}
+    for r in exploded_shingles(df, k=k).collect():
+        out.setdefault(r["doc_id"], set()).add(r["shingle"])
+    for doc_id, text in rows:
+        # exploded_shingles emits over Python-split words; '' text yields
+        # the single empty whole-doc shingle
+        want = set(_py_shingles(_py_words(text), k)) or {""}
+        if not _py_words(text):
+            want = {""}
+        assert out.get(doc_id, set()) == want, repr(text)
