@@ -103,3 +103,50 @@ def test_events_loader_prunes_columns(spark):
         l for l in _plan(spark, ev).splitlines() if "ReadSchema" in l
     )
     assert "event_type" in read_schema and "props" not in read_schema
+
+
+def test_seq_packing_reuses_window_partitioning(spark):
+    """The packing groupBy keys on a superset of the window's partition
+    key (source), so the window's exchange must be the ONLY data shuffle
+    (plus the final presentation sort) — a second hash exchange would
+    mean the co-partitioning reuse regressed."""
+    from etl_python_sqlite_spark.plans import ext as E
+
+    plan = _plan(spark, E.ext_seq_packing(spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_quality_sample_is_one_aggregation_pass(spark):
+    """Deterministic sampling is a map-side predicate: one agg exchange,
+    one sort, no joins of any kind."""
+    from etl_python_sqlite_spark.plans import ext as E
+
+    plan = _plan(spark, E.ext_quality_sample(spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") <= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_range_interval_window_single_shuffle(spark):
+    from etl_python_sqlite_spark.plans import relational as RR
+
+    plan = _plan(spark, RR.range_interval_window(spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_incremental_dedup_prefilter_broadcasts(spark):
+    """The corpus hash-key set must reach the batch as a BROADCAST semi
+    join (the Bloom-style map-side prefilter); a SortMergeJoin here
+    would mean the full batch shuffles before pre-filtering."""
+    from etl_python_sqlite_spark.plans import ext as E
+
+    plan = _plan(spark, E.ext_incremental_dedup(spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_unpivot_dims_broadcast(spark):
+    from etl_python_sqlite_spark.plans import relational as RR
+
+    plan = _plan(spark, RR.unpivot_nation_metrics(spark, SF_SMOKE), "simple")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
