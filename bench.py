@@ -42,6 +42,10 @@ def main() -> None:
     spark = (
         SparkSession.builder.appName("bench")
         .master(f"local[{cpus}]")
+        # the PySpark default driver heap is 1g — far under-provisioned
+        # for 32 concurrent task threads' aggregation hash maps (measured
+        # OOM on a 16× corpus probe); size it to the machine
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

