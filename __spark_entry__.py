@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_interval_window": R.range_interval_window,
         "unpivot_nation_metrics": R.unpivot_nation_metrics,
         "ntile_value_quartiles": R.ntile_value_quartiles,
+        "ship_delay_histogram": R.ship_delay_histogram,
+        "orders_above_customer_avg": R.orders_above_customer_avg,
     }
 
 
@@ -1038,6 +1040,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sqrt(share) / SUM(sqrt(share)) OVER () / share, 6) AS epochs_at_budget
             FROM shares
             ORDER BY source
+        """,
+        "ship_delay_histogram": """
+            SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+                   COUNT(*) AS n_lines,
+                   MIN(datediff('day', o.o_orderdate, l.l_shipdate)) AS min_delay,
+                   MAX(datediff('day', o.o_orderdate, l.l_shipdate)) AS max_delay,
+                   CAST(SUM(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS total_delay_days
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+            ORDER BY order_month
+        """,
+        "orders_above_customer_avg": """
+            SELECT o_custkey, COUNT(*) AS n_above_avg
+            FROM orders o
+            WHERE CAST(CAST(o.o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+                  * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+                  > (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(28,2)) * 100) AS BIGINT)
+                     FROM orders i WHERE i.o_custkey = o.o_custkey)
+            GROUP BY o_custkey
+            ORDER BY o_custkey
         """,
         "unpivot_nation_metrics": """
             WITH c AS (

@@ -903,3 +903,66 @@ def ntile_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "quartile")
     )
+
+
+def ship_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-arithmetic surface: order→ship latency in days
+    (``datediff``), bucketed per order month (``date_trunc``) — the
+    operational-latency histogram. The join is fact⋈fact on o_orderkey
+    but orders is the smaller side at any SF, so AQE/broadcast keeps it
+    shuffle-light; the heavy side is touched once with only 2 columns
+    read (pruned scan).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        j.select(
+            # month as an ISO string, not a DATE: date-typed cells
+            # round-trip differently through pandas on the two engines
+            # (date vs datetime64) and break the value-hash compare
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            # long, matching DuckDB's BIGINT datediff (dtype-strict compare)
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("delay_days"),
+        )
+        .groupBy("order_month")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min("delay_days").alias("min_delay"),
+            F.max("delay_days").alias("max_delay"),
+            F.sum("delay_days").cast("long").alias("total_delay_days"),
+        )
+        .orderBy("order_month")
+    )
+
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape: orders strictly above their own
+    customer's average order value, per-customer counts. In Spark the
+    correlation is decorrelated by hand into a window average (one
+    shuffle on the correlation key — exactly what Catalyst's
+    decorrelation would emit); the oracle keeps the textbook correlated
+    subquery form. Exact-cents integer arithmetic for the comparison:
+    price·2·n > 2·sum is evaluated in longs, so no half-cent rounding
+    ambiguity exists on either engine.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(28,2)") * 100).cast("long")
+    w = Window.partitionBy("o_custkey")
+    above = (
+        orders.select(
+            "o_custkey",
+            cents.alias("_c"),
+            F.sum(cents).over(w).alias("_sum"),
+            F.count("*").over(w).alias("_n"),
+        )
+        # strict comparison vs the mean as exact integers: c > sum/n  ⇔  c·n > sum
+        .filter(F.col("_c") * F.col("_n") > F.col("_sum"))
+    )
+    return (
+        above.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_above_avg"))
+        .orderBy("o_custkey")
+    )
