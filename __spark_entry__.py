@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_value_quartiles": R.ntile_value_quartiles,
         "ship_delay_histogram": R.ship_delay_histogram,
         "orders_above_customer_avg": R.orders_above_customer_avg,
+        "ext_pii_redact": E.ext_pii_redact,
     }
 
 
@@ -1040,6 +1041,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sqrt(share) / SUM(sqrt(share)) OVER () / share, 6) AS epochs_at_budget
             FROM shares
             ORDER BY source
+        """,
+        "ext_pii_redact": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+                        + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                        + len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_redactions,
+                   CAST(length(redacted) AS BIGINT) AS redacted_len,
+                   md5(redacted) AS redacted_md5
+            FROM (
+                SELECT doc_id,
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                               'https?://[^\\s]+', '<URL>', 'g'),
+                           '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+                       text
+                FROM documents
+            )
+            ORDER BY doc_id
         """,
         "ship_delay_histogram": """
             SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,

@@ -844,3 +844,40 @@ def ext_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-P6 — PII redaction (the write path the scan implies): emails,
+    URLs and long digit runs replaced with typed placeholders, with a
+    per-document redaction count and an md5 of the redacted text — the
+    hash makes the oracle compare prove BYTE parity of the redacted
+    output, not just matching counts. Patterns stay in the Java-regex ∩
+    RE2 subset so both engines substitute identically.
+
+    Scale: pure map-side regexp_replace chain (one pass, codegen), no
+    shuffle until the driver's canonical sort.
+    """
+    docs = _docs(spark, sf_dir)
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    url = r"https?://[^\s]+"
+    digits = r"[0-9]{6,}"
+    n_hits = (
+        F.size(F.regexp_extract_all("text", F.lit(email), 0))
+        + F.size(F.regexp_extract_all("text", F.lit(url), 0))
+        + F.size(F.regexp_extract_all("text", F.lit(digits), 0))
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"),
+            url,
+            "<URL>",
+        ),
+        digits,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        n_hits.cast("long").alias("n_redactions"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    )
