@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_delay_histogram": R.ship_delay_histogram,
         "orders_above_customer_avg": R.orders_above_customer_avg,
         "ext_pii_redact": E.ext_pii_redact,
+        "numeric_profile": R.numeric_profile,
+        "dq_referential_audit": R.dq_referential_audit,
     }
 
 
@@ -1041,6 +1043,58 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sqrt(share) / SUM(sqrt(share)) OVER () / share, 6) AS epochs_at_budget
             FROM shares
             ORDER BY source
+        """,
+        "numeric_profile": """
+            WITH prof AS (
+                SELECT * FROM (
+                    SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+                    UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                    UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+                    UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+                )
+            ),
+            agg AS (
+                SELECT col_name,
+                       COUNT(v) AS n_non_null,
+                       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                       CAST(MIN(v) AS DOUBLE) AS min_value,
+                       CAST(MAX(v) AS DOUBLE) AS max_value,
+                       CAST(SUM(CAST(CAST(v AS DECIMAL(28,2)) * 100 AS DECIMAL(38,0))) AS BIGINT) AS s,
+                       SUM(CAST(CAST(v AS DECIMAL(28,2)) * 100 AS DECIMAL(38,0))
+                           * CAST(CAST(v AS DECIMAL(28,2)) * 100 AS DECIMAL(38,0))) AS s2
+                FROM prof GROUP BY col_name
+            )
+            SELECT col_name, n_non_null, n_null, min_value, max_value,
+                   ((2 * s * 10000 + n_non_null) // (2 * n_non_null)) / 1000000.0 AS mean_value,
+                   ROUND(sqrt(CAST(n_non_null * s2 - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+                              / 10000.0
+                              / CAST(n_non_null * (n_non_null - 1) AS DOUBLE)), 6) AS stddev_value
+            FROM agg
+            ORDER BY col_name
+        """,
+        "dq_referential_audit": """
+            SELECT 'lineitem.quantity_out_of_range' AS rule,
+                   CAST(COUNT(*) FILTER (WHERE l_quantity <= 0 OR l_quantity > 50) AS BIGINT) AS violations
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.discount_out_of_range',
+                   CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'lineitem.orphan_orderkey',
+                   CAST(COUNT(*) AS BIGINT)
+            FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+            UNION ALL
+            SELECT 'orders.orphan_custkey',
+                   CAST(COUNT(*) AS BIGINT)
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'orders.null_orderdate',
+                   CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT)
+            FROM orders
+            ORDER BY rule
         """,
         "ext_pii_redact": """
             SELECT doc_id,

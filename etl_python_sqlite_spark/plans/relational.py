@@ -966,3 +966,108 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_above_avg"))
         .orderBy("o_custkey")
     )
+
+
+def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the describe/EDA operator): count / nulls / min
+    / max / mean / sample-stddev for the lineitem measures, one row per
+    column via a single-scan aggregate + unpivot-style union of structs.
+
+    Cross-engine exactness: mean and variance come from EXACT integer
+    cents sums (Σx, Σx² in DECIMAL) with the final division done once in
+    doubles and rounded to 6dp — stddev is the textbook
+    (n·Σx² − (Σx)²) / (n·(n−1)) on exact integers, so no Welford-order
+    nondeterminism exists on either engine.
+    """
+    li = table(spark, sf_dir, "lineitem")
+
+    def prof(col: str) -> DataFrame:
+        cents = (F.col(col).cast("decimal(28,2)") * 100).cast("decimal(38,0)")
+        agg = li.agg(
+            F.count(col).alias("n_non_null"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.min(col).cast("double").alias("min_value"),
+            F.max(col).cast("double").alias("max_value"),
+            F.sum(cents).alias("_s"),
+            F.sum(cents * cents).alias("_s2"),
+        )
+        n = F.col("n_non_null")
+        var = (
+            (n * F.col("_s2") - F.col("_s") * F.col("_s")).cast("double")
+            / 10000.0
+            / (n * (n - F.lit(1))).cast("double")
+        )
+        return agg.select(
+            F.lit(col).alias("col_name"),
+            "n_non_null",
+            "n_null",
+            "min_value",
+            "max_value",
+            # mean via the integer-rounding discipline (_avg_expr), NOT
+            # ROUND(double): near-half doubles round differently across
+            # engines. stddev keeps round-6 on the sqrt (irrational
+            # outputs — no representable half-way case).
+            _avg_expr("cast(_s as long)", "n_non_null", 2, 6).alias("mean_value"),
+            F.round(F.sqrt(var), 6).alias("stddev_value"),
+        )
+
+    out = prof("l_quantity")
+    for c in ("l_extendedprice", "l_discount", "l_tax"):
+        out = out.unionByName(prof(c))
+    return out.orderBy("col_name")
+
+
+def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (the reference's validation theme, §2.2/P5-P7,
+    lifted to warehouse rules): one row per constraint with its violation
+    count — null keys, out-of-range measures, and referential orphans in
+    both directions (anti-join counts, the only scalable way to check
+    foreign keys; never a driver-side loop).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+
+    def rule(name: str, cnt_df: DataFrame) -> DataFrame:
+        return cnt_df.select(
+            F.lit(name).alias("rule"), F.col("n").cast("long").alias("violations")
+        )
+
+    checks = [
+        rule(
+            "lineitem.quantity_out_of_range",
+            li.filter((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)).agg(
+                F.count("*").alias("n")
+            ),
+        ),
+        rule(
+            "lineitem.discount_out_of_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).agg(
+                F.count("*").alias("n")
+            ),
+        ),
+        rule(
+            "lineitem.orphan_orderkey",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").agg(
+                F.count("*").alias("n")
+            ),
+        ),
+        rule(
+            "orders.orphan_custkey",
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ).agg(F.count("*").alias("n")),
+        ),
+        rule(
+            "orders.null_orderdate",
+            orders.filter(F.col("o_orderdate").isNull()).agg(
+                F.count("*").alias("n")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("rule")
