@@ -85,3 +85,18 @@ def test_training_shards_are_range_ordered_and_bounded(spark, tmp_path):
         pq.ParquetFile(p).metadata.num_rows for p in files
     )
     assert total == 1000
+
+
+def test_shards_empty_input_writes_valid_dataset(spark, tmp_path):
+    out = tmp_path / "empty_shards"
+    df = spark.range(0).select(F.col("id").alias("seq_id"))
+    write_training_shards(df, out, order_cols=["seq_id"], num_shards=2)
+    assert spark.read.parquet(str(out)).count() == 0
+
+
+def test_jsonl_all_corrupt_file(spark, tmp_path):
+    f = tmp_path / "junk.jsonl"
+    _write_lines(f, ["not json", "{broken", "[1,2"])
+    ok, rejects = J.split_rejects(J.read_jsonl(spark, f, J.DOCUMENT_SCHEMA))
+    assert ok.count() == 0
+    assert rejects.count() == 3

@@ -179,3 +179,42 @@ def test_streaming_dedup_with_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
     assert got == [1, 2, 3]
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: a micro-batched event stream enriched against
+    a STATIC dimension (the broadcast-dim pattern at streaming time —
+    Spark replans the static side per micro-batch, no state store
+    involved)."""
+    src = str(tmp_path / "ss_src")
+    schema = "event_id long, nation_key long, value double"
+    spark.createDataFrame(
+        [(1, 0, 10.0), (2, 1, 20.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, 0, 30.0), (4, 99, 40.0)], schema   # 99 = orphan key
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    static_dim = spark.createDataFrame(
+        [(0, "ALGERIA"), (1, "ARGENTINA")], "nation_key long, n_name string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .join(static_dim, "nation_key", "left")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_out")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["n_name"])
+        for r in spark.sql("select * from ss_out").collect()
+    }
+    assert got == {(1, "ALGERIA"), (2, "ARGENTINA"), (3, "ALGERIA"), (4, None)}
