@@ -161,6 +161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_pii_redact": E.ext_pii_redact,
         "numeric_profile": R.numeric_profile,
         "dq_referential_audit": R.dq_referential_audit,
+        # TPC-H classic shapes (Q3/Q5/Q10) on the star schema
+        "shipping_priority_topn": R.shipping_priority_topn,
+        "local_supplier_volume": R.local_supplier_volume,
+        "returned_items_by_customer": R.returned_items_by_customer,
     }
 
 
@@ -1043,6 +1047,51 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sqrt(share) / SUM(sqrt(share)) OVER () / share, 6) AS epochs_at_budget
             FROM shares
             ORDER BY source
+        """,
+        "shipping_priority_topn": """
+            SELECT l.l_orderkey AS o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+                   o.o_orderpriority,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT n.n_name AS nation,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE s.s_nationkey = c.c_nationkey
+            GROUP BY 1, 2
+            ORDER BY nation, order_year
+        """,
+        "returned_items_by_customer": """
+            SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS lost_revenue,
+                   COUNT(*) AS n_returned_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY lost_revenue DESC, c_custkey
+            LIMIT 20
         """,
         "numeric_profile": """
             WITH prof AS (

@@ -1071,3 +1071,95 @@ def dq_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("rule")
+
+
+def shipping_priority_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: unshipped BUILDING-segment
+    orders ranked by discounted revenue, top 10. customer broadcasts;
+    the order-side date filter pushes into the parquet scan; the final
+    top-10 is TakeOrderedAndProject (no global sort materialization).
+    Money math in exact decimal factors; the revenue/orderkey pair makes
+    the top-10 cut deterministic (revenue ties broken by key).
+    """
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    dd = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(ep * (F.lit(1) - dd)).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped "local supplier" volume: revenue where the
+    supplier and the ordering customer share a nation, per nation-year.
+    The join graph is fact ⋈ orders ⋈ customer with supplier BROADCAST
+    and the nation-equality applied as a join-side filter — the classic
+    star join with a cross-dim correlation predicate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    dd = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.sum(ep * (F.lit(1) - dd)).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("nation", "order_year")
+    )
+
+
+def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: lost revenue per customer
+    for RETURNED lineitems, top 20 — the churn-analysis join. The
+    returnflag filter pushes to the scan; customer/nation broadcast.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    dd = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(ep * (F.lit(1) - dd)).cast("double").alias("lost_revenue"),
+            F.count("*").alias("n_returned_items"),
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
