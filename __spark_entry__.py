@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority_topn": R.shipping_priority_topn,
         "local_supplier_volume": R.local_supplier_volume,
         "returned_items_by_customer": R.returned_items_by_customer,
+        "rank_tie_semantics": R.rank_tie_semantics,
+        "ext_word_rarity_score": E.ext_word_rarity_score,
     }
 
 
@@ -1047,6 +1049,41 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(sqrt(share) / SUM(sqrt(share)) OVER () / share, 6) AS epochs_at_budget
             FROM shares
             ORDER BY source
+        """,
+        "rank_tie_semantics": """
+            SELECT o_orderstatus, o_orderpriority, rnk, drnk, COUNT(*) AS n
+            FROM (
+                SELECT o_orderstatus, o_orderpriority,
+                       RANK() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_orderpriority) AS rnk,
+                       DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_orderpriority) AS drnk
+                FROM orders
+            )
+            GROUP BY 1, 2, 3, 4
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "ext_word_rarity_score": f"""
+            WITH ex AS (
+                SELECT doc_id, word
+                FROM (SELECT doc_id, unnest({_WORDS.format(c='lower(text)')}) AS word
+                      FROM documents)
+                WHERE word <> ''
+            ),
+            freq AS (
+                SELECT word, COUNT(*) AS word_freq FROM ex GROUP BY word
+            ),
+            agg AS (
+                SELECT e.doc_id,
+                       COUNT(*) AS n_words,
+                       CAST(SUM(f.word_freq) AS BIGINT) AS s
+                FROM ex e JOIN freq f ON e.word = f.word
+                GROUP BY e.doc_id
+            )
+            SELECT doc_id, n_words,
+                   ((2 * s * 10000 + n_words) // (2 * n_words)) / 10000.0 AS mean_word_freq
+            FROM agg
+            ORDER BY doc_id
         """,
         "shipping_priority_topn": """
             SELECT l.l_orderkey AS o_orderkey,

@@ -881,3 +881,40 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redacted).cast("long").alias("redacted_len"),
         F.md5(redacted.cast("binary")).alias("redacted_md5"),
     )
+
+
+def ext_word_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-P7 — word-rarity curation score: per document, the mean corpus
+    frequency of its words (template spam scores HIGH — its words are
+    everywhere; rare-vocab noise scores LOW). The log-free cousin of
+    unigram-LM scoring, chosen deliberately: every quantity is an exact
+    integer (corpus counts) or an exact integer ratio, so the oracle
+    replays it bit-for-bit where Σlog(p) never survives libm differences
+    across engines.
+
+    Scale: word-frequency table = one groupBy on the (uniform) word key;
+    scoring = exploded words ⋈ freq (the freq table is |vocab|-sized —
+    broadcast in practice) → one groupBy back on doc_id. Mean as the
+    integer-rounding _avg_expr discipline.
+    """
+    from etl_python_sqlite_spark.plans.relational import _avg_expr
+
+    docs = _docs(spark, sf_dir)
+    ex = docs.select(
+        "doc_id", F.explode(X.words(F.lower(F.col("text")))).alias("word")
+    ).filter(F.col("word") != "")
+    freq = ex.groupBy("word").agg(F.count("*").alias("word_freq"))
+    return (
+        ex.join(F.broadcast(freq), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("word_freq").cast("long").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            _avg_expr("_s", "n_words", 0, 4).alias("mean_word_freq"),
+        )
+        .orderBy("doc_id")
+    )

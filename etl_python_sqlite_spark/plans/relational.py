@@ -1163,3 +1163,24 @@ def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), "c_custkey")
         .limit(20)
     )
+
+
+def rank_tie_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() vs dense_rank() tie semantics over genuinely tied keys:
+    orders ranked by priority within status. Output is the per-(status,
+    priority) rank pair + count — ties make rank gaps visible and the
+    aggregate keeps the result set tiny and order-insensitive.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    return (
+        orders.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .groupBy("o_orderstatus", "o_orderpriority", "rnk", "drnk")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
