@@ -158,3 +158,59 @@ def test_resize_images_spark_path(spark):
     assert out[1]["meta"]["width"] == 8 and out[1]["mime"] == "image/x-portable-pixmap"
     # non-image rows pass through byte-identical
     assert bytes(out[2]["content"]) == bytes(rows[1][2])
+
+
+def test_bmv_split_and_roundtrip():
+    import numpy as np
+
+    from etl_python_sqlite_spark.operators.multimodal import (
+        _decode_bmp,
+        encode_bmv,
+        split_bmv_frames,
+    )
+
+    rng = np.random.default_rng(9)
+    frames = [rng.integers(0, 256, (6, 5, 3), dtype=np.uint8) for _ in range(5)]
+    blob = encode_bmv(frames)
+    parts = split_bmv_frames(blob)
+    assert len(parts) == 5
+    for orig, raw in zip(frames, parts):
+        assert (_decode_bmp(raw).pixels == orig).all()
+
+
+def test_bmv_split_rejects_garbage():
+    from etl_python_sqlite_spark.operators.multimodal import split_bmv_frames
+
+    with pytest.raises(ValueError):
+        split_bmv_frames(b"not a bmp stream")
+
+
+def test_sample_video_frames_spark_path(spark):
+    import numpy as np
+
+    from etl_python_sqlite_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmv,
+        sample_video_frames,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (4, 4, 3), dtype=np.uint8) for _ in range(6)]
+    good = encode_bmv(frames)
+    rows = [
+        (10, "video", good, "video/x-bmv", (4, 4, None, None)),
+        (11, "video", b"BMgarbage", "video/x-bmv", (None, None, None, None)),
+        (12, "image", good, "image/bmp", (4, 4, None, None)),  # filtered out
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_video_frames(media, every_n=2).collect()
+
+    ok = [r for r in out if r["media_id"] == 10]
+    assert [r["frame_idx"] for r in sorted(ok, key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    for r in ok:
+        assert r["decode_ok"] and (r["width"], r["height"]) == (4, 4)
+        assert r["pixel_sum"] == int(frames[r["frame_idx"]].astype("int64").sum())
+
+    bad = [r for r in out if r["media_id"] == 11]
+    assert len(bad) == 1 and not bad[0]["decode_ok"]
+    assert not [r for r in out if r["media_id"] == 12]
