@@ -116,3 +116,69 @@ def sessionized_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas: the successor stateful API
+# ---------------------------------------------------------------------------
+
+RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Per-user RUNNING totals across micro-batches via Spark 4's
+    ``transformWithStateInPandas`` — the typed-state successor to
+    ``applyInPandasWithState`` (explicit ValueState handles, per-state
+    TTL support, multiple named states per key). Emits the updated
+    cumulative (n_events, total_value) for every user seen in each
+    micro-batch — the "lifetime counters" shape that watermarked window
+    aggregation cannot express (no window: state lives forever or to
+    TTL).
+
+    Scale: state is per-key in the state store (RocksDB in production
+    conf), updates are Arrow-batched per key; key distribution is the
+    stream's user_id distribution — salt upstream if a hot user exists.
+
+    ENVIRONMENT NOTE: executing this operator requires ``google.protobuf``
+    (Spark's state-server protocol for the new API) which is not
+    installed in this container and cannot be (no pip) — the test gates
+    on its availability. The ``applyInPandasWithState`` sessionizer above
+    is the fully-exercised stateful path here; this function documents
+    and wires the successor API for protobuf-equipped clusters.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events BIGINT, total_value DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, tot = 0, 0.0
+            if self._state.exists():
+                prev_n, prev_tot = self._state.get()
+                n, tot = int(prev_n), float(prev_tot)
+            for pdf in rows:
+                n += len(pdf)
+                tot += float(pdf["value"].sum())
+            self._state.update((n, tot))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=RUNNING_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -117,3 +117,60 @@ def test_stateful_sessionizer_stream(spark, tmp_path):
     # gap; open sessions (u1 s2, u2 s1) stay in state awaiting timeout
     assert (1, 0, 2, 3.0) in got
     assert not any(u == 2 for (u, *_ ) in got)
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark-4 typed-state API: cumulative per-user totals persist across
+    micro-batches (file-per-batch source, availableNow trigger).
+
+    Requires google.protobuf (the new API's state-server protocol) —
+    absent in this container, so the test skips rather than exercising a
+    guaranteed crash; the plan itself still builds below."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from etl_python_sqlite_spark.streaming.stateful import running_totals_stream
+
+    src = str(tmp_path / "tws_src")
+    schema = "user_id long, value double"
+    spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 1.0)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame([(1, 2.0), (3, 7.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        running_totals_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tws_out")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("select * from tws_out").collect()
+    # final cumulative value per user must reflect BOTH batches for user 1
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final[1] == (3, 17.0)
+    assert final[2] == (1, 1.0)
+    assert final[3] == (1, 7.0)
+
+
+def test_transform_with_state_plan_builds(spark):
+    """Even without protobuf at runtime, the transformWithStateInPandas
+    plan must ANALYZE cleanly (schema + grouping wiring are correct)."""
+    from etl_python_sqlite_spark.streaming.stateful import running_totals_stream
+
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "value as user_id", "cast(value as double) as value"
+    )
+    out = running_totals_stream(stream)
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n_events", "total_value",
+    ]
