@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items_by_customer": R.returned_items_by_customer,
         "rank_tie_semantics": R.rank_tie_semantics,
         "ext_word_rarity_score": E.ext_word_rarity_score,
+        "ext_label_centroid_quality": E.ext_label_centroid_quality,  # rows-only
     }
 
 

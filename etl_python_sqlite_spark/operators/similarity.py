@@ -524,3 +524,56 @@ def ann_knn_join_lsh(
         .filter(F.col("rk") <= k)
         .select("id_a", "id_b", "cos_sim", "rk")
     )
+
+
+def label_centroid_quality(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label embedding cluster quality: centroid (element-wise mean)
+    and each member's cosine to its own centroid, summarized per label as
+    (n_members, mean/min cosine-to-centroid). The standard audit before
+    trusting class labels for curriculum or dedup grouping — a label
+    whose members barely point at their centroid is noise.
+
+    Scale shape: the centroid is a posexplode → groupBy(label, pos)
+    average (codegen, map-side combined; |labels|·dim rows out — KB-sized
+    for any real label space), reassembled with sort_array(collect_list)
+    and BROADCAST back; member cosines are then one map-side pass over
+    the embeddings scan, and the summary is a |labels|-row aggregate.
+    Nothing quadratic, nothing driver-side.
+    """
+    v = _as_double_array(vec_col)
+    exploded = embs.select(
+        F.col(label_col).alias("label"), F.posexplode(v).alias("pos", "x")
+    )
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.col("pc.c").alias("centroid"))
+    )
+    scored = (
+        embs.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("label"),
+            v.alias("v"),
+        )
+        .join(F.broadcast(centroids), "label")
+        .select(
+            "label",
+            cosine(F.col("v"), F.col("centroid")).alias("cos_to_centroid"),
+        )
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.avg("cos_to_centroid"), 6).alias("mean_cos"),
+            F.round(F.min("cos_to_centroid"), 6).alias("min_cos"),
+        )
+        .orderBy("label")
+    )

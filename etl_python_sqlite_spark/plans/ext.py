@@ -918,3 +918,10 @@ def ext_word_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def ext_label_centroid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3-audit — per-label centroid cohesion over the embeddings table
+    (rows-only: float centroid averages don't survive cross-engine sum
+    order; tests/test_similarity.py pins the math against numpy)."""
+    return S.label_centroid_quality(_embs(spark, sf_dir))

@@ -164,3 +164,32 @@ def test_ann_knn_join_finds_planted(spark, vectors):
     # the documented recall trade, not a bug)
     planted = {(a, b) for a in (0, 500, 501) for b in (0, 500, 501) if a != b}
     assert len(got & planted) >= 3, got & planted
+
+
+def test_label_centroid_quality_matches_numpy(spark):
+    import numpy as np
+
+    from etl_python_sqlite_spark.operators.similarity import label_centroid_quality
+    from etl_python_sqlite_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    embs = load_table(spark, SF_SMOKE, "embeddings")
+    got = {
+        r["label"]: (r["n_members"], r["mean_cos"], r["min_cos"])
+        for r in label_centroid_quality(embs).collect()
+    }
+
+    rows = embs.select("vec_id", "label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.asarray(r["embedding"], dtype=np.float64)
+        )
+    for label, vecs in by_label.items():
+        m = np.stack(vecs)
+        c = m.mean(axis=0)
+        cos = (m @ c) / (np.linalg.norm(m, axis=1) * np.linalg.norm(c))
+        n, mean_c, min_c = got[label]
+        assert n == len(vecs)
+        assert abs(mean_c - round(float(cos.mean()), 6)) < 1e-5
+        assert abs(min_c - round(float(cos.min()), 6)) < 1e-5
