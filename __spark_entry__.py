@@ -1040,15 +1040,20 @@ def oracle_sql() -> dict[str, str]:
             ),
             shares AS (
                 SELECT source, n_docs, total_tokens,
-                       CAST(total_tokens AS DOUBLE)
-                           / SUM(total_tokens) OVER () AS share
+                       SUM(total_tokens) OVER () AS big,
+                       CAST(FLOOR(sqrt(CAST(total_tokens AS DOUBLE)
+                                       / SUM(total_tokens) OVER ()) * 1000000000.0) AS BIGINT) AS s9
                 FROM per_src
+            ),
+            normed AS (
+                SELECT source, n_docs, total_tokens,
+                       ((2 * total_tokens * 1000000 + big) // (2 * big)) / 1000000.0 AS token_share,
+                       ((2 * s9 * 1000000 + SUM(s9) OVER ()) // (2 * SUM(s9) OVER ())) / 1000000.0 AS mix_weight
+                FROM shares
             )
-            SELECT source, n_docs, total_tokens,
-                   ROUND(share, 6) AS token_share,
-                   ROUND(sqrt(share) / SUM(sqrt(share)) OVER (), 6) AS mix_weight,
-                   ROUND(sqrt(share) / SUM(sqrt(share)) OVER () / share, 6) AS epochs_at_budget
-            FROM shares
+            SELECT source, n_docs, total_tokens, token_share, mix_weight,
+                   ROUND(mix_weight / token_share, 6) AS epochs_at_budget
+            FROM normed
             ORDER BY source
         """,
         "rank_tie_semantics": """
@@ -1317,12 +1322,23 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             SELECT source,
-                   COUNT(*) AS n_docs,
-                   CAST(SUM(CASE WHEN u < quality THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-                   CAST(SUM(CASE WHEN u < quality THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
-                   ROUND(AVG(CASE WHEN u < quality THEN quality END), 6) AS mean_kept_quality
-            FROM scored
-            GROUP BY source
+                   n_docs,
+                   n_kept,
+                   kept_tokens,
+                   CASE WHEN n_kept > 0
+                        THEN ((2 * qsum + n_kept) // (2 * n_kept)) / 1000000.0
+                   END AS mean_kept_quality
+            FROM (
+                SELECT source,
+                       COUNT(*) AS n_docs,
+                       CAST(SUM(CASE WHEN u < quality THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                       CAST(SUM(CASE WHEN u < quality THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+                       CAST(SUM(CASE WHEN u < quality
+                                     THEN CAST(FLOOR(quality * 1000000.0) AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS qsum
+                FROM scored
+                GROUP BY source
+            )
             ORDER BY source
         """,
         "ext_word_df_histogram": f"""

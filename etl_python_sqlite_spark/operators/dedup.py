@@ -127,6 +127,11 @@ def ngram_jaccard_pairs(
     sf0.1) where this plan does ~10² (1.5 s), and the equi-join keeps
     working at corpus scale while any O(n²) plan cannot.
     """
+    if threshold <= 0:
+        # the inverted-index candidate pass only sees pairs sharing ≥1
+        # shingle; zero-overlap pairs (jaccard = 0) are structurally
+        # invisible to it, so threshold ≤ 0 would silently under-return
+        raise ValueError("ngram_jaccard_pairs requires threshold > 0")
     # persist both derived frames: each feeds both sides of a self-join,
     # and without it Catalyst re-inlines the shingle construction per
     # PAIR row instead of per doc

@@ -142,6 +142,7 @@ def connected_components(
     """
     e = _canonical_edges(edges, src, dst).persist()
     prev = _checksum(e)
+    converged = False
     for _ in range(max_iter):
         if prev[0] <= local_edge_limit:
             return _local_components(e)
@@ -149,8 +150,17 @@ def connected_components(
         cur = _checksum(e2)
         e = e2
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # max_iter exhausted before the star-graph fixed point: the
+        # edge set may still hold (u, v1), (u, v2) with v1 != v2, and the
+        # fixed-point extraction below would silently emit multi-labeled
+        # nodes (review finding). Fall back to the exact single-task
+        # union-find — correct on ANY edge set; loud (OOM) rather than
+        # silently wrong if the graph is still pathologically large.
+        return _local_components(e)
     roots = e.select(F.col("v").alias("id")).distinct()
     return (
         e.select(F.col("u").alias("id"), F.col("v").alias("component"))

@@ -354,7 +354,13 @@ def decode_media_metadata(media: DataFrame) -> DataFrame:
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Real nearest-neighbor resize for decodable image rows, re-encoded
     as PPM; non-image rows pass through untouched. Output schema ==
-    input schema, so resize stages compose."""
+    input schema, so resize stages compose.
+
+    Per-row failure contract (module docstring): an image row whose blob
+    can't be decoded passes through UNCHANGED instead of failing the
+    stage — one corrupt blob must never abort a corpus-wide resize; the
+    metadata path (``decode_media_metadata``) is where failures are
+    surfaced as data."""
 
     def _resize_px(img: DecodedImage) -> "np.ndarray":
         ys = np.arange(height) * img.height // height
@@ -373,7 +379,17 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     mimes.append(mime)
                     metas.append(meta)
                     continue
-                img = decode_image(bytes(content) if content is not None else b"")
+                try:
+                    img = decode_image(
+                        bytes(content) if content is not None else b""
+                    )
+                except (ValueError, NotImplementedError, struct.error):
+                    # undecodable blob: route through untouched (never
+                    # fail the stage on one corrupt row)
+                    contents.append(content)
+                    mimes.append(mime)
+                    metas.append(meta)
+                    continue
                 contents.append(encode_ppm(_resize_px(img)))
                 mimes.append("image/x-portable-pixmap")
                 if meta is not None:

@@ -284,10 +284,16 @@ def embedding_near_dup_pairs(
         lo, hi = np.minimum(ia, jb), np.maximum(ia, jb)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": sims[iu[keep], ju[keep]]})
 
+    # dedup cross-table repeats on the PAIR KEY only, taking max(cos_sim):
+    # the same pair scored in two buckets goes through two differently-
+    # shaped BLAS matmuls, whose last-ulp results are NOT guaranteed
+    # bit-identical — a .distinct() over (id_a, id_b, cos_sim) could then
+    # emit the pair twice with two 6dp values (review finding)
     return (
         rep.groupBy("t", "bucket")
         .applyInPandas(_bucket_pairs, schema="id_a long, id_b long, cos_sim double")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
     )
 
 

@@ -62,11 +62,19 @@ def kll_quantiles_by(
     sk = df.groupBy(*key_cols).agg(
         F.kll_sketch_agg_double(value_col, F.lit(k)).alias("kll")
     )
+    def _label(q: float) -> str:
+        # full-precision labels: int(q*100) would collide 0.99/0.999
+        # into one 'p99' column (review finding) — keep every decimal,
+        # '.'→'_' for a valid identifier (0.999 → p99_9)
+        s = f"{q * 100:g}".replace(".", "_")
+        return f"p{s}"
+
+    labels = [_label(q) for q in quantiles]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"quantile labels collide: {labels}")
     cols = [
-        F.kll_sketch_get_quantile_double("kll", F.lit(q)).alias(
-            f"p{int(q * 100):02d}"
-        )
-        for q in quantiles
+        F.kll_sketch_get_quantile_double("kll", F.lit(q)).alias(lab)
+        for q, lab in zip(quantiles, labels)
     ]
     return sk.select(*key_cols, *cols)
 

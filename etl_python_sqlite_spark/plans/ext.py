@@ -691,17 +691,43 @@ def ext_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    share = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w_all)
-    scaled = F.sqrt(share)
-    weight = scaled / F.sum(scaled).over(w_all)
+    # DETERMINISM: the normalizers must be sums of EXACT integers, never
+    # of doubles — Σ over doubles is addition-order-dependent and the
+    # window's row order differs between engines (review finding). The
+    # sqrt is floor-quantized to nano-units per row (floor of the same
+    # IEEE double is identical on both engines), so both window sums are
+    # exact longs, and the final 6dp values use the integer-rounding
+    # formula (_avg_expr discipline) instead of ROUND(double).
+    big = F.sum("total_tokens").over(w_all)
+    share = F.col("total_tokens").cast("double") / big
+    s9 = F.floor(F.sqrt(share) * F.lit(1_000_000_000.0)).cast("long")
+    s9_sum = F.sum(s9).over(w_all)
+    share6 = F.expr(
+        "((2 * total_tokens * 1000000 + _big) div (2 * _big)) / 1000000.0D"
+    )
+    weight6 = F.expr("((2 * _s9 * 1000000 + _s9sum) div (2 * _s9sum)) / 1000000.0D")
     return (
         per_src.select(
             "source",
             "n_docs",
             "total_tokens",
-            F.round(share, 6).alias("token_share"),
-            F.round(weight, 6).alias("mix_weight"),
-            F.round(weight / share, 6).alias("epochs_at_budget"),
+            big.alias("_big"),
+            s9.alias("_s9"),
+            s9_sum.alias("_s9sum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            share6.alias("token_share"),
+            weight6.alias("mix_weight"),
+        )
+        # ratio of the two exact 6dp quantities: identical doubles on
+        # both engines; round-6 residual risk is the shortest-repr
+        # corner (~1e-10 per value), same acceptance as jaccard
+        .withColumn(
+            "epochs_at_budget",
+            F.round(F.col("mix_weight") / F.col("token_share"), 6),
         )
         .orderBy("source")
     )
@@ -828,6 +854,11 @@ def ext_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.quality_score(F.col("text")).alias("quality"),
         (u < X.quality_score(F.col("text"))).alias("kept"),
     )
+    # mean quality over EXACT micro-unit integers, not AVG(double): the
+    # double sum is partial-order-dependent and ROUND(double) is not
+    # portable (review finding; the _avg_expr discipline). floor() of the
+    # same IEEE double is identical on both engines.
+    qmicro = F.floor(F.col("quality") * F.lit(1_000_000.0)).cast("long")
     return (
         scored.groupBy("source")
         .agg(
@@ -838,9 +869,19 @@ def ext_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
             .cast("long")
             .alias("kept_tokens"),
-            F.round(F.avg(F.when(F.col("kept"), F.col("quality"))), 6).alias(
-                "mean_kept_quality"
-            ),
+            F.sum(F.when(F.col("kept"), qmicro).otherwise(0))
+            .cast("long")
+            .alias("_qsum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "kept_tokens",
+            F.when(
+                F.col("n_kept") > 0,
+                F.expr("((2 * _qsum + n_kept) div (2 * n_kept)) / 1000000.0D"),
+            ).alias("mean_kept_quality"),
         )
         .orderBy("source")
     )

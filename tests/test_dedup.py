@@ -76,9 +76,12 @@ def test_minhash_recall_vs_exact_jaccard(spark, corpus):
 
 def test_minhash_no_false_positives_below_threshold(spark, corpus):
     """Verification step guarantees: nothing below the threshold sneaks in."""
+    # threshold must be > 0 (zero-overlap pairs are invisible to the
+    # inverted index — and also unfindable by LSH, so 1e-9 loses nothing
+    # for this comparison)
     exact_low = {
         (r["id_a"], r["id_b"])
-        for r in D.ngram_jaccard_pairs(corpus, threshold=0.0).filter(
+        for r in D.ngram_jaccard_pairs(corpus, threshold=1e-9).filter(
             F.col("jaccard") < 0.5
         ).collect()
     }
@@ -87,6 +90,13 @@ def test_minhash_no_false_positives_below_threshold(spark, corpus):
         for r in D.minhash_near_dups(corpus, threshold=0.5).collect()
     }
     assert not (found & exact_low)
+
+
+def test_ngram_jaccard_rejects_nonpositive_threshold(spark, corpus):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        D.ngram_jaccard_pairs(corpus, threshold=0.0)
 
 
 def test_simhash_identical_and_near(spark, corpus):

@@ -65,8 +65,16 @@ def test_frame_sampling_fanout(spark, media):
 def test_decode_stub_raises(spark, media):
     with pytest.raises(NotImplementedError):
         decode_image(b"not-a-real-png")
-    with pytest.raises(Exception):  # surfaced through the Spark job
-        resize_stub(media.limit(1), 8, 8).collect()
+
+
+def test_resize_routes_undecodable_rows_through(spark, media):
+    """Per-row failure contract: an undecodable image blob passes through
+    a resize stage UNCHANGED instead of aborting the job."""
+    rows = resize_stub(media.limit(1), 8, 8).collect()
+    src = media.limit(1).collect()
+    assert len(rows) == 1
+    assert rows[0]["content"] == src[0]["content"]
+    assert rows[0]["mime"] == src[0]["mime"]
 
 
 # ---------------------------------------------------------------------------
