@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_tie_semantics": R.rank_tie_semantics,
         "ext_word_rarity_score": E.ext_word_rarity_score,
         "ext_label_centroid_quality": E.ext_label_centroid_quality,  # rows-only
+        "set_intersect_users": R.set_intersect_users,
+        "window_value_zoo": R.window_value_zoo,
     }
 
 
@@ -1055,6 +1057,30 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(mix_weight / token_share, 6) AS epochs_at_budget
             FROM normed
             ORDER BY source
+        """,
+        "set_intersect_users": """
+            SELECT user_id FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "window_value_zoo": """
+            SELECT event_type, event_id, value,
+                   min_value, max_value, second_value, pct_rank, cume, rn
+            FROM (
+                SELECT event_type, event_id, value,
+                       FIRST_VALUE(value) OVER w_full AS min_value,
+                       LAST_VALUE(value) OVER w_full AS max_value,
+                       NTH_VALUE(value, 2) OVER w_full AS second_value,
+                       ROUND(PERCENT_RANK() OVER w_run, 6) AS pct_rank,
+                       ROUND(CUME_DIST() OVER w_run, 6) AS cume,
+                       ROW_NUMBER() OVER w_run AS rn
+                FROM events
+                WINDOW w_full AS (PARTITION BY event_type ORDER BY value, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                       w_run AS (PARTITION BY event_type ORDER BY value, event_id)
+            )
+            WHERE rn <= 5
+            ORDER BY event_type, rn
         """,
         "rank_tie_semantics": """
             SELECT o_orderstatus, o_orderpriority, rnk, drnk, COUNT(*) AS n

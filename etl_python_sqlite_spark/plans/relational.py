@@ -1184,3 +1184,47 @@ def rank_tie_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("o_orderstatus", "o_orderpriority")
     )
+
+
+def set_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who BOTH viewed and purchased — INTERSECT (distinct
+    semantics), completing the set-operator family next to
+    ``set_except_users``/``union_all_tagged``."""
+    ev = table(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.intersect(buyers)
+
+
+def window_value_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-window family in one deterministic query: per
+    event_type over the (value, event_id) total order —
+    first_value / last_value (explicit full frame: the default frame
+    stops at CURRENT ROW and silently yields the running last, a classic
+    cross-engine gotcha), nth_value(2), percent_rank and cume_dist.
+    Emitted for the 5 smallest events per type to keep the result
+    driver-friendly while every function still sees the whole partition.
+    """
+    ev = table(spark, sf_dir, "events")
+    order = [F.col("value").asc(), F.col("event_id").asc()]
+    full = (
+        Window.partitionBy("event_type")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    running = Window.partitionBy("event_type").orderBy(*order)
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.first("value").over(full).alias("min_value"),
+            F.last("value").over(full).alias("max_value"),
+            F.nth_value("value", 2).over(full).alias("second_value"),
+            F.round(F.percent_rank().over(running), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(running), 6).alias("cume"),
+            F.row_number().over(running).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("event_type", "rn")
+    )
