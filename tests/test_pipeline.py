@@ -272,3 +272,27 @@ def test_edge_extra_columns_pass_through_to_rejects(spark, tmp_path):
     assert rows[0]["motivo"] == "Edad no convertible a int"
     # valid row loaded normally
     assert spark.read.parquet(cfg.fact_path).count() == 1
+
+
+def test_cli_main_end_to_end(spark, tmp_path):
+    """`python -m etl_python_sqlite_spark` parity path: main() drives the
+    same run_batch over a dirty CSV and reports the audit line."""
+    import etl_python_sqlite_spark.__main__ as cli
+
+    data_in = tmp_path / "in"
+    data_in.mkdir()
+    (data_in / "personas.csv").write_text(
+        "nombre,edad,ciudad\nana,30,madrid\nbob,17,paris\ncarla,abc,roma\n"
+    )
+    # reuse the session the suite already has: main() creates via
+    # getOrCreate, so it binds to the active session rather than a new JVM
+    rc = cli.main(
+        [
+            "--data-in", str(data_in),
+            "--data-rejected", str(tmp_path / "rej"),
+            "--warehouse", str(tmp_path / "wh"),
+        ]
+    )
+    assert rc == 0
+    out = spark.read.parquet(str(tmp_path / "wh" / "personas_limpias"))
+    assert out.count() == 1  # only ana survives (bob underage, carla bad int)
