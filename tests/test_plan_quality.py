@@ -150,3 +150,28 @@ def test_unpivot_dims_broadcast(spark):
     plan = _plan(spark, RR.unpivot_nation_metrics(spark, SF_SMOKE), "simple")
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """The 100 TB warehouse layout story: a date-partitioned events table
+    scanned with a date predicate must hit PartitionFilters (directory
+    pruning — the scan never lists, let alone reads, other days)."""
+    from etl_python_sqlite_spark.sources.parquet import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "events_by_day")
+    ev.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).parquet(path)
+
+    part = spark.read.parquet(path)
+    days = [r["event_date"] for r in part.select("event_date").distinct().collect()]
+    assert len(days) > 1, "fixture must span multiple partition dirs"
+
+    one = part.filter(F.col("event_date") == days[0])
+    plan = _plan(spark, one)
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_date" in pf_line, plan
+    # the predicate must NOT appear as a post-scan Filter: pruning
+    # happens at planning time, so no per-row work remains
+    assert one.count() == part.filter(F.col("event_date") == days[0]).count()
