@@ -88,6 +88,30 @@ def py_capitalize(col: Column | str) -> Column:
 _TITLE_MARK = "\x1f "
 
 
+def _extra_cased_chars() -> str:
+    """BMP chars Python's ``title()`` treats as CASED although their
+    category is not Lu/Ll/Lt — the Other_Lowercase/Other_Uppercase sets
+    (ª º, modifier letters ʰ…ʸ, circled letters, …). 231 chars; found by
+    hypothesis ('ªA' ≠ Python). Escaped for a Java regex char class."""
+    import unicodedata
+
+    out = []
+    for cp in range(0x10000):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue
+        c = chr(cp)
+        if (c.islower() or c.isupper()) and unicodedata.category(c) not in (
+            "Lu",
+            "Ll",
+            "Lt",
+        ):
+            out.append("\\" + c if c in "[]\\^-&" else c)
+    return "".join(out)
+
+
+_EXTRA_CASED = _extra_cased_chars()
+
+
 def py_title(col: Column | str) -> Column:
     """``s.strip().lower().title()`` — reference scr/etl_relational.py:59.
 
@@ -101,13 +125,18 @@ def py_title(col: Column | str) -> Column:
 
     1. append a marker+space after every non-CASED char (uncased letters
        like CJK are word boundaries to Python, hence Lu/Ll/Lt not \\p{L} —
-       found by fuzzing) — now every cased run starts a whitespace token;
+       found by fuzzing; PLUS the Other_Lowercase/Other_Uppercase chars
+       ª º ʰ… that Python counts as cased despite category Lo/Lm/…,
+       found by hypothesis) — now every cased run starts a whitespace
+       token;
     2. ``initcap`` — titlecases each token's first letter (matches
        Python's titlecase on all exceptional chars, verified empirically);
     3. strip the marker+space pairs back out.
     """
     t = F.lower(py_strip(col))
-    marked = F.regexp_replace(t, r"([^\p{Lu}\p{Ll}\p{Lt}])", "$1" + _TITLE_MARK)
+    marked = F.regexp_replace(
+        t, "([^\\p{Lu}\\p{Ll}\\p{Lt}" + _EXTRA_CASED + "])", "$1" + _TITLE_MARK
+    )
     return F.regexp_replace(F.initcap(marked), _TITLE_MARK, "")
 
 

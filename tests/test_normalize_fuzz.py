@@ -97,3 +97,58 @@ def test_fuzz_sanitize(spark, corpus):
     for raw, g in zip(strings, got):
         expected = "".join(ch if ch.isalnum() else "_" for ch in raw)
         assert g == expected, repr(raw)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests: shrinkable unicode edge-case generation on top
+# of the fixed-corpus fuzz above (one Spark job per example — examples kept
+# low, each carrying a 40-string batch)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# BMP letters/digits/punct/whitespace; exclude surrogates (invalid in
+# parquet/UTF-8 transport) — semantics over surrogate pairs are out of
+# the engine's contract anyway
+_txt = st.text(
+    alphabet=st.characters(
+        max_codepoint=0xFFFF, exclude_categories=("Cs",)
+    ),
+    max_size=24,
+)
+_batch = st.lists(_txt, min_size=1, max_size=40)
+
+_hyp = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(strings=_batch)
+@_hyp
+def test_hypothesis_capitalize(spark, strings):
+    got = _batch_eval(spark, strings, py_capitalize("v"))
+    for raw, g in zip(strings, got):
+        assert g == raw.strip().lower().capitalize(), repr(raw)
+
+
+@given(strings=_batch)
+@_hyp
+def test_hypothesis_title(spark, strings):
+    got = _batch_eval(spark, strings, py_title("v"))
+    for raw, g in zip(strings, got):
+        assert g == raw.strip().lower().title(), repr(raw)
+
+
+@given(strings=_batch)
+@_hyp
+def test_hypothesis_strict_int(spark, strings):
+    got = _batch_eval(spark, strings, strict_int("v", "long"))
+    for raw, g in zip(strings, got):
+        try:
+            expected = int(raw)
+        except ValueError:
+            expected = None
+        assert g == expected, repr(raw)
