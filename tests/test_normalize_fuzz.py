@@ -108,12 +108,14 @@ def test_fuzz_sanitize(spark, corpus):
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-# BMP letters/digits/punct/whitespace; exclude surrogates (invalid in
-# parquet/UTF-8 transport) — semantics over surrogate pairs are out of
-# the engine's contract anyway
+# BMP chars; exclude surrogates (invalid in parquet/UTF-8 transport) and
+# unassigned codepoints (Cn): chars unassigned in CPython's Unicode table
+# but assigned in the JVM's newer one (e.g. U+A7DA) case-map differently
+# by construction — outside the parity contract (see normalize.py
+# docstring "Contract boundary")
 _txt = st.text(
     alphabet=st.characters(
-        max_codepoint=0xFFFF, exclude_categories=("Cs",)
+        max_codepoint=0xFFFF, exclude_categories=("Cs", "Cn")
     ),
     max_size=24,
 )
