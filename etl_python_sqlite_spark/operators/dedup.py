@@ -19,6 +19,15 @@ groupBy / join) so Spark distributes them; the only shuffles are on
 hash/bucket keys which are uniformly distributed by construction (no
 skew). Signatures use xxhash64 with fixed integer salts — deterministic
 across runs and clusters, no RNG state to ship.
+
+Published basis (public literature): MinHash resemblance — Broder, "On
+the resemblance and containment of documents" (SEQUENCES 1997); banding
+S-curve — Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets* ch.3;
+SimHash — Charikar, "Similarity estimation techniques from rounding
+algorithms" (STOC 2002) with the Hamming pigeonhole block scheme of
+Manku/Jain/Sarma, "Detecting near-duplicates for web crawling" (WWW
+2007); winnowing — Schleimer/Wilkerson/Aiken, "Winnowing: local
+algorithms for document fingerprinting" (SIGMOD 2003).
 """
 
 from __future__ import annotations
