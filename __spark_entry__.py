@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_label_centroid_quality": E.ext_label_centroid_quality,  # rows-only
         "set_intersect_users": R.set_intersect_users,
         "window_value_zoo": R.window_value_zoo,
+        "event_funnel_conversion": R.event_funnel_conversion,
+        "cohort_weekly_retention": R.cohort_weekly_retention,
     }
 
 
@@ -1057,6 +1059,39 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(mix_weight / token_share, 6) AS epochs_at_budget
             FROM normed
             ORDER BY source
+        """,
+        "event_funnel_conversion": """
+            WITH per_user AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                       MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+                FROM events GROUP BY user_id
+            )
+            SELECT COUNT(*) AS n_users,
+                   CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view,
+                   CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                                  AND t_purchase > t_view
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view_purchase
+            FROM per_user
+        """,
+        "cohort_weekly_retention": """
+            WITH acts AS (
+                SELECT user_id,
+                       (epoch_us(ts) // 86400000000) // 7 AS week
+                FROM events
+            ),
+            first AS (
+                SELECT user_id, MIN(week) AS cohort_week FROM acts GROUP BY user_id
+            )
+            SELECT f.cohort_week,
+                   a.week - f.cohort_week AS weeks_since,
+                   COUNT(DISTINCT a.user_id) AS n_active_users
+            FROM acts a JOIN first f ON a.user_id = f.user_id
+            GROUP BY 1, 2
+            ORDER BY cohort_week, weeks_since
         """,
         "set_intersect_users": """
             SELECT user_id FROM events WHERE event_type = 'view'

@@ -1228,3 +1228,61 @@ def window_value_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .orderBy("event_type", "rn")
     )
+
+
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → view → purchase on FIRST
+    occurrences: a user converts a step only if their first event of
+    that step happened strictly after the previous step's first event.
+    One conditional-aggregation pass per user (min(ts) per step — no
+    joins, no window), then a 1-row funnel summary; the shape every
+    product-analytics warehouse runs hourly.
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def first_ts(etype: str) -> Column:
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    step2 = F.col("t_signup").isNotNull() & (F.col("t_view") > F.col("t_signup"))
+    step3 = step2 & (F.col("t_purchase") > F.col("t_view"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_signup").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_signup"),
+        F.sum(F.when(step2, 1).otherwise(0)).cast("long").alias("n_signup_view"),
+        F.sum(F.when(step3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_signup_view_purchase"),
+    )
+
+
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    as retained in each subsequent week they act. Two aggregations —
+    first-seen per user (uniform user_id shuffle), then distinct users
+    per (cohort_week, weeks_since) — the canonical retention triangle.
+    Weeks are integer epoch-day arithmetic (``div 7``), identical on
+    both engines, no timezone/week-start semantics to disagree on.
+    """
+    ev = table(spark, sf_dir, "events")
+    # integer `div`, never float division: epoch-micros (~1.7e15) exceeds
+    # the double mantissa, so /86.4e9 can misplace events at day edges
+    acts = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000 div 7").alias("week")
+    )
+    first = acts.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        acts.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
