@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_value_zoo": R.window_value_zoo,
         "event_funnel_conversion": R.event_funnel_conversion,
         "cohort_weekly_retention": R.cohort_weekly_retention,
+        "skew_salted_join": R.skew_salted_join,
     }
 
 
@@ -1059,6 +1060,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(mix_weight / token_share, 6) AS epochs_at_budget
             FROM normed
             ORDER BY source
+        """,
+        "skew_salted_join": """
+            WITH user_dim AS (
+                SELECT user_id,
+                       CASE WHEN COUNT(*) >= 100 THEN 'heavy' ELSE 'light' END AS user_tier
+                FROM events GROUP BY user_id
+            )
+            SELECT e.event_type, d.user_tier,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(e.value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+            FROM events e JOIN user_dim d ON e.user_id = d.user_id
+            GROUP BY 1, 2
+            ORDER BY event_type, user_tier
         """,
         "event_funnel_conversion": """
             WITH per_user AS (

@@ -1286,3 +1286,34 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active_users"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact⋈dim join through the salting machinery: events
+    (user_id is the skewable probe key) joined to a derived per-user dim
+    via ``salted_broadcast_join``, then a per-event-type rollup. The
+    oracle replays a PLAIN join — salting must be a pure execution-level
+    rewrite with zero result-semantics footprint, and this query pins
+    exactly that equivalence at the driver gate.
+    """
+    from etl_python_sqlite_spark.operators.skew import salted_broadcast_join
+
+    ev = table(spark, sf_dir, "events")
+    user_dim = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("user_events"))
+        .withColumn(
+            "user_tier",
+            F.when(F.col("user_events") >= 100, "heavy").otherwise("light"),
+        )
+        .select("user_id", "user_tier")
+    )
+    joined = salted_broadcast_join(ev, user_dim, on="user_id", n_salts=8)
+    return (
+        joined.groupBy("event_type", "user_tier")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum("value", 2).alias("sum_value"),
+        )
+        .orderBy("event_type", "user_tier")
+    )
