@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel_conversion": R.event_funnel_conversion,
         "cohort_weekly_retention": R.cohort_weekly_retention,
         "skew_salted_join": R.skew_salted_join,
+        "recursive_month_spine": R.recursive_month_spine,
     }
 
 
@@ -1060,6 +1061,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(mix_weight / token_share, 6) AS epochs_at_budget
             FROM normed
             ORDER BY source
+        """,
+        "recursive_month_spine": """
+            WITH RECURSIVE spine(m) AS (
+                SELECT min(year(ts) * 12 + month(ts) - 1) FROM events
+                UNION ALL
+                SELECT m + 1 FROM spine
+                WHERE m < (SELECT max(year(ts) * 12 + month(ts) - 1) FROM events)
+            ),
+            monthly AS (
+                SELECT year(ts) * 12 + month(ts) - 1 AS m,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY 1
+            )
+            SELECT CAST(s.m AS BIGINT) AS month_index,
+                   CAST(s.m // 12 AS BIGINT) AS year,
+                   CAST(s.m % 12 + 1 AS BIGINT) AS month,
+                   CAST(COALESCE(mo.n_events, 0) AS BIGINT) AS n_events
+            FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
+            ORDER BY month_index
         """,
         "skew_salted_join": """
             WITH user_dim AS (

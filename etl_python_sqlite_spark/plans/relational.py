@@ -1317,3 +1317,40 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "user_tier")
     )
+
+
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE calendar spine (Spark 4 ``WITH RECURSIVE``): the
+    contiguous month sequence spanning the events table, left-joined to
+    per-month activity so ZERO-activity months appear explicitly — the
+    classic warehouse spine that a bare GROUP BY can never produce
+    (grouping can't emit rows for data that isn't there).
+
+    Months are integer indices (year·12 + month−1): pure int arithmetic
+    recursion, no date-type output (cross-engine canon), depth = corpus
+    month span (~80 at any SF — far under the recursion limit).
+    """
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_spine_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+            SELECT min(year(ts) * 12 + month(ts) - 1) FROM _spine_events
+            UNION ALL
+            SELECT m + 1 FROM spine
+            WHERE m < (SELECT max(year(ts) * 12 + month(ts) - 1)
+                       FROM _spine_events)
+        ),
+        monthly AS (
+            SELECT year(ts) * 12 + month(ts) - 1 AS m,
+                   COUNT(*) AS n_events
+            FROM _spine_events GROUP BY 1
+        )
+        SELECT CAST(s.m AS BIGINT) AS month_index,
+               CAST(s.m div 12 AS BIGINT) AS year,
+               CAST(s.m % 12 + 1 AS BIGINT) AS month,
+               CAST(COALESCE(mo.n_events, 0) AS BIGINT) AS n_events
+        FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
+        ORDER BY month_index
+        """
+    )
