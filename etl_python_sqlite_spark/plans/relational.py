@@ -1330,21 +1330,26 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion, no date-type output (cross-engine canon), depth = corpus
     month span (~80 at any SF — far under the recursion limit).
     """
+    import uuid
+
     ev = table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("_spine_events")
+    # per-call view name: a shared name would race under concurrent
+    # query submission (bench's thread pool, multi-tenant sessions)
+    view = f"_spine_events_{uuid.uuid4().hex}"
+    ev.createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE spine(m) AS (
-            SELECT min(year(ts) * 12 + month(ts) - 1) FROM _spine_events
+            SELECT min(year(ts) * 12 + month(ts) - 1) FROM {view}
             UNION ALL
             SELECT m + 1 FROM spine
             WHERE m < (SELECT max(year(ts) * 12 + month(ts) - 1)
-                       FROM _spine_events)
+                       FROM {view})
         ),
         monthly AS (
             SELECT year(ts) * 12 + month(ts) - 1 AS m,
                    COUNT(*) AS n_events
-            FROM _spine_events GROUP BY 1
+            FROM {view} GROUP BY 1
         )
         SELECT CAST(s.m AS BIGINT) AS month_index,
                CAST(s.m div 12 AS BIGINT) AS year,
