@@ -74,8 +74,17 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             return name, -1.0
 
-    # pass 1: sequential per-query latency
-    timings = dict(run_one(item) for item in queries.items())
+    # pass 1: sequential per-query latency. Cache is cleared between
+    # queries: several EXT pipelines persist intermediates (LSH frames,
+    # shingle sets) and by the ~90th query the accumulated cached blocks
+    # were measured to inflate tail-query timings 5-7× through GC
+    # pressure — per-query latency must not depend on run order.
+    def run_one_isolated(item: tuple) -> tuple:
+        out = run_one(item)
+        spark.catalog.clearCache()
+        return out
+
+    timings = dict(run_one_isolated(item) for item in queries.items())
     sequential_total = round(sum(t for t in timings.values() if t >= 0), 4)
 
     # pass 2: concurrent batch throughput (warm plans) — best of two runs
