@@ -77,7 +77,56 @@ def _langid_char_sql(text: str = "text") -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver records at most 50 CORRECTNESS rows,
+    # taken from the head of this dict. Rounds 1-2 produced green rows for
+    # the original first 50 entries (identical key set both rounds), so the
+    # 40 round-2 additions that never received a driver row are promoted to
+    # the front here, followed by this round's new queries — the
+    # twice-attested block closes the dict.
     return {
+        # -- round-2 additions, driver-unattested until now ---------------
+        "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
+        "ext_ann_knn_join": E.ext_ann_knn_join,                  # rows-only
+        "ext_multimodal_decode": E.ext_multimodal_decode,
+        "ext_curation_funnel": E.ext_curation_funnel,
+        "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,  # rows-only
+        "ext_dedup_clusters": E.ext_dedup_clusters,
+        "ext_minhash_dedup_clusters": E.ext_minhash_dedup_clusters,  # rows-only
+        "ext_repetition_filter": E.ext_repetition_filter,
+        "ext_contamination_scan": E.ext_contamination_scan,
+        "ext_tfidf_top_terms": E.ext_tfidf_top_terms,
+        "supplier_profit_by_nation": R.supplier_profit_by_nation,
+        "window_moving_avg": R.window_moving_avg,
+        "lag_gap_analysis": R.lag_gap_analysis,
+        "string_agg_nations": R.string_agg_nations,
+        "grouping_sets_status_year": R.grouping_sets_status_year,
+        "ext_seq_packing": E.ext_seq_packing,
+        "ext_domain_mixture": E.ext_domain_mixture,
+        "ext_word_df_histogram": E.ext_word_df_histogram,
+        "ext_incremental_dedup": E.ext_incremental_dedup,
+        "ext_quality_sample": E.ext_quality_sample,
+        "range_interval_window": R.range_interval_window,
+        "unpivot_nation_metrics": R.unpivot_nation_metrics,
+        "ntile_value_quartiles": R.ntile_value_quartiles,
+        "ship_delay_histogram": R.ship_delay_histogram,
+        "orders_above_customer_avg": R.orders_above_customer_avg,
+        "ext_pii_redact": E.ext_pii_redact,
+        "numeric_profile": R.numeric_profile,
+        "dq_referential_audit": R.dq_referential_audit,
+        "shipping_priority_topn": R.shipping_priority_topn,
+        "local_supplier_volume": R.local_supplier_volume,
+        "returned_items_by_customer": R.returned_items_by_customer,
+        "rank_tie_semantics": R.rank_tie_semantics,
+        "ext_word_rarity_score": E.ext_word_rarity_score,
+        "ext_label_centroid_quality": E.ext_label_centroid_quality,  # rows-only
+        "set_intersect_users": R.set_intersect_users,
+        "window_value_zoo": R.window_value_zoo,
+        "event_funnel_conversion": R.event_funnel_conversion,
+        "cohort_weekly_retention": R.cohort_weekly_retention,
+        "skew_salted_join": R.skew_salted_join,
+        "recursive_month_spine": R.recursive_month_spine,
+        # -- round-3 additions (slots 41-50 stay inside the driver cap) ---
+        # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
         "groupby_count_avg": R.groupby_count_avg,
@@ -130,50 +179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_pii_scan": E.ext_pii_scan,
         "ext_stratified_split": E.ext_stratified_split,
         "multires_rollup": R.multires_rollup,
-        "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
-        "ext_ann_knn_join": E.ext_ann_knn_join,                  # rows-only
-        "ext_multimodal_decode": E.ext_multimodal_decode,
-        "ext_curation_funnel": E.ext_curation_funnel,
-        "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,  # rows-only
-        "ext_dedup_clusters": E.ext_dedup_clusters,
-        "ext_minhash_dedup_clusters": E.ext_minhash_dedup_clusters,  # rows-only
-        "ext_repetition_filter": E.ext_repetition_filter,
-        "ext_contamination_scan": E.ext_contamination_scan,
-        "ext_tfidf_top_terms": E.ext_tfidf_top_terms,
-        # round-2 SQL-surface growth (supplier joins, window frames,
-        # lead/lag, ordered string agg, explicit grouping sets)
-        "supplier_profit_by_nation": R.supplier_profit_by_nation,
-        "window_moving_avg": R.window_moving_avg,
-        "lag_gap_analysis": R.lag_gap_analysis,
-        "string_agg_nations": R.string_agg_nations,
-        "grouping_sets_status_year": R.grouping_sets_status_year,
-        # round-2 training-pipeline surface (packing, mixture, vocab audit)
-        "ext_seq_packing": E.ext_seq_packing,
-        "ext_domain_mixture": E.ext_domain_mixture,
-        "ext_word_df_histogram": E.ext_word_df_histogram,
-        "ext_incremental_dedup": E.ext_incremental_dedup,
-        "ext_quality_sample": E.ext_quality_sample,
-        "range_interval_window": R.range_interval_window,
-        "unpivot_nation_metrics": R.unpivot_nation_metrics,
-        "ntile_value_quartiles": R.ntile_value_quartiles,
-        "ship_delay_histogram": R.ship_delay_histogram,
-        "orders_above_customer_avg": R.orders_above_customer_avg,
-        "ext_pii_redact": E.ext_pii_redact,
-        "numeric_profile": R.numeric_profile,
-        "dq_referential_audit": R.dq_referential_audit,
-        # TPC-H classic shapes (Q3/Q5/Q10) on the star schema
-        "shipping_priority_topn": R.shipping_priority_topn,
-        "local_supplier_volume": R.local_supplier_volume,
-        "returned_items_by_customer": R.returned_items_by_customer,
-        "rank_tie_semantics": R.rank_tie_semantics,
-        "ext_word_rarity_score": E.ext_word_rarity_score,
-        "ext_label_centroid_quality": E.ext_label_centroid_quality,  # rows-only
-        "set_intersect_users": R.set_intersect_users,
-        "window_value_zoo": R.window_value_zoo,
-        "event_funnel_conversion": R.event_funnel_conversion,
-        "cohort_weekly_retention": R.cohort_weekly_retention,
-        "skew_salted_join": R.skew_salted_join,
-        "recursive_month_spine": R.recursive_month_spine,
     }
 
 
