@@ -1,0 +1,99 @@
+"""Scoped persist lifecycle — cache intermediates for exactly as long as
+the result that needs them.
+
+Several operators persist derived frames because Catalyst re-inlines a
+non-cached subplan into BOTH sides of a self-join (the measured hazards
+are documented at each call site).  A bare ``.persist()`` is correct for
+the query but wrong for the session: the CacheManager holds the entry
+until an explicit ``unpersist()``, so in a long-lived multi-tenant
+session every dedup/LSH call pins executor storage forever — unbounded
+storage-memory growth and eviction pressure at warehouse scale.
+
+``tie(result, *cached)`` scopes the cache to the RESULT's lifetime
+instead: a ``weakref.finalize`` on the returned DataFrame unpersists the
+intermediates the moment the caller drops the result (CPython refcounting
+makes that prompt), or immediately via ``release(result)``.  The
+intermediates stay strongly referenced by the finalizer until then, so
+the cached plans remain valid for every action the caller runs.
+
+Why not eager ``localCheckpoint`` + unpersist-before-return: that would
+materialize at build time (breaking lazy composition and plan
+introspection — ``.explain`` would show an opaque scan-from-RDD instead
+of the real join tree the plan-quality gates assert on) and the
+checkpoint blocks themselves would pin storage for the result frame's
+lifetime anyway.  Tying the existing lazy caches costs nothing at build
+time and keeps the full Catalyst plan visible.
+
+Composition rule: an operator that derives a new frame from a tied
+result must keep the tied result alive as long as its own output —
+pass it via ``keepalive=`` so the chain of finalizers unwinds outward-in.
+"""
+
+from __future__ import annotations
+
+import weakref
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+
+_RELEASE_ATTR = "_spark_graft_release"
+
+
+def tie(
+    result: DataFrame,
+    *cached: DataFrame,
+    keepalive: Iterable[DataFrame] = (),
+) -> DataFrame:
+    """Unpersist ``cached`` when ``result`` is garbage-collected (or on
+    ``release(result)``).  ``keepalive`` frames are merely held — their
+    own finalizers fire once this result lets go of them."""
+    frames = tuple(cached)
+    keep = tuple(keepalive)
+
+    def _release(_frames=frames, _keep=keep) -> None:
+        for f in _frames:
+            try:
+                f.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing left to release
+
+    fin = weakref.finalize(result, _release)
+    # the JVM gateway may already be gone at interpreter shutdown; skip
+    # the atexit sweep and let the process teardown reclaim everything
+    fin.atexit = False
+    setattr(result, _RELEASE_ATTR, fin)
+    return result
+
+
+def tie_shared(
+    results: Iterable[DataFrame], *cached: DataFrame
+) -> list[DataFrame]:
+    """Like ``tie`` for operators returning SEVERAL frames over the same
+    cached parent (e.g. a good/reject split): the parent is unpersisted
+    only after the LAST surviving result is dropped."""
+    out = list(results)
+    frames = tuple(cached)
+    remaining = {"n": len(out)}
+
+    def _release_one(_frames=frames, _remaining=remaining) -> None:
+        _remaining["n"] -= 1
+        if _remaining["n"] <= 0:
+            for f in _frames:
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
+
+    for r in out:
+        fin = weakref.finalize(r, _release_one)
+        fin.atexit = False
+        setattr(r, _RELEASE_ATTR, fin)
+    return out
+
+
+def release(df: DataFrame) -> None:
+    """Explicitly run a frame's tied cleanup now (idempotent, optional —
+    dropping the frame has the same effect)."""
+    fin = getattr(df, _RELEASE_ATTR, None)
+    if fin is not None:
+        fin()

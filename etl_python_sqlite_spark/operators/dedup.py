@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_python_sqlite_spark.functions.text import token_fingerprint, word_shingles
+from etl_python_sqlite_spark.operators.cache import tie
 
 
 def exploded_shingles(
@@ -117,40 +118,36 @@ def normalized_dedup_groups(
 # 3. exact n-gram Jaccard similarity
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    threshold: float = 0.5,
-    k: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _jaccard_candidates(
+    inv: DataFrame,
+    id_col: str,
+    max_shingle_df: int | None,
 ) -> DataFrame:
-    """All pairs (a<b) with Jaccard(shingles_a, shingles_b) ≥ threshold
-    (``threshold`` must be > 0). Returns (id_a, id_b, jaccard).
+    """Candidate (id_a < id_b) pairs from an inverted index of per-doc
+    DISTINCT (id, shingle) rows.
 
-    EXACT — no recall loss — but not quadratic: a pair with jaccard > 0
-    shares at least one shingle, so candidates come from an
-    inverted-index equi-join on (distinct) exploded shingles, and the
-    exact jaccard is evaluated on candidates only. The previous
-    all-pairs formulation compiled to a BroadcastNestedLoopJoin on the
-    range condition — 125k jaccard evaluations for 500 docs (11 s at
-    sf0.1) where this plan does ~10² (1.5 s), and the equi-join keeps
-    working at corpus scale while any O(n²) plan cannot.
+    A shingle appearing in f documents contributes f·(f-1)/2 candidate
+    rows to the self-join — one stop-shingle shared by the whole corpus
+    makes the join quadratic in corpus size. ``max_shingle_df`` drops
+    shingles with document frequency above the cap BEFORE the join
+    (standard stop-shingle pruning, cf. the suffix-filtering literature
+    the module docstring cites), bounding candidate work at
+    O(n_shingles · max_shingle_df). Verification downstream still scores
+    FULL shingle sets, so a surviving pair's jaccard is exact; the only
+    recall loss is a pair whose EVERY shared shingle exceeds the cap —
+    at any sane cap such docs share only boilerplate, not content.
     """
-    if threshold <= 0:
-        # the inverted-index candidate pass only sees pairs sharing ≥1
-        # shingle; zero-overlap pairs (jaccard = 0) are structurally
-        # invisible to it, so threshold ≤ 0 would silently under-return
-        raise ValueError("ngram_jaccard_pairs requires threshold > 0")
-    # persist both derived frames: each feeds both sides of a self-join,
-    # and without it Catalyst re-inlines the shingle construction per
-    # PAIR row instead of per doc
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
-    ).persist()
-    inv = sh.select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
-    ).persist()
-    cands = (
+    if max_shingle_df is not None:
+        stop = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        # the stop set is tiny by construction (≤ total_rows / cap) —
+        # broadcast the anti-join so the inverted index never reshuffles
+        inv = inv.join(F.broadcast(stop), "shingle", "left_anti")
+    return (
         inv.alias("a")
         .join(
             inv.alias("b"),
@@ -163,11 +160,55 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = 10_000,
+) -> DataFrame:
+    """All pairs (a<b) with Jaccard(shingles_a, shingles_b) ≥ threshold
+    (``threshold`` must be > 0). Returns (id_a, id_b, jaccard).
+
+    EXACT on every emitted pair — but not quadratic: a pair with
+    jaccard > 0 shares at least one shingle, so candidates come from an
+    inverted-index equi-join on (distinct) exploded shingles, and the
+    exact jaccard is evaluated on candidates only. The previous
+    all-pairs formulation compiled to a BroadcastNestedLoopJoin on the
+    range condition — 125k jaccard evaluations for 500 docs (11 s at
+    sf0.1) where this plan does ~10² (1.5 s), and the equi-join keeps
+    working at corpus scale while any O(n²) plan cannot.
+
+    ``max_shingle_df`` guards the inverted index against stop-shingles
+    (see ``_jaccard_candidates``): a shingle in f docs costs f²/2 join
+    rows, so one corpus-wide boilerplate phrase would otherwise re-create
+    the quadratic blowup this plan exists to avoid. Pass ``None`` for the
+    fully exact (cap-free) variant on bounded samples.
+    """
+    if threshold <= 0:
+        # the inverted-index candidate pass only sees pairs sharing ≥1
+        # shingle; zero-overlap pairs (jaccard = 0) are structurally
+        # invisible to it, so threshold ≤ 0 would silently under-return
+        raise ValueError("ngram_jaccard_pairs requires threshold > 0")
+    # persist both derived frames: each feeds both sides of a self-join,
+    # and without it Catalyst re-inlines the shingle construction per
+    # PAIR row instead of per doc (caches are scoped to the returned
+    # frame via tie())
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("shingles")
+    ).persist()
+    inv = sh.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    ).persist()
+    cands = _jaccard_candidates(inv, id_col, max_shingle_df)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         cands.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -175,6 +216,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return tie(out, sh, inv)
 
 
 # ---------------------------------------------------------------------------
@@ -285,7 +327,7 @@ def lsh_candidate_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -297,6 +339,7 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+    return tie(out, signatures)
 
 
 def minhash_near_dups(
@@ -376,7 +419,7 @@ def minhash_near_dups(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified
+    return tie(verified, banded, cands, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -458,7 +501,7 @@ def simhash_near_dups(
     a = blocks.alias("a")
     b = blocks.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
@@ -473,6 +516,7 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return tie(out, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -537,10 +581,11 @@ def winnowing_overlap_pairs(
     fp = winnowing_fingerprints(df, k, window, text_col, id_col).persist()
     a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
-    return (
+    out = (
         a.join(b, "fingerprint")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    return tie(out, fp)

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_python_sqlite_spark.operators.cache import tie
+
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Distinct undirected edges as (u, v), self-loops dropped."""
@@ -140,13 +142,22 @@ def connected_components(
     per round. ``max_iter`` is a safety rail far above the O(log n)
     bound.
     """
-    e = _canonical_edges(edges, src, dst).persist()
+    first = _canonical_edges(edges, src, dst).persist()
+    e = first
     prev = _checksum(e)
     converged = False
     for _ in range(max_iter):
         if prev[0] <= local_edge_limit:
-            return _local_components(e)
+            # the result plan still reads the persisted edge frame when no
+            # star round ran — scope that cache to the result's lifetime
+            # (checkpointed rounds self-clean via the ContextCleaner once
+            # their frames drop)
+            out = _local_components(e)
+            return tie(out, first) if e is first else out
         e2 = _small_star(_large_star(e)).localCheckpoint()
+        if e is first:
+            # the checkpoint above materialized past the cache — release it
+            first.unpersist()
         cur = _checksum(e2)
         e = e2
         if cur == prev:
@@ -160,7 +171,8 @@ def connected_components(
         # nodes (review finding). Fall back to the exact single-task
         # union-find — correct on ANY edge set; loud (OOM) rather than
         # silently wrong if the graph is still pathologically large.
-        return _local_components(e)
+        out = _local_components(e)
+        return tie(out, first) if e is first else out
     roots = e.select(F.col("v").alias("id")).distinct()
     return (
         e.select(F.col("u").alias("id"), F.col("v").alias("component"))
@@ -191,6 +203,9 @@ def dedup_cluster_assignment(
         id_col, F.coalesce("component", F.col(id_col)).alias("cluster_id")
     )
     sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return labeled.join(sizes, "cluster_id").select(
+    out = labeled.join(sizes, "cluster_id").select(
         id_col, "cluster_id", "cluster_size"
     )
+    # comp (and, through it, edges) may carry tied caches — keep them
+    # alive for as long as this derived result is
+    return tie(out, keepalive=[comp, edges])

@@ -80,9 +80,12 @@ class AppendResult:
     inserted_new: int
     ignored_duplicates: int
     target_path: str
-    #: group value → (inserted_new, ignored_duplicates); populated only
-    #: when ``group_col`` was given (per-source-file audit accounting)
-    per_group: dict | None = None
+    #: tiny DataFrame (group_col, inserted_new, ignored_duplicates);
+    #: populated only when ``group_col`` was given. Kept DISTRIBUTED —
+    #: consumers join it into their audit frames instead of collecting
+    #: per-file counts through the driver (bounded O(#files) rows, but a
+    #: distributed→driver→distributed round trip is never the right shape)
+    per_group: DataFrame | None = None
 
 
 def idempotent_append(
@@ -168,16 +171,30 @@ def _append_with_accounting(
         inserted = new_rows.count()
         per_group = None
         if group_col is not None:
-            attempted_by = {
-                r[0]: r[1] for r in batch.groupBy(group_col).count().collect()
-            }
-            inserted_by = {
-                r[0]: r[1] for r in new_rows.groupBy(group_col).count().collect()
-            }
-            per_group = {
-                g: (inserted_by.get(g, 0), n - inserted_by.get(g, 0))
-                for g, n in attempted_by.items()
-            }
+            attempted_by = batch.groupBy(group_col).agg(
+                F.count("*").alias("_attempted")
+            )
+            inserted_by = new_rows.groupBy(group_col).agg(
+                F.count("*").alias("_inserted")
+            )
+            # localCheckpoint (tiny: one row per group) pins the counts
+            # while new_rows is still cached — the returned frame must not
+            # recompute the anti-join after the unpersist below; its blocks
+            # free with the frame (ContextCleaner), unlike a CacheManager
+            # persist
+            per_group = (
+                attempted_by.join(inserted_by, on=group_col, how="left")
+                .select(
+                    group_col,
+                    F.coalesce("_inserted", F.lit(0))
+                    .cast("long")
+                    .alias("inserted_new"),
+                    (F.col("_attempted") - F.coalesce("_inserted", F.lit(0)))
+                    .cast("long")
+                    .alias("ignored_duplicates"),
+                )
+                .localCheckpoint()
+            )
         if inserted:
             out = new_rows.drop(group_col) if group_col else new_rows
             if id_col is not None:

@@ -442,10 +442,9 @@ def run_directory_combined(
         )
         res = _append_fact(spark, cfg, batch, id_start=start, group_col="source_file")
 
-        per_file = spark.createDataFrame(
-            [(g, ins, ign) for g, (ins, ign) in (res.per_group or {}).items()],
-            "source_file string, inserted_new long, ignored_duplicates long",
-        )
+        # per_group is already a tiny DISTRIBUTED frame — join it straight
+        # into the audit, no driver round trip
+        per_file = res.per_group
         audit = (
             ann.groupBy("source_file")
             .agg(

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from etl_python_sqlite_spark.functions import text as X
 from etl_python_sqlite_spark.operators import dedup as D
 from etl_python_sqlite_spark.operators import similarity as S
+from etl_python_sqlite_spark.operators.cache import tie
 from etl_python_sqlite_spark.sources.parquet import load_table
 
 
@@ -54,19 +55,19 @@ def ext_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the LSH path; quadratic by design)."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.05, k=3)
-    return pairs.select(
+    out = pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+    return tie(out, keepalive=[pairs])
 
 
 def ext_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 — MinHash+LSH near-dup pipeline (rows-only check; pytest carries
     the ground-truth comparison against exact Jaccard)."""
     docs = _docs(spark, sf_dir)
-    return (
-        D.minhash_near_dups(docs, threshold=0.3)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    pairs = D.minhash_near_dups(docs, threshold=0.3)
+    out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return tie(out, keepalive=[pairs])
 
 
 def ext_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,10 +421,9 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_python_sqlite_spark.operators.graph import dedup_cluster_assignment
 
     sample = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
-    edges = D.ngram_jaccard_pairs(sample, threshold=0.25, k=3).select(
-        "id_a", "id_b"
-    )
-    return dedup_cluster_assignment(sample, edges)
+    pairs = D.ngram_jaccard_pairs(sample, threshold=0.25, k=3)
+    assign = dedup_cluster_assignment(sample, pairs.select("id_a", "id_b"))
+    return tie(assign, keepalive=[pairs])
 
 
 def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,7 +543,7 @@ def ext_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated"))
     )
-    return (
+    out = (
         totals.filter(F.col("doc_id") % 50 != 0)
         .join(hits, "doc_id", "left")
         .select(
@@ -558,6 +558,7 @@ def ext_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_contaminated") > 0)
         .orderBy("doc_id")
     )
+    return tie(out, sh)
 
 
 def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,14 +608,15 @@ def ext_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_python_sqlite_spark.operators.graph import dedup_cluster_assignment
 
     docs = _docs(spark, sf_dir)
-    edges = D.minhash_near_dups(docs, threshold=0.3).select("id_a", "id_b")
-    assign = dedup_cluster_assignment(docs, edges)
-    return (
+    pairs = D.minhash_near_dups(docs, threshold=0.3)
+    assign = dedup_cluster_assignment(docs, pairs.select("id_a", "id_b"))
+    out = (
         assign.filter(F.col("cluster_size") > 1)
         .groupBy("cluster_id", "cluster_size")
         .agg(F.count("*").alias("n_members"))
         .orderBy("cluster_id")
     )
+    return tie(out, keepalive=[assign, pairs])
 
 
 def ext_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:

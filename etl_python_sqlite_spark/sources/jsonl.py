@@ -75,12 +75,18 @@ def split_rejects(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     that reference ONLY the internal corrupt-record column of a raw JSON
     scan, and the two outputs would otherwise re-parse the files twice —
     one cached pass feeds both splits, which is also the right shape at
-    scale (split once, route twice)."""
+    scale (split once, route twice). The cache is scoped to the two
+    returned frames (``operators.cache.tie_shared``): it is released as
+    soon as the caller drops both, so per-file batch loops don't
+    accumulate cached blocks across a long session."""
+    from etl_python_sqlite_spark.operators.cache import tie_shared
+
     df = df.persist()
     good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     rejects = df.filter(F.col(_CORRUPT).isNotNull()).select(
         F.col(_CORRUPT).alias("raw_line")
     )
+    good, rejects = tie_shared([good, rejects], df)
     return good, rejects
 
 

@@ -78,6 +78,7 @@ def process_microbatch(
     from etl_python_sqlite_spark.pipeline import write_rejects_csv_by_file
 
     batch_df = batch_df.persist()
+    ann = None
     try:
         if batch_df.isEmpty():
             return
@@ -133,10 +134,8 @@ def process_microbatch(
             group_col="source_file",
         )
 
-        per_file = spark.createDataFrame(
-            [(g, ins, ign) for g, (ins, ign) in (res.per_group or {}).items()],
-            "source_file string, inserted_new long, ignored_duplicates long",
-        )
+        # per_group is already a tiny distributed frame keyed on source_file
+        per_file = res.per_group
         audit = (
             ann.groupBy("source_file")
             .agg(
@@ -165,6 +164,10 @@ def process_microbatch(
         )
         audit.write.mode("append").parquet(cfg.audit_path)
     finally:
+        # release BOTH per-batch caches — a streaming job runs this body
+        # once per micro-batch, so a leaked cache grows without bound
+        if ann is not None:
+            ann.unpersist()
         batch_df.unpersist()
 
 

@@ -148,3 +148,52 @@ def test_winnowing_overlap_pairs_find_planted(spark, corpus):
     # planted 2-edit mutations share long word runs → fingerprints overlap
     planted = [(100 + 2 * j, 101 + 2 * j) for j in range(10)]
     assert sum(p in pairs for p in planted) >= 8
+
+
+def test_shingle_df_cap_bounds_candidates(spark):
+    """Adversarial stop-shingle corpus: every doc shares one universal
+    3-gram ("the terms apply") plus unique content. Uncapped, that one
+    shingle alone yields C(N,2) candidate pairs; with the cap the
+    candidate count is bounded by the genuinely-similar pairs."""
+    from etl_python_sqlite_spark.operators.dedup import (
+        _jaccard_candidates,
+        exploded_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    n = 60
+    rows = [(i, f"unique{i} alpha{i} beta{i} the terms apply") for i in range(n)]
+    # plant one true near-dup pair sharing RARE shingles (ids 1000/1001)
+    rows.append((1000, "rare one two three four five six seven"))
+    rows.append((1001, "rare one two three four five six eight"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    inv = exploded_shingles(df, k=3).dropDuplicates(["doc_id", "shingle"])
+
+    uncapped = _jaccard_candidates(inv, "doc_id", None).count()
+    capped = _jaccard_candidates(inv, "doc_id", 5).count()
+    assert uncapped >= n * (n - 1) // 2  # the stop-shingle went quadratic
+    # O(N·τ) bound: each surviving shingle (df ≤ 5) contributes ≤ df²/2
+    # pairs; here only the planted pair's rare shingles survive
+    assert capped == 1
+
+    # end-to-end: the planted pair is still found at its EXACT jaccard,
+    # and stop-shingle-only pairs are not emitted
+    pairs = ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1000, 1001)]
+
+
+def test_shingle_df_cap_noop_below_cap(spark, corpus):
+    """On the standard test corpus (no shingle near the default cap) the
+    capped and cap-free operators return identical pairs."""
+    with_cap = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in D.ngram_jaccard_pairs(corpus, threshold=0.3).collect()
+    }
+    no_cap = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in D.ngram_jaccard_pairs(
+            corpus, threshold=0.3, max_shingle_df=None
+        ).collect()
+    }
+    assert with_cap == no_cap and with_cap
