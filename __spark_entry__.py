@@ -33,13 +33,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # NOT trim(): trim strips only 0x20 spaces, so trailing tab/newline would
 # leave a phantom empty token after the split — mirrors functions.text's
 # _ws_strip (tests/test_text_fuzz.py pins Python str.split() parity)
-_WS_STRIP = "regexp_replace({c}, '^\\s+|\\s+$', '', 'g')"
-_WORDS = f"string_split_regex({_WS_STRIP.format(c='{c}')}, '\\s+')"
+_WS_STRIP = "regexp_replace({c}, '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g')"
+_WORDS = f"string_split_regex({_WS_STRIP.format(c='{c}')}, '[ \\t\\n\\x0B\\f\\r]+')"
 _N_WORDS = (
     f"CASE WHEN length({_WS_STRIP.format(c='{c}')}) = 0 THEN 0 "
-    f"ELSE len(string_split_regex({_WS_STRIP.format(c='{c}')}, '\\s+')) END"
+    f"ELSE len(string_split_regex({_WS_STRIP.format(c='{c}')}, '[ \\t\\n\\x0B\\f\\r]+')) END"
 )
-_TOKEN_RE_SQL = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+_TOKEN_RE_SQL = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"
 
 
 def _langid_sql(text: str = "text") -> str:
@@ -50,7 +50,7 @@ def _langid_sql(text: str = "text") -> str:
     for lang in langs:
         in_list = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
         scores[lang] = (
-            f"len(list_filter(string_split_regex(regexp_replace(lower({text}), '^\\s+|\\s+$', '', 'g'), '\\s+'), "
+            f"len(list_filter(string_split_regex(regexp_replace(lower({text}), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+'), "
             f"w -> w IN ({in_list})))"
         )
     best = "greatest(" + ", ".join(scores[lang] for lang in langs) + ")"
@@ -570,7 +570,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT doc_id, source,
                        len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
-                       len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+                       len(regexp_extract_all(text, 'https?://[^ \\t\\n\\x0B\\f\\r]+')) AS n_urls,
                        len(regexp_extract_all(text, '[0-9]{6,}')) AS n_digit_runs
                 FROM documents
             )
@@ -643,12 +643,12 @@ def oracle_sql() -> dict[str, str]:
                                (doc_id * 2654435761) % 4294967296 % 100 AS h,
                                {_N_WORDS.format(c='text')} AS n_words,
                                CASE WHEN {_N_WORDS.format(c='text')} > 0 THEN
-                                   CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                                   CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+'),
                                             w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
                                    / {_N_WORDS.format(c='text')}
                                ELSE 0.0e0 END AS sw_ratio,
                                CASE WHEN length(text) > 0 THEN
-                                   CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                                   CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                                    / length(text)
                                ELSE 0.0e0 END AS p_ratio
                         FROM documents
@@ -964,11 +964,11 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars_actual,
                    len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_tokens,
                    CASE WHEN {_N_WORDS.format(c='text')} > 0 THEN
-                       ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                       ROUND(CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE)
                              / {_N_WORDS.format(c='text')}, 6)
                    END AS avg_word_len,
                    CASE WHEN length(text) > 0 THEN
-                       ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                       ROUND(CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                              / length(text), 6)
                    ELSE 0.0 END AS punct_ratio
             FROM documents
@@ -995,12 +995,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        {_N_WORDS.format(c='text')} AS n_words,
                        CASE WHEN {_N_WORDS.format(c='text')} > 0 THEN
-                           CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                           CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+'),
                                     w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
                            / {_N_WORDS.format(c='text')}
                        ELSE 0.0e0 END AS sw_ratio,
                        CASE WHEN length(text) > 0 THEN
-                           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                           CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                            / length(text)
                        ELSE 0.0e0 END AS p_ratio
                 FROM documents
@@ -1138,16 +1138,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id FROM events WHERE event_type = 'purchase'
         """,
         "window_value_zoo": """
+            -- pct_rank/cume via the integer micro-unit half-up formula
+            -- (total order: percent_rank = (rn-1)/(n-1), cume = rn/n) --
+            -- ROUND(double) is not portable across engines
             SELECT event_type, event_id, value,
-                   min_value, max_value, second_value, pct_rank, cume, rn
+                   min_value, max_value, second_value,
+                   CASE WHEN n > 1
+                        THEN CAST(((rn - 1) * 2000000 + (n - 1))
+                                  // (2 * (n - 1)) AS DOUBLE) / 1000000.0
+                        ELSE 0.0 END AS pct_rank,
+                   CAST((rn * 2000000 + n) // (2 * n) AS DOUBLE)
+                       / 1000000.0 AS cume,
+                   rn
             FROM (
                 SELECT event_type, event_id, value,
                        FIRST_VALUE(value) OVER w_full AS min_value,
                        LAST_VALUE(value) OVER w_full AS max_value,
                        NTH_VALUE(value, 2) OVER w_full AS second_value,
-                       ROUND(PERCENT_RANK() OVER w_run, 6) AS pct_rank,
-                       ROUND(CUME_DIST() OVER w_run, 6) AS cume,
-                       ROW_NUMBER() OVER w_run AS rn
+                       ROW_NUMBER() OVER w_run AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
                 FROM events
                 WINDOW w_full AS (PARTITION BY event_type ORDER BY value, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
@@ -1291,7 +1300,7 @@ def oracle_sql() -> dict[str, str]:
         "ext_pii_redact": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
-                        + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+                        + len(regexp_extract_all(text, 'https?://[^ \\t\\n\\x0B\\f\\r]+'))
                         + len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_redactions,
                    CAST(length(redacted) AS BIGINT) AS redacted_len,
                    md5(redacted) AS redacted_md5
@@ -1300,7 +1309,7 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(
                            regexp_replace(
                                regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-                               'https?://[^\\s]+', '<URL>', 'g'),
+                               'https?://[^ \\t\\n\\x0B\\f\\r]+', '<URL>', 'g'),
                            '[0-9]{6,}', '<NUM>', 'g') AS redacted,
                        text
                 FROM documents
@@ -1410,12 +1419,12 @@ def oracle_sql() -> dict[str, str]:
                     SELECT doc_id, source, text,
                            {_N_WORDS.format(c='text')} AS n_words,
                            CASE WHEN {_N_WORDS.format(c='text')} > 0 THEN
-                               CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'),
+                               CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+'),
                                         w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
                                / {_N_WORDS.format(c='text')}
                            ELSE 0.0e0 END AS sw_ratio,
                            CASE WHEN length(text) > 0 THEN
-                               CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                               CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                                / length(text)
                            ELSE 0.0e0 END AS p_ratio
                     FROM documents

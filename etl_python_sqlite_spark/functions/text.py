@@ -21,26 +21,35 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"),
 }
 
+#: ASCII whitespace, spelled out. Java regex ``\s`` is exactly this set,
+#: but RE2 (DuckDB) ``\s`` EXCLUDES \x0B (vertical tab) — an implicit
+#: ``\s`` on both engines diverges on \x0B-bearing text. Every whitespace
+#: class on BOTH sides (here and the oracle SQL in __spark_entry__.py)
+#: uses these characters explicitly so the engines cannot disagree.
+WS = r" \t\n\x0B\f\r"
+WS_CLASS = rf"[{WS}]"
+
 #: BPE-ish token pattern: letter runs, digit runs, single punctuation.
 #: Kept to a subset portable between Java regex (Spark) and RE2 (DuckDB).
-TOKEN_RE = r"[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+TOKEN_RE = rf"[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9{WS}]"
 
 
 def _ws_strip(c: Column) -> Column:
     """Strip leading/trailing ASCII whitespace. NOT ``F.trim``: trim
     removes only 0x20 spaces, so a trailing tab/newline would survive and
     ``split`` would emit a phantom empty token (caught by
-    tests/test_text_fuzz.py). Scope is ASCII ``\\s`` — Java regex and
-    RE2 agree on it, unlike Python's unicode-whitespace ``str.split``
-    corners (NBSP etc.), which this surface deliberately excludes."""
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+    tests/test_text_fuzz.py). Scope is the explicit ASCII set ``WS`` —
+    portable across Java regex and RE2 (see WS note), unlike Python's
+    unicode-whitespace ``str.split`` corners (NBSP etc.), which this
+    surface deliberately excludes."""
+    return F.regexp_replace(c, rf"^{WS_CLASS}+|{WS_CLASS}+$", "")
 
 
 def words(col: Column | str) -> Column:
     """Whitespace tokenization (Python ``str.split()`` semantics over
     ASCII whitespace: any run splits, no empty tokens)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(_ws_strip(c), r"\s+")
+    return F.split(_ws_strip(c), rf"{WS_CLASS}+")
 
 
 def n_words(col: Column | str) -> Column:
@@ -65,14 +74,14 @@ def avg_word_len(col: Column | str) -> Column:
     """Mean word length = (chars excluding whitespace) / word count, as an
     exact ratio of two ints (portable double division)."""
     c = F.col(col) if isinstance(col, str) else col
-    non_ws = F.length(F.regexp_replace(c, r"\s+", ""))
+    non_ws = F.length(F.regexp_replace(c, rf"{WS_CLASS}+", ""))
     return F.when(n_words(c) > 0, non_ws.cast("double") / n_words(c))
 
 
 def punct_ratio(col: Column | str) -> Column:
     """Punctuation chars / total chars (0 for empty strings)."""
     c = F.col(col) if isinstance(col, str) else col
-    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, rf"[^\w{WS}]", ""))
     return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c)).otherwise(
         F.lit(0.0)
     )

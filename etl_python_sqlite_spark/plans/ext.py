@@ -202,7 +202,7 @@ def ext_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Java-regex ∩ RE2 subset so the oracle replays them exactly."""
     docs = _docs(spark, sf_dir)
     email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
-    url = r"https?://[^\s]+"
+    url = rf"https?://[^{X.WS}]+"  # explicit WS class: RE2 \s lacks \x0B
     digits = r"[0-9]{6,}"
     counted = docs.select(
         "doc_id",
@@ -902,7 +902,7 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
-    url = r"https?://[^\s]+"
+    url = rf"https?://[^{X.WS}]+"  # explicit WS class: RE2 \s lacks \x0B
     digits = r"[0-9]{6,}"
     n_hits = (
         F.size(F.regexp_extract_all("text", F.lit(email), 0))

