@@ -17,6 +17,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_python_sqlite_spark.functions.portable import (
+    PHASH60_SALTED_SQL,
+    PHASH60_SQL,
+)
 from etl_python_sqlite_spark.functions.text import LANG_CHAR_NGRAMS, LANG_STOPWORDS
 from etl_python_sqlite_spark.plans import ext as E
 from etl_python_sqlite_spark.plans import relational as R
@@ -40,6 +44,90 @@ _N_WORDS = (
     f"ELSE len(string_split_regex({_WS_STRIP.format(c='{c}')}, '[ \\t\\n\\x0B\\f\\r]+')) END"
 )
 _TOKEN_RE_SQL = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"
+
+# distinct 3-word shingles from a word list `w` (truncated whole-doc
+# shingle for <3-word docs) — mirrors operators/dedup.exploded_shingles
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(w) - 2, 1) + 1), "
+    "i -> array_to_string(w[i:i+2], ' ')))"
+)
+
+# Portable MinHash+LSH near-dup pipeline (mirrors
+# operators/dedup.minhash_near_dups_portable: 64 salted 60-bit md5
+# min-hashes, 16 bands of 4, ordered-decimal band keys, exact-Jaccard
+# verify floor-quantized to micro-units). Ends with CTE `mh_verified`.
+_MINHASH_PIPELINE_SQL = f"""
+            base AS (
+                SELECT doc_id, {{words}} AS w FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM base
+            ),
+            srows AS (
+                SELECT doc_id, unnest(shingles) AS shingle FROM sh
+            ),
+            hashed AS (
+                SELECT doc_id, {PHASH60_SQL.format(c='shingle')} AS h FROM srows
+            ),
+            salted AS (
+                SELECT doc_id, h, unnest(range(64)) AS s FROM hashed
+            ),
+            mins AS (
+                SELECT doc_id, s,
+                       MIN({PHASH60_SALTED_SQL.format(s='s', h='h')}) AS mh
+                FROM salted GROUP BY doc_id, s
+            ),
+            bands AS (
+                SELECT doc_id, CAST(s // 4 AS INT) AS band,
+                       string_agg(CAST(mh AS VARCHAR), ',' ORDER BY s) AS band_key
+                FROM mins GROUP BY doc_id, CAST(s // 4 AS INT)
+            ),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+            ),
+            mh_verified AS (
+                SELECT id_a, id_b,
+                       (1000000 * len(list_intersect(sa.shingles, sb.shingles)))
+                       // (len(sa.shingles) + len(sb.shingles)
+                           - len(list_intersect(sa.shingles, sb.shingles)))
+                       AS jaccard_micro
+                FROM cands
+                JOIN sh sa ON sa.doc_id = cands.id_a
+                JOIN sh sb ON sb.doc_id = cands.id_b
+            )
+"""
+
+# Portable 60-bit SimHash (mirrors operators/dedup.simhash_portable).
+# Ends with CTE `sim` = (doc_id, simhash).
+_SIMHASH_PIPELINE_SQL = f"""
+            toks AS (
+                SELECT doc_id, unnest({{words}}) AS tok FROM documents
+            ),
+            hashed AS (
+                SELECT doc_id, {PHASH60_SQL.format(c='tok')} AS h FROM toks
+            ),
+            bits AS (
+                SELECT doc_id, h, unnest(range(60)) AS s FROM hashed
+            ),
+            bsums AS (
+                SELECT doc_id, s,
+                       SUM(CASE WHEN (h >> CAST(s AS INT)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS bsum
+                FROM bits GROUP BY doc_id, s
+            ),
+            sim AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN bsum > 0
+                                     THEN CAST(1 AS BIGINT) << CAST(s AS INT)
+                                     ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+                       AS simhash
+                FROM bsums GROUP BY doc_id
+            )
+"""
 
 
 def _langid_sql(text: str = "text") -> str:
@@ -86,12 +174,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-2 additions, driver-unattested until now ---------------
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
-        "ext_ann_knn_join": E.ext_ann_knn_join,                  # rows-only
+        "ext_ann_knn_join": E.ext_ann_knn_join,          # oracle: recall invariant
         "ext_multimodal_decode": E.ext_multimodal_decode,
         "ext_curation_funnel": E.ext_curation_funnel,
-        "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,  # rows-only
+        "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,  # oracle: ±5% invariant
         "ext_dedup_clusters": E.ext_dedup_clusters,
-        "ext_minhash_dedup_clusters": E.ext_minhash_dedup_clusters,  # rows-only
+        "ext_minhash_dedup_clusters": E.ext_minhash_dedup_clusters,  # oracle: portable hash
         "ext_repetition_filter": E.ext_repetition_filter,
         "ext_contamination_scan": E.ext_contamination_scan,
         "ext_tfidf_top_terms": E.ext_tfidf_top_terms,
@@ -118,7 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_items_by_customer": R.returned_items_by_customer,
         "rank_tie_semantics": R.rank_tie_semantics,
         "ext_word_rarity_score": E.ext_word_rarity_score,
-        "ext_label_centroid_quality": E.ext_label_centroid_quality,  # rows-only
+        "ext_label_centroid_quality": E.ext_label_centroid_quality,  # oracle: quantized-sum centroid
         "set_intersect_users": R.set_intersect_users,
         "window_value_zoo": R.window_value_zoo,
         "event_funnel_conversion": R.event_funnel_conversion,
@@ -126,6 +214,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": R.skew_salted_join,
         "recursive_month_spine": R.recursive_month_spine,
         # -- round-3 additions (slots 41-50 stay inside the driver cap) ---
+        # rows-only → oracle conversions (portable md5 hashing / recall
+        # invariants): promoted into the window so their FIRST
+        # value-hash-checked driver rows land this round
+        "ext_minhash_near_dups": E.ext_minhash_near_dups,
+        "ext_simhash_fingerprints": E.ext_simhash_fingerprints,
+        "ext_simhash_near_dups": E.ext_simhash_near_dups,
+        "ext_winnowing_pairs": E.ext_winnowing_pairs,
+        "ext_ann_topk_lsh": E.ext_ann_topk_lsh,
+        "ext_ivf_topk": E.ext_ivf_topk,
+        "ext_embedding_near_dups": E.ext_embedding_near_dups,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -160,19 +258,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_exact_dedup": E.ext_exact_dedup,
         "ext_normalized_dedup": E.ext_normalized_dedup,
         "ext_ngram_jaccard_pairs": E.ext_ngram_jaccard_pairs,
-        "ext_minhash_near_dups": E.ext_minhash_near_dups,       # rows-only
-        "ext_simhash_fingerprints": E.ext_simhash_fingerprints,  # rows-only
         "ext_cosine_topk": E.ext_cosine_topk,
         "ext_cosine_pairs_sample": E.ext_cosine_pairs_sample,
-        "ext_ann_topk_lsh": E.ext_ann_topk_lsh,                  # rows-only
-        "ext_ivf_topk": E.ext_ivf_topk,                          # rows-only
-        "ext_embedding_near_dups": E.ext_embedding_near_dups,    # rows-only
         "ext_text_stats": E.ext_text_stats,
         "ext_langid": E.ext_langid,
         "ext_quality_scores": E.ext_quality_scores,
         "ext_token_count_by_source": E.ext_token_count_by_source,
-        "ext_winnowing_pairs": E.ext_winnowing_pairs,            # rows-only
-        "ext_simhash_near_dups": E.ext_simhash_near_dups,        # rows-only
         "skew_salted_agg": R.skew_salted_agg,
         "asof_purchase_click": R.asof_purchase_click,
         "range_join_errors": R.range_join_errors,
@@ -772,6 +863,99 @@ def oracle_sql() -> dict[str, str]:
             WHERE j >= 0.05
             ORDER BY id_a, id_b
         """,
+        "ext_minhash_near_dups": f"""
+            WITH {_MINHASH_PIPELINE_SQL.format(words=_WORDS.format(c='text'))}
+            SELECT id_a, id_b, jaccard_micro
+            FROM mh_verified
+            WHERE jaccard_micro >= 300000
+            ORDER BY id_a, id_b
+        """,
+        "ext_minhash_dedup_clusters": f"""
+            WITH RECURSIVE {_MINHASH_PIPELINE_SQL.format(words=_WORDS.format(c='text'))},
+            vpairs AS (
+                SELECT id_a, id_b FROM mh_verified WHERE jaccard_micro >= 300000
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM vpairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM vpairs
+            ),
+            reach(id, root) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (
+                SELECT id AS doc_id, MIN(root) AS cluster_id
+                FROM reach GROUP BY id
+            ),
+            sized AS (
+                SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM comp GROUP BY cluster_id
+            )
+            SELECT cluster_id, cluster_size, cluster_size AS n_members
+            FROM sized WHERE cluster_size > 1
+            ORDER BY cluster_id
+        """,
+        "ext_simhash_fingerprints": f"""
+            WITH {_SIMHASH_PIPELINE_SQL.format(words=_WORDS.format(c='text'))}
+            SELECT doc_id, simhash FROM sim ORDER BY doc_id
+        """,
+        "ext_simhash_near_dups": f"""
+            WITH {_SIMHASH_PIPELINE_SQL.format(words=_WORDS.format(c='text'))},
+            keyed AS (
+                SELECT doc_id, simhash, blk,
+                       (simhash >> CAST(blk * 15 AS INT)) & 32767 AS key
+                FROM (SELECT doc_id, simhash, unnest(range(4)) AS blk FROM sim)
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM keyed a JOIN keyed b
+              ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+            ORDER BY id_a, id_b
+        """,
+        "ext_winnowing_pairs": f"""
+            WITH base AS (
+                SELECT doc_id, {_WORDS.format(c='text')} AS w FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, unnest(range(greatest(len(w) - 2, 1))) AS pos, w
+                FROM base
+            ),
+            hashed AS (
+                SELECT doc_id, pos,
+                       {PHASH60_SQL.format(
+                           c="array_to_string(w[CAST(pos + 1 AS INT):CAST(pos + 3 AS INT)], ' ')"
+                       )} AS h
+                FROM grams
+            ),
+            fps AS (
+                SELECT DISTINCT doc_id,
+                       MIN(h) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                       ) AS fingerprint
+                FROM hashed
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM fps a JOIN fps b
+              ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 3
+            ORDER BY id_a, id_b
+        """,
+        "ext_sketch_distinct_rollup": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_exact,
+                   CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+                       AS n_sketches_merged,
+                   true AS within_5pct
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
         "ext_dedup_clusters": f"""
             WITH RECURSIVE sh AS (
                 SELECT doc_id,
@@ -957,6 +1141,136 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cos_sim FROM pairs
             WHERE cos_sim >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "ext_label_centroid_quality": """
+            WITH e AS (
+                SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            expl AS (
+                SELECT label, unnest(range(1, len(v)+1)) AS pos, unnest(v) AS x
+                FROM e
+            ),
+            cent AS (
+                SELECT label, pos,
+                       CAST(SUM(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) AS c
+                FROM expl GROUP BY label, pos
+            ),
+            cvec AS (
+                SELECT label, list(CAST(c AS DOUBLE) ORDER BY pos) AS cv
+                FROM cent GROUP BY label
+            ),
+            scored AS (
+                SELECT e.label,
+                       list_reduce(list_transform(range(1, len(v)+1),
+                                                  i -> v[i] * cv[i]),
+                                   (x, y) -> x + y)
+                       / (sqrt(list_reduce(list_transform(range(1, len(v)+1),
+                                                          i -> v[i] * v[i]),
+                                           (x, y) -> x + y))
+                          * sqrt(list_reduce(list_transform(range(1, len(cv)+1),
+                                                            i -> cv[i] * cv[i]),
+                                             (x, y) -> x + y))) AS cos
+                FROM e JOIN cvec USING (label)
+            )
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(CAST(floor(cos * 1000000) AS BIGINT)) AS BIGINT)
+                       AS sum_cos_micro,
+                   ROUND(MIN(cos), 6) AS min_cos
+            FROM scored GROUP BY label ORDER BY label
+        """,
+        # -- ANN recall/containment invariants (VERDICT r2 next-item 7):
+        # the LSH/IVF bucketing has no SQL twin, but every non-boolean
+        # column below is SQL-exact and the boolean pins the measured
+        # recall invariant the Spark side computes against its own
+        # brute-force ground truth (see plans/ext.py docstrings).
+        "ext_ann_topk_lsh": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+                SELECT vec_id,
+                       ROUND(
+                           list_reduce(list_transform(range(1, len(v)+1),
+                                                      i -> v[i] * qv[i]),
+                                       (x, y) -> x + y)
+                           / (sqrt(list_reduce(list_transform(range(1, len(v)+1),
+                                                              i -> v[i] * v[i]),
+                                               (x, y) -> x + y))
+                              * sqrt(list_reduce(list_transform(range(1, len(qv)+1),
+                                                                i -> qv[i] * qv[i]),
+                                                 (x, y) -> x + y))), 6) AS cos_sim
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings WHERE vec_id != 0), q
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM embeddings WHERE vec_id != 0) AS n_vectors,
+                   true AS recall_ok,
+                   true AS quality_ok,
+                   vec_id AS best_vec_id,
+                   cos_sim AS best_cos_sim
+            FROM scored
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT 1
+        """,
+        "ext_ivf_topk": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+                SELECT vec_id,
+                       ROUND(
+                           list_reduce(list_transform(range(1, len(v)+1),
+                                                      i -> v[i] * qv[i]),
+                                       (x, y) -> x + y)
+                           / (sqrt(list_reduce(list_transform(range(1, len(v)+1),
+                                                              i -> v[i] * v[i]),
+                                               (x, y) -> x + y))
+                              * sqrt(list_reduce(list_transform(range(1, len(qv)+1),
+                                                                i -> qv[i] * qv[i]),
+                                                 (x, y) -> x + y))), 6) AS cos_sim
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings WHERE vec_id != 0), q
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM embeddings WHERE vec_id != 0) AS n_vectors,
+                   true AS recall_ok,
+                   true AS quality_ok,
+                   vec_id AS best_vec_id,
+                   cos_sim AS best_cos_sim
+            FROM scored
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT 1
+        """,
+        "ext_ann_knn_join": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST(3 AS BIGINT) AS k,
+                   true AS recall_ok
+            FROM embeddings WHERE vec_id < 100
+        """,
+        "ext_embedding_near_dups": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 200
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       ROUND(
+                           list_reduce(list_transform(range(1, len(a.v)+1),
+                                                      i -> a.v[i] * b.v[i]),
+                                       (x, y) -> x + y)
+                           / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1),
+                                                              i -> a.v[i] * a.v[i]),
+                                               (x, y) -> x + y))
+                              * sqrt(list_reduce(list_transform(range(1, len(b.v)+1),
+                                                                i -> b.v[i] * b.v[i]),
+                                                 (x, y) -> x + y))), 6) AS cos_sim
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs_sample,
+                   true AS recall_ok
+            FROM pairs WHERE cos_sim >= 0.9
         """,
         "ext_text_stats": f"""
             SELECT doc_id,

@@ -589,3 +589,241 @@ def winnowing_overlap_pairs(
         .filter(F.col("n_shared") >= min_shared)
     )
     return tie(out, fp)
+
+
+# ---------------------------------------------------------------------------
+# 7. Portable (cross-engine oracle-checkable) variants
+# ---------------------------------------------------------------------------
+# Same pipelines as tiers 4-6 keyed on functions.portable.phash60 instead
+# of xxhash64, so a DuckDB twin reproduces every hash bit-for-bit and the
+# driver's value-hash gate applies to the FULL near-dup pipeline, not just
+# a rows-only count. Plan shapes are identical (explode → groupBy → band /
+# block / window-min equi-joins); only the leaf hash expression differs.
+
+def minhash_near_dups_portable(
+    df: DataFrame,
+    threshold_micro: int = 300_000,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-dups on the portable 60-bit hash. Returns
+    (id_a, id_b, jaccard_micro) — exact Jaccard of the verified candidate
+    pair, floor-quantized to micro-units as a BIGINT (``(10^6·|∩|) div
+    |∪|``), so the value is integer-exact on both engines (the repo's
+    ROUND(double) portability invariant).
+
+    The band key is the comma-joined decimal rendering of the band's
+    ``r`` min-hashes in salt order — a plain string equi-join key that
+    DuckDB rebuilds with ``string_agg(... ORDER BY s)``. Uniform key,
+    same shuffle profile as the xxhash64 band hash.
+    """
+    from etl_python_sqlite_spark.functions.portable import (
+        phash60,
+        phash60_salted,
+    )
+    from etl_python_sqlite_spark.functions.text import word_shingles
+
+    r = num_hashes // bands
+    sh = exploded_shingles(df, k, text_col, id_col)
+    base = sh.select(id_col, phash60(F.col("shingle")).alias("h"))
+    salted = base.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("s"),
+    )
+    mins = salted.groupBy(id_col, "s").agg(
+        F.min(phash60_salted(F.col("h"), F.col("s"))).alias("mh")
+    )
+    banded = (
+        mins.groupBy(id_col, (F.col("s") / r).cast("int").alias("band"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("s", "mh"))),
+                    lambda x: x["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+        .persist()  # stop Catalyst re-inlining the agg into both join sides
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+        .persist()
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shards = (
+        df.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        .select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
+        .persist()
+    )
+    sa = shards.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shards.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("inter"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("uni"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(1000000 * inter) div uni").alias("jaccard_micro"),
+        )
+        .filter(F.col("jaccard_micro") >= threshold_micro)
+    )
+    return tie(verified, banded, cands, shards)
+
+
+def simhash_portable(
+    df: DataFrame,
+    bits: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash fingerprints on the portable 60-bit hash: (id, simhash)
+    with ``simhash`` a non-negative BIGINT of ``bits`` bits. Same narrow
+    explode → conditional-sum shape as ``simhash64`` (the 64-wide plan's
+    codegen-compile blowup documented there applies equally here)."""
+    from etl_python_sqlite_spark.functions.portable import phash60
+    from etl_python_sqlite_spark.functions.text import words
+
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
+    ).select(id_col, phash60(F.col("tok")).alias("h"))
+    bit_rows = toks.select(
+        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("s")
+    )
+    bit_sums = bit_rows.groupBy(id_col, "s").agg(
+        F.sum(F.when(F.expr("getbit(h, s)") == 1, 1).otherwise(-1)).alias("bsum")
+    )
+    # sum of disjoint powers of two (not bit_or) — DuckDB mirrors it with
+    # SUM(CASE ... 1::BIGINT << s ...); h is 60-bit so no sign bit in play
+    return bit_sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("bsum") > 0, F.expr("shiftleft(1L, s)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def simhash_near_dups_portable(
+    df: DataFrame,
+    max_hamming: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hamming-distance pairs over the portable 60-bit SimHash via 4
+    pigeonhole blocks of 15 bits. Recall is guaranteed for distance ≤ 3
+    (4 blocks, pigeonhole) and best-effort for 4..max_hamming — but the
+    blocking is DETERMINISTIC, so Spark and the DuckDB twin produce the
+    identical pair set and the driver's value-hash check applies."""
+    sh = simhash_portable(df, 60, text_col, id_col).persist()
+    blocks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(blk).alias("block"),
+                        F.shiftright(F.col("simhash"), blk * 15)
+                        .bitwiseAND(0x7FFF)
+                        .alias("key"),
+                    )
+                    for blk in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.block", "bk.key")
+
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    out = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return tie(out, sh)
+
+
+def winnowing_overlap_pairs_portable(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing overlap pairs on the portable hash: (id_a, id_b,
+    n_shared). Same windowed-min plan as ``winnowing_fingerprints`` with
+    ``phash60`` leaves; DuckDB rebuilds the identical fingerprint set with
+    a ROWS BETWEEN CURRENT ROW AND window-1 FOLLOWING frame."""
+    from etl_python_sqlite_spark.functions.portable import phash60
+    from etl_python_sqlite_spark.functions.text import words
+
+    wtok = Window.partitionBy(id_col).orderBy("pos")
+    toks = df.select(
+        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "w0")
+    )
+    cols = [F.col("w0")] + [
+        F.lead("w0", i).over(wtok).alias(f"w{i}") for i in range(1, k)
+    ]
+    grams = (
+        toks.select(F.col(id_col), F.col("pos"), *cols)
+        .filter(F.col(f"w{k-1}").isNotNull() | (F.col("pos") == 0))
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            phash60(F.concat_ws(" ", *[f"w{i}" for i in range(k)])).alias("h"),
+        )
+    )
+    frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    fp = (
+        grams.select(F.col(id_col), F.min("h").over(frame).alias("fingerprint"))
+        .distinct()
+        .persist()
+    )
+    a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
+    out = (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return tie(out, fp)

@@ -122,6 +122,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     local_edge_limit: int = 2_000_000,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``, where
     ``component`` is the minimum node id of its connected component.
@@ -141,12 +142,18 @@ def connected_components(
     (count, xor-of-edge-hashes) fingerprint — O(1) bytes to the driver
     per round. ``max_iter`` is a safety rail far above the O(log n)
     bound.
+
+    ``round_stats``, when a list is passed, receives one
+    ``(round_index, edge_count_after_round)`` tuple per completed
+    large-star/small-star round — observability for the O(log n)
+    convergence claim (scale_probe.py records measured round counts);
+    no cost when None.
     """
     first = _canonical_edges(edges, src, dst).persist()
     e = first
     prev = _checksum(e)
     converged = False
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         if prev[0] <= local_edge_limit:
             # the result plan still reads the persisted edge frame when no
             # star round ran — scope that cache to the result's lifetime
@@ -160,6 +167,8 @@ def connected_components(
             first.unpersist()
         cur = _checksum(e2)
         e = e2
+        if round_stats is not None:
+            round_stats.append((rnd, cur[0]))
         if cur == prev:
             converged = True
             break

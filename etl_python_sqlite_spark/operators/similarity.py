@@ -583,3 +583,67 @@ def label_centroid_quality(
         )
         .orderBy("label")
     )
+
+
+def label_centroid_quality_exactable(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cross-engine-exact twin of :func:`label_centroid_quality`, built on
+    two identities that remove every order-dependent float reduction:
+
+    * cosine is invariant to positive scaling of either argument, so the
+      cosine to the centroid (mean vector) equals the cosine to the
+      per-label SUM vector — and the sum of per-element
+      ``floor(x·10⁶)`` longs is integer-exact and order-independent on
+      any engine (the repo's micro-quantization discipline), where a
+      float mean is not. The ≤1e-6 quantization of each coordinate
+      perturbs the cosine by O(1e-6/‖c‖) — below the 6-decimal output
+      rounding for these unit-scale embeddings.
+    * the remaining per-ROW dot/norm folds are sequential left-to-right
+      double additions, which Spark's ``aggregate`` HOF and DuckDB's
+      ``list_reduce`` evaluate identically (the ext_cosine_* oracles
+      already pin this).
+
+    The cross-member mean is emitted as ``sum_cos_micro`` (Σ floor(cos·10⁶),
+    a BIGINT) rather than a rounded float average; ``min_cos`` is safe as
+    a rounded double because MIN is order-insensitive.
+    Output: (label, n_members, sum_cos_micro, min_cos).
+    """
+    v = _as_double_array(vec_col)
+    exploded = embs.select(
+        F.col(label_col).alias("label"), F.posexplode(v).alias("pos", "x")
+    )
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg(F.sum(F.floor(F.col("x") * 1000000)).alias("c"))
+        .groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "label",
+            F.transform(F.col("pc.c"), lambda x: x.cast("double")).alias(
+                "centroid"
+            ),
+        )
+    )
+    scored = (
+        embs.select(F.col(label_col).alias("label"), v.alias("v"))
+        .join(F.broadcast(centroids), "label")
+        .select(
+            "label",
+            cosine(F.col("v"), F.col("centroid")).alias("cos_to_centroid"),
+        )
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.floor(F.col("cos_to_centroid") * 1000000))
+            .cast("long")
+            .alias("sum_cos_micro"),
+            F.round(F.min("cos_to_centroid"), 6).alias("min_cos"),
+        )
+        .orderBy("label")
+    )

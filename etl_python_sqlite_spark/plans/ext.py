@@ -5,8 +5,12 @@ Wrappers bind the generic operators in ``operators/dedup.py``,
 ``operators/similarity.py`` and ``functions/text.py`` to concrete
 (spark, sf_dir) query callables for the driver contract. Where DuckDB can
 express the same computation, ``__spark_entry__.oracle_sql`` carries the
-twin; hash-based operators (MinHash/SimHash/sign-LSH) are engine-internal
-and get rows-only checks plus pytest ground-truth tests.
+twin. The MinHash/SimHash/winnowing contract queries run on the portable
+md5-derived hash (functions/portable.py) so their DuckDB twins replay
+every hash bit-for-bit; sign-LSH/IVF ANN queries — whose bucketing has no
+SQL twin — are checked through one-row recall/containment INVARIANTS
+whose non-boolean columns the oracle computes exactly (plus pytest
+ground-truth recall tests on the fast xxhash64/numpy paths).
 """
 
 from __future__ import annotations
@@ -62,17 +66,24 @@ def ext_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2 — MinHash+LSH near-dup pipeline (rows-only check; pytest carries
-    the ground-truth comparison against exact Jaccard)."""
+    """E2 — MinHash+LSH near-dup pipeline on the portable 60-bit hash
+    (functions/portable.py): the DuckDB oracle rebuilds the identical
+    64-hash signatures, 16-band keys, candidate pairs and exact-Jaccard
+    verification, so the FULL pipeline is value-hash-checked by the
+    driver (was rows-only under xxhash64). jaccard_micro is the exact
+    Jaccard floor-quantized to micro-units (integer on both engines).
+    The xxhash64 fast path remains ``operators.dedup.minhash_near_dups``
+    (pytest carries its ground-truth recall comparison)."""
     docs = _docs(spark, sf_dir)
-    pairs = D.minhash_near_dups(docs, threshold=0.3)
-    out = pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    return tie(out, keepalive=[pairs])
+    pairs = D.minhash_near_dups_portable(docs, threshold_micro=300_000)
+    return pairs
 
 
 def ext_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2b — SimHash fingerprints (rows-only: xxhash64 is engine-internal)."""
-    return D.simhash64(_docs(spark, sf_dir))
+    """E2b — SimHash fingerprints on the portable 60-bit hash; DuckDB
+    recomputes every fingerprint bit-for-bit (was rows-only under
+    xxhash64; the fast path remains ``operators.dedup.simhash64``)."""
+    return D.simhash_portable(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -96,12 +107,54 @@ def ext_cosine_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3-scale — sign-LSH multi-probe ANN top-20 (rows-only; pytest
-    measures recall vs brute force)."""
+    """E3-scale — sign-LSH multi-probe ANN top-20, driver-checked through
+    recall + quality INVARIANTS (VERDICT r2 next-item 7): the LSH
+    candidate set is hash-derived (no SQL twin), but the one-row audit's
+    non-boolean columns (corpus size, exact best neighbor + cosine) are
+    SQL-exact, and the booleans pin two facts Spark verifies against its
+    own brute-force ground truth:
+
+    * ``recall_ok`` — ≥2 of the exact top-20 recovered. The synthetic
+      embeddings are near-isotropic, so a Hamming-1 probe over 64
+      buckets legitimately recovers 5-8/20 (measured at all three SFs);
+      the floor is a catastrophic-failure detector (bucketing broken →
+      expected overlap ≈ recall of a tiny random scan), sized so data
+      regeneration cannot flake it (P < 1e-2 under an independence
+      model at the measured per-neighbor hit rate).
+    * ``quality_ok`` — the returned set's summed cosine (floor-quantized
+      to micros) is ≥ half the exact top-20's sum: the standard ANN
+      quality-ratio check, which random non-neighbor output would fail.
+    """
     embs = _embs(spark, sf_dir)
     qrow = embs.filter(F.col("vec_id") == 0).select("embedding").first()
     q = [float(x) for x in qrow["embedding"]]
-    return S.ann_topk_lsh(embs.filter(F.col("vec_id") != 0), q, k=20, planes=8)
+    corpus = embs.filter(F.col("vec_id") != 0)
+    approx = S.ann_topk_lsh(corpus, q, k=20, planes=6)
+    exact = S.cosine_topk(corpus, q, k=20)
+    best = exact.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(1).select(
+        F.col("vec_id").alias("best_vec_id"), F.col("cos_sim").alias("best_cos_sim")
+    )
+    recovered = approx.select("vec_id").join(exact.select("vec_id"), "vec_id")
+    qsum_approx = approx.agg(
+        F.sum(F.floor(F.col("cos_sim") * 1000000)).cast("long").alias("qa")
+    )
+    qsum_exact = exact.agg(
+        F.sum(F.floor(F.col("cos_sim") * 1000000)).cast("long").alias("qe")
+    )
+    return (
+        corpus.agg(F.count("*").alias("n_vectors"))
+        .crossJoin(recovered.agg((F.count("*") >= 2).alias("recall_ok")))
+        .crossJoin(qsum_approx)
+        .crossJoin(qsum_exact)
+        .crossJoin(best)
+        .select(
+            "n_vectors",
+            "recall_ok",
+            (F.col("qa") * 2 >= F.col("qe")).alias("quality_ok"),
+            "best_vec_id",
+            "best_cos_sim",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -165,34 +218,88 @@ def ext_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E2c — rolling-hash winnowing fingerprint overlap pairs (rows-only:
-    xxhash64 fingerprints are engine-internal; pytest asserts the
-    coverage guarantee on planted overlaps)."""
-    return D.winnowing_overlap_pairs(_docs(spark, sf_dir), min_shared=3)
+    """E2c — rolling-hash winnowing fingerprint overlap pairs on the
+    portable hash; the DuckDB twin replays the windowed-min fingerprint
+    selection exactly (was rows-only under xxhash64; pytest keeps the
+    coverage guarantee on the fast path)."""
+    return D.winnowing_overlap_pairs_portable(_docs(spark, sf_dir), min_shared=3)
 
 
 def ext_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2b-pairs — SimHash Hamming-distance near-dups via pigeonhole
-    block joins (rows-only)."""
-    return D.simhash_near_dups(_docs(spark, sf_dir), max_hamming=6)
+    block joins on the portable 60-bit fingerprint (4×15-bit blocks,
+    deterministic → full value-hash oracle; recall guaranteed ≤3,
+    best-effort 4-6, identically on both engines)."""
+    return D.simhash_near_dups_portable(_docs(spark, sf_dir), max_hamming=6)
 
 
 def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3-scale-b — IVF ANN top-20 (rows-only; pytest measures recall)."""
+    """E3-scale-b — IVF ANN top-20, driver-checked through the same
+    recall+quality invariant shape as ``ext_ann_topk_lsh``. IVF@(16
+    centroids, 6 probes) recovers 10-12/20 at every SF on the
+    near-isotropic synthetic embeddings (measured); the ≥5 floor and the
+    half-quality ratio leave ~2× margin for data regeneration."""
     embs = _embs(spark, sf_dir)
     qrow = embs.filter(F.col("vec_id") == 0).select("embedding").first()
     q = [float(x) for x in qrow["embedding"]]
-    return S.ivf_topk(
-        embs.filter(F.col("vec_id") != 0), q, k=20, n_centroids=16, n_probe=6
+    corpus = embs.filter(F.col("vec_id") != 0)
+    approx = S.ivf_topk(corpus, q, k=20, n_centroids=16, n_probe=6)
+    exact = S.cosine_topk(corpus, q, k=20)
+    best = exact.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(1).select(
+        F.col("vec_id").alias("best_vec_id"), F.col("cos_sim").alias("best_cos_sim")
+    )
+    recovered = approx.select("vec_id").join(exact.select("vec_id"), "vec_id")
+    qsum_approx = approx.agg(
+        F.sum(F.floor(F.col("cos_sim") * 1000000)).cast("long").alias("qa")
+    )
+    qsum_exact = exact.agg(
+        F.sum(F.floor(F.col("cos_sim") * 1000000)).cast("long").alias("qe")
+    )
+    return (
+        corpus.agg(F.count("*").alias("n_vectors"))
+        .crossJoin(recovered.agg((F.count("*") >= 5).alias("recall_ok")))
+        .crossJoin(qsum_approx)
+        .crossJoin(qsum_exact)
+        .crossJoin(best)
+        .select(
+            "n_vectors",
+            "recall_ok",
+            (F.col("qa") * 2 >= F.col("qe")).alias("quality_ok"),
+            "best_vec_id",
+            "best_cos_sim",
+        )
     )
 
 
 def ext_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 — embedding-cosine near-duplicate pairs via multi-table sign-LSH
-    + exact verification (rows-only; cosine ground truth is oracle-checked
-    by ext_cosine_pairs_sample; recall SLO asserted by
-    tests/test_similarity.py::test_embedding_near_dup_recall)."""
-    return S.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.9)
+    + exact verification, driver-checked through a CONTAINMENT invariant
+    (VERDICT r2 next-item 7): precision is 1.0 by construction (every
+    emitted pair is exact-verified ≥ θ), so the check that carries
+    information is recall — the exact pair set on a bounded sample
+    (vec_id < 200, SQL-expressible like ext_cosine_pairs_sample) must be
+    almost-contained in the LSH result. Output: one row with the
+    SQL-exact sample pair count and a boolean pinning the misses to
+    ≤ max(1, 20% of exact) — wide margin under the measured ≥0.95 recall
+    SLO (tests/test_similarity.py::test_embedding_near_dup_recall)."""
+    embs = _embs(spark, sf_dir)
+    approx = S.embedding_near_dup_pairs(embs, threshold=0.9).select("id_a", "id_b")
+    exact = S.cosine_pairs_sample(embs, max_id=200, threshold=0.9).select(
+        "id_a", "id_b"
+    )
+    missed = exact.join(approx, ["id_a", "id_b"], "left_anti")
+    return (
+        exact.agg(F.count("*").alias("n_exact_pairs_sample"))
+        .crossJoin(missed.agg(F.count("*").alias("n_missed")))
+        .select(
+            "n_exact_pairs_sample",
+            # n_missed ≤ max(1, n_exact/5), in integer arithmetic
+            (
+                F.col("n_missed") * 5
+                <= F.greatest(F.lit(5), F.col("n_exact_pairs_sample"))
+            ).alias("recall_ok"),
+        )
+    )
 
 
 def ext_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,9 +377,49 @@ def ext_langid_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3-scale-c — approximate kNN join over all embeddings (rows-only;
-    pytest checks that planted near-dup pairs find each other)."""
-    return S.ann_knn_join_lsh(_embs(spark, sf_dir), k=3)
+    """E3-scale-c — approximate kNN JOIN over ALL embeddings (the full
+    adaptive-planes LSH operator still runs over the whole corpus),
+    driver-checked through a recall invariant on a bounded query sample:
+    the brute-force 3-NN of the first 100 vectors (O(100·n), fine as an
+    audit at any scale) must be ≥⅓-recovered by the approximate join.
+    Measured recovery: 84% at sf0.01, 54% at sf0.1 (adaptive planes
+    probe a smaller corpus fraction as n grows — the intended trade);
+    the ⅓ floor holds at every SF with ≥1.6× margin under data
+    regeneration. Output: one row (n_queries from SQL, k, recall_ok).
+    pytest keeps the planted-pair ground-truth check on the operator."""
+    from pyspark.sql import Window
+
+    embs = _embs(spark, sf_dir)
+    approx = S.ann_knn_join_lsh(embs, k=3).select("id_a", "id_b")
+
+    a = embs.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id_a"), S._as_double_array("embedding").alias("va")
+    )
+    b = embs.select(
+        F.col("vec_id").alias("id_b"), S._as_double_array("embedding").alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") != F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
+    exact = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("id_a", "id_b")
+    )
+    hits = exact.join(approx, ["id_a", "id_b"])
+    return (
+        a.agg(F.count("*").alias("n_queries"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_queries",
+            F.lit(3).cast("long").alias("k"),
+            # recall = n_hits / (3·n_queries) ≥ 1/3, integer-exact
+            (F.col("n_hits") >= F.col("n_queries")).alias("recall_ok"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -388,9 +535,15 @@ def ext_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXT-S — mergeable HLL distinct-user rollup (rows-only: DataSketches
-    estimates are engine-internal; tests/test_sketch.py pins the ≤5%
-    error bound and the merge≡one-shot law).
+    """EXT-S — mergeable HLL distinct-user rollup, driver-checked through
+    an accuracy INVARIANT: the raw DataSketches estimate is
+    engine-internal, but ``|estimate − exact| ≤ 5%·exact`` is a hard
+    guarantee at lgk=14 (RSE ≈ 0.8%, so 5% is >6σ — effectively
+    deterministic), and exact counts + merge fan-in ARE SQL-expressible.
+    Output: (event_type, distinct_exact, n_sketches_merged, within_5pct);
+    the oracle computes the first three exactly and pins the boolean to
+    true. tests/test_sketch.py still pins the tighter bound and the
+    merge≡one-shot law on the estimate itself.
 
     Build per-(event_type, day) sketches, union them per event_type —
     the incremental/hypertable rollup pattern: a new day's data extends
@@ -402,9 +555,18 @@ def ext_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", "ts")
     )
-    return distinct_rollup_with_exact(
-        ev, ["event_type", "day"], ["event_type"], "user_id", lgk=12
+    roll = distinct_rollup_with_exact(
+        ev, ["event_type", "day"], ["event_type"], "user_id", lgk=14
     )
+    return roll.select(
+        "event_type",
+        "distinct_exact",
+        "n_sketches_merged",
+        (
+            F.abs(F.col("distinct_estimate") - F.col("distinct_exact")) * 20
+            <= F.col("distinct_exact")
+        ).alias("within_5pct"),
+    ).orderBy("event_type")
 
 
 def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,14 +763,16 @@ def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ext_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT-G2 — the full-corpus scale path: MinHash+LSH near-dup pairs →
-    connected components → per-cluster summary (rows-only: the edge set
-    is hash-derived). This is the production shape — candidate pairs
-    from LSH, never a quadratic scan, clusters closed in O(log n)
-    star rounds."""
+    connected components → per-cluster summary. Edges come from the
+    PORTABLE minhash pipeline, so the DuckDB oracle rebuilds the exact
+    edge set and closes it with a recursive CTE — the whole
+    LSH→clustering path is value-hash-checked. This is the production
+    shape — candidate pairs from LSH, never a quadratic scan, clusters
+    closed in O(log n) star rounds."""
     from etl_python_sqlite_spark.operators.graph import dedup_cluster_assignment
 
     docs = _docs(spark, sf_dir)
-    pairs = D.minhash_near_dups(docs, threshold=0.3)
+    pairs = D.minhash_near_dups_portable(docs, threshold_micro=300_000)
     assign = dedup_cluster_assignment(docs, pairs.select("id_a", "id_b"))
     out = (
         assign.filter(F.col("cluster_size") > 1)
@@ -964,7 +1128,10 @@ def ext_word_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ext_label_centroid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E3-audit — per-label centroid cohesion over the embeddings table
-    (rows-only: float centroid averages don't survive cross-engine sum
-    order; tests/test_similarity.py pins the math against numpy)."""
-    return S.label_centroid_quality(_embs(spark, sf_dir))
+    """E3-audit — per-label centroid cohesion over the embeddings table,
+    fully oracle-checked via the exactable variant (cosine to the
+    micro-quantized centroid SUM — scale-invariant, so order-dependent
+    float means never arise; see
+    operators/similarity.label_centroid_quality_exactable).
+    tests/test_similarity.py pins the float-mean variant against numpy."""
+    return S.label_centroid_quality_exactable(_embs(spark, sf_dir))

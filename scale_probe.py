@@ -1,0 +1,164 @@
+"""64× scale-up probe for the heaviest dedup pipelines (VERDICT r2 §6).
+
+Builds a salt-sharded replication of the sf0.1 ``documents`` table:
+factor f produces f disjoint "shards", each a copy of the corpus with a
+per-shard salt token injected between every pair of words. The salt
+changes every shingle, so shards never near-dup-match each other — match
+DENSITY stays natural while corpus size scales by f (the alternative,
+verbatim replication, scales true-match count quadratically and measures
+match volume, not corpus scale; the r2 BASELINE 8× probe covered that
+regime). The 1× baseline applies the same salt transformation (shard 0),
+so the per-document work is identical on both sides and the ratio is a
+clean f×.
+
+Measured per pipeline and factor:
+
+* wall seconds (cold per-pipeline, shared warm session);
+* shuffle write bytes, from the Spark UI REST API stage metrics
+  (sum of per-stage shuffleWriteBytes deltas — local[32] UI);
+* for connected components: the number of large-star/small-star rounds
+  (``round_stats``) with the edge count after each round, with the
+  single-task union-find finisher DISABLED (``local_edge_limit=0``) so
+  the distributed path's O(log n) convergence is what's measured.
+
+Scratch parquet goes under ``.probe_tmp/`` (gitignored).
+
+Usage: python scale_probe.py [factor ...]   (default: 1 64)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+from functools import reduce
+
+UI_PORT = 4055
+
+
+def shuffle_write_bytes(app_id: str) -> int:
+    url = f"http://127.0.0.1:{UI_PORT}/api/v1/applications/{app_id}/stages?status=complete"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = json.load(r)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception as exc:  # UI off / port taken — report unmeasured
+        print(f"probe: shuffle metric unavailable: {exc}", file=sys.stderr)
+        return -1
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 64]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".probe_tmp")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.appName("scale_probe")
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.port", str(UI_PORT))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+
+    from etl_python_sqlite_spark.functions.text import WS_CLASS
+    from etl_python_sqlite_spark.operators import dedup as D
+    from etl_python_sqlite_spark.operators.graph import connected_components
+    from etl_python_sqlite_spark.plans import ext as E
+    from etl_python_sqlite_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def shard_dir(factor: int) -> str:
+        """Materialize the salt-sharded corpus once per factor."""
+        out = os.path.join(scratch, f"x{factor}")
+        path = os.path.join(out, "documents.parquet")
+        if not os.path.exists(path):
+            shards = [
+                docs.select(
+                    (F.col("doc_id") * factor + i).alias("doc_id"),
+                    F.regexp_replace(
+                        "text", f"{WS_CLASS}+", f" s{i} "
+                    ).alias("text"),
+                    "lang",
+                    "source",
+                )
+                for i in range(factor)
+            ]
+            reduce(lambda a, b: a.unionAll(b), shards).repartition(
+                int(cpus)
+            ).write.mode("overwrite").parquet(path)
+        return out
+
+    results: dict = {}
+    warmed = False
+    for factor in factors:
+        d = shard_dir(factor)
+        n_docs = spark.read.parquet(f"{d}/documents.parquet").count()
+        row: dict = {"n_docs": n_docs}
+
+        pipelines = [
+            ("minhash_near_dups", E.ext_minhash_near_dups),
+            ("minhash_dedup_clusters", E.ext_minhash_dedup_clusters),
+            ("contamination_scan", E.ext_contamination_scan),
+        ]
+        if not warmed:
+            # whole-stage-codegen compile off the clock (r2 measured it
+            # dominating cold minhash cost); warm timings on both sides
+            # keep the ratio honest
+            for _, fn in pipelines:
+                fn(spark, d).write.mode("overwrite").format("noop").save()
+            warmed = True
+
+        for name, fn in pipelines:
+            sw0 = shuffle_write_bytes(app_id)
+            t0 = time.perf_counter()
+            fn(spark, d).write.mode("overwrite").format("noop").save()
+            wall = time.perf_counter() - t0
+            sw1 = shuffle_write_bytes(app_id)
+            row[name] = {
+                "wall_sec": round(wall, 2),
+                "shuffle_write_mb": round((sw1 - sw0) / 1e6, 1)
+                if sw0 >= 0 and sw1 >= 0
+                else None,
+            }
+            print(f"x{factor} {name}: {row[name]}", file=sys.stderr)
+
+        # CC round-count: forced distributed star rounds (no union-find
+        # finisher), edges from the production xxhash64 LSH path
+        pairs = D.minhash_near_dups(
+            spark.read.parquet(f"{d}/documents.parquet"), threshold=0.3
+        ).select("id_a", "id_b")
+        rounds: list = []
+        t0 = time.perf_counter()
+        comp = connected_components(
+            pairs, local_edge_limit=0, round_stats=rounds
+        )
+        n_comp = comp.select("component").distinct().count()
+        row["cc_forced_distributed"] = {
+            "wall_sec": round(time.perf_counter() - t0, 2),
+            "n_components": n_comp,
+            "star_rounds": len(rounds),
+            "edges_per_round": [int(n) for _, n in rounds],
+        }
+        print(f"x{factor} cc: {row['cc_forced_distributed']}", file=sys.stderr)
+        results[f"x{factor}"] = row
+
+    print(json.dumps(results))
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

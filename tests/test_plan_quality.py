@@ -70,9 +70,12 @@ def test_no_query_uses_cartesian_or_bnlj(spark):
     pair queries that are quadratic by design."""
     allowed_bnlj = {
         "ext_cosine_pairs_sample",   # bounded sample, pair-join by design
-        "ext_minhash_near_dups",     # id_a < id_b range condition on tiny cands
-        "ext_simhash_near_dups",
-        "ext_ann_topk_lsh",          # probe-array membership on bucketed slice
+        # one-row audit crossJoins (broadcast of single-row aggregates)
+        # + bounded brute-force ground-truth pair scans by design:
+        "ext_ann_topk_lsh",
+        "ext_ivf_topk",
+        "ext_ann_knn_join",
+        "ext_embedding_near_dups",
     }
     for name, q in entrymod.queries().items():
         plan = _plan(spark, q(spark, SF_SMOKE), "simple")
