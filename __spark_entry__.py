@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_ann_topk_lsh": E.ext_ann_topk_lsh,
         "ext_ivf_topk": E.ext_ivf_topk,
         "ext_embedding_near_dups": E.ext_embedding_near_dups,
+        # round-3 new operators
+        "ext_heavy_hitters": E.ext_heavy_hitters,
+        "ext_kll_quantiles": E.ext_kll_quantiles,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -1141,6 +1144,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cos_sim FROM pairs
             WHERE cos_sim >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "ext_heavy_hitters": f"""
+            WITH toks AS (
+                SELECT unnest({_WORDS.format(c='lower(text)')}) AS term
+                FROM documents
+            ),
+            counts AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+                FROM toks GROUP BY term
+            ),
+            ranked AS (
+                SELECT CAST(ROW_NUMBER() OVER (
+                           ORDER BY n_occurrences DESC, term
+                       ) AS INT) AS rank,
+                       term, n_occurrences
+                FROM counts
+            )
+            SELECT rank, term, n_occurrences, true AS mg_guarantee_ok
+            FROM ranked WHERE rank <= 20
+            ORDER BY rank
+        """,
+        "ext_kll_quantiles": """
+            SELECT event_type,
+                   ROUND(q[1], 4) AS p25_exact,
+                   ROUND(q[2], 4) AS p50_exact,
+                   ROUND(q[3], 4) AS p75_exact,
+                   true AS kll_within_rank_tol
+            FROM (
+                SELECT event_type,
+                       quantile_cont(CAST(value AS DOUBLE),
+                                     [0.25, 0.5, 0.75]) AS q
+                FROM events GROUP BY event_type
+            )
+            ORDER BY event_type
         """,
         "ext_label_centroid_quality": """
             WITH e AS (

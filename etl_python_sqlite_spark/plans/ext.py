@@ -302,6 +302,56 @@ def ext_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ext_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-S2 — mergeable KLL quantile rollup (per event_type over
+    ``events.value``), driver-checked like the HLL rollup: the sketch
+    estimate is engine-internal, but KLL's DISTRIBUTION-FREE rank
+    guarantee (±1.65% normalized rank at 99% confidence for k=200) makes
+    "the sketch's p-quantile lies between the exact (p−5%)- and
+    (p+5%)-quantiles" effectively deterministic (±5% ≈ 3× the 99%-conf
+    bound), and the exact interpolated percentiles ARE SQL-portable
+    (percentiles_by_group pins Spark percentile ≡ DuckDB quantile_cont).
+    Output: (event_type, p25/p50/p75 exact, kll_within_rank_tol)."""
+    from etl_python_sqlite_spark.operators.sketch import kll_quantiles_by
+    from etl_python_sqlite_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    kll = kll_quantiles_by(ev, ["event_type"], "value", [0.25, 0.5, 0.75])
+    probes = [0.20, 0.25, 0.30, 0.45, 0.50, 0.55, 0.70, 0.75, 0.80]
+    pct = F.percentile(F.col("value"), F.array(*[F.lit(p) for p in probes]))
+    exact = ev.groupBy("event_type").agg(pct.alias("q"))
+    j = kll.join(exact, "event_type")
+    q = F.col("q")
+    ok = (
+        (q[0] <= F.col("p25")) & (F.col("p25") <= q[2])
+        & (q[3] <= F.col("p50")) & (F.col("p50") <= q[5])
+        & (q[6] <= F.col("p75")) & (F.col("p75") <= q[8])
+    )
+    return j.select(
+        "event_type",
+        F.round(q[1], 4).alias("p25_exact"),
+        F.round(q[4], 4).alias("p50_exact"),
+        F.round(q[7], 4).alias("p75_exact"),
+        ok.alias("kll_within_rank_tol"),
+    ).orderBy("event_type")
+
+
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-HH — exact top-20 corpus terms via the two-pass Misra-Gries
+    plan (operators/heavyhitters.py): per-partition MG(8192) candidates,
+    broadcast-filtered exact recount — vocabulary-size-independent
+    shuffle, exact output. The oracle recomputes the top-20 with a full
+    SQL groupBy and pins ``mg_guarantee_ok`` (rank-20 count > N/k, the
+    no-miss condition) to true."""
+    from etl_python_sqlite_spark.operators.heavyhitters import heavy_hitters_topn
+
+    docs = _docs(spark, sf_dir)
+    tokens = docs.select(
+        F.explode(X.words(F.lower(F.col("text")))).alias("term")
+    )
+    return heavy_hitters_topn(tokens, top_n=20, k=8192).orderBy("rank")
+
+
 def ext_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4e — PII / contamination scan: regex hit counts per document
     (emails, URLs, long digit runs) + corpus rollup per source. The
