@@ -18,8 +18,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_python_sqlite_spark.functions.portable import (
-    PHASH60_SALTED_SQL,
     PHASH60_SQL,
+    UNIVERSAL_HASH_SQL,
+    universal_salt_constants,
 )
 from etl_python_sqlite_spark.functions.text import LANG_CHAR_NGRAMS, LANG_STOPWORDS
 from etl_python_sqlite_spark.plans import ext as E
@@ -54,9 +55,15 @@ _SHINGLES_SQL = (
 )
 
 # Portable MinHash+LSH near-dup pipeline (mirrors
-# operators/dedup.minhash_near_dups_portable: 64 salted 60-bit md5
-# min-hashes, 16 bands of 4, ordered-decimal band keys, exact-Jaccard
-# verify floor-quantized to micro-units). Ends with CTE `mh_verified`.
+# operators/dedup.minhash_near_dups_portable: 64 min-hashes from the
+# Carter-Wegman universal family (a_s·h + b_s) mod 2^61−1 over one
+# md5-derived hash per shingle — constants embedded as literals from the
+# SAME Python source on both sides — 16 bands of 4, ordered-decimal band
+# keys, exact-Jaccard verify floor-quantized to micro-units). Ends with
+# CTE `mh_verified`.
+_SALT_VALUES = ", ".join(
+    f"({s}, {a}, {b})" for s, a, b in universal_salt_constants(64)
+)
 _MINHASH_PIPELINE_SQL = f"""
             base AS (
                 SELECT doc_id, {{words}} AS w FROM documents
@@ -70,13 +77,13 @@ _MINHASH_PIPELINE_SQL = f"""
             hashed AS (
                 SELECT doc_id, {PHASH60_SQL.format(c='shingle')} AS h FROM srows
             ),
-            salted AS (
-                SELECT doc_id, h, unnest(range(64)) AS s FROM hashed
+            salts AS (
+                SELECT * FROM (VALUES {_SALT_VALUES}) AS v(s, a, b)
             ),
             mins AS (
                 SELECT doc_id, s,
-                       MIN({PHASH60_SALTED_SQL.format(s='s', h='h')}) AS mh
-                FROM salted GROUP BY doc_id, s
+                       MIN({UNIVERSAL_HASH_SQL.format(h='h', a='a', b='b')}) AS mh
+                FROM hashed CROSS JOIN salts GROUP BY doc_id, s
             ),
             bands AS (
                 SELECT doc_id, CAST(s // 4 AS INT) AS band,

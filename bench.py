@@ -9,7 +9,13 @@ Runs every declared query at $SPARK_GRAFT_SF_DIR (default
 Two passes, both forced end-to-end with the `noop` sink (full
 computation, no driver-side collect tax):
 
-1. sequential — honest per-query latency (reported in "queries");
+0. warm-up — every query once, untimed. Whole-stage-codegen COMPILE
+   otherwise lands on whichever query happens to run first over a given
+   operator shape — i.e. per-query numbers would measure dict ORDER
+   (the round-3 reorder shifted heavy EXT queries to the front and
+   inflated their cold numbers 4-7×), and at production scale compile
+   amortizes to zero anyway;
+1. sequential — warm per-query latency (reported in "queries");
 2. concurrent (8 submitter threads, FAIR scheduler) — the batch-
    throughput wall for all queries together, reported as "value". With
    44 independent queries on a 32-core executor, overlapping the fixed
@@ -74,11 +80,15 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             return name, -1.0
 
-    # pass 1: sequential per-query latency. No clearCache between queries:
-    # the EXT pipelines' cached intermediates are scoped to their result
-    # frame (operators/cache.tie) and release the moment run_one drops it,
-    # so tail-query timings no longer depend on run order (the r2 5-7×
-    # inflation the old clearCache workaround masked).
+    # pass 0: untimed warm-up of every query (see module docstring §0)
+    for item in queries.items():
+        run_one(item)
+
+    # pass 1: sequential per-query latency, warm plans. No clearCache
+    # between queries: the EXT pipelines' cached intermediates are scoped
+    # to their result frame (operators/cache.tie) and release the moment
+    # run_one drops it, so tail-query timings no longer depend on run
+    # order (the r2 5-7× inflation the old clearCache workaround masked).
     timings = dict(run_one(item) for item in queries.items())
     sequential_total = round(sum(t for t in timings.values() if t >= 0), 4)
 

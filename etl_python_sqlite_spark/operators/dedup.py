@@ -618,36 +618,60 @@ def minhash_near_dups_portable(
     The band key is the comma-joined decimal rendering of the band's
     ``r`` min-hashes in salt order — a plain string equi-join key that
     DuckDB rebuilds with ``string_agg(... ORDER BY s)``. Uniform key,
-    same shuffle profile as the xxhash64 band hash.
+    same candidate set as hashing the tuple.
+
+    The salt family is the Carter-Wegman 2-universal ``(a_s·h + b_s)
+    mod 2^61−1`` over ONE md5-derived base hash per shingle
+    (functions/portable.py::universal_hash — see its docstring for why
+    the cheaper modulus-free variant is a signature-collapse trap the
+    64× scale probe caught). The (s, a_s, b_s) constants ride through
+    the salt explode as literal structs — no per-row lookup.
     """
     from etl_python_sqlite_spark.functions.portable import (
         phash60,
-        phash60_salted,
+        universal_hash,
+        universal_salt_constants,
     )
     from etl_python_sqlite_spark.functions.text import word_shingles
 
     r = num_hashes // bands
+    consts = universal_salt_constants(num_hashes)
     sh = exploded_shingles(df, k, text_col, id_col)
     base = sh.select(id_col, phash60(F.col("shingle")).alias("h"))
-    salted = base.select(
-        id_col,
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("s"),
-    )
-    mins = salted.groupBy(id_col, "s").agg(
-        F.min(phash60_salted(F.col("h"), F.col("s"))).alias("mh")
+    # WIDE aggregation: one row per shingle, num_hashes min-aggregate
+    # columns — no ×num_hashes row explode. The narrow salted-row plan
+    # (r2's choice for the xxhash64 path, driven by codegen COMPILE cost)
+    # loses at scale: the 64× probe measured the 6G-row explode+hash-agg
+    # machinery — not hashing — as the dominant term (394 s narrow; the
+    # md5→3-int-op family swap moved nothing), and bench's warm-up pass
+    # now amortizes the wide plan's one-time compile anyway.
+    mins_wide = base.groupBy(id_col).agg(
+        *[
+            F.min(universal_hash(F.col("h"), F.lit(a), F.lit(b))).alias(
+                f"mh{s}"
+            )
+            for s, a, b in consts
+        ]
     )
     banded = (
-        mins.groupBy(id_col, (F.col("s") / r).cast("int").alias("band"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("s", "mh"))),
-                    lambda x: x["mh"].cast("string"),
-                ),
-                ",",
-            ).alias("band_key")
+        mins_wide.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            F.concat_ws(
+                                ",",
+                                *[f"mh{band * r + j}" for j in range(r)],
+                            ).alias("band_key"),
+                        )
+                        for band in range(bands)
+                    ]
+                )
+            ).alias("bb"),
         )
+        .select(id_col, "bb.band", "bb.band_key")
         .persist()  # stop Catalyst re-inlining the agg into both join sides
     )
     a = banded.alias("a")

@@ -70,12 +70,13 @@ def test_no_query_uses_cartesian_or_bnlj(spark):
     pair queries that are quadratic by design."""
     allowed_bnlj = {
         "ext_cosine_pairs_sample",   # bounded sample, pair-join by design
-        # one-row audit crossJoins (broadcast of single-row aggregates)
-        # + bounded brute-force ground-truth pair scans by design:
+        # one-row audit/guard crossJoins (broadcast of single-row
+        # aggregates) + bounded brute-force ground-truth pair scans:
         "ext_ann_topk_lsh",
         "ext_ivf_topk",
         "ext_ann_knn_join",
         "ext_embedding_near_dups",
+        "ext_heavy_hitters",         # N-total + rank-floor guard scalars
     }
     for name, q in entrymod.queries().items():
         plan = _plan(spark, q(spark, SF_SMOKE), "simple")

@@ -45,6 +45,46 @@ def test_phash60_salted_matches_reference(spark):
     assert row["p"] == _ref("7:123456789")
 
 
+def test_universal_hash_matches_reference(spark):
+    from etl_python_sqlite_spark.functions.portable import (
+        MINHASH_MOD_P,
+        universal_hash,
+        universal_salt_constants,
+    )
+
+    consts = universal_salt_constants(64)
+    for s, a, b in consts:
+        assert a % 2 == 1 and 0 < a < 2**60
+    rows = [(t, a, b) for t in SAMPLES for _, a, b in consts[:3] + consts[-2:]]
+    df = spark.createDataFrame(rows, "t string, a long, b long")
+    got = df.select(
+        "t", "a", "b",
+        universal_hash(phash60(F.col("t")), F.col("a"), F.col("b")).alias("v"),
+    ).collect()
+    for r in got:
+        assert r["v"] == (r["a"] * _ref(r["t"]) + r["b"]) % MINHASH_MOD_P
+
+
+def test_minhash_portable_no_false_positives_on_disjoint_corpus(spark):
+    """Signature-diversity regression gate: a modulus-free affine salt
+    family collapses the per-salt argmins (the same shingle wins every
+    salt with probability ~1/2), which makes UNRELATED docs collide in
+    every band — the failure the 64x scale probe caught as a quadratic
+    candidate-join disk spill. On a corpus of pairwise-disjoint docs the
+    candidate count must be ~0; under the collapsed family it is
+    O(n^2)-ish and this blows past the bound immediately."""
+    import random
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(f"w{i}_{rng.randrange(10**6)}" for _ in range(30)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = D.minhash_near_dups_portable(df, threshold_micro=0)
+    assert pairs.count() <= 3  # disjoint shingle sets: ~zero band collisions
+
+
 def test_simhash_portable_range_and_determinism(spark):
     docs = spark.createDataFrame(
         [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "zzz qqq")],
