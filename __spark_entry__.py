@@ -234,6 +234,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 new operators
         "ext_heavy_hitters": E.ext_heavy_hitters,
         "ext_kll_quantiles": E.ext_kll_quantiles,
+        "promo_revenue_ratio": R.promo_revenue_ratio,  # slot 50 of the cap
+        # -- round-3 additions past the 50-row driver cap (front-of-dict
+        # candidates for the round-4 reorder) ----------------------------
+        "nation_market_share": R.nation_market_share,
+        "large_volume_customers": R.large_volume_customers,
+        "disjunctive_revenue": R.disjunctive_revenue,
+        "idle_customer_balance": R.idle_customer_balance,
+        "ext_doc_chunking": E.ext_doc_chunking,
+        "ext_substring_contamination": E.ext_substring_contamination,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -1830,5 +1839,144 @@ def oracle_sql() -> dict[str, str]:
             FROM per_word
             GROUP BY 1
             ORDER BY df_bucket
+        """,
+        # -- round-3 TPC-H shapes + chunking/decontamination --------------
+        "promo_revenue_ratio": """
+            SELECT ship_month,
+                   CAST(p AS DOUBLE) AS promo_revenue,
+                   CAST(t AS DOUBLE) AS total_revenue,
+                   ((2 * CAST(p * 10000 AS BIGINT) * 1000000
+                     + CAST(t * 10000 AS BIGINT))
+                    // (2 * CAST(t * 10000 AS BIGINT))) / 1000000.0 AS promo_frac
+            FROM (
+                SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                       SUM(CASE WHEN p_type = 'PROMO'
+                                THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                          AS DECIMAL(28,4))
+                                ELSE CAST(0 AS DECIMAL(28,4)) END) AS p,
+                       SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                AS DECIMAL(28,4))) AS t
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1
+            )
+            ORDER BY ship_month
+        """,
+        "nation_market_share": """
+            SELECT order_year,
+                   CAST(n AS DOUBLE) AS nation_revenue,
+                   CAST(t AS DOUBLE) AS total_revenue,
+                   ((2 * CAST(n * 10000 AS BIGINT) * 1000000
+                     + CAST(t * 10000 AS BIGINT))
+                    // (2 * CAST(t * 10000 AS BIGINT))) / 1000000.0 AS market_share
+            FROM (
+                SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+                       SUM(CASE WHEN sn.n_name = 'NATION_7'
+                                THEN CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                                          AS DECIMAL(28,4))
+                                ELSE CAST(0 AS DECIMAL(28,4)) END) AS n,
+                       SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                                AS DECIMAL(28,4))) AS t
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+                JOIN region r ON cn.n_regionkey = r.r_regionkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+                WHERE r.r_name = 'AMERICA'
+                GROUP BY 1
+            )
+            ORDER BY order_year
+        """,
+        "large_volume_customers": """
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+                   o.o_totalprice, q.sum_qty
+            FROM (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT)
+                           AS sum_qty
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT) > 150
+            ) q
+            JOIN orders o ON q.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY q.sum_qty DESC, o.o_orderkey
+            LIMIT 100
+        """,
+        "disjunctive_revenue": """
+            SELECT p_brand,
+                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                 AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+            GROUP BY p_brand
+            ORDER BY p_brand
+        """,
+        "idle_customer_balance": """
+            WITH stats AS (
+                SELECT CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(28,2)) * 100
+                                     AS BIGINT)) AS BIGINT) AS s,
+                       COUNT(*) AS n
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT nn.n_name AS nation,
+                   COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(28,2)) * 100
+                                 AS BIGINT)) AS BIGINT) / 100.0 AS total_acctbal
+            FROM customer c
+            CROSS JOIN stats
+            JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+            WHERE NOT EXISTS (
+                      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  )
+              AND CAST(CAST(c.c_acctbal AS DECIMAL(28,2)) * 100 AS BIGINT)
+                  * stats.n > stats.s
+            GROUP BY nn.n_name
+            ORDER BY nation
+        """,
+        "ext_doc_chunking": """
+            SELECT doc_id,
+                   CAST(gs AS BIGINT) AS chunk_idx,
+                   CAST(gs * 90 + 1 AS BIGINT) AS chunk_start,
+                   CAST(length(substr(text, CAST(gs * 90 + 1 AS INT), 120))
+                        AS BIGINT) AS chunk_len,
+                   CAST('0x' || substr(md5(
+                        substr(text, CAST(gs * 90 + 1 AS INT), 120)
+                   ), 1, 15) AS BIGINT) AS chunk_hash
+            FROM (
+                SELECT doc_id, text,
+                       unnest(range(0, GREATEST(length(text) - 1, 0) // 90 + 1))
+                           AS gs
+                FROM documents
+            )
+            ORDER BY doc_id, chunk_idx
+        """,
+        "ext_substring_contamination": """
+            WITH snippets AS (
+                SELECT doc_id AS snippet_doc, substr(text, 40, 48) AS snippet
+                FROM documents
+                WHERE doc_id % 97 = 0 AND length(text) >= 114
+            )
+            SELECT d.doc_id,
+                   COUNT(*) AS n_snippets_hit,
+                   MIN(s.snippet_doc) AS first_snippet_doc
+            FROM documents d, snippets s
+            WHERE d.doc_id <> s.snippet_doc
+              AND position(s.snippet IN d.text) > 0
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
         """,
     }

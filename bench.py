@@ -156,24 +156,57 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "all_queries_batch_wall_concurrent8",
-                "value": concurrent_total,
-                "unit": "sec",
-                "queries": timings,
-                "sequential_total_sec": sequential_total,
-                "oracle_wall_sec": oracle_wall,
-                "rows_only_wall_sec": rows_only_wall,
-                "duckdb_oracle_sec": duckdb_sec,
-                "duckdb_oracle_excl_recursive_sec": duckdb_excl_recursive_sec,
-                "n_queries": len(queries),
-                "n_oracle_queries": len(oracle_items),
-                "sf": sf_val,
-            }
-        )
-    )
+
+    summary = {
+        "metric": "all_queries_batch_wall_concurrent8",
+        "value": concurrent_total,
+        "unit": "sec",
+        "sequential_total_sec": sequential_total,
+        "oracle_wall_sec": oracle_wall,
+        "rows_only_wall_sec": rows_only_wall,
+        "duckdb_oracle_sec": duckdb_sec,
+        "duckdb_oracle_excl_recursive_sec": duckdb_excl_recursive_sec,
+        "n_queries": len(queries),
+        "n_oracle_queries": len(oracle_items),
+        "sf": sf_val,
+    }
+
+    # Full per-query detail: file + first JSON line. The driver captures
+    # only the LAST ~2000 chars of stdout and parses the final line —
+    # round 2's 90-query line was 2.8 KB and recorded `parsed: null`
+    # (round 1's 52-query line fit and parsed). So the detail goes to
+    # BENCH_DETAIL.json and an early stdout line, and the FINAL line is
+    # kept under the capture window: the compact summary plus as many of
+    # the slowest per-query timings as fit in the budget (slowest-first
+    # is the deterministic, information-dense choice — the fast tail is
+    # in the detail file).
+    full = dict(summary)
+    full["queries"] = timings
+    print(json.dumps(full, separators=(",", ":")))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: detail file skipped: {exc}", file=sys.stderr)
+
+    LINE_BUDGET = 1700  # driver tail window is 2000 chars; leave margin
+    final = dict(summary)
+    final["queries_detail"] = "BENCH_DETAIL.json"
+    final["queries"] = {}
+    base_len = len(json.dumps(final, separators=(",", ":")))
+    shown = {}
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        entry_len = len(name) + 9  # "name":12.34,
+        if base_len + entry_len > LINE_BUDGET:
+            break
+        shown[name] = round(timings[name], 2)
+        base_len += entry_len
+    final["queries"] = shown
+    final["queries_shown"] = len(shown)
+    print(json.dumps(final, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -1185,3 +1185,86 @@ def ext_label_centroid_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.label_centroid_quality_exactable).
     tests/test_similarity.py pins the float-mean variant against numpy."""
     return S.label_centroid_quality_exactable(_embs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# round-3: chunking + exact-substring decontamination
+# ---------------------------------------------------------------------------
+
+#: chunk geometry shared by the query and its oracle twin
+_CHUNK_SIZE = 120
+_CHUNK_STRIDE = 90
+
+
+def ext_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — overlapping fixed-window document chunking (the standard
+    context-window prep for embedding / retrieval pipelines): size-120
+    char chunks every 90 chars, so consecutive chunks overlap by 30.
+
+    Pure codegen: the chunk index list is ``sequence(0, (len-1) div
+    stride)`` exploded JVM-side, the chunk text one ``substring`` — no
+    Python, no shuffle at all (chunking is embarrassingly parallel; the
+    ORDER BY is only the contract's determinism canon). Chunk identity
+    travels as the portable 60-bit md5 hash, so the DuckDB twin replays
+    every chunk bit-for-bit; corpus is ASCII by construction, so char
+    and byte offsets agree across engines.
+    """
+    from etl_python_sqlite_spark.functions.portable import phash60
+
+    docs = _docs(spark, sf_dir)
+    idx = F.explode(
+        F.expr(f"sequence(0, greatest(length(text)-1, 0) div {_CHUNK_STRIDE})")
+    ).alias("chunk_idx")
+    chunk = F.expr(
+        f"substring(text, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_SIZE})"
+    )
+    return (
+        docs.select("doc_id", "text", idx)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * _CHUNK_STRIDE + 1)
+            .cast("long")
+            .alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            phash60(chunk).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def ext_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — exact-substring decontamination: verbatim benchmark snippets
+    (48-char spans lifted from every 97th document) searched in every
+    other document's full text. Complements the shingle-overlap scan
+    (ext_contamination_scan): shingles catch fuzzy overlap, exact
+    substring catches verbatim leaks regardless of tokenization.
+
+    Scale shape: the snippet set is tiny and BROADCAST; the scan side
+    streams once through a nested-loop probe of #snippets ``contains``
+    calls per row — at 100 TB this is the only sane plan (an n-gram
+    equi-join on 48-grams would explode the corpus 48×), and it is why
+    the plan-quality sweep allowlists this query's BroadcastNestedLoop.
+    """
+    docs = _docs(spark, sf_dir)
+    snippets = (
+        docs.filter((F.col("doc_id") % 97 == 0) & (F.length("text") >= 114))
+        .select(
+            F.col("doc_id").alias("snippet_doc"),
+            F.substring("text", 40, 48).alias("snippet"),
+        )
+    )
+    hits = (
+        docs.crossJoin(F.broadcast(snippets))
+        .filter(
+            (F.col("doc_id") != F.col("snippet_doc"))
+            & F.col("text").contains(F.col("snippet"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_snippets_hit"),
+            F.min("snippet_doc").alias("first_snippet_doc"),
+        )
+        .orderBy("doc_id")
+    )
+    return hits

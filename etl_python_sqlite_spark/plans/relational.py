@@ -1395,3 +1395,219 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_index")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 TPC-H query shapes (Q14 / Q8 / Q18 / Q19 / Q22 analogues)
+# ---------------------------------------------------------------------------
+
+def _frac_expr(num: str, den: str, round_to: int = 6) -> Column:
+    """Deterministic num/den fraction rounded half-up to ``round_to``
+    decimals, evaluated entirely in integer arithmetic (same discipline as
+    _avg_expr): trunc((2·num·10^r + den) / (2·den)) / 10^r. Both engines'
+    integer division truncates toward zero, so the result is bit-identical
+    — float ROUND(x, r) at half-way points is not.
+    """
+    k = 10**round_to
+    return F.expr(
+        f"((2 * {num} * {k} + {den}) div (2 * {den})) / {float(k)}D"
+    )
+
+
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion-effect: per ship-month, the fraction of
+    discounted revenue coming from PROMO-type parts. Conditional
+    aggregation over one lineitem ⋈ broadcast(part) pass — the part dim
+    never shuffles the fact side, and both sums come out of the same
+    map-side partial aggregate. Revenue in exact DECIMAL(28,4); the
+    promo/total fraction via integer cross-multiplication (_frac_expr),
+    never ROUND(double).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    dd = F.col("l_discount").cast("decimal(4,2)")
+    rev = (ep * (F.lit(1) - dd)).cast("decimal(28,4)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(28,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo).alias("_p"),
+            F.sum(rev).alias("_t"),
+        )
+        .select(
+            "ship_month",
+            F.col("_p").cast("double").alias("promo_revenue"),
+            F.col("_t").cast("double").alias("total_revenue"),
+            _frac_expr(
+                "CAST(_p * 10000 AS BIGINT)", "CAST(_t * 10000 AS BIGINT)"
+            ).alias("promo_frac"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: among AMERICA-region customers'
+    purchases, NATION_7 suppliers' share of discounted revenue per order
+    year. Classic two-path star join — the customer path restricts the
+    fact rows (nation ⋈ region both broadcast), the supplier path only
+    labels them (broadcast) — so the single wide shuffle is the
+    lineitem ⋈ orders join; everything downstream is a tiny groupBy.
+    Share via integer cross-multiplication (_frac_expr).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cnat = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select(F.col("n_nationkey").alias("_c_natkey"))
+    snat = nat.select(
+        F.col("n_nationkey").alias("_s_natkey"), F.col("n_name").alias("_s_nation")
+    )
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    dd = F.col("l_discount").cast("decimal(4,2)")
+    rev = (ep * (F.lit(1) - dd)).cast("decimal(28,4)")
+    target = F.when(F.col("_s_nation") == "NATION_7", rev).otherwise(
+        F.lit(0).cast("decimal(28,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cnat), cust.c_nationkey == F.col("_c_natkey"))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(snat), sup.s_nationkey == F.col("_s_natkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(F.sum(target).alias("_n"), F.sum(rev).alias("_t"))
+        .select(
+            "order_year",
+            F.col("_n").cast("double").alias("nation_revenue"),
+            F.col("_t").cast("double").alias("total_revenue"),
+            _frac_expr(
+                "CAST(_n * 10000 AS BIGINT)", "CAST(_t * 10000 AS BIGINT)"
+            ).alias("market_share"),
+        )
+        .orderBy("order_year")
+    )
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-customer report: orders whose total
+    quantity exceeds 150 units, with the ordering customer. The HAVING
+    aggregate runs FIRST on lineitem alone (map-side partials, one narrow
+    shuffle on l_orderkey), and only the few surviving orders join to
+    orders/customer — at warehouse scale the filter drops ~95% of keys
+    before any wide row is built. Quantities are integral by generation:
+    summed in exact DECIMAL and emitted as BIGINT units.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("long")
+            .alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: OR of three
+    (brand, size-range, quantity-range) branches. The factorable
+    conjuncts are hoisted so they PUSH DOWN even though the OR spans
+    both tables: p_brand ∈ {…} prunes the part scan, l_quantity ≤ 30
+    prunes the lineitem scan, then the residual OR runs on the joined
+    row. part broadcasts — the fact side never shuffles.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#2", "Brand#17", "Brand#19")
+    )
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    dd = F.col("l_discount").cast("decimal(4,2)")
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .groupBy("p_brand")
+        .agg(
+            _dsum(ep * (F.lit(1) - dd), scale=4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped idle-wealthy-customer report: customers with NO
+    orders whose balance is strictly above the mean positive balance,
+    counted per nation. The global (Σ cents, n) aggregate is ONE row,
+    broadcast back over the anti-joined customers — no single-partition
+    window, no driver round-trip — and the above-mean comparison is
+    integer cross-multiplication (bal·n > Σ), so no engine ever divides.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    nat = table(spark, sf_dir, "nation")
+    cents = (F.col("c_acctbal").cast("decimal(28,2)") * 100).cast("long")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("_sum"), F.count("*").alias("_n")
+    )
+    idle = cust.join(
+        orders.select(F.col("o_custkey")),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.crossJoin(F.broadcast(stats))
+        .filter(cents * F.col("_n") > F.col("_sum"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum(cents) / F.lit(100.0)).alias("total_acctbal"),
+        )
+        .orderBy("nation")
+    )
