@@ -243,6 +243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_customer_balance": R.idle_customer_balance,
         "ext_doc_chunking": E.ext_doc_chunking,
         "ext_substring_contamination": E.ext_substring_contamination,
+        "cheapest_supplier_per_part": R.cheapest_supplier_per_part,
+        "supplier_variety_by_brand": R.supplier_variety_by_brand,
+        "daily_volume_anomaly": R.daily_volume_anomaly,
+        "ext_cross_source_dedup": E.ext_cross_source_dedup,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -1978,5 +1982,87 @@ def oracle_sql() -> dict[str, str]:
               AND position(s.snippet IN d.text) > 0
             GROUP BY d.doc_id
             ORDER BY d.doc_id
+        """,
+        "cheapest_supplier_per_part": """
+            WITH priced AS (
+                SELECT l_partkey, l_suppkey,
+                       (CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+                             AS BIGINT) * 10000)
+                       // CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT)
+                           AS unit_microprice
+                FROM lineitem
+            ),
+            best AS (
+                SELECT l_partkey, l_suppkey, unit_microprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY unit_microprice, l_suppkey
+                       ) AS rn
+                FROM priced
+            )
+            SELECT b.l_partkey, p.p_brand AS brand, s.s_name AS supplier,
+                   b.unit_microprice
+            FROM best b
+            JOIN supplier s ON b.l_suppkey = s.s_suppkey
+            JOIN part p ON b.l_partkey = p.p_partkey
+            WHERE b.rn = 1
+            ORDER BY b.l_partkey
+        """,
+        "supplier_variety_by_brand": """
+            SELECT p.p_brand,
+                   CAST((p.p_size - 1) // 10 AS BIGINT) AS size_bucket,
+                   COUNT(DISTINCT l.l_suppkey) AS n_suppliers
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+            )
+            GROUP BY 1, 2
+            ORDER BY p_brand, size_bucket
+        """,
+        "daily_volume_anomaly": """
+            WITH daily AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day,
+                       COUNT(*) AS n_events
+                FROM events
+                GROUP BY 1
+            ),
+            trail AS (
+                SELECT day, n_events,
+                       SUM(n_events) OVER (
+                           ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+                       ) AS trailing_sum,
+                       COUNT(n_events) OVER (
+                           ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+                       ) AS trailing_days
+                FROM daily
+            )
+            SELECT day, n_events, trailing_sum, trailing_days
+            FROM trail
+            WHERE trailing_days >= 7
+              AND 2 * ABS(n_events * trailing_days - trailing_sum) > trailing_sum
+            ORDER BY day
+        """,
+        "ext_cross_source_dedup": """
+            WITH keyed AS (
+                SELECT doc_id, source,
+                       CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)
+                           AS pri,
+                       CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id, source, h,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY h ORDER BY pri, doc_id
+                       ) AS rn,
+                       COUNT(*) OVER (PARTITION BY h) AS n_copies
+                FROM keyed
+            )
+            SELECT doc_id AS kept_doc, source AS kept_source,
+                   CAST(n_copies AS BIGINT) AS n_copies
+            FROM ranked
+            WHERE rn = 1 AND n_copies > 1
+            ORDER BY kept_doc
         """,
     }

@@ -15,7 +15,7 @@ ground-truth recall tests on the fast xxhash64/numpy paths).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_python_sqlite_spark.functions import text as X
@@ -1268,3 +1268,41 @@ def ext_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return hits
+
+
+def ext_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — source-priority dedup: when the same content appears in
+    multiple sources, keep the copy from the most trusted source (the
+    standard wiki-over-CommonCrawl preference in corpus assembly).
+    Priority = numeric source suffix (lower wins), ties by doc_id.
+
+    One hash-groupBy window over the portable content hash — the
+    row_number argmin is a single narrow shuffle on the 60-bit key,
+    uniform by construction, and only duplicate groups survive the
+    n_copies > 1 cut.
+    """
+    from etl_python_sqlite_spark.functions.portable import phash60
+
+    docs = _docs(spark, sf_dir)
+    pri = F.regexp_extract("source", "([0-9]+)$", 1).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        pri.alias("_pri"),
+        phash60(F.col("text")).alias("_h"),
+    )
+    w = Window.partitionBy("_h").orderBy("_pri", "doc_id")
+    return (
+        keyed.select(
+            "*",
+            F.row_number().over(w).alias("_rn"),
+            F.count("*").over(Window.partitionBy("_h")).alias("n_copies"),
+        )
+        .filter((F.col("_rn") == 1) & (F.col("n_copies") > 1))
+        .select(
+            F.col("doc_id").alias("kept_doc"),
+            F.col("source").alias("kept_source"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+        .orderBy("kept_doc")
+    )

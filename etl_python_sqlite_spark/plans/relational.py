@@ -1611,3 +1611,101 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped min-cost-supplier selection: for each part, the
+    supplier with the lowest observed unit price (argmin join). Unit
+    price is EXACT integer micro-units — (cents · 10⁴) div qty — so the
+    argmin is engine-deterministic (a DOUBLE division could flip ranks
+    at the last ulp); ties break on suppkey. One narrow shuffle on
+    partkey for the window; supplier name arrives by broadcast AFTER
+    the argmin cut 1-row-per-part stream.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    part = table(spark, sf_dir, "part")
+    unit = F.expr(
+        "(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT) * 10000)"
+        " div CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT)"
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_microprice", "l_suppkey")
+    best = (
+        li.select("l_partkey", "l_suppkey", unit.alias("unit_microprice"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        best.join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .select(
+            "l_partkey",
+            F.col("p_brand").alias("brand"),
+            F.col("s_name").alias("supplier"),
+            "unit_microprice",
+        )
+        .orderBy("l_partkey")
+    )
+
+
+def supplier_variety_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier-variety count: distinct suppliers per
+    (brand, size bucket), excluding negative-balance suppliers via a
+    null-free NOT IN (compiled to a broadcast anti-join — never the
+    naive per-row subquery). COUNT(DISTINCT) shuffles once on the
+    grouped keys with partial distinct aggregation map-side.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("_bad_key"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad), li.l_suppkey == F.col("_bad_key"), "left_anti"
+        )
+        .groupBy(
+            "p_brand",
+            F.expr("(p_size - 1) div 10").cast("long").alias("size_bucket"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .orderBy("p_brand", "size_bucket")
+    )
+
+
+def daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-health anomaly scan: days whose event volume deviates
+    more than 50% from their OWN trailing-7-day mean (the day-over-day
+    freshness/volume monitor every ingestion pipeline runs). The
+    deviation test |c·n − Σ| > Σ/2 is evaluated as 2·|c·n − Σ| > Σ in
+    pure integers — no float mean, no cross-engine ambiguity. One
+    groupBy + one ordered window over the tiny per-day rollup.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    trail = daily.select(
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).alias("_sum"),
+        F.count("n_events").over(w).alias("_n"),
+    ).filter(F.col("_n") >= 7)
+    return (
+        trail.filter(
+            2 * F.abs(F.col("n_events") * F.col("_n") - F.col("_sum"))
+            > F.col("_sum")
+        )
+        .select(
+            "day",
+            "n_events",
+            F.col("_sum").alias("trailing_sum"),
+            F.col("_n").alias("trailing_days"),
+        )
+        .orderBy("day")
+    )
