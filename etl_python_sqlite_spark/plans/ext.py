@@ -442,27 +442,73 @@ def ext_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     approx = S.ann_knn_join_lsh(embs, k=3).select("id_a", "id_b")
 
-    a = embs.filter(F.col("vec_id") < 100).select(
-        F.col("vec_id").alias("id_a"), S._as_double_array("embedding").alias("va")
+    # Brute-force 3-NN audit, restructured from the original per-pair
+    # F.aggregate cosine folds (the repo's measured-60×-slower
+    # interpreted-HOF hazard: 200k pairs × 3 folds × 64 dims dominated
+    # the query at 3.8 s) into flat codegen columns: posexplode both
+    # sides, BROADCAST the 100×64 query rows into the corpus rows, one
+    # partial-aggregated groupBy for the dots. Element products are
+    # floor-quantized to integer 1e-9 units, so the summation is
+    # order-free exact integers — no float-accumulation-order
+    # nondeterminism across partitionings (the invariance gate's rule) —
+    # and the final score ranking divides exact ints in IEEE doubles.
+    qf = (
+        embs.filter(F.col("vec_id") < 100)
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.posexplode(S._as_double_array("embedding")).alias("pos", "va"),
+        )
     )
-    b = embs.select(
-        F.col("vec_id").alias("id_b"), S._as_double_array("embedding").alias("vb")
+    cf = embs.select(
+        F.col("vec_id").alias("id_b"),
+        F.posexplode(S._as_double_array("embedding")).alias("pos", "vb"),
     )
-    pairs = a.join(b, F.col("id_a") != F.col("id_b")).select(
-        "id_a",
-        "id_b",
-        F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+    qprod = F.expr("CAST(floor(va * vb * 1e9) AS BIGINT)")
+    dots = (
+        cf.join(F.broadcast(qf), "pos")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(qprod).alias("dot_q"))
+    )
+    norms = embs.select(
+        F.col("vec_id").alias("_nid"),
+        F.expr(
+            "aggregate(CAST(embedding AS ARRAY<DOUBLE>), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + CAST(floor(x * x * 1e9) AS BIGINT))"
+        ).alias("norm_q"),
+    )
+    scored = (
+        dots.join(
+            F.broadcast(norms.select(F.col("_nid").alias("id_a"),
+                                     F.col("norm_q").alias("na_q"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(norms.select(F.col("_nid").alias("id_b"),
+                                     F.col("norm_q").alias("nb_q"))),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("dot_q")
+                / (F.sqrt(F.col("na_q")) * F.sqrt(F.col("nb_q")))
+            ).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cos_sim"), F.asc("id_b"))
     exact = (
-        pairs.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("id_a", "id_b")
     )
     hits = exact.join(approx, ["id_a", "id_b"])
+    n_queries = embs.filter(F.col("vec_id") < 100).agg(
+        F.count("*").alias("n_queries")
+    )
     return (
-        a.agg(F.count("*").alias("n_queries"))
-        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        n_queries.crossJoin(hits.agg(F.count("*").alias("n_hits")))
         .select(
             "n_queries",
             F.lit(3).cast("long").alias("k"),

@@ -52,9 +52,17 @@ def test_universal_hash_matches_reference(spark):
         universal_salt_constants,
     )
 
+    def py_uh(h: int, a: int, b: int) -> int:
+        # bit-exact CPython replay of the long-only Mersenne fold
+        t1 = a * (h >> 30)
+        t1_rot = ((t1 & (2**31 - 1)) << 30) + (t1 >> 31)
+        x = t1_rot + a * (h & (2**30 - 1)) + b
+        return (x & MINHASH_MOD_P) + (x >> 61)
+
     consts = universal_salt_constants(64)
     for s, a, b in consts:
-        assert a % 2 == 1 and 0 < a < 2**60
+        assert a % 2 == 1 and 0 < a < 2**31  # multiplier width the fold needs
+        assert 0 <= b < 2**60
     rows = [(t, a, b) for t in SAMPLES for _, a, b in consts[:3] + consts[-2:]]
     df = spark.createDataFrame(rows, "t string, a long, b long")
     got = df.select(
@@ -62,7 +70,16 @@ def test_universal_hash_matches_reference(spark):
         universal_hash(phash60(F.col("t")), F.col("a"), F.col("b")).alias("v"),
     ).collect()
     for r in got:
-        assert r["v"] == (r["a"] * _ref(r["t"]) + r["b"]) % MINHASH_MOD_P
+        v = r["v"]
+        assert v == py_uh(_ref(r["t"]), r["a"], r["b"])
+        # congruence law: the fold result equals the textbook mulmod up to
+        # the (deliberate) non-canonical representative near p
+        assert v % MINHASH_MOD_P == (
+            r["a"] * _ref(r["t"]) + r["b"]
+        ) % MINHASH_MOD_P
+        assert 0 <= v <= MINHASH_MOD_P + 2
+        # no signed-64 overflow anywhere in the fold's intermediates
+        assert r["a"] * (_ref(r["t"]) >> 30) < 2**61
 
 
 def test_minhash_portable_no_false_positives_on_disjoint_corpus(spark):
