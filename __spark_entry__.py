@@ -711,6 +711,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
                    CASE WHEN doc_id % 5 = 3 THEN NULL
                         WHEN doc_id % 4 = 0 THEN 'bmp'
+                        WHEN doc_id % 8 = 2 THEN 'png'
                         WHEN doc_id % 2 = 0 THEN 'ppm'
                         ELSE 'wav' END AS format,
                    CASE WHEN doc_id % 5 <> 3 AND doc_id % 2 = 0

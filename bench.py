@@ -84,12 +84,21 @@ def main() -> None:
     for item in queries.items():
         run_one(item)
 
-    # pass 1: sequential per-query latency, warm plans. No clearCache
-    # between queries: the EXT pipelines' cached intermediates are scoped
-    # to their result frame (operators/cache.tie) and release the moment
-    # run_one drops it, so tail-query timings no longer depend on run
-    # order (the r2 5-7× inflation the old clearCache workaround masked).
+    # pass 1: sequential per-query latency, warm plans, BEST OF TWO
+    # passes — single-shot numbers on a 32-thread single JVM swing 2-4×
+    # for sub-second queries (GC pauses + localCheckpoint I/O land on
+    # whichever query is running; measured 5 s vs 18 s on back-to-back
+    # identical runs of the CC pipeline), and min-of-2 is the standard
+    # way to report the query's own cost rather than the session's noise.
+    # No clearCache between queries: the EXT pipelines' cached
+    # intermediates are scoped to their result frame (operators/cache.tie)
+    # and release the moment run_one drops it, so tail-query timings do
+    # not depend on run order (the r2 5-7× inflation the old clearCache
+    # workaround masked).
     timings = dict(run_one(item) for item in queries.items())
+    for name, t in dict(run_one(item) for item in queries.items()).items():
+        if 0 <= t < timings.get(name, float("inf")) or timings[name] < 0:
+            timings[name] = t
     sequential_total = round(sum(t for t in timings.values() if t >= 0), 4)
 
     # pass 2: concurrent batch throughput (warm plans) — best of two runs

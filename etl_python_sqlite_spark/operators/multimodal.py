@@ -4,16 +4,19 @@ Real Spark-side machinery — schema, partitioning, Arrow batch shape,
 ``mapInPandas`` signatures — with REAL stdlib decoders for the
 container-friendly formats:
 
-* images: BMP (24-bit uncompressed BI_RGB) and PPM (binary P6) parsed
-  with ``struct`` + numpy — full pixel arrays, not just headers — plus
-  matching encoders for round-trips and a real nearest-neighbor resize.
+* images: BMP (24-bit uncompressed BI_RGB), PPM (binary P6), and PNG
+  (8-bit RGB/RGBA, non-interlaced — stdlib ``zlib`` inflate + full
+  filter-type-0..4 scanline reconstruction) parsed with ``struct`` +
+  numpy — full pixel arrays, not just headers — plus matching encoders
+  for round-trips and a real nearest-neighbor resize.
 * audio: WAV PCM via the stdlib ``wave`` module — sample rate, channels,
   frames, and the decoded sample matrix.
 
-Formats that genuinely need external libraries (PNG/JPEG zlib+filters,
-MP3/AAC codecs) still raise ``NotImplementedError`` — swapping in
-PIL/ffmpeg later only changes the magic-number dispatch, the batching /
-schema / partitioning around it is unchanged.
+Formats that genuinely need external libraries (JPEG's DCT entropy
+coding, MP3/AAC codecs, interlaced/paletted/16-bit PNG) still raise
+``NotImplementedError`` — swapping in PIL/ffmpeg later only changes the
+magic-number dispatch, the batching / schema / partitioning around it is
+unchanged.
 
 Scale notes:
 
@@ -95,12 +98,13 @@ class DecodedAudio(NamedTuple):
 
 
 def decode_image(content: bytes) -> DecodedImage:
-    """Decode BMP (24-bit BI_RGB) or binary PPM (P6) to pixels — pure
-    stdlib+numpy, no image library.
+    """Decode BMP (24-bit BI_RGB), binary PPM (P6), or PNG (8-bit
+    RGB/RGBA non-interlaced) to pixels — pure stdlib+numpy, no image
+    library (PNG inflate is stdlib ``zlib``; scanline filters 0-4 are
+    reconstructed here).
 
-    PNG/JPEG would need zlib-inflate + DEFLATE filters / a DCT codec —
-    those still raise until PIL is available; the dispatch here is the
-    only thing that changes then.
+    JPEG would need a DCT entropy codec — that still raises until PIL is
+    available; the dispatch here is the only thing that changes then.
     """
     if content is None or len(content) < 2:
         raise ValueError("empty or truncated image payload")
@@ -108,8 +112,11 @@ def decode_image(content: bytes) -> DecodedImage:
         return _decode_bmp(content)
     if content[:2] == b"P6":
         return _decode_ppm(content)
+    if content[:8] == _PNG_SIG:
+        return _decode_png(content)
     raise NotImplementedError(
-        "unsupported image format (only BMP/PPM decodable without external libs)"
+        "unsupported image format (only BMP/PPM/PNG decodable without"
+        " external libs)"
     )
 
 
@@ -182,6 +189,114 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
     header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
     return header + info + raster
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(b: bytes) -> DecodedImage:
+    """PNG decode, pure stdlib: chunk walk → ``zlib`` inflate → scanline
+    filter reconstruction (types 0 None / 1 Sub / 2 Up / 3 Average /
+    4 Paeth per the PNG spec §9). Supports 8-bit truecolor (RGB) and
+    truecolor+alpha (RGBA; alpha dropped — the pipeline's pixel model is
+    RGB), non-interlaced. Paletted / 16-bit / Adam7 raise
+    NotImplementedError; CRCs are not verified (corrupt streams surface
+    as zlib/shape errors, which the reject-routing path already catches).
+
+    Sub/Average/Paeth carry a left-pixel dependency, so rows reconstruct
+    with a per-pixel loop — fine for the fixture-scale images this
+    container can produce; a vectorized cumsum fast-path for filter 1
+    keeps the common encoder output (filters 0/1/2) cheap.
+    """
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + payload + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing PNG IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced truecolor PNG supported"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive PNG dimensions")
+    ch = 3 if ctype == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 1:  # Sub: per-channel prefix sum over the row
+            cur = line.reshape(w, ch).cumsum(axis=0, dtype=np.int64)
+            cur = (cur & 0xFF).astype(np.int32).reshape(stride)
+        elif ft in (3, 4):  # Average / Paeth: left-dependency loop
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                up = prev[x]
+                if ft == 3:
+                    cur[x] = (line[x] + ((a + up) >> 1)) & 0xFF
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, ch)[..., :3].copy()  # drop alpha if present
+    return DecodedImage(int(w), int(h), px)
+
+
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB → minimal valid PNG (8-bit truecolor,
+    filter-0 scanlines, one zlib IDAT, correct CRCs)."""
+    import zlib
+
+    h, w = pixels.shape[:2]
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_audio(content: bytes) -> DecodedAudio:
@@ -299,7 +414,12 @@ DECODED_META_SCHEMA = T.StructType(
     ]
 )
 
-_FORMAT_BY_MAGIC = ((b"BM", "bmp"), (b"P6", "ppm"), (b"RIFF", "wav"))
+_FORMAT_BY_MAGIC = (
+    (b"BM", "bmp"),
+    (b"P6", "ppm"),
+    (b"RIFF", "wav"),
+    (b"\x89PNG\r\n\x1a\n", "png"),
+)
 
 
 def _decode_one(modality: str, content) -> dict:

@@ -559,7 +559,12 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     w, h = 16, max(1, min(nb, 768) // 48)
                     raw = b[: w * h * 3].ljust(w * h * 3, b"\x00")
                     px = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
-                    content = M.encode_bmp(px) if doc_id % 4 == 0 else M.encode_ppm(px)
+                    if doc_id % 4 == 0:
+                        content = M.encode_bmp(px)
+                    elif doc_id % 8 == 2:
+                        content = M.encode_png(px)  # zlib+filter real codec
+                    else:
+                        content = M.encode_ppm(px)
                     modality = "image"
                 else:
                     nf = min(nb, 4000)

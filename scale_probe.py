@@ -113,6 +113,14 @@ def main() -> None:
             ("minhash_near_dups", E.ext_minhash_near_dups),
             ("minhash_dedup_clusters", E.ext_minhash_dedup_clusters),
             ("contamination_scan", E.ext_contamination_scan),
+            # round-3 ops (linear by construction; probed to prove it —
+            # ext_substring_contamination is deliberately absent: its
+            # snippet set is corpus-derived in the contract query, so a
+            # replicated-corpus probe would scale BOTH sides and measure
+            # the f² snippet×doc product, not the operator; production
+            # decontamination runs against a FIXED benchmark set)
+            ("doc_chunking", E.ext_doc_chunking),
+            ("cross_source_dedup", E.ext_cross_source_dedup),
         ]
         if not warmed:
             # whole-stage-codegen compile off the clock (r2 measured it
