@@ -247,6 +247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_variety_by_brand": R.supplier_variety_by_brand,
         "daily_volume_anomaly": R.daily_volume_anomaly,
         "ext_cross_source_dedup": E.ext_cross_source_dedup,
+        "priority_order_counts": R.priority_order_counts,
+        "shipmode_priority_split": R.shipmode_priority_split,
+        "top_supplier_revenue": R.top_supplier_revenue,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -2065,5 +2068,46 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND n_copies > 1
             ORDER BY kept_doc
+        """,
+        "priority_order_counts": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o.o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "shipmode_priority_split": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        "top_supplier_revenue": """
+            WITH per_sup AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                     * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                     * 10000 AS BIGINT)) AS BIGINT) AS rev_micro
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   rev_micro / 10000.0 AS total_revenue
+            FROM per_sup p
+            JOIN supplier s ON p.l_suppkey = s.s_suppkey
+            WHERE p.rev_micro = (SELECT MAX(rev_micro) FROM per_sup)
+            ORDER BY s.s_suppkey
         """,
     }

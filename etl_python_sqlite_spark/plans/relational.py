@@ -1709,3 +1709,75 @@ def daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders in one quarter having
+    at least one lineitem shipped after the order date (EXISTS →
+    LeftSemi), counted per priority. The quarter filter pushes into the
+    orders scan; the semi-join shuffles only (orderkey, dates)."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def shipmode_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped two-way conditional count: per lineitem status,
+    how many items belong to URGENT/HIGH-priority orders vs the rest —
+    the classic one-pass double conditional aggregation (no second scan,
+    no join back). The testdata has no l_shipmode column; l_linestatus
+    plays the grouping role."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: the supplier(s) whose quarterly
+    discounted revenue equals the maximum. The max-of-aggregate is a
+    one-row broadcast joined back by EXACT integer micro-units — no
+    float equality, no second scan of lineitem (the per-supplier rollup
+    is reused for both the max and the final filter via self-agg)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev_u = F.expr(
+        "sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT))"
+    )
+    per_sup = li.groupBy("l_suppkey").agg(rev_u.alias("rev_micro"))
+    best = per_sup.agg(F.max("rev_micro").alias("_best"))
+    sup = table(spark, sf_dir, "supplier")
+    return (
+        per_sup.crossJoin(F.broadcast(best))
+        .filter(F.col("rev_micro") == F.col("_best"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            (F.col("rev_micro") / F.lit(10000.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -27,6 +27,13 @@ QUERIES = [
     "ext_seq_packing",
     "supplier_profit_by_nation",
     "ext_word_rarity_score",
+    # round-3 ratio/argmin/audit queries: integer cross-multiplication
+    # fractions, integer micro-unit argmin, quantized-dot kNN audit
+    "promo_revenue_ratio",
+    "nation_market_share",
+    "idle_customer_balance",
+    "cheapest_supplier_per_part",
+    "ext_ann_knn_join",
 ]
 
 
