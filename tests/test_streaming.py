@@ -218,3 +218,83 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         for r in spark.sql("select * from ss_out").collect()
     }
     assert got == {(1, "ALGERIA"), (2, "ARGENTINA"), (3, "ALGERIA"), (4, None)}
+
+
+def test_dedup_stream_against_corpus(spark, tmp_path):
+    """Streaming corpus-incremental dedup: stream docs whose exact text
+    already exists in the static corpus are dropped map-side (broadcast
+    anti-join on the 8-byte content key); within-stream re-deliveries
+    collapse to first arrival across micro-batches."""
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        dedup_stream_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "seen before"), (101, "also known text")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "ing_src")
+    schema = "doc_id long, text string"
+    # micro-batch 1: one known doc, one new
+    spark.createDataFrame(
+        [(1, "seen before"), (2, "brand new one")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # micro-batch 2: stream-internal redelivery + another known + new
+    spark.createDataFrame(
+        [(3, "brand new one"), (4, "also known text"), (5, "fresh again")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = dedup_stream_against_corpus(stream, corpus)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingest_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ing_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ingest_dedup_out").collect()
+    kept = sorted((r["doc_id"], r["text"]) for r in rows)
+    # doc 1/4 dropped (corpus), doc 3 dropped (within-stream redelivery)
+    assert kept == [(2, "brand new one"), (5, "fresh again")]
+
+
+def test_dedup_stream_against_corpus_watermarked(spark, tmp_path):
+    """The bounded-state variant: with an event-time watermark the
+    within-stream dedup state expires via
+    dropDuplicatesWithinWatermark."""
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        dedup_stream_against_corpus,
+    )
+
+    corpus = spark.createDataFrame([(100, "known")], "doc_id long, text string")
+    src = str(tmp_path / "ingw_src")
+    schema = "doc_id long, text string, ts timestamp"
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    spark.createDataFrame(
+        [(1, "known", base), (2, "novel", base + timedelta(minutes=1)),
+         (3, "novel", base + timedelta(minutes=2))],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = dedup_stream_against_corpus(stream, corpus, watermark=("ts", "1 hour"))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingest_dedup_wm_out")
+        .option("checkpointLocation", str(tmp_path / "ingw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["doc_id"] for r in
+                 spark.sql("SELECT * FROM ingest_dedup_wm_out").collect())
+    assert ids == [2]  # corpus hit dropped; duplicate 'novel' collapsed
