@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_order_counts": R.priority_order_counts,
         "shipmode_priority_split": R.shipmode_priority_split,
         "top_supplier_revenue": R.top_supplier_revenue,
+        "ext_chunk_dedup": E.ext_chunk_dedup,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -2109,5 +2110,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON p.l_suppkey = s.s_suppkey
             WHERE p.rev_micro = (SELECT MAX(rev_micro) FROM per_sup)
             ORDER BY s.s_suppkey
+        """,
+        "ext_chunk_dedup": """
+            WITH chunks AS (
+                SELECT doc_id,
+                       CAST(gs AS BIGINT) AS chunk_idx,
+                       CAST('0x' || substr(md5(
+                            substr(text, CAST(gs * 90 + 1 AS INT), 120)
+                       ), 1, 15) AS BIGINT) AS chunk_hash
+                FROM (
+                    SELECT doc_id, text,
+                           unnest(range(0, GREATEST(length(text) - 1, 0) // 90
+                                           + 1)) AS gs
+                    FROM documents
+                )
+            )
+            SELECT chunk_hash,
+                   COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   MIN(doc_id * 1048576 + chunk_idx) // 1048576 AS keeper_doc,
+                   MIN(doc_id * 1048576 + chunk_idx) % 1048576 AS keeper_idx
+            FROM chunks
+            GROUP BY chunk_hash
+            HAVING COUNT(*) > 1
+            ORDER BY chunk_hash
         """,
     }

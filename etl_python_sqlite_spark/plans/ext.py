@@ -1357,3 +1357,38 @@ def ext_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kept_doc")
     )
+
+
+def ext_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — chunk-level dedup over the chunking pipeline's output (the
+    retrieval-corpus case: near-identical passages recur across
+    documents even when whole docs differ). Groups the overlapping
+    120-char chunks by their portable content hash and reports each
+    duplicated chunk with its spread (#docs) and volume (#occurrences),
+    keeping the lowest (doc, idx) occurrence as the canonical copy.
+
+    Composition note: this is ext_doc_chunking's frame feeding a
+    hash-groupBy — one extra narrow shuffle on the 60-bit key; chunk
+    text itself never shuffles.
+    """
+    chunks = ext_doc_chunking(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            # lexicographic (doc, idx) argmin as ONE encoded long — the
+            # same integer min on both engines (chunk_idx < 2^20 by the
+            # chunk geometry; struct-min is Spark-only)
+            F.min(F.col("doc_id") * 1048576 + F.col("chunk_idx")).alias("_keep"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .select(
+            "chunk_hash",
+            "n_occurrences",
+            "n_docs",
+            F.expr("_keep div 1048576").alias("keeper_doc"),
+            (F.col("_keep") % 1048576).alias("keeper_idx"),
+        )
+        .orderBy("chunk_hash")
+    )
