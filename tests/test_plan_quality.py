@@ -235,3 +235,39 @@ def test_doc_chunking_no_shuffle(spark):
     # rangepartitioning exchange for the final orderBy only
     assert plan.count("Exchange") <= 1, plan
     assert "Join" not in plan, plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """The 100 TB runtime-filter lever: when a shuffle join's build side
+    carries a selective filter, Catalyst injects a bloom_filter_agg on
+    the build keys and probes it on the stream side BEFORE the shuffle —
+    rows that cannot match never leave the scan stage. This gate pins
+    that the engine configuration keeps the rewrite reachable (thresholds
+    here are test-sized; production tuning belongs to the cluster conf)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        from etl_python_sqlite_spark.sources.parquet import load_table
+
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:800]
+        assert "might_contain" in plan, plan[:800]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
