@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipmode_priority_split": R.shipmode_priority_split,
         "top_supplier_revenue": R.top_supplier_revenue,
         "ext_chunk_dedup": E.ext_chunk_dedup,
+        "ext_dataset_card": E.ext_dataset_card,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -2134,5 +2135,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY chunk_hash
             HAVING COUNT(*) > 1
             ORDER BY chunk_hash
+        """,
+        "ext_dataset_card": f"""
+            SELECT n_docs, n_sources, n_langs, total_chars, total_words,
+                   n_docs - uniq AS n_dup_docs,
+                   (1000000 * (n_docs - uniq)) // n_docs AS dup_rate_micro
+            FROM (
+                SELECT COUNT(*) AS n_docs,
+                       COUNT(DISTINCT source) AS n_sources,
+                       COUNT(DISTINCT lang) AS n_langs,
+                       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                       CAST(SUM({_N_WORDS.format(c='text')}) AS BIGINT)
+                           AS total_words,
+                       COUNT(DISTINCT {PHASH60_SQL.format(c='text')}) AS uniq
+                FROM documents
+            )
         """,
     }

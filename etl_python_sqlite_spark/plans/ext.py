@@ -1392,3 +1392,36 @@ def ext_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk_hash")
     )
+
+
+def ext_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — the one-row dataset card every corpus release ships with:
+    volume (docs/chars/words), provenance spread (sources, languages),
+    and exact-duplicate rate. ONE aggregation pass over the scan — the
+    dup rate comes from count_distinct of the portable content hash in
+    the same aggregate, not a second dedup job — and the rate is
+    floor-quantized to micro-units (integer div) per the repo's float
+    discipline.
+    """
+    from etl_python_sqlite_spark.functions.portable import phash60
+
+    docs = _docs(spark, sf_dir)
+    agg = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(X.n_words(F.col("text"))).cast("long").alias("total_words"),
+        F.countDistinct(phash60(F.col("text"))).alias("_uniq"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_chars",
+        "total_words",
+        (F.col("n_docs") - F.col("_uniq")).alias("n_dup_docs"),
+        F.expr("(1000000 * (n_docs - _uniq)) div n_docs").alias(
+            "dup_rate_micro"
+        ),
+    )
