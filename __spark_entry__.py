@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier_revenue": R.top_supplier_revenue,
         "ext_chunk_dedup": E.ext_chunk_dedup,
         "ext_dataset_card": E.ext_dataset_card,
+        "ext_embedding_quantization": E.ext_embedding_quantization,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -2150,5 +2151,39 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(DISTINCT {PHASH60_SQL.format(c='text')}) AS uniq
                 FROM documents
             )
+        """,
+        "ext_embedding_quantization": """
+            WITH staged AS (
+                SELECT vec_id,
+                       CAST(embedding AS DOUBLE[]) AS v,
+                       list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x))) AS amax
+                FROM embeddings
+            ),
+            quant AS (
+                SELECT vec_id, v, amax,
+                       CASE WHEN amax > 0 THEN
+                           list_transform(v,
+                               x -> CAST(floor(x / amax * 127) AS INT))
+                       ELSE list_transform(v, x -> 0) END AS q
+                FROM staged
+            ),
+            errs AS (
+                SELECT vec_id, v, q,
+                       list_reduce(
+                           list_prepend(CAST(0 AS DOUBLE),
+                               list_transform(range(1, len(v) + 1),
+                                   i -> (v[i] - q[i] * amax / 127.0)
+                                        * (v[i] - q[i] * amax / 127.0))),
+                           (a, b) -> a + b) AS err2
+                FROM quant
+            )
+            SELECT vec_id,
+                   CAST(list_min(q) AS BIGINT) AS q_min,
+                   CAST(list_max(q) AS BIGINT) AS q_max,
+                   CAST(floor(sqrt(err2 / len(v)) * 1000000) AS BIGINT)
+                       AS rms_err_micro
+            FROM errs
+            ORDER BY vec_id
         """,
     }
