@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_chunk_dedup": E.ext_chunk_dedup,
         "ext_dataset_card": E.ext_dataset_card,
         "ext_embedding_quantization": E.ext_embedding_quantization,
+        "ext_setsim_prefix_join": E.ext_setsim_prefix_join,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -891,6 +892,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, ROUND(j, 6) AS jaccard
             FROM pairs
             WHERE j >= 0.05
+            ORDER BY id_a, id_b
+        """,
+        "ext_setsim_prefix_join": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok
+                FROM (SELECT doc_id, unnest({_WORDS.format(c='text')}) AS tok
+                      FROM documents WHERE doc_id < 400)
+                WHERE length(tok) > 0
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+            ipairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(COUNT(*) AS BIGINT) AS inter
+                FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT i.id_a, i.id_b,
+                   (1000000 * i.inter) // (sa.sz + sb.sz - i.inter)
+                       AS jaccard_micro
+            FROM ipairs i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE (1000000 * i.inter) // (sa.sz + sb.sz - i.inter) >= 500000
             ORDER BY id_a, id_b
         """,
         "ext_minhash_near_dups": f"""

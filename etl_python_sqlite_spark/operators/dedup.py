@@ -851,3 +851,138 @@ def winnowing_overlap_pairs_portable(
         .filter(F.col("n_shared") >= min_shared)
     )
     return tie(out, fp)
+
+
+def doc_token_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct non-empty word tokens per doc, one (id, tok) row each."""
+    from etl_python_sqlite_spark.functions.text import words
+
+    return (
+        df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .distinct()
+    )
+
+
+def setsim_prefix_index(
+    toks: DataFrame, threshold_micro: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Prefix index over (id, tok) rows: order each doc's tokens by
+    ascending GLOBAL document frequency (token string as tie-break) and
+    keep only the first ``|s| − ⌈t·|s|⌉ + 1`` — the exact prefix-filter
+    index of Chaudhuri et al. (ICDE 2006). A token that appears in many
+    docs ranks last everywhere, so it is indexed only by docs whose set
+    is almost all stop-tokens — the f² candidate blowup of a naive
+    inverted index is structurally impossible. ⌈t·|s|⌉ is computed in
+    integer micro-units. Returns (id, tok, sz)."""
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    wdoc = Window.partitionBy(id_col)
+    ranked = toks.join(dfreq, "tok").select(
+        F.col(id_col),
+        F.col("tok"),
+        F.row_number().over(wdoc.orderBy("dfreq", "tok")).alias("rnk"),
+        F.count("*").over(wdoc).alias("sz"),
+    )
+    ceil_t_sz = F.expr(f"({threshold_micro} * sz + 999999) div 1000000")
+    return ranked.filter(
+        F.col("rnk") <= F.col("sz") - ceil_t_sz + F.lit(1)
+    ).select(id_col, "tok", "sz")
+
+
+def setsim_join_prefix(
+    df: DataFrame,
+    threshold_micro: int = 500_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact set-similarity self-join with PREFIX FILTERING (the
+    AllPairs/PPJoin family: Bayardo/Ma/Srikant, "Scaling up all pairs
+    similarity search", WWW 2007; Chaudhuri/Ganti/Kaushik, ICDE 2006).
+    Returns every pair of docs whose word-SET Jaccard ≥ threshold, as
+    (id_a, id_b, jaccard_micro) with the exact Jaccard floor-quantized
+    to micro-units (integer-portable across engines).
+
+    Why not the plain inverted-index join (``ngram_jaccard_pairs``): a
+    token shared by f docs contributes f² candidate rows there, capped
+    only by the stop-shingle τ. Prefix filtering is the published exact
+    fix — order each doc's tokens by ascending global document
+    frequency (rarest first, token string as tie-break) and index ONLY
+    the first ``|s| − ⌈t·|s|⌉ + 1`` tokens. Any pair with
+    J(A,B) ≥ t must share a prefix token: if all common tokens sat in
+    both suffixes, then |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| ≤ t·|∪|, a
+    contradiction — so there are NO false negatives and the output is
+    bit-identical to the brute-force join (the oracle twin exploits
+    exactly this). Rare-first ordering makes surviving index entries
+    low-frequency by construction: candidate volume collapses from
+    Σf² over all tokens to Σf² over prefix tokens, the standard
+    orders-of-magnitude reduction at corpus scale.
+
+    Pruning stack, each exact (no recall loss):
+    * prefix filter — equi-join only on prefix tokens;
+    * length filter — J(A,B) ≥ t forces t·max(|A|,|B|) ≤ min(|A|,|B|),
+      checked in integer micro-units inside the join condition;
+    * verify — exact |∩|/|∪| on the full token sets of candidate pairs
+      only.
+
+    All threshold math is integer (⌈t·|s|⌉ = (t_micro·|s| + 999999)
+    div 10^6), so the plan is deterministic on every engine/platform.
+    Shuffles: tokens (df count + sets), prefix-token equi-join, pair
+    distinct — all on uniform hash/token keys; the rare-first prefix
+    keeps the join's per-key fan-out bounded, which is what makes this
+    the 100 TB-safe shape.
+    """
+    toks = doc_token_sets(df, text_col, id_col)
+    prefix = setsim_prefix_index(toks, threshold_micro, id_col).persist()
+    # persist: both sides of the self-join below
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # length filter: t·max ≤ 10^6·min
+            & (
+                F.lit(threshold_micro) * F.greatest("a.sz", "b.sz")
+                <= F.lit(1_000_000) * F.least("a.sz", "b.sz")
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+        .persist()  # feeds the two-sided verify join
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets_ = (
+        toks.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("tok").alias("tokset"))
+        .persist()  # reused by both sides of the verify join
+    )
+    sa = sets_.select(F.col(id_col).alias("id_a"), F.col("tokset").alias("ts_a"))
+    sb = sets_.select(F.col(id_col).alias("id_b"), F.col("tokset").alias("ts_b"))
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ts_a", "ts_b")).cast("long").alias("inter"),
+            F.size(F.array_union("ts_a", "ts_b")).cast("long").alias("uni"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(1000000 * inter) div uni").alias("jaccard_micro"),
+        )
+        .filter(F.col("jaccard_micro") >= threshold_micro)
+    )
+    return tie(verified, prefix, cands, sets_)

@@ -1474,3 +1474,17 @@ def ext_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(floor(sqrt(err2 / size(v)) * 1000000) AS BIGINT)"
         ).alias("rms_err_micro"),
     ).orderBy("vec_id")
+
+
+def ext_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2-scale — exact set-similarity self-join with prefix filtering
+    (AllPairs/PPJoin; operators/dedup.setsim_join_prefix). The filter is
+    EXACT (no false negatives), so the output equals the brute-force
+    all-pairs join — which is precisely what the DuckDB oracle computes
+    over the same bounded sample. The bound exists only to keep the
+    oracle's quadratic twin cheap; the Spark plan is the corpus-scale
+    shape (rare-first prefix index, length filter in the join,
+    verify-on-candidates-only) and pytest additionally pins full-corpus
+    equality against the naive inverted-index join at test scale."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return D.setsim_join_prefix(docs, threshold_micro=500_000)

@@ -197,3 +197,68 @@ def test_shingle_df_cap_noop_below_cap(spark, corpus):
         ).collect()
     }
     assert with_cap == no_cap and with_cap
+
+
+def _brute_setsim(rows, threshold_micro):
+    """Driver-side ground truth: word-SET jaccard over all pairs."""
+    sets = {
+        i: {w for w in t.split() if w}
+        for i, t in rows
+    }
+    out = set()
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            jm = (1_000_000 * inter) // uni
+            if jm >= threshold_micro:
+                out.add((a, b, jm))
+    return out
+
+
+def test_setsim_prefix_equals_bruteforce(spark, corpus):
+    """Prefix filtering is EXACT: output must equal the brute-force
+    all-pairs word-set jaccard join (planted near-dups + exact dups)."""
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    expected = _brute_setsim(rows, 500_000)
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard_micro"])
+        for r in D.setsim_join_prefix(corpus, threshold_micro=500_000).collect()
+    }
+    assert got == expected
+    assert len(expected) > 10  # exact dups + 2-edit mutants all qualify
+
+
+def test_setsim_prefix_excludes_stop_tokens(spark):
+    """Adversarial corpus: one token in ALL docs, rest disjoint. The
+    universal token must vanish from every prefix (rarest-first ordering
+    ranks it last), so the naive index's N² candidate blowup cannot
+    happen — and the output is still exactly right (empty: no pair
+    reaches 0.5)."""
+    n = 50
+    rows = [
+        (i, "common " + " ".join(f"tok{i}_{j}" for j in range(5)))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = D.doc_token_sets(df)
+    prefix = D.setsim_prefix_index(toks, 500_000)
+    assert prefix.filter(F.col("tok") == "common").count() == 0
+    # prefix length for |s|=6, t=0.5: 6 - 3 + 1 = 4 rows per doc
+    assert prefix.count() == n * 4
+    assert D.setsim_join_prefix(df, threshold_micro=500_000).count() == 0
+
+
+def test_setsim_prefix_empty_and_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "   "), (3, "")],
+        "doc_id long, text string",
+    )
+    got = D.setsim_join_prefix(df, threshold_micro=900_000).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard_micro"]) for r in got] == [
+        (0, 1, 1_000_000)
+    ]
