@@ -647,3 +647,191 @@ def label_centroid_quality_exactable(
         )
         .orderBy("label")
     )
+
+
+def _lloyd_refine_centroids(
+    assigned: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> list[tuple[int, list[float]]]:
+    """One Lloyd iteration with ORDER-INDEPENDENT centroid math: the new
+    centroid for each cluster is the per-dimension sum of
+    ``floor(x·10^6)`` as BIGINT — exact integer aggregation, so the
+    result is identical for any partitioning/merge order (a float mean
+    would depend on partial-sum order). Cosine assignment only needs the
+    centroid DIRECTION, and the quantized sum is a scale multiple of the
+    quantized mean — the same trick as ``label_centroid_quality``.
+    Empty clusters keep their previous centroid. The per-cluster sums
+    are k×dim rows — trivially collectable at any corpus size."""
+    sums = (
+        assigned.select(
+            "centroid_id", F.posexplode("v").alias("pos", "x")
+        )
+        .groupBy("centroid_id", "pos")
+        .agg(F.sum(F.floor(F.col("x") * 1000000)).cast("long").alias("s"))
+        .collect()
+    )
+    dim = len(centroids[0][1])
+    acc: dict[int, list[float]] = {}
+    for r in sums:
+        acc.setdefault(r["centroid_id"], [0.0] * dim)[r["pos"]] = float(r["s"])
+    out = []
+    for cid, old in centroids:
+        vec = acc.get(cid)
+        if vec is None or not any(vec):
+            vec = old
+        out.append((cid, vec))
+    return out
+
+
+def _unit(vecs: list[tuple[int, list[float]]]) -> list[tuple[int, list[float]]]:
+    out = []
+    for cid, v in vecs:
+        n = float(np.linalg.norm(v))
+        out.append((cid, [x / n for x in v] if n > 0 else v))
+    return out
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    refine_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): cluster the
+    embedding space, then search for near-duplicate pairs ONLY within
+    each cluster — O(n·cluster_size) exact pair work instead of O(n²).
+    Returns (cluster_id, id_a, id_b, cos_sim) with id_a < id_b and
+    cos_sim ≥ threshold (rounded to 6dp); the keep-lowest-id rule makes
+    ``id_b`` the drop candidate.
+
+    Determinism without RNG state: the codebook seeds from the
+    ``n_clusters`` lowest-id vectors, Lloyd refinement uses
+    order-independent integer-quantized sums, and assignment is argmax
+    cosine against UNIT-normalized centroids (so dot argmax ≡ cosine
+    argmax and a big cluster's unnormalized sum cannot attract
+    everything).
+
+    Scale shape: assignment is one Arrow-batched matmul per batch
+    against a k-row codebook (broadcast-sized); per-cluster pair search
+    is a numpy matmul inside ``applyInPandas`` — the same
+    verified-pairs-only output contract as ``embedding_near_dup_pairs``.
+    At warehouse scale the cluster column doubles as the partition key
+    (write PARTITIONED BY cluster_id; each cluster's pair scan is an
+    independent partition-pruned job, and oversized clusters would be
+    sub-bucketed by sign-LSH within the cluster — composition with
+    ``lsh_buckets_multitable``, not a new mechanism).
+    """
+    assigned = semantic_assign(
+        df, n_clusters, refine_iters, vec_col, id_col
+    )
+    return semantic_dedup_pairs_from_assignment(assigned, threshold, id_col)
+
+
+def semantic_assign(
+    df: DataFrame,
+    n_clusters: int = 16,
+    refine_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic k-clustering of the embedding space (codebook =
+    lowest-id seeds, Lloyd refinement on integer-quantized sums, cosine
+    argmax assignment). Returns (id, v, centroid_id)."""
+    cents = _unit(
+        farthest_point_seeds(df, n_clusters, vec_col, id_col)
+    )
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    for _ in range(refine_iters):
+        cents = _unit(_lloyd_refine_centroids(assigned, cents))
+        assigned = ivf_assign(df, cents, vec_col, id_col)
+    return assigned
+
+
+def farthest_point_seeds(
+    df: DataFrame,
+    n_clusters: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic well-spread codebook: ONE scan takes a hash-ordered
+    sample (lowest ``xxhash64(id)`` — uniform over the corpus, no RNG
+    state to ship), then greedy farthest-point traversal in cosine
+    distance runs driver-side on the tiny sample. Lowest-id seeding
+    (``deterministic_centroids``) is degenerate when low ids are
+    spatially clustered — every seed lands in one region and Lloyd
+    cannot un-collapse them; farthest-point is the standard fix
+    (Gonzalez 1985) and the sample-then-seed shape is how k-means‖
+    (Bahmani et al., VLDB 2012) makes it one-pass at scale."""
+    rows = (
+        df.select(
+            F.col(id_col).alias("i"),
+            _as_double_array(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "i")
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        return []
+    ids = [int(r["i"]) for r in rows]
+    V = np.vstack([r["v"] for r in rows])
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    chosen = [0]  # first sample row (lowest hash) — deterministic
+    best_sim = Vn @ Vn[0]  # similarity to nearest chosen seed, per row
+    while len(chosen) < min(n_clusters, len(ids)):
+        nxt = int(np.argmin(best_sim))  # farthest in cosine distance
+        chosen.append(nxt)
+        best_sim = np.maximum(best_sim, Vn @ Vn[nxt])
+    return [
+        (k, [float(x) for x in V[j]]) for k, j in enumerate(chosen)
+    ]
+
+
+def semantic_dedup_pairs_from_assignment(
+    assigned: DataFrame, threshold: float = 0.9, id_col: str = "vec_id"
+) -> DataFrame:
+    """Within-cluster exhaustive pair search over a precomputed
+    ``semantic_assign`` frame (see :func:`semantic_dedup_pairs`)."""
+    thr = float(threshold)
+
+    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cluster_id": [], "id_a": [], "id_b": [], "cos_sim": []}
+            )
+        ids = pdf["vid"].to_numpy()
+        V = np.vstack(pdf["v"].to_numpy())
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        sims = np.round(Vn @ Vn.T, 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= thr
+        ia, jb = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, jb), np.maximum(ia, jb)
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(keep.sum(), pdf["centroid_id"].iloc[0]),
+                "id_a": lo,
+                "id_b": hi,
+                "cos_sim": sims[iu[keep], ju[keep]],
+            }
+        )
+
+    return (
+        assigned.select(
+            F.col(id_col).cast("long").alias("vid"), "v", "centroid_id"
+        )
+        .groupBy("centroid_id")
+        .applyInPandas(
+            _cluster_pairs,
+            schema="cluster_id int, id_a long, id_b long, cos_sim double",
+        )
+    )
+
+
+def semantic_dedup_drops(pairs: DataFrame) -> DataFrame:
+    """Drop set under keep-lowest-id: every id that appears as ``id_b``."""
+    return pairs.select(F.col("id_b").alias("drop_id")).distinct()

@@ -1488,3 +1488,85 @@ def ext_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality against the naive inverted-index join at test scale."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
     return D.setsim_join_prefix(docs, threshold_micro=500_000)
+
+
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2-semantic — SemDeDup audit (operators/similarity.semantic_*):
+    cluster the embedding space, exhaustive near-dup search within each
+    cluster. The clustering itself has no SQL twin, so the one-row audit
+    follows the ANN pattern: non-boolean columns are SQL-exact
+    (``n_vectors``; ``n_sample_pairs`` = pairwise fold-cosine ≥ 0.9 among
+    vec_id < 150 — the sequential-fold/ROUND(6) combination both engines
+    compute bit-identically), and the booleans pin Spark against its own
+    exact ground truth:
+
+    * ``clusters_ok`` — assignment is total (one row per vector, ≤ k
+      distinct clusters);
+    * ``containment_ok`` — every within-sample pair SemDeDup reports is
+      in the exact pair set at θ−ε (clustering can only miss pairs,
+      never invent them; ε = 2·10⁻⁶ absorbs the numpy-matmul vs
+      sequential-fold last-ulp gap);
+    * ``cocluster_exhaustive_ok`` — every exact pair at θ+ε whose two
+      vectors were co-clustered IS reported: the within-cluster search
+      is exhaustive, the property that separates SemDeDup from a
+      sampling heuristic.
+
+    All three stay meaningful (vacuously for the pair booleans) under
+    per-round testdata regeneration — this round's embeddings contain
+    zero ≥0.9 pairs; ground-truth recall on planted corpora lives in
+    tests/test_similarity.py."""
+    embs = _embs(spark, sf_dir)
+    assigned = S.semantic_assign(embs, n_clusters=16, refine_iters=1).persist()
+    pairs = S.semantic_dedup_pairs_from_assignment(
+        assigned, threshold=0.9
+    ).persist()
+
+    n_vec = embs.agg(F.count("*").cast("long").alias("n_vectors"))
+    exact = S.cosine_pairs_sample(embs, max_id=150, threshold=0.9)
+    exact_relaxed = S.cosine_pairs_sample(embs, max_id=150, threshold=0.899998)
+    exact_strict = S.cosine_pairs_sample(embs, max_id=150, threshold=0.900002)
+    n_sample = exact.agg(F.count("*").cast("long").alias("n_sample_pairs"))
+
+    sample_found = pairs.filter((F.col("id_a") < 150) & (F.col("id_b") < 150))
+    containment = sample_found.join(
+        exact_relaxed.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).agg((F.count("*") == 0).alias("containment_ok"))
+
+    ca = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("centroid_id").alias("c_a")
+    )
+    cb = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("centroid_id").alias("c_b")
+    )
+    coclustered = (
+        exact_strict.select("id_a", "id_b")
+        .join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(F.col("c_a") == F.col("c_b"))
+    )
+    exhaustive = coclustered.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).agg((F.count("*") == 0).alias("cocluster_exhaustive_ok"))
+
+    cluster_stats = assigned.agg(
+        F.count("*").alias("n_assigned"),
+        F.countDistinct("centroid_id").alias("n_clusters"),
+    )
+    out = (
+        n_vec.crossJoin(n_sample)
+        .crossJoin(cluster_stats)
+        .crossJoin(containment)
+        .crossJoin(exhaustive)
+        .select(
+            "n_vectors",
+            "n_sample_pairs",
+            (
+                (F.col("n_assigned") == F.col("n_vectors"))
+                & (F.col("n_clusters") <= 16)
+                & (F.col("n_clusters") >= 1)
+            ).alias("clusters_ok"),
+            "containment_ok",
+            "cocluster_exhaustive_ok",
+        )
+    )
+    return tie(out, assigned, pairs)

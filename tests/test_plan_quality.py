@@ -78,6 +78,8 @@ def test_no_query_uses_cartesian_or_bnlj(spark):
         "ext_embedding_near_dups",
         "ext_heavy_hitters",         # N-total + rank-floor guard scalars
         "idle_customer_balance",     # one-row (Σ, n) stats broadcast
+        "ext_semantic_dedup",        # one-row audit crossJoins + bounded
+        # (vec_id<150) brute-force ground-truth pair scans, as the ANN audits
         "ext_substring_contamination",  # tiny snippet set × corpus probe —
         # the only sane 100 TB plan for exact-substring search (an
         # equi-join would require exploding the corpus into 48-grams)

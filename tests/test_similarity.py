@@ -193,3 +193,94 @@ def test_label_centroid_quality_matches_numpy(spark):
         assert n == len(vecs)
         assert abs(mean_c - round(float(cos.mean()), 6)) < 1e-5
         assert abs(min_c - round(float(cos.min()), 6)) < 1e-5
+
+
+@pytest.fixture(scope="module")
+def semdedup_corpus(spark):
+    """4 well-separated gaussian blobs + planted near-dup pairs inside
+    each blob + a few exact duplicates; ground-truth pair set computed
+    with numpy."""
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(4, DIM)) * 6.0
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(30):
+            rows.append((vid, centers[c] + rng.normal(size=DIM)))
+            vid += 1
+    # planted near-dups (tiny perturbation of an existing member)
+    planted = []
+    for c in range(4):
+        src = rows[c * 30][1]
+        dup = src + 0.01 * rng.normal(size=DIM)
+        rows.append((1000 + c, dup))
+        planted.append((c * 30, 1000 + c))
+    # exact duplicates
+    rows.append((2000, rows[5][1]))
+    planted.append((5, 2000))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    truth = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in rows}
+    return df, truth, planted
+
+
+def _exact_pairs(truth, thr):
+    ids = sorted(truth)
+    V = np.vstack([truth[i] for i in ids])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S_ = np.round(Vn @ Vn.T, 6)
+    iu, ju = np.triu_indices(len(ids), 1)
+    keep = S_[iu, ju] >= thr
+    return {
+        (min(ids[a], ids[b]), max(ids[a], ids[b]))
+        for a, b in zip(np.array(iu)[keep], np.array(ju)[keep])
+    }
+
+
+def test_semantic_dedup_finds_planted(spark, semdedup_corpus):
+    """Every planted near-dup/exact-dup pair is recovered (blob members
+    cluster together), pairs report exact 6dp cosine, and the drop set
+    is the keep-lowest-id complement."""
+    df, truth, planted = semdedup_corpus
+    pairs = S.semantic_dedup_pairs(df, n_clusters=4, threshold=0.95)
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in pairs.collect()}
+    for a, b in planted:
+        assert (a, b) in got, (a, b)
+    # reported cosines are the exact ones
+    for (a, b), cs in got.items():
+        va, vb = truth[a], truth[b]
+        assert cs == pytest.approx(
+            round(float(np.dot(va, vb) / (np.linalg.norm(va) * np.linalg.norm(vb))), 6),
+            abs=2e-6,
+        )
+    drops = {r["drop_id"] for r in S.semantic_dedup_drops(pairs).collect()}
+    assert {1000, 1001, 1002, 1003, 2000} <= drops
+
+
+def test_semantic_dedup_no_false_positives(spark, semdedup_corpus):
+    """Output ⊆ exact all-pairs set at the same threshold (clustering can
+    only MISS pairs, never invent them)."""
+    df, truth, _ = semdedup_corpus
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.semantic_dedup_pairs(df, n_clusters=4, threshold=0.95).collect()
+    }
+    assert got <= _exact_pairs(truth, 0.95 - 1e-6)
+
+
+def test_semantic_assign_partitions_everything(spark, semdedup_corpus):
+    """Assignment is total and single-valued: every vector lands in
+    exactly one of ≤ k clusters, and refinement separates the 4 blobs."""
+    df, truth, _ = semdedup_corpus
+    assigned = S.semantic_assign(df, n_clusters=4, refine_iters=2)
+    rows = assigned.collect()
+    assert len(rows) == df.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    clusters = {r["vec_id"]: r["centroid_id"] for r in rows}
+    assert len(set(clusters.values())) <= 4
+    # blob purity after refinement: members of the same blob co-cluster
+    for c in range(4):
+        blob = [clusters[i] for i in range(c * 30, c * 30 + 30)]
+        assert len(set(blob)) == 1, f"blob {c} split: {set(blob)}"
