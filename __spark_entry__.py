@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_embedding_quantization": E.ext_embedding_quantization,
         "ext_setsim_prefix_join": E.ext_setsim_prefix_join,
         "ext_semantic_dedup": E.ext_semantic_dedup,
+        "ts_gap_fill_interpolate": R.ts_gap_fill_interpolate,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -1196,6 +1197,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cos_sim FROM pairs
             WHERE cos_sim >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "ts_gap_fill_interpolate": """
+            WITH obs AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+                       CAST(SUM(floor(value * 1000000)) AS BIGINT) AS v_micro
+                FROM events WHERE user_id < 40
+                GROUP BY 1, 2
+            ),
+            bounds AS (
+                SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1
+                FROM obs GROUP BY user_id
+            ),
+            spine AS (
+                SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM bounds
+            ),
+            j AS (
+                SELECT s.user_id, s.hr, o.v_micro
+                FROM spine s LEFT JOIN obs o USING (user_id, hr)
+            ),
+            w AS (
+                SELECT user_id, hr, v_micro,
+                       last_value(v_micro IGNORE NULLS) OVER
+                           (PARTITION BY user_id ORDER BY hr
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS pv,
+                       last_value(CASE WHEN v_micro IS NOT NULL THEN hr END
+                                  IGNORE NULLS) OVER
+                           (PARTITION BY user_id ORDER BY hr
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS ph,
+                       first_value(v_micro IGNORE NULLS) OVER
+                           (PARTITION BY user_id ORDER BY hr
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                           AS nv,
+                       first_value(CASE WHEN v_micro IS NOT NULL THEN hr END
+                                   IGNORE NULLS) OVER
+                           (PARTITION BY user_id ORDER BY hr
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                           AS nh
+                FROM j
+            )
+            SELECT user_id, hr,
+                   CAST(COALESCE(
+                       v_micro,
+                       pv + ((nv - pv) * (hr - ph)) // (nh - ph)
+                   ) AS BIGINT) AS v_micro,
+                   v_micro IS NULL AS filled
+            FROM w
+            ORDER BY user_id, hr
         """,
         "ext_semantic_dedup": """
             WITH e AS (

@@ -119,3 +119,70 @@ def range_join_within(
             )
         )
     return joined[0].unionByName(joined[1]).distinct()
+
+
+def gap_fill_interpolate(
+    obs: DataFrame,
+    key_col: str = "user_id",
+    idx_col: str = "hr",
+    val_col: str = "v_micro",
+) -> DataFrame:
+    """Time-series gap filling with linear interpolation, in pure window
+    algebra (no UDFs, no driver loops).
+
+    Input: one row per (key, integer time index) OBSERVATION with an
+    integer-quantized value. Output: a dense series per key over
+    [min(idx), max(idx)] — missing indexes get the linear interpolation
+    between the surrounding observations, computed entirely in integer
+    arithmetic (``prev + (Δv·Δt) div span``; both Spark ``div`` and
+    DuckDB ``//`` truncate toward zero, verified for negative Δv), so
+    every filled value is bit-identical across engines and partition
+    counts. ``filled`` marks interpolated rows.
+
+    Scale shape: the spine is ``sequence(min, max)`` exploded PER KEY —
+    generation is distributed and proportional to output size; the only
+    shuffles are the per-key agg and one window sort per key (both on
+    the key, no skew beyond key cardinality). Endpoints are always
+    observed (the spine spans observed min..max), so interpolation never
+    extrapolates.
+    """
+    bounds = obs.groupBy(key_col).agg(
+        F.min(idx_col).alias("_h0"), F.max(idx_col).alias("_h1")
+    )
+    spine = bounds.select(
+        key_col, F.explode(F.sequence("_h0", "_h1")).alias(idx_col)
+    )
+    joined = spine.join(obs, [key_col, idx_col], "left")
+    w = Window.partitionBy(key_col).orderBy(idx_col)
+    wprev = w.rowsBetween(Window.unboundedPreceding, 0)
+    wnext = w.rowsBetween(0, Window.unboundedFollowing)
+    v = F.col(val_col)
+    obs_idx = F.when(v.isNotNull(), F.col(idx_col))
+    prev_v = F.last(v, ignorenulls=True).over(wprev)
+    prev_h = F.last(obs_idx, ignorenulls=True).over(wprev)
+    next_v = F.first(v, ignorenulls=True).over(wnext)
+    next_h = F.first(obs_idx, ignorenulls=True).over(wnext)
+    return (
+        joined.select(
+            F.col(key_col),
+            F.col(idx_col),
+            v.alias("_v"),
+            prev_v.alias("_pv"),
+            prev_h.alias("_ph"),
+            next_v.alias("_nv"),
+            next_h.alias("_nh"),
+            F.col(idx_col).cast("long").alias("_hr"),
+        )
+        .select(
+            F.col(key_col),
+            F.col(idx_col),
+            F.when(F.col("_v").isNotNull(), F.col("_v"))
+            .otherwise(
+                F.col("_pv")
+                + F.expr("((_nv - _pv) * (_hr - _ph)) div (_nh - _ph)")
+            )
+            .cast("long")
+            .alias(val_col),
+            F.col("_v").isNull().alias("filled"),
+        )
+    )

@@ -1781,3 +1781,22 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per user with linear interpolation over gaps
+    (operators/temporal.gap_fill_interpolate). Hourly observations are
+    Σfloor(value·10⁶) BIGINTs keyed by epoch-hour, the spine is
+    sequence(min..max) per user, and every interpolated value is
+    integer-exact (truncating div agrees across engines, including for
+    negative deltas) — the whole dense series value-hash-matches the
+    DuckDB twin."""
+    from etl_python_sqlite_spark.operators.temporal import gap_fill_interpolate
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    obs = ev.groupBy(
+        "user_id", F.expr("CAST(ts AS LONG) div 3600").alias("hr")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000)).cast("long").alias("v_micro")
+    )
+    return gap_fill_interpolate(obs)

@@ -62,3 +62,59 @@ def test_range_join_matches_brute_force(spark):
         if u1 == u2 and 0 < t2 - t1 <= 500
     }
     assert got == expected
+
+
+def test_gap_fill_interpolate_basic(spark):
+    from etl_python_sqlite_spark.operators.temporal import gap_fill_interpolate
+
+    obs = spark.createDataFrame(
+        [
+            (1, 10, 100), (1, 13, 400),          # gap 11,12 → 200, 300
+            (2, 5, 1000), (2, 7, -200),          # negative slope: 6 → 400
+            (3, 42, 7),                          # single obs → no gaps
+        ],
+        "user_id long, hr long, v_micro long",
+    )
+    got = {
+        (r["user_id"], r["hr"]): (r["v_micro"], r["filled"])
+        for r in gap_fill_interpolate(obs).collect()
+    }
+    assert got == {
+        (1, 10): (100, False), (1, 11): (200, True),
+        (1, 12): (300, True), (1, 13): (400, False),
+        (2, 5): (1000, False), (2, 6): (400, True), (2, 7): (-200, False),
+        (3, 42): (7, False),
+    }
+
+
+def test_gap_fill_interpolate_truncation_matches_duckdb(spark):
+    """Uneven span: interpolated values hit the truncating-div corner on
+    both engines identically (negative delta, non-divisible span)."""
+    import duckdb
+
+    from etl_python_sqlite_spark.operators.temporal import gap_fill_interpolate
+
+    duck_con = duckdb.connect()
+
+    obs = spark.createDataFrame(
+        [(1, 0, 10), (1, 7, -10)],
+        "user_id long, hr long, v_micro long",
+    )
+    got = sorted(
+        (r["user_id"], r["hr"], r["v_micro"], r["filled"])
+        for r in gap_fill_interpolate(obs).collect()
+    )
+    exp = duck_con.execute(
+        """
+        WITH spine AS (SELECT 1 AS user_id, unnest(range(0, 8)) AS hr),
+        j AS (SELECT s.user_id, s.hr,
+                     CASE WHEN s.hr = 0 THEN 10
+                          WHEN s.hr = 7 THEN -10 END AS v
+              FROM spine s)
+        SELECT user_id, hr,
+               COALESCE(v, 10 + ((-10 - 10) * (hr - 0)) // (7 - 0)) AS v_micro,
+               v IS NULL AS filled
+        FROM j ORDER BY user_id, hr
+        """
+    ).fetchall()
+    assert got == [tuple(r) for r in exp]
