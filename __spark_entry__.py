@@ -256,6 +256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_setsim_prefix_join": E.ext_setsim_prefix_join,
         "ext_semantic_dedup": E.ext_semantic_dedup,
         "ts_gap_fill_interpolate": R.ts_gap_fill_interpolate,
+        "robust_price_stats": R.robust_price_stats,
+        "snapshot_diff_orders": R.snapshot_diff_orders,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -1197,6 +1199,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cos_sim FROM pairs
             WHERE cos_sim >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "snapshot_diff_orders": """
+            WITH v1 AS (
+                SELECT o_orderkey, o_totalprice, o_orderstatus
+                FROM orders WHERE o_orderkey % 10 <> 3
+            ),
+            v2 AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 13 = 0
+                            THEN o_totalprice + 1.5
+                            ELSE o_totalprice END AS o_totalprice,
+                       o_orderstatus
+                FROM orders WHERE o_orderkey % 10 <> 7
+            ),
+            d AS (
+                SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+                       CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                            WHEN v2.o_orderkey IS NULL THEN 'removed'
+                            WHEN v1.o_totalprice IS NOT DISTINCT FROM v2.o_totalprice
+                             AND v1.o_orderstatus IS NOT DISTINCT FROM v2.o_orderstatus
+                            THEN 'unchanged'
+                            ELSE 'changed' END AS status
+                FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+            )
+            SELECT o_orderkey, status FROM d
+            WHERE status <> 'unchanged'
+            ORDER BY o_orderkey
+        """,
+        "robust_price_stats": """
+            WITH ranked AS (
+                SELECT l_returnflag, l_extendedprice,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_extendedprice) AS rn,
+                       COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM lineitem
+            ),
+            cuts AS (
+                SELECT a.l_returnflag, a.l_extendedprice AS p01,
+                       b.l_extendedprice AS p99
+                FROM ranked a JOIN ranked b
+                  ON a.l_returnflag = b.l_returnflag
+                WHERE a.rn = (10000 * a.n + 999999) // 1000000
+                  AND b.rn = (990000 * b.n + 999999) // 1000000
+            )
+            SELECT li.l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(c.p01) AS p01,
+                   MIN(c.p99) AS p99,
+                   CAST(SUM(floor(greatest(c.p01,
+                                  least(c.p99, li.l_extendedprice)) * 100))
+                        AS BIGINT) AS wsum_cents,
+                   CAST(SUM(CASE WHEN li.l_extendedprice < c.p01
+                                   OR li.l_extendedprice > c.p99
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+            FROM lineitem li JOIN cuts c ON li.l_returnflag = c.l_returnflag
+            GROUP BY li.l_returnflag
+            ORDER BY li.l_returnflag
         """,
         "ts_gap_fill_interpolate": """
             WITH obs AS (

@@ -1800,3 +1800,80 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 1000000)).cast("long").alias("v_micro")
     )
     return gap_fill_interpolate(obs)
+
+
+def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per return flag: exact p01/p99 order
+    statistics of l_extendedprice (rank k = ⌈p·n⌉ computed in integer
+    micro-units; picking the value at a rank involves NO float
+    arithmetic, so it is engine-exact even on doubles), then every price
+    clamped into [p01, p99] and aggregated as Σfloor(clamped·100)
+    BIGINT cents. The standard outlier-robust profiling pass — one
+    window sort per group + a broadcast of the 3-row percentile table
+    back onto the scan."""
+    li = table(spark, sf_dir, "lineitem")
+    grp = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number()
+        .over(grp.orderBy("l_extendedprice"))
+        .alias("rn"),
+        F.count("*").over(grp).alias("n"),
+    )
+    k01 = F.expr("(10000 * n + 999999) div 1000000")
+    k99 = F.expr("(990000 * n + 999999) div 1000000")
+    p01 = (
+        ranked.filter(F.col("rn") == k01)
+        .select("l_returnflag", F.col("l_extendedprice").alias("p01"))
+    )
+    p99 = (
+        ranked.filter(F.col("rn") == k99)
+        .select("l_returnflag", F.col("l_extendedprice").alias("p99"))
+    )
+    cuts = p01.join(p99, "l_returnflag")
+    clamped = F.greatest(
+        F.col("p01"), F.least(F.col("p99"), F.col("l_extendedprice"))
+    )
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.first("p01").alias("p01"),
+            F.first("p99").alias("p99"),
+            F.sum(F.floor(clamped * 100)).cast("long").alias("wsum_cents"),
+            F.sum(
+                F.when(
+                    (F.col("l_extendedprice") < F.col("p01"))
+                    | (F.col("l_extendedprice") > F.col("p99")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clamped"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff (operators/snapshot.snapshot_diff): two
+    deterministic snapshots derived from orders — v2 drops key%10==7,
+    adds key%10==3 (absent from v1), and re-prices key%13==0 — then one
+    full-outer key join classifies every order. Emits the non-unchanged
+    rows; the summary counts are implied by the row set."""
+    from etl_python_sqlite_spark.operators.snapshot import snapshot_diff
+
+    o = table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 10 != 3)
+    v2 = o.filter(F.col("o_orderkey") % 10 != 7).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.5
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = snapshot_diff(
+        v1, v2, keys=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
+    )
+    return diff.filter(F.col("status") != "unchanged")

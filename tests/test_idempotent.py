@@ -104,3 +104,35 @@ def test_bucketed_append_idempotent_and_prunes_shuffle(spark):
     )
     assert "Bucketed: true" in final_plan
     assert final_plan.count("Exchange hashpartitioning") == 1
+
+
+def test_snapshot_diff_null_semantics(spark):
+    """NULL→value and value→NULL are changes; NULL==NULL is not; missing
+    keys classify as added/removed."""
+    from etl_python_sqlite_spark.operators.snapshot import (
+        snapshot_diff,
+        snapshot_diff_summary,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None), (4, "gone")],
+        "k long, payload string",
+    )
+    b = spark.createDataFrame(
+        [(1, "x"), (2, "now-set"), (3, None), (5, "new")],
+        "k long, payload string",
+    )
+    diff = snapshot_diff(a, b, keys=["k"], compare_cols=["payload"])
+    got = {r["k"]: r["status"] for r in diff.collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",
+        4: "removed",
+        5: "added",
+    }
+    summary = {
+        r["status"]: r["n_rows"]
+        for r in snapshot_diff_summary(diff).collect()
+    }
+    assert summary == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
