@@ -4,11 +4,14 @@ Real Spark-side machinery — schema, partitioning, Arrow batch shape,
 ``mapInPandas`` signatures — with REAL stdlib decoders for the
 container-friendly formats:
 
-* images: BMP (24-bit uncompressed BI_RGB), PPM (binary P6), and PNG
+* images: BMP (24-bit uncompressed BI_RGB), PPM (binary P6), PNG
   (8-bit RGB/RGBA, non-interlaced — stdlib ``zlib`` inflate + full
-  filter-type-0..4 scanline reconstruction) parsed with ``struct`` +
-  numpy — full pixel arrays, not just headers — plus matching encoders
-  for round-trips and a real nearest-neighbor resize.
+  filter-type-0..4 scanline reconstruction), and GIF87a/89a (full LZW
+  decompression with variable code widths, global/local palettes,
+  interlace reordering, extension-block skipping — first frame of an
+  animation) parsed with ``struct`` + numpy — full pixel arrays, not
+  just headers — plus matching encoders for round-trips and a real
+  nearest-neighbor resize.
 * audio: WAV PCM via the stdlib ``wave`` module — sample rate, channels,
   frames, and the decoded sample matrix.
 
@@ -114,8 +117,10 @@ def decode_image(content: bytes) -> DecodedImage:
         return _decode_ppm(content)
     if content[:8] == _PNG_SIG:
         return _decode_png(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(content)
     raise NotImplementedError(
-        "unsupported image format (only BMP/PPM/PNG decodable without"
+        "unsupported image format (only BMP/PPM/PNG/GIF decodable without"
         " external libs)"
     )
 
@@ -297,6 +302,172 @@ def encode_png(pixels: "np.ndarray") -> bytes:
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def _decode_gif(b: bytes) -> DecodedImage:
+    """GIF87a/89a still decode (first frame of an animation): logical
+    screen + color tables + full LZW decompression (variable code width,
+    clear/EOI codes, 12-bit dict cap) + interlace reordering — pure
+    stdlib/numpy. Transparency is ignored (palette RGB is emitted)."""
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    else:
+        raise ValueError("no image descriptor in GIF")
+    if pos + 10 > len(b):
+        raise ValueError("truncated GIF image descriptor")
+    w, h = struct.unpack("<HH", b[pos + 5 : pos + 9])
+    ipacked = b[pos + 9]
+    pos += 10
+    table = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        table = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    if table is None:
+        raise ValueError("GIF image has no color table")
+    interlaced = bool(ipacked & 0x40)
+    mcs = b[pos]
+    pos += 1
+    data = bytearray()
+    while pos < len(b) and b[pos] != 0:
+        ln = b[pos]
+        data += b[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    indices = _lzw_decode(bytes(data), mcs, w * h)
+    if len(indices) < w * h:
+        raise ValueError("GIF pixel data underflow")
+    idx = np.asarray(indices[: w * h], dtype=np.int32).reshape(h, w)
+    if interlaced:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        out = np.empty_like(idx)
+        out[order] = idx
+        idx = out
+    if idx.max(initial=0) >= len(table):
+        raise ValueError("GIF palette index out of range")
+    return DecodedImage(width=w, height=h, pixels=table[idx])
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    """GIF-flavor LZW: LSB-first variable-width codes, CLEAR resets the
+    dictionary, EOI terminates, width grows at 2^width up to 12 bits."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [[i] for i in range(clear)] + [None, None]
+    table = list(base)
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+                if entry is None:
+                    raise ValueError("bad first LZW code")
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            elif code == len(table):
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            if len(out) >= max_pixels:
+                return out
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def encode_gif(pixels: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB → valid GIF87a. The palette is the image's
+    distinct colors (≤256 required); pixel data uses the classic
+    "uncompressed LZW" trick — every index emitted as a literal code
+    with a CLEAR before each dictionary overflow — which every decoder
+    accepts."""
+    h, w = pixels.shape[:2]
+    px = np.ascontiguousarray(pixels, dtype=np.uint8).reshape(-1, 3)
+    colors, inverse = np.unique(px, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif: more than 256 distinct colors")
+    cbits = max(2, int(np.ceil(np.log2(max(len(colors), 2)))))
+    n_pal = 1 << cbits
+    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    mcs = cbits
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    codes: list[tuple[int, int]] = [(clear, width)]
+    next_code = eoi + 1
+    for i in inverse.tolist():
+        codes.append((int(i), width))
+        # emitting a literal still grows the decoder's dict: reset before
+        # the decoder's next_code reaches the current width's capacity
+        next_code += 1
+        if next_code == (1 << width):
+            codes.append((clear, width))
+            next_code = eoi + 1
+    codes.append((eoi, width))
+    acc = nbits = 0
+    stream = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((cbits - 1) & 0x07), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def decode_audio(content: bytes) -> DecodedAudio:

@@ -331,3 +331,81 @@ def test_png_rgba_alpha_dropped_and_gates():
     good = encode_png(px)
     with _pytest.raises(Exception):
         decode_image(good[:40] + good[44:])
+
+
+def test_gif_roundtrip_exact():
+    """encode_gif → decode_image reproduces pixels exactly (LZW decode,
+    palette reconstruction)."""
+    import numpy as np
+
+    from etl_python_sqlite_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(5)
+    # 13 distinct colors over a 31x17 image
+    pal = rng.integers(0, 256, size=(13, 3), dtype=np.uint8)
+    idx = rng.integers(0, 13, size=(17, 31))
+    px = pal[idx]
+    blob = M.encode_gif(px)
+    assert blob[:6] == b"GIF87a"
+    img = M.decode_image(blob)
+    assert (img.width, img.height) == (31, 17)
+    assert (img.pixels == px).all()
+
+
+def test_gif_single_color_and_wide():
+    import numpy as np
+
+    from etl_python_sqlite_spark.operators import multimodal as M
+
+    px = np.full((3, 300, 3), 7, dtype=np.uint8)
+    img = M.decode_image(M.encode_gif(px))
+    assert (img.pixels == px).all()
+    # >256-pixel rows exercise the 255-byte sub-block split
+    rng = np.random.default_rng(9)
+    px2 = rng.integers(0, 256, size=(2, 3), dtype=np.uint8)[
+        rng.integers(0, 2, size=(40, 200))
+    ]
+    assert (M.decode_image(M.encode_gif(px2)).pixels == px2).all()
+
+
+def test_gif_interlaced_and_extensions():
+    """Interlaced row order is rebuilt; GCE/comment extension blocks and
+    the 89a signature are handled (first frame of an animation)."""
+    import numpy as np
+
+    from etl_python_sqlite_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    h, w = 13, 9
+    px = pal[rng.integers(0, 4, size=(h, w))]
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    blob = bytearray(M.encode_gif(px[order]))  # rows stored in pass order
+    n_pal = (len(blob) and 2 << (blob[10] & 0x07))
+    desc = 6 + 7 + 3 * n_pal  # image descriptor offset
+    assert blob[desc] == 0x2C
+    blob[desc + 9] |= 0x40  # set interlace flag
+    # splice a GCE extension + 89a signature in front of the descriptor
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00" + b"\x21\xfe\x03abc\x00"
+    blob2 = bytes(blob[:6]) + bytes(blob[6:desc]) + ext + bytes(blob[desc:])
+    blob2 = b"GIF89a" + blob2[6:]
+    img = M.decode_image(blob2)
+    assert (img.pixels == px).all()
+
+
+def test_gif_lzw_dictionary_growth():
+    """A gradient image with many repeats makes the decoder dictionary
+    grow through several width bumps — decode must stay in sync with the
+    encoder's clear-code cadence."""
+    import numpy as np
+
+    from etl_python_sqlite_spark.operators import multimodal as M
+
+    px = np.zeros((64, 64, 3), dtype=np.uint8)
+    for i in range(64):
+        px[i, :, 0] = (i * 4) % 256
+    img = M.decode_image(M.encode_gif(px))
+    assert (img.pixels == px).all()
