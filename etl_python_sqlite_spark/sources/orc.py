@@ -1,0 +1,62 @@
+"""ORC source/sink — the second columnar format next to parquet.
+
+Spark's ORC reader has the same pushdown machinery as parquet (predicate
+pushdown via ``spark.sql.orc.filterPushdown``, column pruning, partition
+pruning on directory layouts), so the engine's scan-quality guarantees
+carry over format-for-format; ``tests/test_bucketing.py`` asserts the
+pushed filters appear in the ORC scan plan the same way the parquet plan
+gates do.
+
+Avro, for contrast, is an *external* Spark module (spark-avro jar) — not
+loadable in this offline environment; ``write_avro``/``read_avro`` raise
+with the gate documented, mirroring the sqlite-JDBC gate in
+``sources/sqlite.py``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str | Path,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    df = spark.read.orc(str(path))
+    return df.select(*columns) if columns else df
+
+
+def write_orc(
+    df: DataFrame,
+    path: str | Path,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Size-bounded ORC files; directory-partitioned when asked — the
+    layout partition pruning needs (same contract as the parquet sink)."""
+    w = df.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(str(path))
+
+
+_AVRO_GATE = (
+    "Avro is an external Spark module (org.apache.spark:spark-avro); this "
+    "environment is offline with no package installs, so the jar cannot be "
+    "fetched. With the jar on the classpath these become "
+    "df.write.format('avro') / spark.read.format('avro') one-liners."
+)
+
+
+def write_avro(df: DataFrame, path: str | Path) -> None:
+    raise NotImplementedError(_AVRO_GATE)
+
+
+def read_avro(spark: SparkSession, path: str | Path) -> DataFrame:
+    raise NotImplementedError(_AVRO_GATE)
