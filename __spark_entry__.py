@@ -258,6 +258,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gap_fill_interpolate": R.ts_gap_fill_interpolate,
         "robust_price_stats": R.robust_price_stats,
         "snapshot_diff_orders": R.snapshot_diff_orders,
+        "forecast_revenue_change": R.forecast_revenue_change,
+        "volume_shipping_bilateral": R.volume_shipping_bilateral,
+        "important_stock_parts": R.important_stock_parts,
+        "customer_order_distribution": R.customer_order_distribution,
+        "small_quantity_order_revenue": R.small_quantity_order_revenue,
+        "supplier_part_promotion": R.supplier_part_promotion,
+        "sole_failing_supplier": R.sole_failing_supplier,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -1199,6 +1206,142 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cos_sim FROM pairs
             WHERE cos_sim >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "forecast_revenue_change": """
+            SELECT CAST(SUM(CAST(
+                       CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(l_discount AS DECIMAL(4,2))
+                       AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE year(l_shipdate) = 1996
+              AND l_discount >= 0.03 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "volume_shipping_bilateral": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(SUM(CAST(
+                       CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                       AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+              AND cn.n_name IN ('NATION_1', 'NATION_2')
+              AND sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "important_stock_parts": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                * CAST(l_quantity AS DECIMAL(7,2))
+                                AS DECIMAL(28,4))) AS v
+                FROM lineitem GROUP BY l_partkey
+            ),
+            scaled AS (
+                SELECT l_partkey, CAST(v AS DOUBLE) AS part_value,
+                       CAST(v * 10000 AS BIGINT) AS vi
+                FROM per_part
+            )
+            SELECT l_partkey, part_value
+            FROM scaled, (SELECT SUM(vi) AS ti FROM scaled)
+            WHERE vi * 2000 > ti
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "customer_order_distribution": """
+            WITH per_cust AS (
+                SELECT c_custkey,
+                       CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+                FROM customer
+                LEFT JOIN (SELECT * FROM orders
+                           WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+                  ON c_custkey = o.o_custkey
+                GROUP BY c_custkey
+            )
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM per_cust
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "small_quantity_order_revenue": """
+            WITH lines AS (
+                SELECT l_partkey, l_extendedprice,
+                       CAST(CAST(l_quantity AS DECIMAL(7,2)) * 100 AS BIGINT)
+                           AS qc
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#1'
+            ),
+            per_part AS (
+                SELECT l_partkey AS pk, SUM(qc) AS sq,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM lines GROUP BY l_partkey
+            ),
+            qual AS (
+                SELECT l_extendedprice
+                FROM lines JOIN per_part ON l_partkey = pk
+                WHERE 5 * qc * n < sq
+            ),
+            agg AS (
+                SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                     AS DECIMAL(28,2))) AS DOUBLE)
+                           AS total_revenue,
+                       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                                     * 100 AS BIGINT)) AS BIGINT) AS rc,
+                       CAST(COUNT(*) AS BIGINT) AS n_lines
+                FROM qual
+            )
+            SELECT total_revenue,
+                   ((2 * rc * 1000000 + 700) // (2 * 700)) / 1000000.0
+                       AS avg_yearly,
+                   n_lines
+            FROM agg
+        """,
+        "supplier_part_promotion": """
+            WITH heavy AS (
+                SELECT DISTINCT l_suppkey
+                FROM (
+                    SELECT l_suppkey, l_partkey,
+                           SUM(CAST(CAST(l_quantity AS DECIMAL(7,2)) * 100
+                                    AS BIGINT)) AS sq
+                    FROM lineitem
+                    JOIN part ON l_partkey = p_partkey
+                    WHERE year(l_shipdate) = 1996 AND p_name LIKE 'red%'
+                    GROUP BY l_suppkey, l_partkey
+                )
+                WHERE sq > 3000
+            )
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+              AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+            ORDER BY s_suppkey
+        """,
+        "sole_failing_supplier": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       COUNT(DISTINCT l_suppkey) AS ns,
+                       COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                                           THEN l_suppkey END) AS nf,
+                       MAX(CASE WHEN l_returnflag = 'R'
+                                THEN l_suppkey END) AS culprit
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM per_order JOIN supplier ON culprit = s_suppkey
+            WHERE ns >= 2 AND nf = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
         """,
         "snapshot_diff_orders": """
             WITH v1 AS (

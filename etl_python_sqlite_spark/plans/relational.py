@@ -1877,3 +1877,203 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         v1, v2, keys=["o_orderkey"], compare_cols=["o_totalprice", "o_orderstatus"]
     )
     return diff.filter(F.col("status") != "unchanged")
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — revenue increase from dropping a discount band:
+    one scan, three pushed-down predicates, a single-row conditional
+    aggregate. Revenue = Σ(price·discount) in exact DECIMAL (product of
+    two exact decimals; order-independent)."""
+    li = table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    dd = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.year("l_shipdate") == 1996)
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((ep * dd).cast("decimal(28,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def volume_shipping_bilateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume between two nations, by
+    supplier nation × customer nation × ship year. The fact table joins
+    two dim chains; nation/supplier broadcast, the orders⋈customer side
+    stays a key-partitioned shuffle join (both fact-sized at scale)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    sn = s.join(
+        F.broadcast(n.filter(F.col("n_name").isin(*pair))),
+        s.s_nationkey == n.n_nationkey,
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cn = c.join(
+        F.broadcast(n.filter(F.col("n_name").isin(*pair))),
+        c.c_nationkey == n.n_nationkey,
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    dd = F.col("l_discount").cast("decimal(4,2)")
+    rev = (ep * (F.lit(1) - dd)).cast("decimal(28,4)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def important_stock_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp table in the schema, so
+    "stock value" is the shipped value Σ(price·qty) per part from
+    lineitem): parts whose value exceeds 1/2000 of the global total.
+    The global scalar rides a one-row broadcast; the comparison is
+    integer cross-multiplication on micro-unit BIGINTs — never a float
+    fraction."""
+    li = table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    qt = F.col("l_quantity").cast("decimal(7,2)")
+    val = (ep * qt).cast("decimal(28,4)")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(val).alias("_v")
+    )
+    per_part = per_part.select(
+        "l_partkey",
+        F.col("_v").cast("double").alias("part_value"),
+        (F.col("_v") * 10000).cast("long").alias("_vi"),
+    )
+    total = per_part.agg(F.sum("_vi").alias("_ti"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_vi") * 2000 > F.col("_ti"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — distribution of customers by order count
+    (zero-order customers included via the left outer join; the
+    priority filter stands in for Q13's comment anti-pattern)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue locked in small-quantity orders of one
+    brand's parts: lines with quantity below 20% of that part's average.
+    The per-part average never materializes as a float: ``qty < 0.2·avg``
+    is the integer cross-multiplication ``5·qty_c·n < Σqty_c``. Output
+    is the exact total plus avg_yearly over the 7-year window via the
+    integer _frac_expr."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    qc = (F.col("l_quantity").cast("decimal(7,2)") * 100).cast("long")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    lines = li.join(
+        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+    ).select(
+        "l_partkey",
+        "l_extendedprice",
+        qc.alias("_qc"),
+    )
+    per_part = lines.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("_qc").alias("_sq"), F.count("*").alias("_n")
+    )
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    qual = lines.join(
+        F.broadcast(per_part), lines.l_partkey == F.col("_pk")
+    ).filter(F.lit(5) * F.col("_qc") * F.col("_n") < F.col("_sq"))
+    return qual.agg(
+        F.sum(ep.cast("decimal(28,2)")).cast("double").alias("total_revenue"),
+        (F.sum((ep * 100).cast("long"))).alias("_rc"),
+        F.count("*").alias("n_lines"),
+    ).select(
+        "total_revenue",
+        _frac_expr("_rc", "700").alias("avg_yearly"),
+        "n_lines",
+    )
+
+
+def supplier_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp availqty, so the surplus
+    test is a fixed shipped-quantity threshold): suppliers in one nation
+    who moved > 30 units of any 'red…' part during 1996 — a chain of
+    semi-joins feeding a distinct supplier list."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    red = part.filter(F.col("p_name").startswith("red")).select("p_partkey")
+    qc = (F.col("l_quantity").cast("decimal(7,2)") * 100).cast("long")
+    heavy = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(qc).alias("_sq"))
+        .filter(F.col("_sq") > 30 * 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = n.filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(nat), s.s_nationkey == n.n_nationkey)
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: return flag 'R' marks the failed
+    delivery): for multi-supplier orders where EXACTLY ONE supplier has
+    a returned line, charge that supplier — exists/not-exists collapsed
+    into one per-order distinct-count aggregate (the set-based plan; no
+    correlated per-row probes), then a per-supplier tally."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    fail_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_ns"),
+        F.countDistinct(fail_supp).alias("_nf"),
+        F.max(fail_supp).alias("_culprit"),
+    )
+    culprits = per_order.filter(
+        (F.col("_ns") >= 2) & (F.col("_nf") == 1)
+    ).select(F.col("_culprit").alias("s_suppkey"))
+    tally = culprits.groupBy("s_suppkey").agg(F.count("*").alias("numwait"))
+    return (
+        tally.join(F.broadcast(s), "s_suppkey")
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
