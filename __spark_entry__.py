@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_order_revenue": R.small_quantity_order_revenue,
         "supplier_part_promotion": R.supplier_part_promotion,
         "sole_failing_supplier": R.sole_failing_supplier,
+        "json_props_rollup": R.json_props_rollup,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -1206,6 +1207,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cos_sim FROM pairs
             WHERE cos_sim >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "json_props_rollup": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(MIN(k) AS BIGINT) AS min_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k,
+                   CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "forecast_revenue_change": """
             SELECT CAST(SUM(CAST(

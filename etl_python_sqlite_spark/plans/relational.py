@@ -2077,3 +2077,23 @@ def sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction at scan width: pull ``$.k`` out of the
+    events ``props`` JSON column (JVM-side get_json_object — no Python),
+    cast, and roll up per event type. Exact integer aggregation."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
