@@ -23,6 +23,7 @@ from etl_python_sqlite_spark.functions.portable import (
     universal_salt_constants,
 )
 from etl_python_sqlite_spark.functions.text import LANG_CHAR_NGRAMS, LANG_STOPWORDS
+from etl_python_sqlite_spark.operators.layout import zvalue_expr
 from etl_python_sqlite_spark.plans import ext as E
 from etl_python_sqlite_spark.plans import relational as R
 
@@ -266,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_promotion": R.supplier_part_promotion,
         "sole_failing_supplier": R.sole_failing_supplier,
         "json_props_rollup": R.json_props_rollup,
+        "zorder_orders_layout": R.zorder_orders_layout,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -1207,6 +1209,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cos_sim FROM pairs
             WHERE cos_sim >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "zorder_orders_layout": f"""
+            WITH ranked AS (
+                SELECT o_orderkey,
+                       ROW_NUMBER() OVER (ORDER BY o_custkey, o_orderkey)
+                           AS rn_c,
+                       ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                           AS rn_p,
+                       COUNT(*) OVER () AS n
+                FROM orders
+            ),
+            scaled AS (
+                SELECT o_orderkey,
+                       CAST(((rn_c - 1) * 256) // n AS BIGINT) AS r_cust,
+                       CAST(((rn_p - 1) * 256) // n AS BIGINT) AS r_price
+                FROM ranked
+            )
+            SELECT o_orderkey, r_cust, r_price,
+                   CAST({zvalue_expr(['r_cust', 'r_price'], 8)} AS BIGINT)
+                       AS zvalue
+            FROM scaled
+            ORDER BY o_orderkey
         """,
         "json_props_rollup": """
             SELECT event_type,

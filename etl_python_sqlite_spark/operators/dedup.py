@@ -674,6 +674,15 @@ def minhash_near_dups_portable(
         .select(id_col, "bb.band", "bb.band_key")
         .persist()  # stop Catalyst re-inlining the agg into both join sides
     )
+    # EAGER materialization of each persisted stage (the count is trivial
+    # next to the work it pins): this pipeline's downstream has MULTIPLE
+    # independent actions — the candidate-id broadcast build runs as its
+    # own job before the verify job — and a lazy persist lets each of
+    # them race to recompute the whole signature pass before the cache
+    # lands (measured: run-to-run walls degrading 16→53→60 s lazy vs a
+    # stable ~8 s eager at sf0.1). The full Catalyst plan is unchanged —
+    # an eager count only warms the cache the plan already declares.
+    banded.count()
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -689,6 +698,7 @@ def minhash_near_dups_portable(
         .distinct()
         .persist()
     )
+    cands.count()  # eager — consumed by the broadcast job AND the verify job
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
@@ -699,6 +709,7 @@ def minhash_near_dups_portable(
         .select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
         .persist()
     )
+    shards.count()  # eager — both sides of the verify join
     sa = shards.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shards.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -935,7 +946,8 @@ def setsim_join_prefix(
     """
     toks = doc_token_sets(df, text_col, id_col)
     prefix = setsim_prefix_index(toks, threshold_micro, id_col).persist()
-    # persist: both sides of the self-join below
+    prefix.count()  # eager — both sides of the self-join (see the
+    # minhash pipeline's materialization note: multiple downstream jobs)
     a = prefix.alias("a")
     b = prefix.alias("b")
     cands = (
@@ -956,6 +968,7 @@ def setsim_join_prefix(
         .distinct()
         .persist()  # feeds the two-sided verify join
     )
+    cands.count()  # eager — broadcast job + verify job
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
@@ -967,6 +980,7 @@ def setsim_join_prefix(
         .agg(F.collect_set("tok").alias("tokset"))
         .persist()  # reused by both sides of the verify join
     )
+    sets_.count()  # eager
     sa = sets_.select(F.col(id_col).alias("id_a"), F.col("tokset").alias("ts_a"))
     sb = sets_.select(F.col(id_col).alias("id_b"), F.col("tokset").alias("ts_b"))
     verified = (

@@ -1,0 +1,126 @@
+"""Physical-layout operators: Z-order clustering and small-file
+compaction — the two knobs that decide how much data a 100 TB scan can
+SKIP.
+
+Z-ordering (Morton curve) interleaves the bits of several columns'
+normalized ranks so that sorting by the single z-value co-locates rows
+that are close in EVERY dimension. Parquet/ORC footers keep per-file
+(and per-row-group) min/max; a multi-dimensional predicate then prunes
+files on all z-ordered columns at once, where a lexicographic sort only
+prunes on its leading column. This is the standard lakehouse technique
+(public literature: Morton 1966; Databricks Delta OPTIMIZE ZORDER BY,
+Iceberg sort orders) re-expressed as plain DataFrame ops: rank → bit
+interleave → sort — no engine extension needed, and the z-value is exact
+integer arithmetic, portable to any engine (the contract query's DuckDB
+twin replays it bit-for-bit).
+
+Compaction rewrites a directory of many small files into size-targeted
+files: small files are the silent scan killer at warehouse scale (one
+scheduler task + one footer fetch each). ``repartitionByRange`` on the
+requested sort keys keeps the rewrite clustered, so compaction and
+clustering compose.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zvalue_expr(cols: list[str], bits: int = 16) -> str:
+    """SQL expression interleaving ``bits`` low bits of the given integer
+    columns into one Morton z-value (column i owns bit positions
+    ``j·len(cols) + i``). Pure shifts/masks — identical on Spark and
+    DuckDB; generated as SQL text so both engines run the same string."""
+    terms = []
+    k = len(cols)
+    for i, c in enumerate(cols):
+        for j in range(bits):
+            terms.append(f"((({c} >> {j}) & 1) << {j * k + i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_ranks(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Append ``_r_<col>`` quantized ranks (0..2^bits−1) for each column
+    and the interleaved ``zvalue``. Ranks are integer-exact:
+    ``(rn−1)·2^bits div n`` over a per-column sort — ties broken by the
+    value itself only, so equal values share a rank bucket boundary
+    deterministically enough for LAYOUT (file clustering); the z-value
+    itself is exact given the ranks.
+
+    Scale note: each rank is one window sort — for warehouse use,
+    replace with approx-quantile bucket boundaries computed once and a
+    broadcast range lookup (same z-value algebra); the contract query
+    keeps the exact-rank form because it is engine-replayable.
+    """
+    out = df
+    for c in cols:
+        order = [F.col(c)] + ([F.col(tiebreak)] if tiebreak else [])
+        out = out.withColumn(
+            f"_rn_{c}", F.row_number().over(Window.orderBy(*order))
+        )
+    n = df.count()  # one driver-side scalar; sizes the rank scale
+    scale = {c: f"(((_rn_{c} - 1) * {1 << bits}) div {n})" for c in cols}
+    sel = out
+    for c in cols:
+        sel = sel.withColumn(f"_r_{c}", F.expr(scale[c]).cast("long"))
+    z = zvalue_expr([f"_r_{c}" for c in cols], bits)
+    return sel.withColumn("zvalue", F.expr(z).cast("long")).drop(
+        *[f"_rn_{c}" for c in cols]
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str | Path,
+    cols: list[str],
+    bits: int = 8,
+    files: int = 8,
+) -> None:
+    """Write parquet clustered on the Morton curve: range-partition by
+    z-value into ``files`` buckets, sort within partitions, write. Every
+    output file then covers a narrow hyper-rectangle of the column
+    space (see tests: per-file min/max ranges shrink on ALL z columns
+    vs an unsorted write — that shrink IS the data-skipping win)."""
+    zdf = zorder_ranks(df, cols, bits)
+    (
+        zdf.repartitionByRange(files, "zvalue")
+        .sortWithinPartitions("zvalue")
+        .drop("zvalue", *[f"_r_{c}" for c in cols])
+        .write.mode("overwrite")
+        .parquet(str(path))
+    )
+
+
+def compact_files(
+    spark,
+    src: str | Path,
+    dst: str | Path,
+    target_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a (possibly many-small-files) parquet directory into
+    ~``target_mb`` files; returns the output file count. Sizing uses the
+    SOURCE byte size (compressed) as the estimate — the standard
+    compaction heuristic. With ``sort_cols``, range-partitions on them
+    so compaction preserves/establishes clustering."""
+    src = Path(src)
+    total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(str(src))
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(str(dst))
+    return len(list(Path(dst).rglob("*.parquet")))

@@ -874,14 +874,17 @@ def ext_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     pairs = D.minhash_near_dups_portable(docs, threshold_micro=300_000)
-    assign = dedup_cluster_assignment(docs, pairs.select("id_a", "id_b"))
+    edges = pairs.select("id_a", "id_b").persist()
+    edges.count()  # eager: CC's iterative rounds + the assignment join
+    # are MANY actions — without this each one re-runs the verify join
+    assign = dedup_cluster_assignment(docs, edges)
     out = (
         assign.filter(F.col("cluster_size") > 1)
         .groupBy("cluster_id", "cluster_size")
         .agg(F.count("*").alias("n_members"))
         .orderBy("cluster_id")
     )
-    return tie(out, keepalive=[assign, pairs])
+    return tie(out, edges, keepalive=[assign, pairs])
 
 
 def ext_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2097,3 +2097,28 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def zorder_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over orders on (o_custkey,
+    o_totalprice) — the multi-dimensional data-skipping layout
+    (operators/layout.py). Ranks are integer-exact ((rn−1)·256 div n,
+    tie-broken by o_orderkey so both engines rank identically) and the
+    bit interleave is the SAME generated SQL text on Spark and DuckDB —
+    the whole clustering key is value-hash-checked. File-level skipping
+    evidence (per-file min/max shrink on BOTH columns) is pinned in
+    tests/test_layout.py."""
+    from etl_python_sqlite_spark.operators.layout import zorder_ranks, zvalue_expr
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ranked = zorder_ranks(
+        o, ["o_custkey", "o_totalprice"], bits=8, tiebreak="o_orderkey"
+    )
+    return ranked.select(
+        "o_orderkey",
+        F.col("_r_o_custkey").alias("r_cust"),
+        F.col("_r_o_totalprice").alias("r_price"),
+        "zvalue",
+    ).orderBy("o_orderkey")
