@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sole_failing_supplier": R.sole_failing_supplier,
         "json_props_rollup": R.json_props_rollup,
         "zorder_orders_layout": R.zorder_orders_layout,
+        "ext_bpe_tokenizer": E.ext_bpe_tokenizer,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -1209,6 +1210,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cos_sim FROM pairs
             WHERE cos_sim >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "ext_bpe_tokenizer": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM({_N_WORDS.format(c='text')}) AS BIGINT)
+                       AS total_words,
+                   true AS merges_complete_ok,
+                   true AS bounds_ok,
+                   true AS compression_ok
+            FROM documents
         """,
         "zorder_orders_layout": f"""
             WITH ranked AS (

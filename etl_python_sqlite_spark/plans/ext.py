@@ -1573,3 +1573,55 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tie(out, assigned, pairs)
+
+
+def ext_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-T1 — BPE tokenizer training + application
+    (operators/bpe.py): one distributed word-histogram pass trains 64
+    merge rules driver-side (the corpus-size-independent trainer shape);
+    an Arrow-batched encoder then tokenizes every document. The merge
+    loop has no SQL twin, so the audit row anchors on SQL-exact counts
+    and pins the encoder against arithmetic invariants:
+
+    * ``n_docs``, ``total_words`` — SQL-exact (the encoder's own word
+      splitter must reproduce the engine word count bit-for-bit);
+    * ``merges_complete_ok`` — the trainer produced all 64 rules;
+    * ``bounds_ok`` — Σtokens ∈ [Σwords, Σ(chars+1)]: every word is ≥1
+      token and ≤ its character count + END;
+    * ``compression_ok`` — 64 merges strictly compress the corpus below
+      the character-level ceiling (vacuous only on an empty corpus).
+
+    Ground truth for the trainer itself (merge rules vs an independent
+    transcription of the published algorithm, roundtrip losslessness,
+    compression on planted corpora) lives in tests/test_bpe.py."""
+    from etl_python_sqlite_spark.operators import bpe as B
+
+    docs = _docs(spark, sf_dir)
+    merges = B.train_bpe_merges(docs, n_merges=64, max_vocab=8192)
+    counts = B.bpe_token_counts(docs, merges).persist()
+    counts.count()  # eager: consumed by two aggregates below
+    totals = counts.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("_tok"),
+    )
+    char_ceiling = docs.agg(
+        F.sum(
+            F.when(F.length(X._ws_strip(F.col("text"))) == 0, 0).otherwise(
+                F.length(F.col("text")) + X.n_words(F.col("text"))
+            )
+        )
+        .cast("long")
+        .alias("_ceil")
+    )
+    out = totals.crossJoin(char_ceiling).select(
+        "n_docs",
+        "total_words",
+        F.lit(len(merges) == 64).alias("merges_complete_ok"),
+        (
+            (F.col("_tok") >= F.col("total_words"))
+            & (F.col("_tok") <= F.col("_ceil"))
+        ).alias("bounds_ok"),
+        (F.col("_tok") < F.col("_ceil")).alias("compression_ok"),
+    )
+    return tie(out, counts)
