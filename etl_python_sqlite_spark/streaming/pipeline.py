@@ -301,3 +301,79 @@ def dedup_stream_against_corpus(
         fresh = fresh.withWatermark(ts_col, delay)
         return fresh.dropDuplicatesWithinWatermark(["_h"]).drop("_h")
     return fresh.dropDuplicates(["_h"]).drop("_h")
+
+
+def trending_terms(
+    docs: DataFrame,
+    k: int = 5,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermark-bounded windowed term counts — the state-safe half of a
+    streaming trending-terms feed. Works identically on batch and
+    streaming frames (unified semantics); state is evicted as the
+    watermark passes each window. Expects (ts, text) rows.
+
+    The top-k cut CANNOT live in this plan: ranking needs a window
+    function over a streaming aggregate, which Structured Streaming
+    forbids (no chained stateful ops in append mode) — that's what
+    :func:`run_trending_stream_once` resolves per finalized micro-batch
+    in ``foreachBatch``, the documented pattern for post-aggregate
+    ranking."""
+    from etl_python_sqlite_spark.functions.text import words
+
+    return (
+        docs.withWatermark("ts", watermark)
+        .select(F.col("ts"), F.explode(words(F.col("text"))).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy(F.window("ts", window).alias("w"), "term")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "term", "n")
+    )
+
+
+def run_trending_stream_once(
+    spark: SparkSession,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Stream (ts, text) parquet files → per-window top-k trending terms
+    in a parquet sink. Append-mode windowed counts flush once the
+    watermark finalizes a window; ``foreachBatch`` then ranks WITHIN the
+    finalized rows (deterministic: count desc, term asc) — exactly-once
+    per window because a window emits in exactly one micro-batch."""
+    from pyspark.sql import Window as W
+
+    schema = "ts timestamp, text string"
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    counts = trending_terms(docs, k=k, window=window, watermark=watermark)
+
+    def _rank_and_write(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        ranked = batch.withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("window_start").orderBy(
+                    F.desc("n"), F.asc("term")
+                )
+            ),
+        ).filter(F.col("rank") <= k)
+        ranked.write.mode("append").parquet(sink_dir)
+
+    q = (
+        counts.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_rank_and_write)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

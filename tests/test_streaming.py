@@ -298,3 +298,64 @@ def test_dedup_stream_against_corpus_watermarked(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in
                  spark.sql("SELECT * FROM ingest_dedup_wm_out").collect())
     assert ids == [2]  # corpus hit dropped; duplicate 'novel' collapsed
+
+
+def test_trending_terms_stream_topk(spark, tmp_path):
+    """Watermarked windowed term counts + foreachBatch top-k: finalized
+    windows emit exactly once with the right deterministic ranking, and
+    the batch plan computes the same counts (unified semantics)."""
+    from datetime import datetime
+
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        run_trending_stream_once,
+        trending_terms,
+    )
+
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ts(h, m=0):
+        return datetime(2024, 3, 1, h, m)
+
+    early = [
+        (ts(1, 5), "spark spark streams"),
+        (ts(1, 10), "spark window state"),
+        (ts(1, 20), "window window window"),
+    ]
+    late = [
+        (ts(9, 0), "flush flush flush"),   # advances watermark past hour 1
+        (ts(9, 1), "flush terms"),
+    ]
+    schema = "ts timestamp, text string"
+    spark.createDataFrame(early, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(late, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    run_trending_stream_once(
+        spark, src, sink, ckpt, k=2, window="1 hour", watermark="2 hours"
+    )
+    out = spark.read.parquet(sink).collect()
+    hour1 = sorted(
+        [
+            (r["term"], r["n"], r["rank"])
+            for r in out
+            if r["window_start"] == ts(1)
+        ]
+    )
+    # hour-1 window finalized: top-2 of {window:4, spark:3, ...}
+    assert hour1 == [("spark", 3, 2), ("window", 4, 1)]
+    # hour-9 window is NOT final (watermark hasn't passed it) → no rows
+    assert all(r["window_start"] == ts(1) for r in out)
+
+    # unified semantics: the same plan over a batch frame reproduces counts
+    batch = spark.createDataFrame(early + late, schema)
+    bc = {
+        (r["window_start"], r["term"]): r["n"]
+        for r in trending_terms(batch).collect()
+    }
+    assert bc[(ts(1), "window")] == 4 and bc[(ts(1), "spark")] == 3
+    assert bc[(ts(9), "flush")] == 4
