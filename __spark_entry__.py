@@ -269,6 +269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_rollup": R.json_props_rollup,
         "zorder_orders_layout": R.zorder_orders_layout,
         "ext_bpe_tokenizer": E.ext_bpe_tokenizer,
+        "ext_embedding_pooling": E.ext_embedding_pooling,
+        "impute_group_median": R.impute_group_median,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -1210,6 +1212,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, cos_sim FROM pairs
             WHERE cos_sim >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "ext_embedding_pooling": """
+            WITH comp AS (
+                SELECT label,
+                       unnest(range(1, len(v)+1)) AS pos,
+                       unnest(v) AS x
+                FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings)
+            )
+            SELECT label,
+                   CAST(pos - 1 AS INT) AS dim,
+                   CAST(SUM(floor(x * 1000000)) AS BIGINT) AS sum_micro,
+                   CAST(COUNT(*) AS BIGINT) AS n_vectors
+            FROM comp
+            GROUP BY label, pos
+            ORDER BY label, dim
+        """,
+        "impute_group_median": """
+            WITH base AS (
+                SELECT c_custkey, c_nationkey,
+                       CASE WHEN c_custkey % 7 = 0 THEN NULL
+                            ELSE c_acctbal END AS bal
+                FROM customer
+            ),
+            ranked AS (
+                SELECT c_nationkey, bal,
+                       ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                          ORDER BY bal, c_custkey) AS rn,
+                       COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+                FROM (SELECT c_custkey, c_nationkey, bal
+                      FROM base WHERE bal IS NOT NULL)
+            ),
+            medians AS (
+                SELECT c_nationkey, bal AS median_bal
+                FROM ranked WHERE rn = (n + 1) // 2
+            )
+            SELECT b.c_custkey, b.c_nationkey,
+                   COALESCE(b.bal, m.median_bal) AS bal_imputed,
+                   b.bal IS NULL AS was_imputed
+            FROM base b JOIN medians m ON b.c_nationkey = m.c_nationkey
+            ORDER BY b.c_custkey
         """,
         "ext_bpe_tokenizer": f"""
             SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1625,3 +1625,27 @@ def ext_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_tok") < F.col("_ceil")).alias("compression_ok"),
     )
     return tie(out, counts)
+
+
+def ext_embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-V1 — label-level embedding pooling: the per-dimension SUM of
+    micro-quantized components (posexplode → groupBy — partial aggs
+    before the shuffle). The quantized sum IS the pooled vector up to
+    the 1/n scale (cosine-invariant, the repo's centroid-SUM trick), so
+    mean-pooling ships as (sums, count) without a single cross-row
+    float add — bit-exact on every engine and partition layout."""
+    embs = _embs(spark, sf_dir)
+    return (
+        embs.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "x"
+            ),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.floor(F.col("x") * 1000000)).cast("long").alias("sum_micro"),
+            F.count("*").cast("long").alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )

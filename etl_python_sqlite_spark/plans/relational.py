@@ -2122,3 +2122,41 @@ def zorder_orders_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_r_o_totalprice").alias("r_price"),
         "zvalue",
     ).orderBy("o_orderkey")
+
+
+def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation for missing values — the standard numeric
+    cleansing pass, with the gap derived deterministically (acctbal of
+    every 7th customer treated as missing) so both engines see the same
+    holes. The imputed value is the EXACT per-nation lower-median order
+    statistic of the observed values (rank ⌈n/2⌉ — rank selection does
+    no float arithmetic), so the whole output is engine-exact."""
+    c = table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("c_acctbal")
+        ).alias("bal"),
+    )
+    observed = base.filter(F.col("bal").isNotNull())
+    grp = Window.partitionBy("c_nationkey")
+    ranked = observed.select(
+        "c_nationkey",
+        "bal",
+        F.row_number().over(grp.orderBy("bal", "c_custkey")).alias("rn"),
+        F.count("*").over(grp).alias("n"),
+    )
+    medians = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("c_nationkey", F.col("bal").alias("median_bal"))
+    return (
+        base.join(F.broadcast(medians), "c_nationkey")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.coalesce(F.col("bal"), F.col("median_bal")).alias("bal_imputed"),
+            F.col("bal").isNull().alias("was_imputed"),
+        )
+        .orderBy("c_custkey")
+    )
