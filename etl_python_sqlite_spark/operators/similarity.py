@@ -742,6 +742,10 @@ def semantic_assign(
     cents = _unit(
         farthest_point_seeds(df, n_clusters, vec_col, id_col)
     )
+    if not cents:  # empty corpus — empty assignment, correct schema
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, v array<double>, centroid_id int"
+        )
     assigned = ivf_assign(df, cents, vec_col, id_col)
     for _ in range(refine_iters):
         cents = _unit(_lloyd_refine_centroids(assigned, cents))

@@ -284,3 +284,9 @@ def test_semantic_assign_partitions_everything(spark, semdedup_corpus):
     for c in range(4):
         blob = [clusters[i] for i in range(c * 30, c * 30 + 30)]
         assert len(set(blob)) == 1, f"blob {c} split: {set(blob)}"
+
+
+def test_semantic_assign_empty_corpus(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert S.semantic_assign(empty, n_clusters=4).count() == 0
+    assert S.semantic_dedup_pairs(empty, n_clusters=4).count() == 0
