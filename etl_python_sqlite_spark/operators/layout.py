@@ -61,13 +61,18 @@ def zorder_ranks(
     broadcast range lookup (same z-value algebra); the contract query
     keeps the exact-rank form because it is engine-replayable.
     """
+    n = df.count()  # one driver-side scalar; sizes the rank scale
+    if n == 0:  # avoid inlining div-by-zero into the rank expression
+        out = df
+        for c in cols:
+            out = out.withColumn(f"_r_{c}", F.lit(0).cast("long"))
+        return out.withColumn("zvalue", F.lit(0).cast("long"))
     out = df
     for c in cols:
         order = [F.col(c)] + ([F.col(tiebreak)] if tiebreak else [])
         out = out.withColumn(
             f"_rn_{c}", F.row_number().over(Window.orderBy(*order))
         )
-    n = df.count()  # one driver-side scalar; sizes the rank scale
     scale = {c: f"(((_rn_{c} - 1) * {1 << bits}) div {n})" for c in cols}
     sel = out
     for c in cols:
@@ -114,6 +119,8 @@ def compact_files(
     so compaction preserves/establishes clustering."""
     src = Path(src)
     total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
+    if total == 0:
+        return 0  # nothing to compact — empty/absent source directory
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(str(src))
     if sort_cols:

@@ -335,7 +335,14 @@ def _decode_gif(b: bytes) -> DecodedImage:
         raise ValueError("no image descriptor in GIF")
     if pos + 10 > len(b):
         raise ValueError("truncated GIF image descriptor")
-    w, h = struct.unpack("<HH", b[pos + 5 : pos + 9])
+    left, top, w, h = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+    if left or top:
+        # a frame offset into the logical screen needs canvas
+        # compositing — out of scope for a still decode; fail loudly
+        # rather than return a silently mispositioned raster
+        raise NotImplementedError(
+            "GIF frames with a nonzero left/top offset are not composited"
+        )
     ipacked = b[pos + 9]
     pos += 10
     table = gct

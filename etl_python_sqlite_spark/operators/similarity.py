@@ -748,8 +748,13 @@ def semantic_assign(
         )
     assigned = ivf_assign(df, cents, vec_col, id_col)
     for _ in range(refine_iters):
+        # persist each iteration's assignment: the refine collect AND the
+        # next iteration (or the caller) otherwise re-run the full Arrow
+        # assignment scan — 2R+1 corpus scans instead of R+1
+        assigned = assigned.persist()
         cents = _unit(_lloyd_refine_centroids(assigned, cents))
-        assigned = ivf_assign(df, cents, vec_col, id_col)
+        prev, assigned = assigned, ivf_assign(df, cents, vec_col, id_col)
+        prev.unpersist()
     return assigned
 
 

@@ -40,10 +40,12 @@ def snapshot_diff(
     )
     cond = [F.col(f"k_{k}").eqNullSafe(F.col(f"bk_{k}")) for k in keys]
     joined = sa.join(sb, cond, "full_outer")
-    same_payload = None
+    # no compare columns = presence-only diff: matched keys are unchanged
+    same_payload = F.lit(True)
     for c in compare_cols:
-        eq = F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}"))
-        same_payload = eq if same_payload is None else (same_payload & eq)
+        same_payload = same_payload & F.col(f"a_{c}").eqNullSafe(
+            F.col(f"b_{c}")
+        )
     status = (
         F.when(F.col("_in_a").isNull(), F.lit("added"))
         .when(F.col("_in_b").isNull(), F.lit("removed"))

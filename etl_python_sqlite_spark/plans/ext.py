@@ -1520,9 +1520,11 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     embs = _embs(spark, sf_dir)
     assigned = S.semantic_assign(embs, n_clusters=16, refine_iters=1).persist()
+    assigned.count()  # eager: pair search + ca/cb joins + cluster stats
     pairs = S.semantic_dedup_pairs_from_assignment(
         assigned, threshold=0.9
     ).persist()
+    pairs.count()  # eager: two independent left_anti consumers
 
     n_vec = embs.agg(F.count("*").cast("long").alias("n_vectors"))
     exact = S.cosine_pairs_sample(embs, max_id=150, threshold=0.9)

@@ -25,7 +25,10 @@ def read_orc(
     path: str | Path,
     columns: list[str] | None = None,
 ) -> DataFrame:
-    spark.conf.set("spark.sql.orc.filterPushdown", "true")
+    # NOTE: predicate pushdown rides the session default
+    # (spark.sql.orc.filterPushdown, true since Spark 2.4) — deliberately
+    # NOT forced here: a read helper must not mutate shared session
+    # config behind the caller's back.
     df = spark.read.orc(str(path))
     return df.select(*columns) if columns else df
 

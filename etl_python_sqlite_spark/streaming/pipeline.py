@@ -305,7 +305,6 @@ def dedup_stream_against_corpus(
 
 def trending_terms(
     docs: DataFrame,
-    k: int = 5,
     window: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
@@ -344,8 +343,15 @@ def run_trending_stream_once(
     """Stream (ts, text) parquet files → per-window top-k trending terms
     in a parquet sink. Append-mode windowed counts flush once the
     watermark finalizes a window; ``foreachBatch`` then ranks WITHIN the
-    finalized rows (deterministic: count desc, term asc) — exactly-once
-    per window because a window emits in exactly one micro-batch."""
+    finalized rows (deterministic: count desc, term asc).
+
+    Exactly-once: ``foreachBatch`` alone is at-least-once — a crash
+    between the sink write and the checkpoint commit replays the batch —
+    so the write is made IDEMPOTENT by keying the sink directory on
+    ``batch_id`` (dynamic overwrite of the replayed batch's own
+    partition), the documented pattern for non-transactional sinks.
+    Read the sink with ``spark.read.parquet(sink_dir)`` as usual; the
+    ``batch_id`` column rides along as partition metadata."""
     from pyspark.sql import Window as W
 
     schema = "ts timestamp, text string"
@@ -354,7 +360,7 @@ def run_trending_stream_once(
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    counts = trending_terms(docs, k=k, window=window, watermark=watermark)
+    counts = trending_terms(docs, window=window, watermark=watermark)
 
     def _rank_and_write(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -367,7 +373,14 @@ def run_trending_stream_once(
                 )
             ),
         ).filter(F.col("rank") <= k)
-        ranked.write.mode("append").parquet(sink_dir)
+        # replay of batch N rewrites ONLY batch_id=N — idempotent
+        (
+            ranked.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_dir)
+        )
 
     q = (
         counts.writeStream.outputMode("append")

@@ -13,7 +13,12 @@ from etl_python_sqlite_spark.operators import bpe as B
 
 def _reference_trainer(word_counts: dict[str, int], n_merges: int):
     """Straight transcription of the published algorithm (Sennrich 2016
-    Fig. 2 pseudocode), kept independent of the operator's code paths."""
+    Fig. 2 pseudocode — including its boundary-anchored ``re.sub``, so a
+    bigram only merges WHOLE symbols and never fuses across a symbol
+    that merely starts with the same characters), kept independent of
+    the operator's code paths."""
+    import re
+
     vocab = {" ".join(list(w) + [B.END]): c for w, c in word_counts.items()}
     merges = []
     for _ in range(n_merges):
@@ -30,11 +35,11 @@ def _reference_trainer(word_counts: dict[str, int], n_merges: int):
         if cnt < 2:
             break
         merges.append(best)
-        bigram = " ".join(best)
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(" ".join(best)) + r"(?!\S)"
+        )
         repl = "".join(best)
-        vocab = {
-            w.replace(bigram, repl): c for w, c in vocab.items()
-        }
+        vocab = {pat.sub(repl, w): c for w, c in vocab.items()}
     return merges
 
 
@@ -49,9 +54,19 @@ def test_merges_match_reference():
     assert len(got) == 12
 
 
+def test_merges_match_reference_symbol_prefix_aliasing():
+    """The corpus that breaks a naive str.replace reference: after
+    ('a','b')→'ab', the word 'aab' is 'a ab </w>' — a later ('a','a')
+    merge must NOT fuse the (a, ab) pair. Both trainers must agree."""
+    counts = {"ab": 10, "aab": 6, "aa": 5, "aaab": 3}
+    got = B.merges_from_histogram(list(counts.items()), 8)
+    exp = _reference_trainer(counts, 8)
+    assert got == exp
+
+
 def test_reference_trainer_replace_is_tokenwise():
-    """Guard for the reference itself: string replace on the spaced form
-    only merges whole symbols (bigram includes separating spaces)."""
+    """Guard for the reference itself: the anchored sub only merges whole
+    symbols (never inside a previously merged symbol)."""
     counts = {"aaa": 3}
     merges = _reference_trainer(counts, 2)
     assert merges[0] == ("a", "a")

@@ -136,3 +136,16 @@ def test_snapshot_diff_null_semantics(spark):
         for r in snapshot_diff_summary(diff).collect()
     }
     assert summary == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_presence_only(spark):
+    """Empty compare_cols = pure added/removed/unchanged presence diff."""
+    from etl_python_sqlite_spark.operators.snapshot import snapshot_diff
+
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {
+        r["k"]: r["status"]
+        for r in snapshot_diff(a, b, keys=["k"], compare_cols=[]).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "added"}

@@ -113,3 +113,14 @@ def test_compact_files_hits_target(spark, tmp_path):
         spark.read.parquet(dst).count()
         == spark.read.parquet(src).count()
     )
+
+
+def test_zorder_and_compact_empty_inputs(spark, tmp_path):
+    from etl_python_sqlite_spark.operators.layout import (
+        compact_files,
+        zorder_ranks,
+    )
+
+    empty = spark.createDataFrame([], "x long, y long")
+    assert zorder_ranks(empty, ["x", "y"], bits=4).count() == 0
+    assert compact_files(spark, tmp_path / "nope", tmp_path / "out") == 0

@@ -409,3 +409,21 @@ def test_gif_lzw_dictionary_growth():
         px[i, :, 0] = (i * 4) % 256
     img = M.decode_image(M.encode_gif(px))
     assert (img.pixels == px).all()
+
+
+def test_gif_offset_frames_rejected():
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_python_sqlite_spark.operators import multimodal as M
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    blob = bytearray(M.encode_gif(px))
+    n_pal = 2 << (blob[10] & 0x07)
+    desc = 6 + 7 + 3 * n_pal
+    assert blob[desc] == 0x2C
+    blob[desc + 1 : desc + 3] = _struct.pack("<H", 2)  # left offset = 2
+    with _pytest.raises(NotImplementedError, match="offset"):
+        M.decode_image(bytes(blob))
