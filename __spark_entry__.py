@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_bpe_tokenizer": E.ext_bpe_tokenizer,
         "ext_embedding_pooling": E.ext_embedding_pooling,
         "impute_group_median": R.impute_group_median,
+        "mad_outlier_scan": R.mad_outlier_scan,
         # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
@@ -1228,6 +1229,46 @@ def oracle_sql() -> dict[str, str]:
             FROM comp
             GROUP BY label, pos
             ORDER BY label, dim
+        """,
+        "mad_outlier_scan": """
+            WITH ranked AS (
+                SELECT l_returnflag, l_extendedprice,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice, l_orderkey,
+                                    l_linenumber) AS rn,
+                       COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM lineitem
+            ),
+            med AS (
+                SELECT l_returnflag, l_extendedprice AS med
+                FROM ranked WHERE rn = (n + 1) // 2
+            ),
+            dev AS (
+                SELECT li.l_returnflag, li.l_orderkey, li.l_linenumber,
+                       m.med, abs(li.l_extendedprice - m.med) AS d
+                FROM lineitem li JOIN med m
+                  ON li.l_returnflag = m.l_returnflag
+            ),
+            dranked AS (
+                SELECT l_returnflag, d,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                           ORDER BY d, l_orderkey, l_linenumber) AS rn,
+                       COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM dev
+            ),
+            mad AS (
+                SELECT l_returnflag, d AS mad
+                FROM dranked WHERE rn = (n + 1) // 2
+            )
+            SELECT dev.l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(dev.med) AS median_price,
+                   MIN(mad.mad) AS mad,
+                   CAST(SUM(CASE WHEN dev.d > 1.5 * mad.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev JOIN mad ON dev.l_returnflag = mad.l_returnflag
+            GROUP BY dev.l_returnflag
+            ORDER BY dev.l_returnflag
         """,
         "impute_group_median": """
             WITH base AS (

@@ -2160,3 +2160,65 @@ def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+def mad_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per return flag via the Median Absolute
+    Deviation (the standard robust scale estimator): median and MAD are
+    EXACT lower-median order statistics (rank selection — no float
+    arithmetic), deviations are single IEEE subtractions of identical
+    doubles, and the cut |x−med| > 1.5·MAD multiplies
+    identical doubles by an identical literal — every step bit-equal
+    across engines. Two window sorts + two broadcast joins."""
+    li = table(spark, sf_dir, "lineitem")
+    grp = Window.partitionBy("l_returnflag")
+    tie = [F.col("l_orderkey"), F.col("l_linenumber")]
+
+    ranked = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.row_number()
+        .over(grp.orderBy(F.col("l_extendedprice"), *tie))
+        .alias("rn"),
+        F.count("*").over(grp).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "l_returnflag", F.col("l_extendedprice").alias("med")
+    )
+    dev = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "med",
+            F.abs(F.col("l_extendedprice") - F.col("med")).alias("d"),
+        )
+    )
+    dranked = dev.select(
+        "l_returnflag",
+        "d",
+        F.row_number().over(grp.orderBy(F.col("d"), *tie)).alias("rn"),
+        F.count("*").over(grp).alias("n"),
+    )
+    mad = dranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "l_returnflag", F.col("d").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.first("med").alias("median_price"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("d") > F.lit(1.5) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
