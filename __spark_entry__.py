@@ -180,7 +180,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the front here, followed by this round's new queries — the
     # twice-attested block closes the dict.
     return {
-        # -- round-2 additions, driver-unattested until now ---------------
+        # -- round-4 ORDERING: driver records at most 50 CORRECTNESS rows
+        # -- from the head of this dict. The 34 entries never yet attested
+        # -- by any round's driver run come first; round-4 additions follow
+        # -- (inside the 50-row window); the thrice-attested block closes.
+        "nation_market_share": R.nation_market_share,
+        "large_volume_customers": R.large_volume_customers,
+        "disjunctive_revenue": R.disjunctive_revenue,
+        "idle_customer_balance": R.idle_customer_balance,
+        "ext_doc_chunking": E.ext_doc_chunking,
+        "ext_substring_contamination": E.ext_substring_contamination,
+        "cheapest_supplier_per_part": R.cheapest_supplier_per_part,
+        "supplier_variety_by_brand": R.supplier_variety_by_brand,
+        "daily_volume_anomaly": R.daily_volume_anomaly,
+        "ext_cross_source_dedup": E.ext_cross_source_dedup,
+        "priority_order_counts": R.priority_order_counts,
+        "shipmode_priority_split": R.shipmode_priority_split,
+        "top_supplier_revenue": R.top_supplier_revenue,
+        "ext_chunk_dedup": E.ext_chunk_dedup,
+        "ext_dataset_card": E.ext_dataset_card,
+        "ext_embedding_quantization": E.ext_embedding_quantization,
+        "ext_setsim_prefix_join": E.ext_setsim_prefix_join,
+        "ext_semantic_dedup": E.ext_semantic_dedup,
+        "ts_gap_fill_interpolate": R.ts_gap_fill_interpolate,
+        "robust_price_stats": R.robust_price_stats,
+        "snapshot_diff_orders": R.snapshot_diff_orders,
+        "forecast_revenue_change": R.forecast_revenue_change,
+        "volume_shipping_bilateral": R.volume_shipping_bilateral,
+        "important_stock_parts": R.important_stock_parts,
+        "customer_order_distribution": R.customer_order_distribution,
+        "small_quantity_order_revenue": R.small_quantity_order_revenue,
+        "supplier_part_promotion": R.supplier_part_promotion,
+        "sole_failing_supplier": R.sole_failing_supplier,
+        "json_props_rollup": R.json_props_rollup,
+        "zorder_orders_layout": R.zorder_orders_layout,
+        "ext_bpe_tokenizer": E.ext_bpe_tokenizer,
+        "ext_embedding_pooling": E.ext_embedding_pooling,
+        "impute_group_median": R.impute_group_median,
+        "mad_outlier_scan": R.mad_outlier_scan,
+        # -- round-4 new queries land here (window slots 35-50) ----------
+        # -- attested in earlier rounds (green driver rows) ----------------
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,          # oracle: recall invariant
         "ext_multimodal_decode": E.ext_multimodal_decode,
@@ -221,10 +260,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_weekly_retention": R.cohort_weekly_retention,
         "skew_salted_join": R.skew_salted_join,
         "recursive_month_spine": R.recursive_month_spine,
-        # -- round-3 additions (slots 41-50 stay inside the driver cap) ---
-        # rows-only → oracle conversions (portable md5 hashing / recall
-        # invariants): promoted into the window so their FIRST
-        # value-hash-checked driver rows land this round
         "ext_minhash_near_dups": E.ext_minhash_near_dups,
         "ext_simhash_fingerprints": E.ext_simhash_fingerprints,
         "ext_simhash_near_dups": E.ext_simhash_near_dups,
@@ -232,47 +267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_ann_topk_lsh": E.ext_ann_topk_lsh,
         "ext_ivf_topk": E.ext_ivf_topk,
         "ext_embedding_near_dups": E.ext_embedding_near_dups,
-        # round-3 new operators
         "ext_heavy_hitters": E.ext_heavy_hitters,
         "ext_kll_quantiles": E.ext_kll_quantiles,
         "promo_revenue_ratio": R.promo_revenue_ratio,  # slot 50 of the cap
-        # -- round-3 additions past the 50-row driver cap (front-of-dict
-        # candidates for the round-4 reorder) ----------------------------
-        "nation_market_share": R.nation_market_share,
-        "large_volume_customers": R.large_volume_customers,
-        "disjunctive_revenue": R.disjunctive_revenue,
-        "idle_customer_balance": R.idle_customer_balance,
-        "ext_doc_chunking": E.ext_doc_chunking,
-        "ext_substring_contamination": E.ext_substring_contamination,
-        "cheapest_supplier_per_part": R.cheapest_supplier_per_part,
-        "supplier_variety_by_brand": R.supplier_variety_by_brand,
-        "daily_volume_anomaly": R.daily_volume_anomaly,
-        "ext_cross_source_dedup": E.ext_cross_source_dedup,
-        "priority_order_counts": R.priority_order_counts,
-        "shipmode_priority_split": R.shipmode_priority_split,
-        "top_supplier_revenue": R.top_supplier_revenue,
-        "ext_chunk_dedup": E.ext_chunk_dedup,
-        "ext_dataset_card": E.ext_dataset_card,
-        "ext_embedding_quantization": E.ext_embedding_quantization,
-        "ext_setsim_prefix_join": E.ext_setsim_prefix_join,
-        "ext_semantic_dedup": E.ext_semantic_dedup,
-        "ts_gap_fill_interpolate": R.ts_gap_fill_interpolate,
-        "robust_price_stats": R.robust_price_stats,
-        "snapshot_diff_orders": R.snapshot_diff_orders,
-        "forecast_revenue_change": R.forecast_revenue_change,
-        "volume_shipping_bilateral": R.volume_shipping_bilateral,
-        "important_stock_parts": R.important_stock_parts,
-        "customer_order_distribution": R.customer_order_distribution,
-        "small_quantity_order_revenue": R.small_quantity_order_revenue,
-        "supplier_part_promotion": R.supplier_part_promotion,
-        "sole_failing_supplier": R.sole_failing_supplier,
-        "json_props_rollup": R.json_props_rollup,
-        "zorder_orders_layout": R.zorder_orders_layout,
-        "ext_bpe_tokenizer": E.ext_bpe_tokenizer,
-        "ext_embedding_pooling": E.ext_embedding_pooling,
-        "impute_group_median": R.impute_group_median,
-        "mad_outlier_scan": R.mad_outlier_scan,
-        # -- twice-attested in rounds 1-2 (green CORRECTNESS rows) --------
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
         "groupby_count_avg": R.groupby_count_avg,
@@ -291,7 +288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_region_nation": R.rollup_region_nation,
         "inline_cascade_annotated": R.inline_cascade_annotated,
         "cube_status_priority": R.cube_status_priority,
-        # extended SQL surface (SURVEY §2.4/§2.5 — beyond the reference)
         "string_funcs": R.string_funcs,
         "date_parts_agg": R.date_parts_agg,
         "sql_exists_subquery": R.sql_exists_subquery,
@@ -302,7 +298,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": R.sessionize_events,
         "top_orders_limit": R.top_orders_limit,
         "null_handling_outer_join": R.null_handling_outer_join,
-        # EXT — training-data pipeline operators (SURVEY §2.7)
         "ext_exact_dedup": E.ext_exact_dedup,
         "ext_normalized_dedup": E.ext_normalized_dedup,
         "ext_ngram_jaccard_pairs": E.ext_ngram_jaccard_pairs,

@@ -28,6 +28,10 @@ def snapshot_diff(
 ) -> DataFrame:
     """Row-level diff of snapshot ``a`` (old) vs ``b`` (new): returns
     key columns + ``status`` ∈ {added, removed, changed, unchanged}."""
+    if not keys:
+        # an empty join condition would silently degenerate the
+        # full-outer join into a cross join
+        raise ValueError("snapshot_diff requires at least one key column")
     sa = a.select(
         *[F.col(k).alias(f"k_{k}") for k in keys],
         *[F.col(c).alias(f"a_{c}") for c in compare_cols],

@@ -2070,10 +2070,13 @@ def sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     culprits = per_order.filter(
         (F.col("_ns") >= 2) & (F.col("_nf") == 1)
     ).select(F.col("_culprit").alias("s_suppkey"))
-    tally = culprits.groupBy("s_suppkey").agg(F.count("*").alias("numwait"))
+    # Tally AFTER resolving the name so both engines aggregate on the
+    # same key (s_name): if two suppliers ever shared a name, a
+    # per-suppkey tally would emit two rows where the oracle emits one.
     return (
-        tally.join(F.broadcast(s), "s_suppkey")
-        .select("s_name", "numwait")
+        culprits.join(F.broadcast(s), "s_suppkey")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )

@@ -124,3 +124,53 @@ def test_zorder_and_compact_empty_inputs(spark, tmp_path):
     empty = spark.createDataFrame([], "x long, y long")
     assert zorder_ranks(empty, ["x", "y"], bits=4).count() == 0
     assert compact_files(spark, tmp_path / "nope", tmp_path / "out") == 0
+
+
+def test_zorder_approx_no_window_in_plan(spark, grid):
+    """The write-path rank assignment must not contain a window sort —
+    that is the whole point of the approx-quantile form (ADVICE r3)."""
+    from etl_python_sqlite_spark.operators.layout import zorder_ranks_approx
+
+    zdf = zorder_ranks_approx(grid, ["x", "y"], bits=6)
+    plan = zdf._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = zdf.collect()
+    # buckets are monotone in the underlying value
+    by_x = sorted(rows, key=lambda r: (r["x"], r["_r_x"]))
+    for a, b in zip(by_x, by_x[1:]):
+        if a["x"] <= b["x"]:
+            assert a["_r_x"] <= b["_r_x"]
+    # and spread across the bucket range (64 distinct x → many buckets)
+    assert len({r["_r_x"] for r in rows}) > 16
+
+
+def test_write_zordered_still_shrinks_with_approx(spark, grid, tmp_path):
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zord")
+    grid.repartition(8).write.parquet(plain)
+    write_zordered(grid, zord, ["x", "y"], bits=6, files=8)
+    r_plain = _per_file_ranges(plain, ["x", "y"])
+    r_zord = _per_file_ranges(zord, ["x", "y"])
+    assert r_zord["x"] < r_plain["x"] * 0.6
+    assert r_zord["y"] < r_plain["y"] * 0.6
+
+
+def test_compact_files_hadoop_fs_uri(spark, tmp_path):
+    """compact_files resolves sizes through the Hadoop FileSystem API —
+    an explicit file:/ URI (non-Path-able scheme form) must work."""
+    src = str(tmp_path / "many_uri")
+    dst = str(tmp_path / "few_uri")
+    spark.range(10_000).selectExpr("id", "id * 3 AS v").repartition(
+        16
+    ).write.parquet(src)
+    n = compact_files(spark, f"file://{src}", f"file://{dst}", target_mb=64)
+    assert n == 1
+    assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_snapshot_diff_empty_keys_raises(spark):
+    from etl_python_sqlite_spark.operators.snapshot import snapshot_diff
+
+    a = spark.createDataFrame([(1, "x")], "k long, payload string")
+    with pytest.raises(ValueError, match="at least one key"):
+        snapshot_diff(a, a, keys=[], compare_cols=["payload"])
