@@ -674,17 +674,18 @@ def minhash_near_dups_portable(
         .select(id_col, "bb.band", "bb.band_key")
         .persist()  # stop Catalyst re-inlining the agg into both join sides
     )
-    # EAGER materialization of each persisted stage (the count is trivial
-    # next to the work it pins): this pipeline's downstream has MULTIPLE
-    # independent actions — the candidate-id broadcast build runs as its
-    # own job before the verify job — and a lazy persist lets each of
-    # them race to recompute the whole signature pass before the cache
-    # lands (measured: run-to-run walls degrading 16→53→60 s lazy vs a
-    # stable ~8 s eager at sf0.1). The full Catalyst plan is unchanged —
-    # an eager count only warms the cache the plan already declares.
-    banded.count()
     a = banded.alias("a")
     b = banded.alias("b")
+    # EAGER lineage cut at the candidate set (the narrowest point of the
+    # pipeline): downstream has MULTIPLE independent actions — the
+    # candidate-id broadcast build runs as its own job before the verify
+    # job — and a lazy persist lets each of them race to recompute the
+    # whole signature pass before the cache lands (measured: run-to-run
+    # walls degrading 16→53→60 s lazy vs a stable ~8 s eager at sf0.1).
+    # localCheckpoint(eager) materializes candidates in ONE action AND
+    # truncates lineage, so nothing downstream can ever re-enter the
+    # signature pass — the banded cache is released immediately instead
+    # of pinning storage for the result's lifetime (r2 verdict item).
     cands = (
         a.join(
             b,
@@ -696,9 +697,9 @@ def minhash_near_dups_portable(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    cands.count()  # eager — consumed by the broadcast job AND the verify job
+    banded.unpersist()
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
@@ -728,7 +729,10 @@ def minhash_near_dups_portable(
         )
         .filter(F.col("jaccard_micro") >= threshold_micro)
     )
-    return tie(verified, banded, cands, shards)
+    # banded already released; cands is a checkpoint (ContextCleaner
+    # reclaims its blocks when the frame drops) — only shards still
+    # carries a declared cache
+    return tie(verified, shards)
 
 
 def simhash_portable(

@@ -204,6 +204,8 @@ def dedup_cluster_assignment(
     where ``doc_id == cluster_id`` is the canonical-document selection —
     deterministic, no ordering dependence, replayable in plain SQL.
     """
+    from pyspark.sql import Window
+
     comp = connected_components(edges, src, dst)
     assigned = nodes.select(id_col).join(
         comp.withColumnRenamed("id", id_col), id_col, "left"
@@ -211,9 +213,17 @@ def dedup_cluster_assignment(
     labeled = assigned.select(
         id_col, F.coalesce("component", F.col(id_col)).alias("cluster_id")
     )
-    sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    out = labeled.join(sizes, "cluster_id").select(
-        id_col, "cluster_id", "cluster_size"
+    # cluster_size via a partitioned window, NOT a labeled⋈sizes
+    # self-join: the join form evaluates the whole upstream (CC finisher
+    # included) once per side, and at corpus scale it is an extra shuffle
+    # + duplicate scan; the window is one shuffle on cluster_id and the
+    # CC subtree runs exactly once per action.
+    out = labeled.select(
+        id_col,
+        "cluster_id",
+        F.count("*")
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
     )
     # comp (and, through it, edges) may carry tied caches — keep them
     # alive for as long as this derived result is

@@ -874,9 +874,11 @@ def ext_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     pairs = D.minhash_near_dups_portable(docs, threshold_micro=300_000)
-    edges = pairs.select("id_a", "id_b").persist()
-    edges.count()  # eager: CC's iterative rounds + the assignment join
-    # are MANY actions — without this each one re-runs the verify join
+    # eager lineage cut: CC's iterative rounds + the assignment join are
+    # MANY actions — each would re-run the verify join otherwise. The
+    # checkpoint is one action (same cost as the old persist+count) and
+    # downstream plans can't re-enter the minhash pipeline at all.
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     assign = dedup_cluster_assignment(docs, edges)
     out = (
         assign.filter(F.col("cluster_size") > 1)
@@ -884,7 +886,9 @@ def ext_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"))
         .orderBy("cluster_id")
     )
-    return tie(out, edges, keepalive=[assign, pairs])
+    # edges is a checkpoint, not a cache — keepalive suffices (the
+    # ContextCleaner reclaims its blocks once the result frame drops)
+    return tie(out, keepalive=[assign, pairs, edges])
 
 
 def ext_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
