@@ -219,6 +219,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_group_median": R.impute_group_median,
         "mad_outlier_scan": R.mad_outlier_scan,
         # -- round-4 new queries land here (window slots 35-50) ----------
+        "ext_bigram_lm_score": E.ext_bigram_lm_score,
+        "ext_dsir_importance": E.ext_dsir_importance,
+        "ext_leakage_free_split": E.ext_leakage_free_split,
+        "scd2_event_intervals": R.scd2_event_intervals,
         # -- attested in earlier rounds (green driver rows) ----------------
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,          # oracle: recall invariant
@@ -2617,5 +2621,144 @@ def oracle_sql() -> dict[str, str]:
                        AS rms_err_micro
             FROM errs
             ORDER BY vec_id
+        """,
+        # -- round-4: curation scoring + SCD2 ------------------------------
+        "ext_bigram_lm_score": """
+            WITH wt AS (
+                SELECT doc_id,
+                       string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS w
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM wt
+            ),
+            bg AS (
+                SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM pos
+            ),
+            cb AS (
+                SELECT w1, w2, COUNT(*) AS cnt2 FROM bg GROUP BY w1, w2
+            ),
+            cu AS (
+                SELECT w1, CAST(SUM(cnt2) AS BIGINT) AS cnt1 FROM cb GROUP BY w1
+            ),
+            vocab AS (
+                SELECT COUNT(DISTINCT w2) AS v FROM cb
+            ),
+            scored AS (
+                SELECT b.doc_id,
+                       (1000000 * (cb.cnt2 + 1)) // (cu.cnt1 + vocab.v)
+                           AS p_micro
+                FROM bg b
+                JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+                JOIN cu ON b.w1 = cu.w1
+                CROSS JOIN vocab
+            ),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n_bigrams,
+                       CAST(SUM(p_micro) AS BIGINT) AS sum_p_micro
+                FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, n_bigrams, sum_p_micro,
+                   ((2 * sum_p_micro + n_bigrams) // (2 * n_bigrams))
+                       / 1000000.0 AS mean_p
+            FROM agg
+            ORDER BY doc_id
+        """,
+        "ext_dsir_importance": """
+            WITH wt AS (
+                SELECT doc_id,
+                       string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS w
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM wt
+            ),
+            bg AS (
+                SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM pos
+            ),
+            feats AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(w1 || ' ' || w2), 1, 15) AS BIGINT) % 1024 AS bucket
+                FROM bg
+            ),
+            doc_counts AS (
+                SELECT doc_id, bucket, COUNT(*) AS cnt
+                FROM feats GROUP BY doc_id, bucket
+            ),
+            tgt_b AS (
+                SELECT bucket, COUNT(*) AS ct FROM feats
+                WHERE doc_id IN (SELECT doc_id FROM documents
+                                 WHERE source = (SELECT min(source) FROM documents))
+                GROUP BY bucket
+            ),
+            raw_b AS (
+                SELECT bucket, COUNT(*) AS cr FROM feats GROUP BY bucket
+            ),
+            buckets AS (
+                SELECT r.bucket, r.cr, COALESCE(t.ct, 0) AS ct,
+                       SUM(r.cr) OVER () AS nr,
+                       SUM(COALESCE(t.ct, 0)) OVER () AS nt
+                FROM raw_b r LEFT JOIN tgt_b t ON r.bucket = t.bucket
+            ),
+            ratio AS (
+                SELECT bucket,
+                       CAST((CAST(1000000 AS HUGEINT) * (ct + 1) * (nr + 1024))
+                            // (CAST(cr + 1 AS HUGEINT) * (nt + 1024)) AS BIGINT)
+                           AS ratio_micro
+                FROM buckets
+            )
+            SELECT d.doc_id,
+                   CAST(SUM(d.cnt) AS BIGINT) AS n_feat,
+                   CAST(SUM(d.cnt * r.ratio_micro) AS BIGINT) AS weight_micro
+            FROM doc_counts d JOIN ratio r ON d.bucket = r.bucket
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "ext_leakage_free_split": """
+            WITH grouped AS (
+                SELECT doc_id,
+                       MIN(doc_id) OVER (PARTITION BY lower(trim(text)))
+                           AS group_id
+                FROM documents
+            ),
+            banded AS (
+                SELECT doc_id, group_id,
+                       CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS band
+                FROM grouped
+            )
+            SELECT doc_id, group_id,
+                   CASE WHEN band < 8 THEN 'train'
+                        WHEN band < 9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM banded
+            ORDER BY doc_id
+        """,
+        "scd2_event_intervals": """
+            WITH flagged AS (
+                SELECT user_id, event_type, ts AS valid_from, event_id,
+                       CASE WHEN lag(event_type) OVER w IS NULL
+                                 OR lag(event_type) OVER w <> event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            changes AS (
+                SELECT user_id, event_type, valid_from, event_id
+                FROM flagged WHERE chg = 1
+            ),
+            iv AS (
+                SELECT user_id, event_type, valid_from,
+                       lead(valid_from) OVER w2 AS valid_to
+                FROM changes
+                WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+            )
+            SELECT user_id, event_type,
+                   strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+                   COALESCE(strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f'), '')
+                       AS valid_to,
+                   CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER)
+                       AS is_current
+            FROM iv
+            ORDER BY user_id, valid_from
         """,
     }

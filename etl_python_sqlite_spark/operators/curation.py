@@ -1,0 +1,247 @@
+"""Corpus-curation scoring operators — the model-based (here: count-based)
+filters of an LLM pre-training data pipeline, re-expressed as exact
+integer arithmetic so every score is replayable on any engine.
+
+Three operators, all public-literature shapes:
+
+- :func:`bigram_lm_score` — CCNet-style language-model quality scoring
+  (Wenzek et al. 2020 score documents with a KenLM n-gram model; the
+  count-based bigram MLE here is the same statistic family without the
+  external model file). Per document: the mean conditional probability
+  P(w2|w1) of its adjacent word pairs under the corpus's own bigram
+  counts. Template/boilerplate text scores HIGH (its transitions are
+  corpus-frequent), unusual or noisy text scores LOW — the filtering
+  axis CCNet uses perplexity for.
+
+- :func:`dsir_importance` — Data Selection via Importance Resampling
+  (Xie et al. 2023): per document, an importance weight
+  Σ_f c(f) · p_target(f)/p_raw(f) over HASHED bigram features, where
+  target is a designated in-domain slice of the corpus and raw is the
+  whole corpus. Documents whose feature mix resembles the target domain
+  weigh high; DSIR then resamples by these weights to build a
+  domain-matched training mix.
+
+- :func:`leakage_free_split` — train/val/test assignment that is
+  CONSTANT within a duplicate group (group = exact normalized-text
+  match), so near-identical documents can never straddle train and
+  eval — the split-contamination control every eval-hygiene audit
+  demands (cf. the GPT-3 / Dolma decontamination reports).
+
+Exactness discipline (repo invariant): probabilities are micro-unit
+BIGINTs computed with integral division — ``(10^6·num) div den`` — and
+the only wide arithmetic (the per-bucket DSIR ratio) runs on a
+B-row aggregate frame in DECIMAL(38,0), where Spark's ``div`` and
+DuckDB's HUGEINT ``//`` agree bit-for-bit (verified: both truncate the
+exact integral quotient). Per-row hot-path math stays in longs.
+
+Scale notes: every stage is a word/bigram groupBy on uniform keys or a
+broadcast join against a vocabulary/bucket-sized frame; nothing
+collects, nothing is quadratic. The bigram frame shuffles once on
+doc_id for the adjacency window — the same partitioning a 100 TB corpus
+already has (docs are the natural unit); the DSIR bucket frame is
+``n_buckets`` rows regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_python_sqlite_spark.functions.portable import phash60
+from etl_python_sqlite_spark.functions.text import words
+
+
+def doc_bigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, w1, w2) — one row per ADJACENT word pair of the lowercased
+    document, duplicates kept (the LM statistic needs the multiset).
+
+    posexplode + window ``lead`` (whole-stage codegen) instead of an
+    array-lambda bigram builder — higher-order functions are interpreted
+    per element (repo-measured ~60× slower in hot paths). One shuffle,
+    keyed by the uniform doc id. Documents with <2 words yield no rows.
+    """
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(words(F.lower(F.col(text_col)))).alias("pos", "w1"),
+    )
+    return (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(id_col, "w1", "w2")
+    )
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_bigrams, sum_p_micro, mean_p) — corpus-trained bigram-LM
+    quality score per document.
+
+    Laplace-smoothed conditional probability (the textbook add-one
+    bigram LM — smoothing is load-bearing: the raw MLE hands every
+    SINGLETON context probability 1, scoring unique gibberish as
+    perfectly predictable):
+
+        P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V),   V = |distinct w2|
+
+    Every quantity is an exact integer, ``p_micro = (10^6·(c2+1)) div
+    (c1+V)`` is bit-identical on Spark and DuckDB, and the mean follows
+    the repo's integer-rounding ``_avg_expr`` law.
+
+    Plan: bigram explode (one doc-keyed shuffle) → two count tables on
+    uniform word keys → broadcast joins (vocab-bounded) → one groupBy
+    back on the id. No floats until the final display division.
+    """
+    from etl_python_sqlite_spark.plans.relational import _avg_expr
+
+    bg = doc_bigrams(df, text_col, id_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # 1-row frame carrying V — broadcast into the expression (a 1-row
+    # build side makes the nested-loop join O(rows), the repo's accepted
+    # scalar-broadcast shape; the plan gate allowlists it)
+    vocab = c2.agg(F.countDistinct("w2").alias("v"))
+    scored = (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.expr("(1000000 * (c2 + 1)) div (c1 + v)").alias("p_micro"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("p_micro").cast("long").alias("sum_p_micro"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_p_micro",
+            _avg_expr("sum_p_micro", "n_bigrams", 6, 6).alias("mean_p"),
+        )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_feat, weight_micro) — DSIR importance weight of every
+    document in ``df`` toward the ``target`` slice (target must be a
+    subset of df for the probability-ratio bound to hold; the weight is
+    Σ_buckets c_doc(b) · ratio_micro(b)).
+
+    Features are bigrams hashed into ``n_buckets`` buckets (the paper's
+    hashed n-gram features) with the portable 60-bit hash. Per-bucket,
+    with add-one smoothing:
+
+        ratio_micro(b) = (10^6 · (ct+1) · (nr+B)) div ((cr+1) · (nt+B))
+
+    computed in DECIMAL(38,0) on the B-row bucket frame (product ≤
+    ~1e31 ≪ 1e38, and aggregate-level decimal is the repo's blessed
+    exception to the longs-only rule); DuckDB replays it in HUGEINT.
+    Since target ⊆ raw, ratio ≤ (nr+B)/(nt+B) ≈ |raw|/|target|, so the
+    per-doc BIGINT sum is bounded by n_feat · 10^6 · corpus/target.
+
+    Scale: the bucket frame is B rows whatever the corpus size — it
+    broadcasts; the doc-side aggregation is one groupBy(id, bucket) +
+    one groupBy(id), both on uniform keys.
+    """
+    feats = doc_bigrams(df, text_col, id_col).select(
+        F.col(id_col),
+        F.pmod(
+            phash60(F.concat_ws(" ", "w1", "w2")), F.lit(n_buckets)
+        ).alias("bucket"),
+    )
+    doc_counts = feats.groupBy(id_col, "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    tgt_ids = target.select(id_col)
+    raw_b = feats.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt_b = (
+        feats.join(F.broadcast(tgt_ids), id_col, "left_semi")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    whole = Window.partitionBy()  # B rows — a driver-safe total window
+    buckets = (
+        raw_b.join(tgt_b, "bucket", "left")
+        .select(
+            "bucket", "cr", F.coalesce("ct", F.lit(0)).alias("ct")
+        )
+        .select(
+            "bucket",
+            "cr",
+            "ct",
+            F.sum("cr").over(whole).alias("nr"),
+            F.sum("ct").over(whole).alias("nt"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"(CAST(1000000 AS DECIMAL(38,0)) * (ct + 1) * (nr + {n_buckets}))"
+                f" div (CAST(cr + 1 AS DECIMAL(38,0)) * (nt + {n_buckets}))"
+            ).alias("ratio_micro"),
+        )
+    )
+    return (
+        doc_counts.join(F.broadcast(buckets), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feat"),
+            F.sum(F.col("cnt") * F.col("ratio_micro"))
+            .cast("long")
+            .alias("weight_micro"),
+        )
+    )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    weights: tuple[int, int, int] = (8, 1, 1),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, group_id, split) — train/val/test assignment constant within
+    each exact-duplicate group, so no duplicate pair straddles a split.
+
+    group_id = min doc id of the normalized-text group (deterministic,
+    the dedup family's canonical-member convention); the split is chosen
+    by the portable hash of the GROUP id, never the doc id — that is the
+    whole leakage guarantee. Weights are decimal-free integer bands over
+    ``pmod(hash, Σweights)``.
+
+    Scale: one groupBy-min on the text hash + a window broadcast of the
+    group id back to members via the same key — two uniform shuffles,
+    no collects, no skew (hash keys).
+    """
+    total = sum(weights)
+    lo_val = weights[0]
+    hi_val = weights[0] + weights[1]
+    norm = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+    w = Window.partitionBy("_g")
+    labeled = (
+        df.select(F.col(id_col), norm.alias("_g"))
+        .select(
+            F.col(id_col),
+            F.min(id_col).over(w).alias("group_id"),
+        )
+    )
+    band = F.pmod(phash60(F.col("group_id").cast("string")), F.lit(total))
+    return labeled.select(
+        id_col,
+        "group_id",
+        F.when(band < lo_val, F.lit("train"))
+        .when(band < hi_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

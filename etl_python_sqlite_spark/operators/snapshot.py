@@ -16,7 +16,7 @@ answer "how much of v2 is genuinely new".
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -68,3 +68,57 @@ def snapshot_diff(
 def snapshot_diff_summary(diff: DataFrame) -> DataFrame:
     """Per-status row counts of a ``snapshot_diff`` frame."""
     return diff.groupBy("status").agg(F.count("*").alias("n_rows"))
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    state_col: str,
+    ts_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event stream:
+    collapse each key's consecutive runs of equal ``state_col`` into
+    validity intervals (key, state, valid_from, valid_to, is_current).
+
+    The classic warehouse CDC shape (Kimball SCD type 2) as pure window
+    functions: a change flag (``state != lag(state)``), kept change rows,
+    and ``valid_to = lead(valid_from)`` — two passes over ONE
+    key-partitioned sort, no self-joins. ``valid_to`` is NULL on the
+    open (current) interval.
+
+    ``order_cols`` breaks timestamp ties deterministically (repo events
+    convention: (ts, event_id)). Timestamps stay in the engine's
+    timestamp type here; contract queries render ISO strings (the repo's
+    no-DATE-columns output invariant).
+
+    Scale: both windows share the identical (key, ts, order) partitioning
+    — Catalyst plans ONE Exchange + sort and reuses it; per-key history
+    lives on one executor, exactly how a 100 TB CDC log is consumed.
+    """
+    extra = list(order_cols or [])
+    order = [F.col(ts_col)] + [F.col(c) for c in extra]
+    w = Window.partitionBy(key).orderBy(*order)
+    flagged = df.select(
+        key,
+        state_col,
+        F.col(ts_col).alias("valid_from"),
+        *extra,
+        (
+            F.lag(state_col).over(w).isNull()
+            | (F.lag(state_col).over(w) != F.col(state_col))
+        ).alias("_chg"),
+    )
+    changes = flagged.filter("_chg").drop("_chg")
+    # tie-break the second window with the SAME order columns — two
+    # change rows can share a timestamp, and lead() must be deterministic
+    w2 = Window.partitionBy(key).orderBy(
+        F.col("valid_from"), *[F.col(c) for c in extra]
+    )
+    return changes.select(
+        key,
+        state_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

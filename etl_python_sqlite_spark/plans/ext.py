@@ -1655,3 +1655,50 @@ def ext_embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4: curation scoring (bigram LM / DSIR / leakage-free split)
+# ---------------------------------------------------------------------------
+
+
+def ext_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-C1 — CCNet-shape LM quality scoring: per document, the mean
+    corpus-bigram conditional probability of its word transitions
+    (operators/curation.bigram_lm_score). Every probability is the
+    integer ``(10^6·c2) div c1`` and the mean follows the _avg_expr
+    integer-rounding law, so the full 5k-row score frame is
+    value-hash-checked against the DuckDB twin."""
+    from etl_python_sqlite_spark.operators.curation import bigram_lm_score
+
+    docs = _docs(spark, sf_dir)
+    return bigram_lm_score(docs).orderBy("doc_id")
+
+
+def ext_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-C2 — DSIR importance weights (hashed-bigram features) of every
+    document toward the lexicographically-first source shard as the
+    target domain — deterministic, replayed by the oracle with
+    ``source = (SELECT min(source) ...)``. Weights are exact micro-unit
+    BIGINTs (per-bucket DECIMAL(38) ratio, HUGEINT in DuckDB)."""
+    from etl_python_sqlite_spark.operators.curation import dsir_importance
+
+    docs = _docs(spark, sf_dir)
+    tgt = docs.join(
+        F.broadcast(docs.agg(F.min("source").alias("source"))),
+        "source",
+        "left_semi",
+    )
+    return dsir_importance(docs, tgt).orderBy("doc_id")
+
+
+def ext_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-C3 — duplicate-group-coherent train/val/test split: the split
+    label depends only on the exact-duplicate GROUP id, so no duplicate
+    pair can straddle train and eval (operators/curation). Whole
+    assignment frame is oracle-checked; tests additionally pin the
+    group-coherence invariant on corpora with known duplicates."""
+    from etl_python_sqlite_spark.operators.curation import leakage_free_split
+
+    docs = _docs(spark, sf_dir)
+    return leakage_free_split(docs).orderBy("doc_id")

@@ -2225,3 +2225,30 @@ def mad_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build over the events stream: each user's
+    consecutive runs of equal event_type collapse into validity
+    intervals (operators/snapshot.scd2_intervals — Kimball CDC shape as
+    two windows over ONE key-partitioned sort). Timestamps are emitted
+    as microsecond ISO strings (the repo's no-native-temporal-output
+    invariant); the open interval renders valid_to as '' with
+    is_current=1."""
+    from etl_python_sqlite_spark.operators.snapshot import scd2_intervals
+
+    ev = table(spark, sf_dir, "events")
+    iv = scd2_intervals(
+        ev, key="user_id", state_col="event_type", ts_col="ts",
+        order_cols=["event_id"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.coalesce(F.date_format("valid_to", fmt), F.lit("")).alias(
+            "valid_to"
+        ),
+        F.col("is_current").cast("int").alias("is_current"),
+    ).orderBy("user_id", "valid_from")

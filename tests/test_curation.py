@@ -1,0 +1,198 @@
+"""Curation operators: bigram-LM scoring, DSIR importance weights,
+leakage-free splits (operators/curation.py) and SCD2 interval building
+(operators/snapshot.py) — each pinned against a CPython re-derivation on
+toy corpora where every number is hand-checkable."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_python_sqlite_spark.operators.curation import (
+    bigram_lm_score,
+    doc_bigrams,
+    dsir_importance,
+    leakage_free_split,
+)
+from etl_python_sqlite_spark.operators.snapshot import scd2_intervals
+
+
+def _py_bigrams(text: str) -> list[tuple[str, str]]:
+    w = text.strip().lower().split()
+    return list(zip(w, w[1:]))
+
+
+CORPUS = [
+    (1, "the cat sat on the mat", "src0"),
+    (2, "the cat sat on the hat", "src0"),
+    (3, "a completely different sentence here", "src1"),
+    (4, "the cat sat on the mat", "src1"),  # dup of 1
+    (5, "  the   cat  ", "src1"),  # whitespace runs collapse
+    (6, "one", "src1"),  # <2 words -> no bigrams
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        CORPUS, "doc_id long, text string, source string"
+    )
+
+
+def test_doc_bigrams_matches_python(spark, docs):
+    got = sorted(
+        (r["doc_id"], r["w1"], r["w2"])
+        for r in doc_bigrams(docs).collect()
+    )
+    want = sorted(
+        (i, a, b) for i, t, _ in CORPUS for a, b in _py_bigrams(t)
+    )
+    assert got == want
+
+
+def test_bigram_lm_score_exact(spark, docs):
+    # corpus bigram counts from the python reference
+    from collections import Counter
+
+    c2 = Counter(bg for _, t, _ in CORPUS for bg in _py_bigrams(t))
+    c1 = Counter()
+    for (w1, _), n in c2.items():
+        c1[w1] += n
+    v = len({w2 for _, w2 in c2})
+    rows = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    for i, t, _ in CORPUS:
+        bgs = _py_bigrams(t)
+        if not bgs:
+            assert i not in rows  # <2 words yields no score row
+            continue
+        sum_p = sum(
+            (1_000_000 * (c2[bg] + 1)) // (c1[bg[0]] + v) for bg in bgs
+        )
+        assert rows[i]["n_bigrams"] == len(bgs)
+        assert rows[i]["sum_p_micro"] == sum_p
+        n = len(bgs)
+        assert rows[i]["mean_p"] == ((2 * sum_p + n) // (2 * n)) / 1e6
+    # the template pair (docs 1/4) must outscore the one-off doc 3
+    assert rows[1]["mean_p"] > rows[3]["mean_p"]
+
+
+def test_dsir_importance_prefers_target_like_docs(spark, docs):
+    tgt = docs.filter(F.col("source") == "src0")
+    out = {r["doc_id"]: r for r in dsir_importance(docs, tgt).collect()}
+    # doc 4 is word-for-word a src0 doc: its mean per-feature weight must
+    # exceed doc 3 (vocabulary disjoint from the target)
+    w4 = out[4]["weight_micro"] / out[4]["n_feat"]
+    w3 = out[3]["weight_micro"] / out[3]["n_feat"]
+    assert w4 > w3
+    assert out[6 if 6 in out else 1] is not None  # sanity: frame populated
+    # every weight is a positive exact integer
+    assert all(r["weight_micro"] > 0 for r in out.values())
+
+
+def test_dsir_weights_exact_python_replay(spark, docs):
+    from collections import Counter
+
+    from etl_python_sqlite_spark.functions.portable import MINHASH_MOD_P  # noqa: F401
+    import hashlib
+
+    B = 1024
+
+    def bucket(w1, w2):
+        h = hashlib.md5(f"{w1} {w2}".encode()).hexdigest()[:15]
+        return int(h, 16) % B
+
+    feats = {
+        i: Counter(bucket(a, b) for a, b in _py_bigrams(t))
+        for i, t, _ in CORPUS
+    }
+    cr = Counter()
+    ct = Counter()
+    for i, t, s in CORPUS:
+        cr.update(feats[i])
+        if s == "src0":
+            ct.update(feats[i])
+    nr, nt = sum(cr.values()), sum(ct.values())
+    ratio = {
+        b: (1_000_000 * (ct[b] + 1) * (nr + B)) // ((cr[b] + 1) * (nt + B))
+        for b in cr
+    }
+    tgt = docs.filter(F.col("source") == "src0")
+    out = {r["doc_id"]: r for r in dsir_importance(docs, tgt).collect()}
+    for i, t, _ in CORPUS:
+        if not feats[i]:
+            assert i not in out
+            continue
+        want = sum(n * ratio[b] for b, n in feats[i].items())
+        assert out[i]["weight_micro"] == want, i
+
+
+def test_leakage_free_split_group_coherent(spark, docs):
+    out = {r["doc_id"]: r for r in leakage_free_split(docs).collect()}
+    assert len(out) == len(CORPUS)
+    # exact dups share group AND split
+    assert out[1]["group_id"] == out[4]["group_id"] == 1
+    assert out[1]["split"] == out[4]["split"]
+    # non-dups get their own group
+    assert out[3]["group_id"] == 3
+    assert all(r["split"] in {"train", "val", "test"} for r in out.values())
+
+
+def test_leakage_free_split_proportions(spark):
+    big = spark.range(3000).selectExpr(
+        "id AS doc_id", "concat('unique text ', id) AS text"
+    )
+    frac = {
+        r["split"]: r["n"]
+        for r in leakage_free_split(big)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert 0.7 < frac["train"] / 3000 < 0.9
+    assert 0.05 < frac["val"] / 3000 < 0.15
+    assert 0.05 < frac["test"] / 3000 < 0.15
+
+
+def test_scd2_intervals_toy(spark):
+    rows = [
+        (1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "a"),
+        (2, 10, "x"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, float(t), s) for u, t, s in rows],
+        "user_id long, t double, event_type string",
+    ).select(
+        "user_id",
+        F.timestamp_seconds("t").alias("ts"),
+        "event_type",
+        F.monotonically_increasing_id().alias("event_id"),
+    )
+    iv = scd2_intervals(
+        ev, key="user_id", state_col="event_type", ts_col="ts",
+        order_cols=["event_id"],
+    )
+    got = sorted(
+        (r["user_id"], r["event_type"], r["valid_from"].timestamp(),
+         None if r["valid_to"] is None else r["valid_to"].timestamp(),
+         r["is_current"])
+        for r in iv.collect()
+    )
+    assert got == [
+        (1, "a", 10.0, 30.0, False),   # run a(10,20) until change at 30
+        (1, "a", 40.0, None, True),    # re-entered state opens a NEW row
+        (1, "b", 30.0, 40.0, False),
+        (2, "x", 10.0, None, True),
+    ]
+
+
+def test_scd2_single_sort_plan(spark):
+    """Both windows must share one Exchange+Sort on the key."""
+    ev = spark.createDataFrame(
+        [(1, 1.0, "a", 1)], "user_id long, t double, event_type string, event_id long"
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "event_type", "event_id")
+    iv = scd2_intervals(
+        ev, key="user_id", state_col="event_type", ts_col="ts",
+        order_cols=["event_id"],
+    )
+    plan = iv._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2
