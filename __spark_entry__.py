@@ -1230,44 +1230,58 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY label, dim
         """,
         "mad_outlier_scan": """
-            WITH ranked AS (
-                SELECT l_returnflag, l_extendedprice,
-                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
-                           ORDER BY l_extendedprice, l_orderkey,
-                                    l_linenumber) AS rn,
-                       COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-                FROM lineitem
+            WITH hist AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) AS c,
+                       COUNT(*) AS cnt
+                FROM lineitem GROUP BY l_returnflag, c
+            ),
+            cum AS (
+                SELECT l_returnflag, c, cnt,
+                       SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY c)
+                           AS cum,
+                       SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+                FROM hist
             ),
             med AS (
-                SELECT l_returnflag, l_extendedprice AS med
-                FROM ranked WHERE rn = (n + 1) // 2
+                SELECT l_returnflag,
+                       MIN(CASE WHEN cum >= (n + 1) // 2
+                                 AND cum - cnt < (n + 1) // 2
+                                THEN c END) AS med_c
+                FROM cum GROUP BY l_returnflag
             ),
-            dev AS (
-                SELECT li.l_returnflag, li.l_orderkey, li.l_linenumber,
-                       m.med, abs(li.l_extendedprice - m.med) AS d
-                FROM lineitem li JOIN med m
-                  ON li.l_returnflag = m.l_returnflag
+            dhist AS (
+                SELECT h.l_returnflag, abs(h.c - m.med_c) AS d,
+                       CAST(SUM(h.cnt) AS BIGINT) AS cnt
+                FROM hist h JOIN med m ON h.l_returnflag = m.l_returnflag
+                GROUP BY h.l_returnflag, abs(h.c - m.med_c)
             ),
-            dranked AS (
-                SELECT l_returnflag, d,
-                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
-                           ORDER BY d, l_orderkey, l_linenumber) AS rn,
-                       COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-                FROM dev
+            dcum AS (
+                SELECT l_returnflag, d, cnt,
+                       SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY d)
+                           AS cum,
+                       SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+                FROM dhist
             ),
             mad AS (
-                SELECT l_returnflag, d AS mad
-                FROM dranked WHERE rn = (n + 1) // 2
+                SELECT l_returnflag,
+                       MIN(CASE WHEN cum >= (n + 1) // 2
+                                 AND cum - cnt < (n + 1) // 2
+                                THEN d END) AS mad_c
+                FROM dcum GROUP BY l_returnflag
             )
-            SELECT dev.l_returnflag,
-                   CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   MIN(dev.med) AS median_price,
-                   MIN(mad.mad) AS mad,
-                   CAST(SUM(CASE WHEN dev.d > 1.5 * mad.mad
-                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-            FROM dev JOIN mad ON dev.l_returnflag = mad.l_returnflag
-            GROUP BY dev.l_returnflag
-            ORDER BY dev.l_returnflag
+            SELECT dh.l_returnflag,
+                   CAST(SUM(dh.cnt) AS BIGINT) AS n_rows,
+                   MAX(m.med_c) / 100.0 AS median_price,
+                   MAX(md.mad_c) / 100.0 AS mad,
+                   CAST(SUM(CASE WHEN 2 * dh.d > 3 * md.mad_c
+                                 THEN dh.cnt ELSE 0 END) AS BIGINT)
+                       AS n_outliers
+            FROM dhist dh
+            JOIN mad md ON dh.l_returnflag = md.l_returnflag
+            JOIN med m ON dh.l_returnflag = m.l_returnflag
+            GROUP BY dh.l_returnflag
+            ORDER BY dh.l_returnflag
         """,
         "impute_group_median": """
             WITH base AS (
@@ -1502,34 +1516,40 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_orderkey
         """,
         "robust_price_stats": """
-            WITH ranked AS (
-                SELECT l_returnflag, l_extendedprice,
-                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
-                                          ORDER BY l_extendedprice) AS rn,
-                       COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-                FROM lineitem
+            WITH hist AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) AS c,
+                       COUNT(*) AS cnt
+                FROM lineitem GROUP BY l_returnflag, c
+            ),
+            cum AS (
+                SELECT l_returnflag, c, cnt,
+                       SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY c)
+                           AS cum,
+                       SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+                FROM hist
             ),
             cuts AS (
-                SELECT a.l_returnflag, a.l_extendedprice AS p01,
-                       b.l_extendedprice AS p99
-                FROM ranked a JOIN ranked b
-                  ON a.l_returnflag = b.l_returnflag
-                WHERE a.rn = (10000 * a.n + 999999) // 1000000
-                  AND b.rn = (990000 * b.n + 999999) // 1000000
+                SELECT l_returnflag,
+                       MIN(CASE WHEN cum >= (10000 * n + 999999) // 1000000
+                                 AND cum - cnt < (10000 * n + 999999) // 1000000
+                                THEN c END) AS p01_c,
+                       MIN(CASE WHEN cum >= (990000 * n + 999999) // 1000000
+                                 AND cum - cnt < (990000 * n + 999999) // 1000000
+                                THEN c END) AS p99_c
+                FROM cum GROUP BY l_returnflag
             )
-            SELECT li.l_returnflag,
-                   CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   MIN(c.p01) AS p01,
-                   MIN(c.p99) AS p99,
-                   CAST(SUM(floor(greatest(c.p01,
-                                  least(c.p99, li.l_extendedprice)) * 100))
+            SELECT h.l_returnflag,
+                   CAST(SUM(h.cnt) AS BIGINT) AS n_rows,
+                   MAX(k.p01_c) / 100.0 AS p01,
+                   MAX(k.p99_c) / 100.0 AS p99,
+                   CAST(SUM(h.cnt * greatest(k.p01_c, least(k.p99_c, h.c)))
                         AS BIGINT) AS wsum_cents,
-                   CAST(SUM(CASE WHEN li.l_extendedprice < c.p01
-                                   OR li.l_extendedprice > c.p99
-                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
-            FROM lineitem li JOIN cuts c ON li.l_returnflag = c.l_returnflag
-            GROUP BY li.l_returnflag
-            ORDER BY li.l_returnflag
+                   CAST(SUM(CASE WHEN h.c < k.p01_c OR h.c > k.p99_c
+                                 THEN h.cnt ELSE 0 END) AS BIGINT) AS n_clamped
+            FROM hist h JOIN cuts k ON h.l_returnflag = k.l_returnflag
+            GROUP BY h.l_returnflag
+            ORDER BY h.l_returnflag
         """,
         "ts_gap_fill_interpolate": """
             WITH obs AS (

@@ -1804,50 +1804,68 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized robust statistics per return flag: exact p01/p99 order
-    statistics of l_extendedprice (rank k = ⌈p·n⌉ computed in integer
-    micro-units; picking the value at a rank involves NO float
-    arithmetic, so it is engine-exact even on doubles), then every price
-    clamped into [p01, p99] and aggregated as Σfloor(clamped·100)
-    BIGINT cents. The standard outlier-robust profiling pass — one
-    window sort per group + a broadcast of the 3-row percentile table
-    back onto the scan."""
+    statistics ON the integer-cents quantization of l_extendedprice
+    (rank k = ⌈p·n⌉ in integer micro-units), then every price clamped
+    into [p01, p99] and summed as BIGINT cents.
+
+    Shape: ONE table scan → per-flag cents HISTOGRAM (uniform
+    (flag, cents) shuffle key, map-side partial aggregation) → rank
+    lookups on a cumulative-sum window over DISTINCT values only → the
+    winsorized sum aggregates the histogram itself (Σ cnt·clamp(c)),
+    never re-scanning the table. vs the previous per-group row_number
+    sort over FULL ROWS: the rank pass now moves only (cents, cnt)
+    pairs, the table scan aggregates map-side before any shuffle, and
+    wherever quantization compresses (real price/score columns repeat;
+    this synthetic uniform column is the worst case at ~99% distinct)
+    the per-group sorted pass shrinks with |distinct values|. Beyond
+    that, exact selection at extreme group sizes upgrades to two-level
+    bucketed rank (coarse band cumsum → in-band cumsum) — same
+    semantics, the oracle is unchanged by plan choice."""
     li = table(spark, sf_dir, "lineitem")
-    grp = Window.partitionBy("l_returnflag")
-    ranked = li.select(
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    hist = li.groupBy("l_returnflag", cents.alias("c")).agg(
+        F.count("*").alias("cnt")
+    )
+    wv = Window.partitionBy("l_returnflag").orderBy("c")
+    wall = Window.partitionBy("l_returnflag")
+    cum = hist.select(
         "l_returnflag",
-        "l_extendedprice",
-        F.row_number()
-        .over(grp.orderBy("l_extendedprice"))
-        .alias("rn"),
-        F.count("*").over(grp).alias("n"),
+        "c",
+        "cnt",
+        F.sum("cnt").over(wv).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
     )
     k01 = F.expr("(10000 * n + 999999) div 1000000")
     k99 = F.expr("(990000 * n + 999999) div 1000000")
-    p01 = (
-        ranked.filter(F.col("rn") == k01)
-        .select("l_returnflag", F.col("l_extendedprice").alias("p01"))
+
+    def _pick(k):
+        # the histogram row CONTAINING rank k holds the order statistic
+        return F.min(
+            F.when(
+                (F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k),
+                F.col("c"),
+            )
+        )
+
+    cuts = cum.groupBy("l_returnflag").agg(
+        _pick(k01).alias("p01_c"), _pick(k99).alias("p99_c")
     )
-    p99 = (
-        ranked.filter(F.col("rn") == k99)
-        .select("l_returnflag", F.col("l_extendedprice").alias("p99"))
-    )
-    cuts = p01.join(p99, "l_returnflag")
-    clamped = F.greatest(
-        F.col("p01"), F.least(F.col("p99"), F.col("l_extendedprice"))
+    clamped_c = F.greatest(
+        F.col("p01_c"), F.least(F.col("p99_c"), F.col("c"))
     )
     return (
-        li.join(F.broadcast(cuts), "l_returnflag")
+        hist.join(F.broadcast(cuts), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.count("*").alias("n_rows"),
-            F.first("p01").alias("p01"),
-            F.first("p99").alias("p99"),
-            F.sum(F.floor(clamped * 100)).cast("long").alias("wsum_cents"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.expr("max(p01_c) / 100.0D").alias("p01"),
+            F.expr("max(p99_c) / 100.0D").alias("p99"),
+            F.sum(F.col("cnt") * clamped_c).cast("long").alias("wsum_cents"),
             F.sum(
                 F.when(
-                    (F.col("l_extendedprice") < F.col("p01"))
-                    | (F.col("l_extendedprice") > F.col("p99")),
-                    1,
+                    (F.col("c") < F.col("p01_c"))
+                    | (F.col("c") > F.col("p99_c")),
+                    F.col("cnt"),
                 ).otherwise(0)
             )
             .cast("long")
@@ -2167,58 +2185,70 @@ def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mad_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection per return flag via the Median Absolute
-    Deviation (the standard robust scale estimator): median and MAD are
-    EXACT lower-median order statistics (rank selection — no float
-    arithmetic), deviations are single IEEE subtractions of identical
-    doubles, and the cut |x−med| > 1.5·MAD multiplies
-    identical doubles by an identical literal — every step bit-equal
-    across engines. Two window sorts + two broadcast joins."""
-    li = table(spark, sf_dir, "lineitem")
-    grp = Window.partitionBy("l_returnflag")
-    tie = [F.col("l_orderkey"), F.col("l_linenumber")]
+    Deviation, as a VALUE-HISTOGRAM selection: prices quantize to exact
+    integer cents, ONE groupBy builds the per-flag cents histogram, and
+    both order statistics (median, then MAD) are rank lookups on tiny
+    cumulative-sum windows over DISTINCT values — the deviation
+    histogram derives from the price histogram by arithmetic, so the
+    600 k-row table is scanned ONCE and never row-sorted.
 
-    ranked = li.select(
+    Why not per-group row_number sorts over full rows (the previous
+    shape): the rank pass here moves only (cents, cnt) pairs, partial
+    aggregation combines map-side before the shuffle, the second
+    ("deviation") statistic costs a histogram transform instead of a
+    second table scan, and wherever quantization compresses the
+    per-group sorted pass shrinks with |distinct values| (synthetic
+    uniform prices are the ~99%-distinct worst case). The outlier cut
+    2·d > 3·MAD is pure integer arithmetic — no float 1.5· multiply to
+    disagree across engines."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    hist = li.groupBy(
+        "l_returnflag", cents.alias("c")
+    ).agg(F.count("*").alias("cnt"))
+    wv = Window.partitionBy("l_returnflag").orderBy("c")
+    wall = Window.partitionBy("l_returnflag")
+    cum = hist.select(
         "l_returnflag",
-        "l_orderkey",
-        "l_linenumber",
-        "l_extendedprice",
-        F.row_number()
-        .over(grp.orderBy(F.col("l_extendedprice"), *tie))
-        .alias("rn"),
-        F.count("*").over(grp).alias("n"),
+        "c",
+        "cnt",
+        F.sum("cnt").over(wv).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
     )
-    med = ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
-        "l_returnflag", F.col("l_extendedprice").alias("med")
+    k = F.expr("(n + 1) div 2")
+    med = cum.groupBy("l_returnflag").agg(
+        F.min(
+            F.when((F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k), F.col("c"))
+        ).alias("med_c"),
+        F.max("n").alias("n"),
     )
-    dev = (
-        li.join(F.broadcast(med), "l_returnflag")
-        .select(
-            "l_returnflag",
-            "l_orderkey",
-            "l_linenumber",
-            "l_extendedprice",
-            "med",
-            F.abs(F.col("l_extendedprice") - F.col("med")).alias("d"),
-        )
+    dhist = (
+        hist.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag", F.abs(F.col("c") - F.col("med_c")).alias("d"))
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    dranked = dev.select(
+    dcum = dhist.select(
         "l_returnflag",
         "d",
-        F.row_number().over(grp.orderBy(F.col("d"), *tie)).alias("rn"),
-        F.count("*").over(grp).alias("n"),
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("l_returnflag").orderBy("d")).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
     )
-    mad = dranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
-        "l_returnflag", F.col("d").alias("mad")
+    mad = dcum.groupBy("l_returnflag").agg(
+        F.min(
+            F.when((F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k), F.col("d"))
+        ).alias("mad_c"),
     )
     return (
-        dev.join(F.broadcast(mad), "l_returnflag")
+        dhist.join(F.broadcast(mad), "l_returnflag")
+        .join(F.broadcast(med.select("l_returnflag", "med_c")), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.count("*").alias("n_rows"),
-            F.first("med").alias("median_price"),
-            F.first("mad").alias("mad"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.expr("max(med_c) / 100.0D").alias("median_price"),
+            F.expr("max(mad_c) / 100.0D").alias("mad"),
             F.sum(
-                F.when(F.col("d") > F.lit(1.5) * F.col("mad"), 1).otherwise(0)
+                F.when(2 * F.col("d") > 3 * F.col("mad_c"), F.col("cnt")).otherwise(0)
             )
             .cast("long")
             .alias("n_outliers"),
