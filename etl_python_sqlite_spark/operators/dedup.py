@@ -950,8 +950,6 @@ def setsim_join_prefix(
     """
     toks = doc_token_sets(df, text_col, id_col)
     prefix = setsim_prefix_index(toks, threshold_micro, id_col).persist()
-    prefix.count()  # eager — both sides of the self-join (see the
-    # minhash pipeline's materialization note: multiple downstream jobs)
     a = prefix.alias("a")
     b = prefix.alias("b")
     cands = (
@@ -970,9 +968,14 @@ def setsim_join_prefix(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
-        .persist()  # feeds the two-sided verify join
+        # eager lineage cut at the narrowest point: the broadcast
+        # cand-id job and the verify job are separate actions that would
+        # otherwise race to recompute the prefix pass (the minhash
+        # pipeline's measured hazard); the checkpoint is ONE action and
+        # lets the prefix cache release immediately
+        .localCheckpoint(eager=True)
     )
-    cands.count()  # eager — broadcast job + verify job
+    prefix.unpersist()
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))
@@ -1003,4 +1006,4 @@ def setsim_join_prefix(
         )
         .filter(F.col("jaccard_micro") >= threshold_micro)
     )
-    return tie(verified, prefix, cands, sets_)
+    return tie(verified, sets_)

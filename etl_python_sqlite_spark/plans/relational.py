@@ -2079,10 +2079,17 @@ def sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated per-row probes), then a per-supplier tally."""
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
-    fail_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("_ns"),
-        F.countDistinct(fail_supp).alias("_nf"),
+    # two-level aggregation instead of two countDistincts: a multi-
+    # distinct agg plans an Expand (3x the input rows through the
+    # shuffle); pre-grouping by (order, supplier) needs one uniform
+    # shuffle and the distinct counts become plain counts
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("l_returnflag") == "R").alias("_failed")
+    )
+    fail_supp = F.when(F.col("_failed"), F.col("l_suppkey"))
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("_ns"),
+        F.count(fail_supp).alias("_nf"),
         F.max(fail_supp).alias("_culprit"),
     )
     culprits = per_order.filter(
