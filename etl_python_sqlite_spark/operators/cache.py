@@ -39,6 +39,29 @@ from pyspark.sql import DataFrame
 _RELEASE_ATTR = "_spark_graft_release"
 
 
+def _release_frame(f: DataFrame) -> None:
+    """Free a tied frame's storage now: unpersist its cache entry AND,
+    for ``localCheckpoint`` frames, the checkpoint RDD's blocks.
+
+    Checkpoint blocks are otherwise reclaimed only by the ASYNC
+    ContextCleaner after a JVM GC — minutes of dangling storage in a
+    long-lived session, which the deterministic-release gate
+    (tests/test_cache_lifecycle.py) rightly rejects. A checkpoint
+    frame's analyzed plan is a LogicalRDD whose backing RDD we can
+    unpersist directly; for every other plan shape the attribute probe
+    fails and we fall through silently (the cache unpersist above
+    already handled it). Only ever called once nothing references the
+    frame, so invalidating the checkpoint is safe."""
+    try:
+        f.unpersist()
+    except Exception:
+        pass  # session already stopped — nothing left to release
+    try:
+        f._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # not a LogicalRDD-backed frame (or session gone)
+
+
 def tie(
     result: DataFrame,
     *cached: DataFrame,
@@ -52,10 +75,7 @@ def tie(
 
     def _release(_frames=frames, _keep=keep) -> None:
         for f in _frames:
-            try:
-                f.unpersist()
-            except Exception:
-                pass  # session already stopped — nothing left to release
+            _release_frame(f)
 
     fin = weakref.finalize(result, _release)
     # the JVM gateway may already be gone at interpreter shutdown; skip

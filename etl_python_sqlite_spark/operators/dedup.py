@@ -674,18 +674,24 @@ def minhash_near_dups_portable(
         .select(id_col, "bb.band", "bb.band_key")
         .persist()  # stop Catalyst re-inlining the agg into both join sides
     )
+    # eager: the self-join's two sides otherwise race to compute the
+    # signature pass concurrently within one job (observed: both
+    # exchange stages running at once, double compute + cache thrash)
+    banded.count()
     a = banded.alias("a")
     b = banded.alias("b")
-    # EAGER lineage cut at the candidate set (the narrowest point of the
-    # pipeline): downstream has MULTIPLE independent actions — the
-    # candidate-id broadcast build runs as its own job before the verify
-    # job — and a lazy persist lets each of them race to recompute the
-    # whole signature pass before the cache lands (measured: run-to-run
-    # walls degrading 16→53→60 s lazy vs a stable ~8 s eager at sf0.1).
-    # localCheckpoint(eager) materializes candidates in ONE action AND
-    # truncates lineage, so nothing downstream can ever re-enter the
-    # signature pass — the banded cache is released immediately instead
-    # of pinning storage for the result's lifetime (r2 verdict item).
+    # eager LINEAGE CUT at the narrowest point (the candidate set):
+    # downstream has MULTIPLE independent actions — the candidate-id
+    # broadcast build runs as its own job before the verify job — and a
+    # lazy cands would let each of them race to recompute the whole
+    # signature pass (measured: run-to-run walls degrading 16→53→60 s
+    # lazy vs stable eager at sf0.1). localCheckpoint beats persist+count
+    # by a further ~1.7 s in an interleaved same-session A/B (downstream
+    # plans become scans of the materialized RDD instead of re-analyzed
+    # full-lineage trees); tie() releases the checkpoint blocks
+    # deterministically on drop (operators/cache._release_frame), so the
+    # lifecycle gate holds. The banded cache is released the moment
+    # candidates land instead of riding the result lifetime.
     cands = (
         a.join(
             b,
@@ -729,10 +735,8 @@ def minhash_near_dups_portable(
         )
         .filter(F.col("jaccard_micro") >= threshold_micro)
     )
-    # banded already released; cands is a checkpoint (ContextCleaner
-    # reclaims its blocks when the frame drops) — only shards still
-    # carries a declared cache
-    return tie(verified, shards)
+    # banded already released eagerly above
+    return tie(verified, cands, shards)
 
 
 def simhash_portable(
@@ -950,6 +954,7 @@ def setsim_join_prefix(
     """
     toks = doc_token_sets(df, text_col, id_col)
     prefix = setsim_prefix_index(toks, threshold_micro, id_col).persist()
+    prefix.count()  # eager — the self-join's two sides otherwise race
     a = prefix.alias("a")
     b = prefix.alias("b")
     cands = (
@@ -971,8 +976,9 @@ def setsim_join_prefix(
         # eager lineage cut at the narrowest point: the broadcast
         # cand-id job and the verify job are separate actions that would
         # otherwise race to recompute the prefix pass (the minhash
-        # pipeline's measured hazard); the checkpoint is ONE action and
-        # lets the prefix cache release immediately
+        # pipeline's measured hazard + same-session A/B favoring the
+        # checkpoint); tie() releases the blocks on drop, and the prefix
+        # cache is freed the moment candidates land
         .localCheckpoint(eager=True)
     )
     prefix.unpersist()
@@ -1006,4 +1012,4 @@ def setsim_join_prefix(
         )
         .filter(F.col("jaccard_micro") >= threshold_micro)
     )
-    return tie(verified, sets_)
+    return tie(verified, cands, sets_)

