@@ -156,21 +156,28 @@ def dsir_importance(
     broadcasts; the doc-side aggregation is one groupBy(id, bucket) +
     one groupBy(id), both on uniform keys.
     """
+    from etl_python_sqlite_spark.operators.cache import tie
+
     feats = doc_bigrams(df, text_col, id_col).select(
         F.col(id_col),
         F.pmod(
             phash60(F.concat_ws(" ", "w1", "w2")), F.lit(n_buckets)
         ).alias("bucket"),
     )
+    # every downstream count derives from the (id, bucket) roll-up, so
+    # the bigram/hash pass runs ONCE; eager persist because the bucket
+    # tables and the final weighting are separate consumers (scoped to
+    # the result via tie)
     doc_counts = feats.groupBy(id_col, "bucket").agg(
         F.count("*").alias("cnt")
-    )
+    ).persist()
+    doc_counts.count()
     tgt_ids = target.select(id_col)
-    raw_b = feats.groupBy("bucket").agg(F.count("*").alias("cr"))
+    raw_b = doc_counts.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
     tgt_b = (
-        feats.join(F.broadcast(tgt_ids), id_col, "left_semi")
+        doc_counts.join(F.broadcast(tgt_ids), id_col, "left_semi")
         .groupBy("bucket")
-        .agg(F.count("*").alias("ct"))
+        .agg(F.sum("cnt").alias("ct"))
     )
     whole = Window.partitionBy()  # B rows — a driver-safe total window
     buckets = (
@@ -193,7 +200,7 @@ def dsir_importance(
             ).alias("ratio_micro"),
         )
     )
-    return (
+    out = (
         doc_counts.join(F.broadcast(buckets), "bucket")
         .groupBy(id_col)
         .agg(
@@ -203,6 +210,7 @@ def dsir_importance(
             .alias("weight_micro"),
         )
     )
+    return tie(out, doc_counts)
 
 
 def leakage_free_split(

@@ -1821,11 +1821,16 @@ def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     that, exact selection at extreme group sizes upgrades to two-level
     bucketed rank (coarse band cumsum → in-band cumsum) — same
     semantics, the oracle is unchanged by plan choice."""
+    from etl_python_sqlite_spark.operators.cache import tie
+
     li = table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    # consumed by the percentile selection AND the winsorized aggregate —
+    # eager persist scans the table once, scoped via tie()
     hist = li.groupBy("l_returnflag", cents.alias("c")).agg(
         F.count("*").alias("cnt")
-    )
+    ).persist()
+    hist.count()
     wv = Window.partitionBy("l_returnflag").orderBy("c")
     wall = Window.partitionBy("l_returnflag")
     cum = hist.select(
@@ -1853,7 +1858,7 @@ def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped_c = F.greatest(
         F.col("p01_c"), F.least(F.col("p99_c"), F.col("c"))
     )
-    return (
+    out = (
         hist.join(F.broadcast(cuts), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
@@ -1873,6 +1878,7 @@ def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+    return tie(out, hist)
 
 
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2208,11 +2214,18 @@ def mad_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform prices are the ~99%-distinct worst case). The outlier cut
     2·d > 3·MAD is pure integer arithmetic — no float 1.5· multiply to
     disagree across engines."""
+    from etl_python_sqlite_spark.operators.cache import tie
+
     li = table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    # the histogram feeds the median selection, the deviation histogram
+    # AND (through it) the final aggregate — eager persist so the table
+    # is scanned once, not once per consumer (measured 3.2 → 2.7 s);
+    # scoped to the result via tie()
     hist = li.groupBy(
         "l_returnflag", cents.alias("c")
-    ).agg(F.count("*").alias("cnt"))
+    ).agg(F.count("*").alias("cnt")).persist()
+    hist.count()
     wv = Window.partitionBy("l_returnflag").orderBy("c")
     wall = Window.partitionBy("l_returnflag")
     cum = hist.select(
@@ -2233,7 +2246,9 @@ def mad_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist.join(F.broadcast(med), "l_returnflag")
         .groupBy("l_returnflag", F.abs(F.col("c") - F.col("med_c")).alias("d"))
         .agg(F.sum("cnt").alias("cnt"))
+        .persist()  # consumed by the MAD selection and the final agg
     )
+    dhist.count()
     dcum = dhist.select(
         "l_returnflag",
         "d",
@@ -2246,7 +2261,7 @@ def mad_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k), F.col("d"))
         ).alias("mad_c"),
     )
-    return (
+    out = (
         dhist.join(F.broadcast(mad), "l_returnflag")
         .join(F.broadcast(med.select("l_returnflag", "med_c")), "l_returnflag")
         .groupBy("l_returnflag")
@@ -2262,6 +2277,7 @@ def mad_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+    return tie(out, hist, dhist)
 
 
 def scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
