@@ -196,3 +196,17 @@ def test_scd2_single_sort_plan(spark):
     )
     plan = iv._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_curation_ops_empty_inputs(spark):
+    """Empty corpora must yield empty frames, not errors (the zorder/
+    compact/snapshot empty-guard convention)."""
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert bigram_lm_score(empty).count() == 0
+    assert dsir_importance(empty, empty).count() == 0
+    assert leakage_free_split(empty).count() == 0
+    ev = spark.createDataFrame([], "user_id long, ts timestamp, event_type string, event_id long")
+    assert (
+        scd2_intervals(ev, key="user_id", state_col="event_type",
+                       ts_col="ts", order_cols=["event_id"]).count() == 0
+    )
