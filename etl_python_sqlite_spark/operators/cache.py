@@ -16,13 +16,20 @@ makes that prompt), or immediately via ``release(result)``.  The
 intermediates stay strongly referenced by the finalizer until then, so
 the cached plans remain valid for every action the caller runs.
 
-Why not eager ``localCheckpoint`` + unpersist-before-return: that would
-materialize at build time (breaking lazy composition and plan
-introspection — ``.explain`` would show an opaque scan-from-RDD instead
-of the real join tree the plan-quality gates assert on) and the
-checkpoint blocks themselves would pin storage for the result frame's
-lifetime anyway.  Tying the existing lazy caches costs nothing at build
-time and keeps the full Catalyst plan visible.
+Eager ``localCheckpoint`` vs tied lazy persist is a measured per-site
+choice. The dedup candidate sets use a build-time checkpoint (the
+narrowest stage; same-session A/B: downstream plans over the
+materialized RDD beat re-analyzed full-lineage trees by ~25% at sf0.1),
+and ``tie`` frees the checkpoint blocks deterministically on drop via
+the LogicalRDD backing handle (``_release_frame``) — without that, only
+the ASYNC ContextCleaner reclaims them. The cost of a checkpoint is
+plan OPACITY: everything upstream becomes "Scan ExistingRDD" to any
+later ``.explain``, so the plan-quality gates cover the pre-checkpoint
+join shapes through dedicated subplan tests
+(tests/test_plan_quality.py::test_checkpointed_candidate_subplans)
+rather than the contract query's executed plan. Operators whose frames
+are consumed within a single action keep tied lazy persists — free at
+build time, full Catalyst plan visible.
 
 Composition rule: an operator that derives a new frame from a tied
 result must keep the tied result alive as long as its own output —

@@ -91,13 +91,21 @@ def bigram_lm_score(
     (c1+V)`` is bit-identical on Spark and DuckDB, and the mean follows
     the repo's integer-rounding ``_avg_expr`` law.
 
-    Plan: bigram explode (one doc-keyed shuffle) → two count tables on
-    uniform word keys → broadcast joins (vocab-bounded) → one groupBy
-    back on the id. No floats until the final display division.
+    Plan: ONE bigram explode (eagerly persisted — the count tables, the
+    vocab scalar and the scoring join are four separate consumers, and
+    an unpersisted frame re-runs the explode+window pass per consumer;
+    verified 4 Generate/Window subtrees in the lazy plan) → bigram
+    counts joined back on the uniform (w1, w2) key as a plain shuffle
+    join (the distinct-bigram table grows with the corpus — broadcasting
+    it would hit the 8 GB limit; only the word-level c1 table, bounded
+    by vocabulary, and the 1-row V scalar broadcast) → one groupBy back
+    on the id. No floats until the final display division.
     """
+    from etl_python_sqlite_spark.operators.cache import tie
     from etl_python_sqlite_spark.plans.relational import _avg_expr
 
-    bg = doc_bigrams(df, text_col, id_col)
+    bg = doc_bigrams(df, text_col, id_col).persist()
+    bg.count()
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     # 1-row frame carrying V — broadcast into the expression (a 1-row
@@ -105,7 +113,7 @@ def bigram_lm_score(
     # scalar-broadcast shape; the plan gate allowlists it)
     vocab = c2.agg(F.countDistinct("w2").alias("v"))
     scored = (
-        bg.join(F.broadcast(c2), ["w1", "w2"])
+        bg.join(c2, ["w1", "w2"])
         .join(F.broadcast(c1), "w1")
         .join(F.broadcast(vocab))
         .select(
@@ -113,7 +121,7 @@ def bigram_lm_score(
             F.expr("(1000000 * (c2 + 1)) div (c1 + v)").alias("p_micro"),
         )
     )
-    return (
+    out = (
         scored.groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -126,6 +134,7 @@ def bigram_lm_score(
             _avg_expr("sum_p_micro", "n_bigrams", 6, 6).alias("mean_p"),
         )
     )
+    return tie(out, bg)
 
 
 def dsir_importance(

@@ -61,11 +61,14 @@ def zorder_ranks_approx(
     per-row O(bits) expression, both embarrassingly parallel."""
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # ONE multi-column sketch pass — approxQuantile computes every
+    # column's sketch in a single scan (per-column calls would re-scan
+    # the full input once per z-order dimension)
+    all_bounds = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    ).approxQuantile(cols, probs, relative_error)
     out = df
-    for c in cols:
-        bounds = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
-            c, probs, relative_error
-        )
+    for c, bounds in zip(cols, all_bounds):
         # dedupe (skewed columns repeat cut points) while keeping order
         uniq: list[float] = []
         for b in bounds:

@@ -100,7 +100,7 @@ def grouped_rank_select(
             "n",
             F.sum(c).over(wall.orderBy(v)).alias("_fcum"),
         )
-        picked = fcum.groupBy(g).agg(
+        sel = fcum.groupBy(g).agg(
             F.min(
                 F.when(
                     (F.col("_base_k") + F.col("_fcum") >= k)
@@ -108,8 +108,12 @@ def grouped_rank_select(
                     F.col(v),
                 )
             ).alias(name),
-            F.max("n").alias("n"),
         )
+        # re-anchor on the band frame (one row per group even when the
+        # rank selected NO band, e.g. k outside [1, n]) so a group with
+        # a NULL statistic is KEPT — matching grouped_rank_select_naive,
+        # which the equality contract promises
+        picked = band.select(g, "n").join(sel, g, "left")
         out = picked if out is None else out.drop("n").join(picked, g)
     return out
 

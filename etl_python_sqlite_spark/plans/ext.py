@@ -1664,9 +1664,11 @@ def ext_embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ext_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT-C1 — CCNet-shape LM quality scoring: per document, the mean
-    corpus-bigram conditional probability of its word transitions
-    (operators/curation.bigram_lm_score). Every probability is the
-    integer ``(10^6·c2) div c1`` and the mean follows the _avg_expr
+    Laplace-smoothed corpus-bigram conditional probability of its word
+    transitions (operators/curation.bigram_lm_score). Every probability
+    is the integer ``(10^6·(c2+1)) div (c1+V)`` (V = distinct second
+    words; the smoothing is load-bearing — unsmoothed MLE scores
+    singleton contexts 1.0) and the mean follows the _avg_expr
     integer-rounding law, so the full 5k-row score frame is
     value-hash-checked against the DuckDB twin."""
     from etl_python_sqlite_spark.operators.curation import bigram_lm_score

@@ -84,7 +84,7 @@ def test_dsir_importance_prefers_target_like_docs(spark, docs):
     w4 = out[4]["weight_micro"] / out[4]["n_feat"]
     w3 = out[3]["weight_micro"] / out[3]["n_feat"]
     assert w4 > w3
-    assert out[6 if 6 in out else 1] is not None  # sanity: frame populated
+    assert 6 not in out  # <2-word docs have no features, hence no row
     # every weight is a positive exact integer
     assert all(r["weight_micro"] > 0 for r in out.values())
 

@@ -276,3 +276,35 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_checkpointed_candidate_subplans(spark, monkeypatch):
+    """The dedup candidate pipelines localCheckpoint at build time, so
+    the contract-query sweep above only sees 'Scan ExistingRDD' where
+    the band/prefix self-joins live. Neutralize the checkpoint (identity
+    monkeypatch) and assert the FULL pre-checkpoint join tree is still
+    cartesian-free and BNLJ-free."""
+    try:  # Spark 4: runtime frames are the classic subclass, which
+        # overrides localCheckpoint — patch the class actually dispatched
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older layout
+        from pyspark.sql import DataFrame
+
+    from etl_python_sqlite_spark.operators.dedup import (
+        minhash_near_dups_portable,
+        setsim_join_prefix,
+    )
+    from etl_python_sqlite_spark.sources.parquet import load_table
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    for frame in (
+        minhash_near_dups_portable(docs.limit(200)),
+        setsim_join_prefix(docs.limit(200)),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" not in plan  # checkpoint neutralized
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
