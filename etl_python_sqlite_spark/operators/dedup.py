@@ -600,6 +600,66 @@ def winnowing_overlap_pairs(
 # a rows-only count. Plan shapes are identical (explode → groupBy → band /
 # block / window-min equi-joins); only the leaf hash expression differs.
 
+def portable_band_keys(
+    df: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_key) — the portable MinHash LSH banding of every
+    document: per-shingle 60-bit md5 hash → Carter-Wegman salted minima
+    (WIDE aggregation, see the pipeline docstring below) → per-band
+    comma-joined decimal key. Exactly the band index
+    :func:`minhash_near_dups_portable` self-joins; exposed separately so
+    a precomputed CORPUS index can serve stream-vs-corpus candidate
+    generation (streaming/pipeline.near_dedup_stream_against_corpus)
+    without recomputing corpus signatures per micro-batch."""
+    from etl_python_sqlite_spark.functions.portable import (
+        phash60,
+        universal_hash,
+        universal_salt_constants,
+    )
+
+    r = num_hashes // bands
+    consts = universal_salt_constants(num_hashes)
+    sh = exploded_shingles(df, k, text_col, id_col)
+    base = sh.select(id_col, phash60(F.col("shingle")).alias("h"))
+    # WIDE aggregation: one row per shingle, num_hashes min-aggregate
+    # columns — no ×num_hashes row explode. The narrow salted-row plan
+    # (r2's choice for the xxhash64 path, driven by codegen COMPILE cost)
+    # loses at scale: the 64× probe measured the 6G-row explode+hash-agg
+    # machinery — not hashing — as the dominant term (394 s narrow; the
+    # md5→3-int-op family swap moved nothing), and bench's warm-up pass
+    # now amortizes the wide plan's one-time compile anyway.
+    mins_wide = base.groupBy(id_col).agg(
+        *[
+            F.min(universal_hash(F.col("h"), F.lit(a), F.lit(b))).alias(
+                f"mh{s}"
+            )
+            for s, a, b in consts
+        ]
+    )
+    return mins_wide.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[f"mh{band * r + j}" for j in range(r)],
+                        ).alias("band_key"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_key")
+
+
 def minhash_near_dups_portable(
     df: DataFrame,
     threshold_micro: int = 300_000,
@@ -627,53 +687,11 @@ def minhash_near_dups_portable(
     64× scale probe caught). The (s, a_s, b_s) constants ride through
     the salt explode as literal structs — no per-row lookup.
     """
-    from etl_python_sqlite_spark.functions.portable import (
-        phash60,
-        universal_hash,
-        universal_salt_constants,
-    )
     from etl_python_sqlite_spark.functions.text import word_shingles
 
-    r = num_hashes // bands
-    consts = universal_salt_constants(num_hashes)
-    sh = exploded_shingles(df, k, text_col, id_col)
-    base = sh.select(id_col, phash60(F.col("shingle")).alias("h"))
-    # WIDE aggregation: one row per shingle, num_hashes min-aggregate
-    # columns — no ×num_hashes row explode. The narrow salted-row plan
-    # (r2's choice for the xxhash64 path, driven by codegen COMPILE cost)
-    # loses at scale: the 64× probe measured the 6G-row explode+hash-agg
-    # machinery — not hashing — as the dominant term (394 s narrow; the
-    # md5→3-int-op family swap moved nothing), and bench's warm-up pass
-    # now amortizes the wide plan's one-time compile anyway.
-    mins_wide = base.groupBy(id_col).agg(
-        *[
-            F.min(universal_hash(F.col("h"), F.lit(a), F.lit(b))).alias(
-                f"mh{s}"
-            )
-            for s, a, b in consts
-        ]
-    )
-    banded = (
-        mins_wide.select(
-            F.col(id_col),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(band).alias("band"),
-                            F.concat_ws(
-                                ",",
-                                *[f"mh{band * r + j}" for j in range(r)],
-                            ).alias("band_key"),
-                        )
-                        for band in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        )
-        .select(id_col, "bb.band", "bb.band_key")
-        .persist()  # stop Catalyst re-inlining the agg into both join sides
-    )
+    banded = portable_band_keys(
+        df, num_hashes, bands, k, text_col, id_col
+    ).persist()  # stop Catalyst re-inlining the agg into both join sides
     # eager: the self-join's two sides otherwise race to compute the
     # signature pass concurrently within one job (observed: both
     # exchange stages running at once, double compute + cache thrash)

@@ -303,6 +303,122 @@ def dedup_stream_against_corpus(
     return fresh.dropDuplicates(["_h"]).drop("_h")
 
 
+def near_dedup_stream_against_corpus(
+    stream_docs: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    threshold_micro: int = 300_000,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """NEAR-duplicate streaming ingest dedup — the fuzzy sibling of
+    :func:`dedup_stream_against_corpus`: documents arriving on the
+    stream are dropped when a MinHash-LSH candidate match against the
+    static corpus VERIFIES at exact-Jaccard ``threshold_micro``
+    (micro-units, the portable integer form). Returns a ready-to-start
+    ``foreachBatch`` writer; survivors land in ``out_path`` parquet via
+    the idempotent (first-writer-wins) append, so micro-batch REPLAY
+    inserts zero duplicate rows — the reference's INSERT OR IGNORE
+    semantics carried into the stream.
+
+    Scale shape:
+
+    * the corpus LSH band index (operators/dedup.portable_band_keys) is
+      computed ONCE at stream build and persisted — per micro-batch the
+      stream side only hashes ITS OWN documents and equi-joins the
+      (band, band_key) index: candidate generation never rescans the
+      corpus;
+    * exact-Jaccard verification joins shingle SETS for candidate ids
+      only (both sides semi-join-filtered first), so a false LSH
+      collision can never drop a non-duplicate — same guarantee as the
+      batch pipeline;
+    * the verify pulls corpus text for candidate ids through a join on
+      the (uniform) id key — bounded by the candidate count, not corpus
+      or batch size.
+
+    The corpus index cache lives for the lifetime of the returned query
+    (call ``.stop()`` then ``index.unpersist()`` via the returned
+    handle's ``_corpus_index`` if embedding in a long-lived session).
+    """
+    from etl_python_sqlite_spark.functions.text import word_shingles
+    from etl_python_sqlite_spark.operators.dedup import portable_band_keys
+    from etl_python_sqlite_spark.operators.idempotent import idempotent_append
+
+    corpus_index = portable_band_keys(
+        corpus, num_hashes, bands, k, text_col, id_col
+    ).select(
+        F.col(id_col).alias("_corpus_id"), "band", "band_key"
+    ).persist()
+    corpus_index.count()  # eager: one signature pass for ALL batches
+
+    def _handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        batch = batch.persist()
+        try:
+            bb = portable_band_keys(
+                batch, num_hashes, bands, k, text_col, id_col
+            )
+            cands = (
+                bb.join(corpus_index, ["band", "band_key"])
+                .select(F.col(id_col).alias("_batch_id"), "_corpus_id")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            bsh = (
+                batch.join(
+                    cands.select(F.col("_batch_id").alias(id_col)).distinct(),
+                    id_col,
+                    "left_semi",
+                )
+                .select(
+                    F.col(id_col).alias("_batch_id"),
+                    word_shingles(F.col(text_col), k).alias("_sh_b"),
+                )
+            )
+            csh = (
+                corpus.join(
+                    cands.select(F.col("_corpus_id").alias(id_col)).distinct(),
+                    id_col,
+                    "left_semi",
+                )
+                .select(
+                    F.col(id_col).alias("_corpus_id"),
+                    word_shingles(F.col(text_col), k).alias("_sh_c"),
+                )
+            )
+            dup_ids = (
+                cands.join(bsh, "_batch_id")
+                .join(csh, "_corpus_id")
+                .select(
+                    "_batch_id",
+                    F.size(F.array_intersect("_sh_b", "_sh_c"))
+                    .cast("long")
+                    .alias("_i"),
+                    F.size(F.array_union("_sh_b", "_sh_c"))
+                    .cast("long")
+                    .alias("_u"),
+                )
+                .filter(
+                    F.expr(f"(1000000 * _i) div _u") >= threshold_micro
+                )
+                .select(F.col("_batch_id").alias(id_col))
+                .distinct()
+            )
+            survivors = batch.join(dup_ids, id_col, "left_anti")
+            idempotent_append(spark, survivors, out_path, keys=[id_col])
+        finally:
+            batch.unpersist()
+
+    writer = stream_docs.writeStream.foreachBatch(_handle)
+    writer._corpus_index = corpus_index  # release handle for embedders
+    return writer
+
+
 def trending_terms(
     docs: DataFrame,
     window: str = "1 hour",

@@ -359,3 +359,63 @@ def test_trending_terms_stream_topk(spark, tmp_path):
     }
     assert bc[(ts(1), "window")] == 4 and bc[(ts(1), "spark")] == 3
     assert bc[(ts(9), "flush")] == 4
+
+
+def test_near_dedup_stream_against_corpus(spark, tmp_path):
+    """Streaming NEAR-dup ingest dedup: LSH candidates vs the static
+    corpus index, exact-Jaccard verify, idempotent survivor sink.
+    Doc 1 is a near-copy of corpus text (one word changed in a long
+    template), doc 2 is unrelated; replaying the same files must insert
+    zero extra rows (INSERT OR IGNORE semantics on the stream)."""
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        near_dedup_stream_against_corpus,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy", 1)
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "completely unrelated corpus text entry")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "near_src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, near), (2, "totally novel text with no overlap at all")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, "second batch also novel content here")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "near_out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        writer = near_dedup_stream_against_corpus(stream, corpus, out)
+        q = writer.option(
+            "checkpointLocation", str(tmp_path / f"near_ckpt")
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once()
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [2, 3]  # doc 1 verified as a near-dup and dropped
+
+    # replay from a FRESH checkpoint: the idempotent sink must not
+    # duplicate the survivors
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    writer = near_dedup_stream_against_corpus(stream, corpus, out)
+    q = writer.option(
+        "checkpointLocation", str(tmp_path / "near_ckpt2")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept2 == [2, 3]
