@@ -223,6 +223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dsir_importance": E.ext_dsir_importance,
         "ext_leakage_free_split": E.ext_leakage_free_split,
         "scd2_event_intervals": R.scd2_event_intervals,
+        "incremental_rollup_merge": R.incremental_rollup_merge,
+        "part_basket_pairs": R.part_basket_pairs,
+        "scd1_latest_state": R.scd1_latest_state,
+        "ext_bm25_topk": E.ext_bm25_topk,
         # -- attested in earlier rounds (green driver rows) ----------------
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,          # oracle: recall invariant
@@ -2780,5 +2784,109 @@ def oracle_sql() -> dict[str, str]:
                        AS is_current
             FROM iv
             ORDER BY user_id, valid_from
+        """,
+        # -- round-4 continuation: MV merge / basket pairs / SCD1 / BM25 --
+        # merge ≡ recompute: the oracle aggregates the FULL orders table
+        # in one pass; Spark merges two disjoint partial states.
+        "incremental_rollup_merge": """
+            WITH rows_q AS (
+                SELECT o_orderstatus AS status,
+                       strftime(o_orderdate, '%Y-%m') AS order_month,
+                       CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT) AS cents
+                FROM orders
+            ),
+            st AS (
+                SELECT status, order_month,
+                       COUNT(*) AS n, SUM(cents) AS s,
+                       MIN(cents) AS mn, MAX(cents) AS mx
+                FROM rows_q GROUP BY status, order_month
+            )
+            SELECT status, order_month,
+                   CAST(n AS BIGINT) AS n_orders,
+                   CAST(s AS BIGINT) AS total_cents,
+                   CAST(mn AS BIGINT) AS min_cents,
+                   CAST(mx AS BIGINT) AS max_cents,
+                   CAST((s * 2000000 + n) // (2 * n) AS BIGINT)
+                       AS avg_microcents
+            FROM st
+            ORDER BY status, order_month
+        """,
+        "part_basket_pairs": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            )
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS n_orders
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            ORDER BY n_orders DESC, part_a, part_b
+            LIMIT 20
+        """,
+        "scd1_latest_state": """
+            WITH ranked AS (
+                SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+                       CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT) AS price_cents,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders
+            )
+            SELECT o_custkey,
+                   o_orderkey AS latest_orderkey,
+                   o_orderstatus AS latest_status,
+                   strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate,
+                   price_cents AS latest_price_cents
+            FROM ranked WHERE rn = 1
+            ORDER BY o_custkey
+        """,
+        # exact-integer BM25: rational saturation (k1=6/5, b=3/4 cleared
+        # of fractions by 20·S) and the log-free rational idf surrogate —
+        # operators/retrieval.py documents the algebra; every division is
+        # integer (Spark div ≡ DuckDB // on positives).
+        "ext_bm25_topk": f"""
+            WITH w AS (
+                SELECT doc_id, word
+                FROM (SELECT doc_id,
+                             unnest({_WORDS.format(c='lower(text)')}) AS word
+                      FROM documents)
+                WHERE word <> ''
+            ),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM w GROUP BY doc_id),
+            tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS S,
+                           CAST(COUNT(*) AS BIGINT) AS N FROM dl),
+            probe AS (
+                SELECT word FROM w GROUP BY word
+                ORDER BY COUNT(*) DESC, word LIMIT 3
+            ),
+            mt AS (SELECT w.doc_id, w.word FROM w JOIN probe USING (word)),
+            dft AS (
+                SELECT word, COUNT(DISTINCT doc_id) AS df
+                FROM mt GROUP BY word
+            ),
+            tf AS (
+                SELECT doc_id, word, COUNT(*) AS tf
+                FROM mt GROUP BY doc_id, word
+            ),
+            scored AS (
+                SELECT tf.doc_id,
+                       ((1000000 * (N - df + 1)) // (df + 1)) *
+                       ((1000000 * 22 * tf * S)
+                        // (10*tf*S + 3*S + 9*dl.dl*N)) AS ts
+                FROM tf
+                JOIN dft USING (word)
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN tot
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(ts) AS BIGINT) AS score_units
+            FROM scored
+            GROUP BY doc_id
+            ORDER BY score_units DESC, doc_id
+            LIMIT 10
         """,
     }

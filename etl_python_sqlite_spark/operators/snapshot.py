@@ -70,6 +70,45 @@ def snapshot_diff_summary(diff: DataFrame) -> DataFrame:
     return diff.groupBy("status").agg(F.count("*").alias("n_rows"))
 
 
+def scd1_merge(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Type-1 slowly-changing-dimension upsert: merge ``updates`` into
+    ``target`` keeping exactly ONE row per key — the latest by
+    ``order_cols`` (ties impossible when the caller includes a unique
+    tiebreaker, the repo convention). Updates overwrite, new keys
+    insert, absent keys survive — classic MERGE INTO semantics as a
+    pure-frame transform.
+
+    Shape: unionByName → one row_number window over a single
+    (key)-partitioned sort — ONE shuffle on the key, no join at all
+    (a join-based upsert shuffles both sides AND re-shuffles the
+    anti-join; the window form halves that). The descending order puts
+    the winner at rn=1 regardless of which input it came from: the
+    deduplicate-by-recency idiom used at CDC compaction scale.
+    Pair with ``operators/idempotent.idempotent_append`` for the sink
+    side; this operator is the state-computation half.
+    """
+    if not keys:
+        raise ValueError("scd1_merge requires at least one key column")
+    if not order_cols:
+        raise ValueError(
+            "scd1_merge requires order_cols (latest-wins needs an order)"
+        )
+    unioned = target.unionByName(updates)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.desc(c) for c in order_cols]
+    )
+    return (
+        unioned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def scd2_intervals(
     df: DataFrame,
     key: str,

@@ -1704,3 +1704,16 @@ def ext_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return leakage_free_split(docs).orderBy("doc_id")
+
+
+def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-R1 — BM25-saturation top-10 retrieval against the corpus's
+    own 3 most frequent words as the probe query (deterministic and
+    regeneration-proof). Exact integer scoring end-to-end — rational
+    saturation with k1=6/5, b=3/4 cleared of fractions, log-free
+    rational idf surrogate — so the DuckDB twin replays every score
+    bit-for-bit (operators/retrieval.bm25_topk documents the algebra
+    and the int64 bounds)."""
+    from etl_python_sqlite_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), n_probe_terms=3, k=10)

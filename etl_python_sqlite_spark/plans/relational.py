@@ -2305,3 +2305,125 @@ def scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("is_current").cast("int").alias("is_current"),
     ).orderBy("user_id", "valid_from")
+
+
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: the per-(status, month) order
+    rollup is built as a STORED state over history (orders before
+    1997-01-01), the later months arrive as a delta, and
+    ``operators/incremental.merge_agg_states`` merges the two partial
+    states — the fact table's history partition is aggregated exactly
+    once, the merge itself touches only O(groups) rows. The oracle
+    recomputes the rollup from scratch: merge ≡ recompute is the whole
+    correctness claim of incremental aggregation (count/sum/min/max
+    are monoids; the mean is finalized from (sum, n) read-time with
+    the repo's integer half-up formula).
+
+    Scale: at 100 TB the "state" side is the stored rollup table
+    (O(groups) rows, no fact scan at all); here both sides derive from
+    one parquet scan with disjoint pushed filters — each partial agg is
+    map-side-combined on the uniform (status, month) key.
+    """
+    from etl_python_sqlite_spark.operators.incremental import (
+        build_agg_state,
+        finalize_avg_micro,
+        merge_agg_states,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    cut = "1997-01-01"
+    rows = o.select(
+        F.col("o_orderstatus").alias("status"),
+        month,
+        cents.alias("cents"),
+        "o_orderdate",
+    )
+    state = build_agg_state(
+        rows.filter(F.col("o_orderdate") < cut), ["status", "order_month"], "cents"
+    )
+    delta = build_agg_state(
+        rows.filter(F.col("o_orderdate") >= cut), ["status", "order_month"], "cents"
+    )
+    merged = finalize_avg_micro(merge_agg_states(state, delta))
+    return merged.select(
+        "status",
+        "order_month",
+        F.col("n").alias("n_orders"),
+        F.col("sum").alias("total_cents"),
+        F.col("min").alias("min_cents"),
+        F.col("max").alias("max_cents"),
+        F.col("avg_micro").alias("avg_microcents"),
+    ).orderBy("status", "order_month")
+
+
+def part_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often ordered
+    together. The candidate space is per-order pairs — bounded by the
+    basket size (TPC-H orders hold ≤ 7 lineitems), so the self-join on
+    the uniform l_orderkey key is O(rows · basket), never corpus-
+    quadratic: the same blocking argument as the dedup family, with the
+    order id as the natural block key.
+
+    Plan: distinct (order, part) → equi-self-join on order with a
+    part_a < part_b predicate (each unordered pair counted once) →
+    count per pair → TakeOrderedAndProject top-20 (count desc, pair asc
+    — total order, hash-stable). The distinct frame feeds BOTH join
+    sides: persisted + materialized, scoped via tie(), so the scan and
+    the distinct shuffle run once (derived-frame self-join invariant).
+    """
+    from etl_python_sqlite_spark.operators.cache import tie
+
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().persist()
+    op.count()
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+    out = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+    return tie(out, op)
+
+
+def scd1_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-1 upsert preview: the pre-1997 orders form the stored
+    per-customer "latest order" dimension, later orders arrive as
+    updates, and ``operators/snapshot.scd1_merge`` resolves one
+    latest-wins row per customer — MERGE INTO semantics as a single
+    window over the union (ONE shuffle on the key; a join-based upsert
+    would shuffle twice and still need the anti-join). (o_orderdate,
+    o_orderkey) is a total order per customer, so the winner is
+    deterministic and the oracle replays it as a ROW_NUMBER pick over
+    the full table.
+    """
+    from etl_python_sqlite_spark.operators.snapshot import scd1_merge
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    cut = "1997-01-01"
+    merged = scd1_merge(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        keys=["o_custkey"],
+        order_cols=["o_orderdate", "o_orderkey"],
+    )
+    return merged.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.col("o_orderstatus").alias("latest_status"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
+        F.col("price_cents").alias("latest_price_cents"),
+    ).orderBy("o_custkey")
