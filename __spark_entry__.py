@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_basket_pairs": R.part_basket_pairs,
         "scd1_latest_state": R.scd1_latest_state,
         "ext_bm25_topk": E.ext_bm25_topk,
+        "ext_pq_topk": E.ext_pq_topk,
         # -- attested in earlier rounds (green driver rows) ----------------
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,          # oracle: recall invariant
@@ -2888,5 +2889,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY score_units DESC, doc_id
             LIMIT 10
+        """,
+        # PQ ANN audit: booleans are measured invariants (recall floor /
+        # half-quality bound, ≥2× regeneration margin at every SF); the
+        # best-hit columns replay exactly via the portable sequential fold.
+        "ext_pq_topk": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id = 0
+            ),
+            scored AS (
+                SELECT vec_id,
+                       ROUND(
+                           list_reduce(list_transform(range(1, len(v)+1),
+                                                      i -> v[i] * qv[i]),
+                                       (x, y) -> x + y)
+                           / (sqrt(list_reduce(list_transform(range(1, len(v)+1),
+                                                              i -> v[i] * v[i]),
+                                               (x, y) -> x + y))
+                              * sqrt(list_reduce(list_transform(range(1, len(qv)+1),
+                                                                i -> qv[i] * qv[i]),
+                                                 (x, y) -> x + y))), 6) AS cos_sim
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings WHERE vec_id != 0), q
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM embeddings WHERE vec_id != 0) AS n_vectors,
+                   true AS recall_ok,
+                   true AS quality_ok,
+                   vec_id AS best_vec_id,
+                   cos_sim AS best_cos_sim
+            FROM scored
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT 1
         """,
     }

@@ -35,10 +35,33 @@ from pyspark.sql import functions as F
 # Maximum string length Spark's substring accepts; used for "rest of string".
 _MAX_LEN = 2147483647
 
-#: Strict Python-``int()`` literal: optional sign then digits only.
-#: (Python also allows ``_`` digit separators — deliberately excluded; the
-#: reference data never uses them and the oracle SQL must stay portable.)
-_INT_RE = r"^[+-]?[0-9]+$"
+#: Strict Python-``int()`` literal AFTER decimal-digit transliteration:
+#: optional ASCII sign, digits, single ``_`` separators strictly between
+#: digit groups — exactly CPython's grammar (``_1``/``1_``/``1__2``/bare
+#: sign all raise ValueError there and fail this regex here).
+_INT_RE = r"^[+-]?[0-9]+(_[0-9]+)*$"
+
+
+def _nd_translate_maps() -> tuple[str, str]:
+    """(src, dst) for ``F.translate``: every Unicode decimal digit (Nd)
+    → its ASCII value digit. CPython's ``int()`` parses via
+    ``PyUnicode_TransformDecimalAndSpaceToASCII`` — any Nd digit (Limbu
+    ᥆, Devanagari ३, fullwidth ５, …) is accepted with its decimal
+    value; this mirrors that transform engine-side. Built once at import
+    from the runtime's own unicodedata table (~660 chars)."""
+    import sys
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(sys.maxunicode + 1):
+        ch = chr(cp)
+        if unicodedata.category(ch) == "Nd":
+            src.append(ch)
+            dst.append(str(unicodedata.decimal(ch)))
+    return "".join(src), "".join(dst)
+
+
+_ND_SRC, _ND_DST = _nd_translate_maps()
 
 #: Characters Python's ``str.strip()`` removes (``str.isspace()`` set):
 #: ASCII whitespace, the \x1c-\x1f separators, NEL, NBSP and the unicode
@@ -150,14 +173,21 @@ def py_title(col: Column | str) -> Column:
 
 
 def strict_int(col: Column | str, target: str = "int") -> Column:
-    """Python-``int()`` cast: trims whitespace, then requires ``[+-]?digits``.
+    """Python-``int()`` cast: strip (Python's whitespace set), transliterate
+    Unicode decimal digits to ASCII (CPython's own decimal transform), then
+    require the exact ``int()`` grammar — optional ASCII sign, digits,
+    single ``_`` separators between digit groups.
 
     Returns NULL where Python would raise ValueError (reference
     scr/etl_relational.py:71-79 routes those rows to rejects). Unlike a
-    bare Spark cast this rejects decimals ("26.5") and partial garbage.
+    bare Spark cast this rejects decimals ("26.5") and partial garbage;
+    unlike the previous ASCII-only form it accepts what ``int()``
+    accepts (``int('᥆') == 0`` — found by the hypothesis fuzz).
     """
-    c = py_strip(col)
-    return F.when(c.rlike(_INT_RE), c.cast(target))
+    c = F.translate(py_strip(col), _ND_SRC, _ND_DST)
+    return F.when(
+        c.rlike(_INT_RE), F.regexp_replace(c, "_", "").cast(target)
+    )
 
 
 def sanitize_token(col: Column | str) -> Column:

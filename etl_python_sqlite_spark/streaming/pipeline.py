@@ -419,6 +419,62 @@ def near_dedup_stream_against_corpus(
     return writer
 
 
+def attribute_purchases_to_clicks(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join: attribute each purchase
+    to every click by the same user within the preceding ``horizon`` —
+    the canonical ad-attribution / funnel-stitching shape, and the one
+    Structured Streaming join mode the rest of this module didn't yet
+    exercise (stream-static joins: process_microbatch; watermarked aggs:
+    windowed_event_counts; arbitrary state: stateful.track_sessions).
+
+    State-bound reasoning (what makes this safe on an unbounded 100 TB/day
+    stream): BOTH sides carry a watermark and the join predicate bounds
+    purchase_ts to [click_ts, click_ts + horizon], so Spark derives a
+    state-eviction condition for each side — clicks older than
+    watermark + horizon and purchases older than watermark are dropped
+    from the join state; without the time-range predicate the state
+    would grow forever. The equi-key (user_id) keeps the join a hash
+    shuffle, uniform under the usual user-key assumptions.
+
+    Works identically on batch frames (unified semantics), which is how
+    the pytest pins the matching itself; the streaming e2e test drives
+    the same plan through micro-batches and checks append-mode emission.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL {horizon}
+            """
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def trending_terms(
     docs: DataFrame,
     window: str = "1 hour",

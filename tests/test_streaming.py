@@ -419,3 +419,75 @@ def test_near_dedup_stream_against_corpus(spark, tmp_path):
     q.awaitTermination(120)
     kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept2 == [2, 3]
+
+
+def test_stream_stream_interval_attribution(spark, tmp_path):
+    """Stream-stream event-time interval join: purchases attribute to
+    same-user clicks within the 1h horizon; outside-horizon and
+    cross-user purchases don't. Batch run pins the matching; the
+    streaming run drives the identical plan through micro-batches with
+    state eviction from BOTH watermarks."""
+    from datetime import datetime
+
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        attribute_purchases_to_clicks,
+    )
+
+    def ev(i, minute, user, etype, value=0.0):
+        return (i, datetime(2024, 6, 1, 12, 0) + timedelta(minutes=minute),
+                user, etype, value, "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    clicks_rows = [ev(1, 0, 7, "click"), ev(2, 30, 7, "click"),
+                   ev(3, 0, 9, "click")]
+    # p10: 40min after click1 (in horizon of both u7 clicks? 40-0=40 ✓,
+    # 40-30=10 ✓) ; p11: 90min after click1 (out for click1, in for
+    # click2: 90-30=60 ✓ boundary) ; p12: other user, no click match;
+    # p13: u9 but 3h later → out of horizon, and late enough that u9's
+    # click state could only survive via the horizon-extended watermark
+    purch_rows = [ev(10, 40, 7, "purchase", 5.0),
+                  ev(11, 90, 7, "purchase", 7.0),
+                  ev(12, 40, 8, "purchase", 9.0),
+                  ev(13, 185, 9, "purchase", 11.0)]
+
+    clicks_df = spark.createDataFrame(clicks_rows, schema)
+    purch_df = spark.createDataFrame(purch_rows, schema)
+
+    # ---- batch semantics (same plan, unified API) ----
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in attribute_purchases_to_clicks(clicks_df, purch_df).collect()
+    }
+    assert got == {(1, 10), (2, 10), (2, 11)}
+
+    # ---- streaming e2e: two file sources, append-mode parquet sink ----
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks_df.coalesce(1).write.parquet(csrc)
+    purch_df.coalesce(1).write.parquet(psrc)
+    # a far-future heartbeat on both sides pushes the watermark past
+    # every event so all attributions finalize within availableNow
+    flush = [ev(98, 600, 1, "click"), ev(99, 600, 2, "purchase")]
+    spark.createDataFrame(flush[:1], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(csrc)
+    spark.createDataFrame(flush[1:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(psrc)
+
+    cs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(csrc)
+    ps = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(psrc)
+    out = str(tmp_path / "attr_out")
+    q = (
+        attribute_purchases_to_clicks(cs, ps)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == got
