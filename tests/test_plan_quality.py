@@ -310,3 +310,22 @@ def test_checkpointed_candidate_subplans(spark, monkeypatch):
         assert "Scan ExistingRDD" not in plan  # checkpoint neutralized
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_merge_plan_is_join_free_aggs(spark):
+    """MV maintenance must stay pure aggregation: two partial states +
+    one merge groupBy — no join anywhere, bounded exchanges (history is
+    never re-joined against the delta)."""
+    plan = _plan(spark, R.incremental_rollup_merge(spark, SF_SMOKE), "simple")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × (state, delta)
+    assert plan.count("Exchange") <= 4
+
+
+def test_scd1_merge_plan_is_single_window_no_join(spark):
+    """Latest-wins upsert = window over union: one hash shuffle on the
+    key (plus the output sort) and zero joins — the join-based upsert
+    shape would double the shuffles."""
+    plan = _plan(spark, R.scd1_latest_state(spark, SF_SMOKE), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
