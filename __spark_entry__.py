@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd1_latest_state": R.scd1_latest_state,
         "ext_bm25_topk": E.ext_bm25_topk,
         "ext_pq_topk": E.ext_pq_topk,
+        "dq_expectations_orders": R.dq_expectations_orders,
         # -- attested in earlier rounds (green driver rows) ----------------
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,          # oracle: recall invariant
@@ -2922,5 +2923,53 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY cos_sim DESC, vec_id
             LIMIT 1
+        """,
+        # Deequ-shaped expectations audit: row rules in one aggregation
+        # pass; unique / referential as one-row scalar subqueries.
+        "dq_expectations_orders": """
+            WITH rowagg AS (
+                SELECT COUNT(*) AS n_rows,
+                       CAST(SUM(CASE WHEN o_orderkey IS NULL
+                                       OR o_custkey IS NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS key_not_null_violations,
+                       CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                      AND o_orderstatus NOT IN ('O','F','P')
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS status_valid_violations,
+                       CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                                      AND (o_totalprice < 2000.0
+                                           OR o_totalprice > 400000.0)
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS price_band_violations,
+                       CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                                      AND NOT regexp_matches(o_orderpriority,
+                                                             '^[1-5]-')
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS priority_format_violations,
+                       CAST(SUM(CASE WHEN NOT COALESCE(
+                                        o_orderdate >= DATE '1993-01-01',
+                                        FALSE)
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS modern_dates_violations
+                FROM orders
+            ),
+            uniq AS (
+                SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+                           AS orderkey_unique_violations
+                FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+            ),
+            refi AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS cust_exists_violations
+                FROM orders
+                WHERE o_custkey IS NOT NULL
+                  AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                        WHERE c_custkey IS NOT NULL)
+            )
+            SELECT n_rows, key_not_null_violations,
+                   orderkey_unique_violations, status_valid_violations,
+                   price_band_violations, priority_format_violations,
+                   cust_exists_violations, modern_dates_violations
+            FROM rowagg, uniq, refi
         """,
     }

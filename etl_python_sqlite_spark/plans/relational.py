@@ -2427,3 +2427,27 @@ def scd1_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
         F.col("price_cents").alias("latest_price_cents"),
     ).orderBy("o_custkey")
+
+
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations audit over orders
+    (operators/expectations.check — the Deequ-shaped constraint API):
+    five row-level rules fold into ONE aggregation pass over the scan;
+    uniqueness adds one uniform-key groupBy; the referential rule is a
+    broadcast anti-join. Output is a single flat audit row. The tight
+    price band is deliberate — it must COUNT violations, not just pass,
+    so the oracle checks the counting path."""
+    from etl_python_sqlite_spark.operators import expectations as DQ
+
+    o = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    rules = [
+        DQ.not_null("key_not_null", "o_orderkey", "o_custkey"),
+        DQ.unique("orderkey_unique", "o_orderkey"),
+        DQ.in_set("status_valid", "o_orderstatus", "O", "F", "P"),
+        DQ.between("price_band", "o_totalprice", 2000.0, 400000.0),
+        DQ.matches("priority_format", "o_orderpriority", "^[1-5]-"),
+        DQ.referential("cust_exists", "o_custkey", cust, "c_custkey"),
+        DQ.satisfies("modern_dates", "o_orderdate >= DATE '1993-01-01'"),
+    ]
+    return DQ.check(o, rules)
