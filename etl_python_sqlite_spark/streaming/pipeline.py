@@ -475,6 +475,95 @@ def attribute_purchases_to_clicks(
     )
 
 
+def read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Current state of a ``maintain_rollup_stream`` materialized view:
+    the highest-version partition. Returns None before the first commit."""
+    try:
+        st = spark.read.parquet(state_path)
+    except Exception:
+        return None
+    vmax = st.agg(F.max("v")).first()[0]
+    if vmax is None:
+        return None
+    return st.filter(F.col("v") == vmax).drop("v")
+
+
+def maintain_rollup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    value_col: str,
+    state_path: str,
+    retain_versions: int = 3,
+):
+    """Streaming materialized-view maintenance: keep a per-``keys``
+    rollup (count/sum/min/max over an exact-integer ``value_col``)
+    continuously up to date as micro-batches arrive, without ever
+    rescanning history — ``operators/incremental.merge_agg_states``
+    applied to the stream. Returns a ready-to-start ``foreachBatch``
+    writer; read the live view with :func:`read_rollup_state`.
+
+    Exactly-once state updates on a non-transactional (parquet) sink:
+    state is **versioned by batch_id** — batch N reads the newest
+    version `< N`, merges its own delta, and dynamically overwrites
+    partition ``v=N`` only. A replayed batch recomputes from the same
+    predecessor versions (still intact) and rewrites ``v=N`` with the
+    identical deterministic result, so at-least-once foreachBatch
+    delivery yields an exactly-once view — the same batch_id-keyed
+    idempotence pattern as ``run_trending_stream_once``, applied to
+    accumulating state instead of append rows.
+
+    Scale: each version is O(groups) rows (the whole point of mergeable
+    state); the delta aggregation is map-side combined on the uniform
+    group key; history fact rows are never touched. ``retain_versions``
+    old versions are kept for replay safety, older ones pruned (the
+    lineage a replay can reach is bounded by the checkpoint's committed
+    offset, which is always ≥ the latest version minus one run).
+    """
+    import shutil
+    from pathlib import Path
+
+    from etl_python_sqlite_spark.operators.incremental import (
+        build_agg_state,
+        merge_agg_states,
+    )
+
+    def _handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        delta = build_agg_state(batch, keys, value_col)
+        try:
+            st = spark.read.parquet(state_path)
+            prev_v = st.filter(F.col("v") < batch_id).agg(F.max("v")).first()[0]
+        except Exception:
+            st, prev_v = None, None
+        if prev_v is not None:
+            prev = st.filter(F.col("v") == prev_v).drop("v")
+            new_state = merge_agg_states(prev, delta)
+        else:
+            new_state = delta
+        (
+            new_state.withColumn("v", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("v")
+            .parquet(state_path)
+        )
+        # prune versions older than the retained window (replay of the
+        # CURRENT run can only need the immediate predecessor; keep a
+        # margin for a previous run's trailing replays)
+        root = Path(state_path)
+        versions = sorted(
+            int(p.name.split("=", 1)[1])
+            for p in root.glob("v=*")
+            if p.is_dir()
+        )
+        for old in versions[:-retain_versions]:
+            shutil.rmtree(root / f"v={old}", ignore_errors=True)
+
+    return stream.writeStream.foreachBatch(_handle)
+
+
 def trending_terms(
     docs: DataFrame,
     window: str = "1 hour",

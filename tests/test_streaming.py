@@ -491,3 +491,65 @@ def test_stream_stream_interval_attribution(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert streamed == got
+
+
+def test_streaming_rollup_maintenance(spark, tmp_path):
+    """Streaming MV maintenance: after consuming all files the state
+    equals a from-scratch rollup of all rows; a full replay from a fresh
+    checkpoint does NOT double-count (versioned-state idempotence); an
+    incremental third file merges without touching history."""
+    from etl_python_sqlite_spark.operators.incremental import build_agg_state
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        maintain_rollup_stream,
+        read_rollup_state,
+    )
+
+    schema = "k string, v long"
+    src = str(tmp_path / "mv_src")
+    f1 = [("a", 5), ("b", 3), ("a", -2)]
+    f2 = [("a", 10), ("c", 7)]
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "mv_state")
+
+    def run(ckpt):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            maintain_rollup_stream(s, ["k"], "v", state)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def snap():
+        return {
+            r["k"]: (r["n"], r["sum"], r["min"], r["max"])
+            for r in read_rollup_state(spark, state).collect()
+        }
+
+    def expected(rows):
+        df = spark.createDataFrame(rows, schema)
+        return {
+            r["k"]: (r["n"], r["sum"], r["min"], r["max"])
+            for r in build_agg_state(df, ["k"], "v").collect()
+        }
+
+    run("mv_ck1")
+    assert snap() == expected(f1 + f2)
+
+    # FULL replay from a fresh checkpoint: same files re-consumed — the
+    # versioned state must converge to the same rollup, not double it
+    run("mv_ck2")
+    assert snap() == expected(f1 + f2)
+
+    # incremental arrival: only the new file's delta merges in
+    f3 = [("b", 100), ("d", 1)]
+    spark.createDataFrame(f3, schema).coalesce(1).write.mode("append").parquet(src)
+    run("mv_ck1")  # resume the ORIGINAL checkpoint → only f3 is new
+    assert snap() == expected(f1 + f2 + f3)
