@@ -519,13 +519,28 @@ def maintain_rollup_stream(
     lineage a replay can reach is bounded by the checkpoint's committed
     offset, which is always ≥ the latest version minus one run).
     """
-    import shutil
-    from pathlib import Path
-
     from etl_python_sqlite_spark.operators.incremental import (
         build_agg_state,
         merge_agg_states,
     )
+
+    def _prune_versions(spark: SparkSession) -> None:
+        # scheme-aware listing/deletion via the Hadoop FileSystem API —
+        # a local-only Path.glob would silently never prune on s3a://
+        # or hdfs:// (the compact_files lesson, ADVICE r3)
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return
+        versions = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("v="):
+                versions.append((int(name[2:]), st.getPath()))
+        versions.sort()
+        for _, p in versions[:-retain_versions]:
+            fs.delete(p, True)
 
     def _handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -552,14 +567,7 @@ def maintain_rollup_stream(
         # prune versions older than the retained window (replay of the
         # CURRENT run can only need the immediate predecessor; keep a
         # margin for a previous run's trailing replays)
-        root = Path(state_path)
-        versions = sorted(
-            int(p.name.split("=", 1)[1])
-            for p in root.glob("v=*")
-            if p.is_dir()
-        )
-        for old in versions[:-retain_versions]:
-            shutil.rmtree(root / f"v={old}", ignore_errors=True)
+        _prune_versions(spark)
 
     return stream.writeStream.foreachBatch(_handle)
 
