@@ -24,6 +24,7 @@ from etl_python_sqlite_spark.functions.portable import (
 )
 from etl_python_sqlite_spark.functions.text import LANG_CHAR_NGRAMS, LANG_STOPWORDS
 from etl_python_sqlite_spark.operators.layout import zvalue_expr
+from etl_python_sqlite_spark.operators.stats import OLS_SQL as _OLS_SQL
 from etl_python_sqlite_spark.plans import ext as E
 from etl_python_sqlite_spark.plans import relational as R
 
@@ -229,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_bm25_topk": E.ext_bm25_topk,
         "ext_pq_topk": E.ext_pq_topk,
         "dq_expectations_orders": R.dq_expectations_orders,
+        "regression_price_trend": R.regression_price_trend,
         # -- attested in earlier rounds (green driver rows) ----------------
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,          # oracle: recall invariant
@@ -2972,4 +2974,18 @@ def oracle_sql() -> dict[str, str]:
                    cust_exists_violations, modern_dates_violations
             FROM rowagg, uniq, refi
         """,
+        # exact integer OLS — operators/stats.py documents the algebra,
+        # the floor-division identity, and the DECIMAL(38)/HUGEINT bounds
+        "regression_price_trend": _OLS_SQL.format(
+            groups="l_returnflag, l_linestatus",
+            rows="""
+                SELECT l_returnflag, l_linestatus,
+                       CAST(CAST(l_quantity AS DECIMAL(28,2)) * 100
+                            AS BIGINT) AS x,
+                       CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
+                            AS BIGINT) AS y
+                FROM lineitem
+            """,
+        )
+        + " ORDER BY l_returnflag, l_linestatus",
     }

@@ -2451,3 +2451,31 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         DQ.satisfies("modern_dates", "o_orderdate >= DATE '1993-01-01'"),
     ]
     return DQ.check(o, rules)
+
+
+def regression_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group OLS: extended price (cents) regressed on quantity
+    (cents) per (returnflag, linestatus) — the §2.4 aggregate surface
+    extended to the regression family via ``operators/stats.ols_by_group``
+    (integer-exact closed form; slope/intercept in micro-units; the
+    docstring there carries the algebra and the DECIMAL(38) bounds).
+    One map-side-combined groupBy over the scan — per-row products stay
+    in longs, only the six accumulators are wide decimals."""
+    from etl_python_sqlite_spark.operators.stats import ols_by_group
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("qty_cents"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return ols_by_group(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        F.col("qty_cents"),
+        F.col("price_cents"),
+    ).orderBy("l_returnflag", "l_linestatus")
