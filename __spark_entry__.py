@@ -25,6 +25,7 @@ from etl_python_sqlite_spark.functions.portable import (
 from etl_python_sqlite_spark.functions.text import LANG_CHAR_NGRAMS, LANG_STOPWORDS
 from etl_python_sqlite_spark.operators.layout import zvalue_expr
 from etl_python_sqlite_spark.operators.stats import OLS_SQL as _OLS_SQL
+from etl_python_sqlite_spark.operators.bloom import bloom_probes_sql as _bloom_probes
 from etl_python_sqlite_spark.plans import ext as E
 from etl_python_sqlite_spark.plans import relational as R
 
@@ -231,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_pq_topk": E.ext_pq_topk,
         "dq_expectations_orders": R.dq_expectations_orders,
         "regression_price_trend": R.regression_price_trend,
+        "ext_bloom_prefilter": E.ext_bloom_prefilter,
         # -- attested in earlier rounds (green driver rows) ----------------
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,          # oracle: recall invariant
@@ -2988,4 +2990,44 @@ def oracle_sql() -> dict[str, str]:
             """,
         )
         + " ORDER BY l_returnflag, l_linestatus",
+        # portable Bloom filter — operators/bloom.py documents the hash
+        # family, word packing, and the zero-false-negative invariant
+        "ext_bloom_prefilter": f"""
+            WITH corpus AS (
+                SELECT DISTINCT text FROM documents WHERE doc_id % 5 <= 2
+            ),
+            batch AS (
+                SELECT DISTINCT text FROM documents WHERE doc_id % 5 >= 2
+            ),
+            cp AS ({_bloom_probes("text", "SELECT text FROM corpus", 4096, 3)}),
+            bloom AS (
+                SELECT word,
+                       bit_or(CAST(1 AS BIGINT) << CAST(bit AS INT)) AS bits
+                FROM cp GROUP BY word
+            ),
+            bp AS ({_bloom_probes("text", "SELECT text FROM batch", 4096, 3)}),
+            flags AS (
+                SELECT bp.key AS text,
+                       bool_and(COALESCE(
+                           ((b.bits >> CAST(bp.bit AS INT)) & 1) = 1,
+                           FALSE)) AS maybe
+                FROM bp LEFT JOIN bloom b USING (word)
+                GROUP BY bp.key
+            ),
+            j AS (
+                SELECT f.maybe, (c.text IS NOT NULL) AS in_corpus
+                FROM flags f LEFT JOIN corpus c USING (text)
+            )
+            SELECT (SELECT COUNT(*) FROM corpus) AS n_corpus_keys,
+                   COUNT(*) AS n_batch_keys,
+                   CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_maybe,
+                   CAST(SUM(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_true_dup,
+                   CAST(SUM(CASE WHEN maybe AND NOT in_corpus
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+                   (SUM(CASE WHEN in_corpus AND NOT maybe
+                        THEN 1 ELSE 0 END) = 0) AS no_false_negatives
+            FROM j
+        """,
     }

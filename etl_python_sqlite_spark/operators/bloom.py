@@ -1,0 +1,131 @@
+"""Portable Bloom filter — constant-memory set prefilter, exact on both
+engines.
+
+``ext_incremental_dedup`` prefilters a batch with the corpus's DISTINCT
+8-byte hash set — O(#corpus keys) broadcast bytes. This module provides
+the true Bloom-filter alternative whose broadcast size is a CONSTANT
+``m_bits/8`` bytes regardless of corpus cardinality — the shape that
+still broadcasts when the corpus has 10^11 keys and the exact key set
+no longer fits (Bloom 1970; the standard ingest-dedup prefilter).
+
+Representation: the bit array lives in a tiny DataFrame of
+``(word: long, bits: long)`` rows, 60 bits per word (bit index ≤ 59
+keeps ``1 << bit`` strictly positive — no sign games on either engine;
+see CLAUDE.md on shift portability). Building is one
+map-side-combined ``groupBy(word).agg(bit_or(...))`` over k probe rows
+per key; probing is **k broadcast hash joins + a bit test, zero
+shuffle of the probed side** — at warehouse scale the batch never
+moves.
+
+Hash family: double hashing (Kirsch–Mitzenmacher 2006) over the two
+independent 60-bit halves of one md5 digest
+(``functions/portable.phash60``/``phash60b``):
+
+    probe_i(x) = (h1(x) mod m + i · (h2(x) mod m)) mod m ,  i = 0..k-1
+
+Both operands are reduced mod m BEFORE the multiply so every
+intermediate stays < 2^40 — no overflow under ANSI mode, and a DuckDB
+oracle replays every bit (the filter is fully deterministic: no seed,
+no session state). False positives are a bounded, *reproducible*
+function of (m, k, key set); false negatives are impossible — the
+contract query asserts that invariant on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_python_sqlite_spark.functions.portable import phash60, phash60b
+
+#: bits packed per bitmap word (≤ 59 keeps 1 << bit positive in int64)
+WORD_BITS = 60
+
+
+def _probe_cols(col: str, m_bits: int, k: int):
+    """k (word, bit) probe positions for the key column ``col``."""
+    h1 = phash60(F.col(col)) % m_bits
+    h2 = phash60b(F.col(col)) % m_bits
+    out = []
+    for i in range(k):
+        idx = (h1 + i * h2) % m_bits
+        out.append(((idx / WORD_BITS).cast("long"), idx % WORD_BITS))
+    return out
+
+
+def bloom_build(df: DataFrame, col: str, m_bits: int, k: int) -> DataFrame:
+    """Aggregate the Bloom bitmap of ``df[col]``'s value set.
+
+    Returns ``(word: long, bits: long)`` — only words with at least one
+    set bit are materialized (missing word ≡ all-zero). One exchange of
+    at most ``ceil(m_bits/60)`` keys after map-side combine.
+    """
+    probes = _probe_cols(col, m_bits, k)
+    per_probe = [
+        df.select(w.alias("word"), b.alias("bit")) for w, b in probes
+    ]
+    rows = per_probe[0]
+    for p in per_probe[1:]:
+        rows = rows.unionAll(p)
+    return rows.groupBy("word").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        .alias("bits")
+    )
+
+
+def bloom_probe(
+    df: DataFrame, col: str, bloom: DataFrame, m_bits: int, k: int
+) -> DataFrame:
+    """Append ``bloom_maybe`` (true ⇔ all k probe bits set) to ``df``.
+
+    k broadcast joins against the constant-size bitmap — the probed side
+    is never shuffled and never re-grouped; each row tests its k bits
+    map-side. ``bloom_maybe = false`` is a *certain* non-member.
+    """
+    probes = _probe_cols(col, m_bits, k)
+    out = df
+    flags = []
+    for i, (w, b) in enumerate(probes):
+        bt = bloom.select(
+            F.col("word").alias(f"_bw{i}"), F.col("bits").alias(f"_bb{i}")
+        )
+        out = (
+            out.withColumn(f"_pw{i}", w)
+            .withColumn(f"_pb{i}", b)
+            .join(F.broadcast(bt), F.col(f"_pw{i}") == F.col(f"_bw{i}"), "left")
+        )
+        flags.append(
+            F.expr(
+                f"coalesce((shiftright(_bb{i}, CAST(_pb{i} AS INT)) & 1) = 1,"
+                " false)"
+            )
+        )
+    maybe = flags[0]
+    for fl in flags[1:]:
+        maybe = maybe & fl
+    drop = [c for i in range(k) for c in (f"_pw{i}", f"_pb{i}", f"_bw{i}", f"_bb{i}")]
+    return out.withColumn("bloom_maybe", maybe).drop(*drop)
+
+
+#: DuckDB twins. Format with the key expression / relation texts.
+#: BLOOM_BUILD_SQL yields (word, bits); BLOOM_PROBE_FLAG_SQL is the
+#: per-row boolean given probe columns pw{i}/joined bb{i} (the contract
+#: query spells the joins out — see __spark_entry__.oracle_sql).
+BLOOM_PROBES_SQL = """
+    SELECT {key} AS key,
+           CAST(((CAST('0x' || substr(md5({key}), 1, 15) AS BIGINT) % {m}
+                  + i.i * (CAST('0x' || substr(md5({key}), 16, 15) AS BIGINT)
+                           % {m})) % {m}) / {wb} AS BIGINT) AS word,
+           ((CAST('0x' || substr(md5({key}), 1, 15) AS BIGINT) % {m}
+             + i.i * (CAST('0x' || substr(md5({key}), 16, 15) AS BIGINT)
+                      % {m})) % {m}) % {wb} AS bit
+    FROM ({rel}) CROSS JOIN ({ivals}) AS i(i)
+"""
+
+
+def bloom_probes_sql(key: str, rel: str, m_bits: int, k: int) -> str:
+    """DuckDB SQL producing one (key, word, bit) row per probe."""
+    ivals = " UNION ALL ".join(f"SELECT {i} AS i" for i in range(k))
+    return BLOOM_PROBES_SQL.format(
+        key=key, rel=rel, m=m_bits, wb=WORD_BITS, ivals=ivals
+    )

@@ -1760,3 +1760,51 @@ def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_cos_sim",
         )
     )
+
+
+def ext_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-P5 — constant-memory Bloom prefilter audit
+    (operators/bloom.py). Same ingest framing as
+    ``ext_incremental_dedup`` (corpus = doc_id%5 ≤ 2, batch = doc_id%5
+    ≥ 2, so the overlap slice is non-empty by construction), but the
+    prefilter is a true m=4096-bit k=3 Bloom bitmap instead of the
+    exact key set: broadcast size is CONSTANT in corpus cardinality —
+    the shape that survives a 10^11-key corpus. One flat audit row:
+    key counts, maybe/true-dup/false-positive tallies, and the
+    zero-false-negative invariant — every quantity deterministic, so
+    the DuckDB twin replays the whole filter bit-for-bit. m is sized
+    small on purpose: the corpus must SATURATE enough of the bitmap to
+    produce false positives, proving the audit counts collisions
+    rather than vacuously passing."""
+    from etl_python_sqlite_spark.operators.bloom import bloom_build, bloom_probe
+    from etl_python_sqlite_spark.operators.cache import tie
+
+    M, K = 4096, 3
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 <= 2).select("text").distinct()
+    batch = docs.filter(F.col("doc_id") % 5 >= 2).select("text").distinct()
+    # one action materializes the bitmap; the k probe joins then
+    # broadcast the tiny materialized RDD instead of re-aggregating the
+    # corpus per broadcast (tie releases the blocks on result drop)
+    bloom = bloom_build(corpus, "text", M, K).localCheckpoint(eager=True)
+    probed = bloom_probe(batch, "text", bloom, M, K)
+    marked = probed.join(
+        corpus.select("text", F.lit(True).alias("in_corpus")), "text", "left"
+    )
+    dup = F.coalesce("in_corpus", F.lit(False))
+    flag = F.col("bloom_maybe")
+    audit = marked.agg(
+        F.count("*").cast("long").alias("n_batch_keys"),
+        F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("n_maybe"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_true_dup"),
+        F.sum(F.when(flag & ~dup, 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        (F.sum(F.when(dup & ~flag, 1).otherwise(0)) == 0).alias(
+            "no_false_negatives"
+        ),
+    )
+    out = corpus.agg(F.count("*").cast("long").alias("n_corpus_keys")).crossJoin(
+        audit
+    )
+    return tie(out, bloom)

@@ -86,6 +86,7 @@ def test_no_query_uses_cartesian_or_bnlj(spark):
         "ext_bm25_topk",             # one-row (S, N) corpus-total broadcast
         "ext_pq_topk",               # one-row ANN audit crossJoins
         "dq_expectations_orders",    # one-row rule-result crossJoins
+        "ext_bloom_prefilter",       # one-row (corpus-count × audit) crossJoin
         "ext_substring_contamination",  # tiny snippet set × corpus probe —
         # the only sane 100 TB plan for exact-substring search (an
         # equi-join would require exploding the corpus into 48-grams)
