@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_expectations_orders": R.dq_expectations_orders,
         "regression_price_trend": R.regression_price_trend,
         "ext_bloom_prefilter": E.ext_bloom_prefilter,
+        "part_cooccurrence_pagerank": R.part_cooccurrence_pagerank,
         # -- attested in earlier rounds (green driver rows) ----------------
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,          # oracle: recall invariant
@@ -328,6 +329,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_stratified_split": E.ext_stratified_split,
         "multires_rollup": R.multires_rollup,
     }
+
+
+def _pagerank_sql(iters: int = 5, total_mass: int = 10**12) -> str:
+    """Unrolled-CTE DuckDB twin of operators/graph.pagerank over the
+    part co-occurrence graph (see part_cooccurrence_pagerank). One CTE
+    per iteration — fixed iteration count needs no recursion, and every
+    quantity is a positive BIGINT so `//` replays Spark's `div`."""
+    ctes = [
+        "op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk"
+        " FROM lineitem)",
+        "e AS (SELECT DISTINCT a.pk AS u, b.pk AS v FROM op a"
+        " JOIN op b ON a.ok = b.ok AND a.pk <> b.pk)",
+        # both orientations exist, so the node set is exactly the u-set
+        "nodes AS (SELECT DISTINCT u AS node FROM e)",
+        "od AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u)",
+        f"k AS (SELECT {total_mass} // COUNT(*) AS r0,"
+        f" (15 * ({total_mass} // COUNT(*))) // 100 AS base FROM nodes)",
+        "rr0 AS (SELECT node, (SELECT r0 FROM k) AS r FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"rr{t} AS (SELECT n.node,"
+            " (SELECT base FROM k) + COALESCE(s.c, 0) AS r"
+            " FROM nodes n LEFT JOIN ("
+            "SELECT e.v AS node,"
+            " CAST(SUM((85 * r.r) // (100 * od.d)) AS BIGINT) AS c"
+            f" FROM e JOIN rr{t - 1} r ON e.u = r.node"
+            " JOIN od ON e.u = od.u"
+            " GROUP BY e.v) s ON n.node = s.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node AS part, CAST(r AS BIGINT) AS pr_units"
+        f" FROM rr{iters} ORDER BY r DESC, node LIMIT 25"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3030,4 +3067,5 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END) = 0) AS no_false_negatives
             FROM j
         """,
+        "part_cooccurrence_pagerank": _pagerank_sql(),
     }

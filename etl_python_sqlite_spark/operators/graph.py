@@ -228,3 +228,90 @@ def dedup_cluster_assignment(
     # comp (and, through it, edges) may carry tied caches — keep them
     # alive for as long as this derived result is
     return tie(out, keepalive=[comp, edges])
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    total_mass: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic
+    (Brin & Page 1998; the quantized estimator is this module's spec).
+
+    Rank is integer "mass units" out of ``total_mass``::
+
+        r_0(v)     = total_mass // N
+        base       = ((damp_den - damp_num) · r_0) // damp_den
+        r_{t+1}(v) = base + Σ_{(u,v)∈E} (damp_num · r_t(u))
+                                        // (damp_den · outdeg(u))
+
+    All quantities are positive BIGINTs (truncation ≡ floor), so
+    another engine replays every unit bit-for-bit — floating-point
+    PageRank can NEVER be cross-engine hash-checked (summation order
+    changes ulps); the integer form loses < 1 unit in 10^12 per edge
+    and is deterministic everywhere. Remainders simply evaporate
+    (mass is not conserved) — that is part of the spec, not an
+    accident, and both engines evaporate identically.
+
+    Scale shape (the Pregel loop in DataFrame form):
+
+    * ``edges ⋈ outdeg`` is computed ONCE and persisted — the only
+      big frame; it never moves again (no per-iteration shuffle of E).
+    * ranks (one row per NODE, orders of magnitude smaller than E) are
+      **broadcast** to the edge partitions each iteration; the only
+      per-iteration shuffle is the map-side-combined ``groupBy(dst)``
+      of contributions — exactly one exchange of ≤ |V| combined rows.
+    * each iteration ends in ``localCheckpoint(eager=True)``: lineage
+      stays O(1) (the classic iterative-Spark trap is a plan that
+      doubles per round and re-runs every prior broadcast), and the
+      next broadcast reads a materialized RDD. Intermediate
+      checkpoints free via the ContextCleaner as their frames drop;
+      the final frame and the persisted edge frame are scoped to the
+      result via ``tie``.
+
+    Dangling nodes (outdeg 0) contribute nothing and keep ``base`` —
+    callers wanting classic dangling redistribution should add reverse
+    edges (the co-occurrence graphs this engine builds are symmetric,
+    so every node has outdeg ≥ 1).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # one scalar to the driver — sizes the constants
+    r0 = total_mass // n_nodes
+    base = (damp_den - damp_num) * r0 // damp_den
+    outdeg = e.groupBy("u").agg(F.count("*").alias("d"))
+    eo = e.join(outdeg, "u").persist()
+
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("r"))
+    contrib = F.expr(f"({damp_num} * r) div ({damp_den} * d)")
+    for _ in range(iterations):
+        agg = (
+            eo.join(F.broadcast(ranks), eo["u"] == ranks["node"])
+            .select(F.col("v"), contrib.alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(agg), nodes["node"] == agg["v"], "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("c", F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return tie(ranks, eo, nodes)

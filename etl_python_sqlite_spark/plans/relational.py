@@ -2479,3 +2479,33 @@ def regression_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qty_cents"),
         F.col("price_cents"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+def part_cooccurrence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.pagerank — the Pregel
+    loop in DataFrame form: E ⋈ outdeg persisted once, per-iteration
+    broadcast of the small rank vector, one combined exchange per
+    round) over the part co-occurrence graph: directed edges between
+    every pair of parts sharing an order, both orientations — the same
+    per-order blocking as ``part_basket_pairs``, so edge generation is
+    O(rows · basket), never corpus-quadratic. Top 25 most central
+    parts after 5 iterations; every rank unit replayed bit-for-bit by
+    the unrolled-CTE DuckDB twin."""
+    from etl_python_sqlite_spark.operators.cache import tie
+    from etl_python_sqlite_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().persist()
+    op.count()  # two join consumers — materialize before the self-join
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, "ok").filter(F.col("u") != F.col("v")).select("u", "v")
+    pr = pagerank(edges, "u", "v", iterations=5)
+    out = (
+        pr.orderBy(F.desc("r"), "node")
+        .limit(25)
+        .select(F.col("node").alias("part"), F.col("r").alias("pr_units"))
+    )
+    # pr's own tie must stay alive as long as this result (its plan
+    # reads the checkpointed rank RDD) — composition rule in cache.py
+    return tie(out, op, keepalive=[pr])
