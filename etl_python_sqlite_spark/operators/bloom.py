@@ -11,11 +11,26 @@ no longer fits (Bloom 1970; the standard ingest-dedup prefilter).
 Representation: the bit array lives in a tiny DataFrame of
 ``(word: long, bits: long)`` rows, 60 bits per word (bit index ≤ 59
 keeps ``1 << bit`` strictly positive — no sign games on either engine;
-see CLAUDE.md on shift portability). Building is one
-map-side-combined ``groupBy(word).agg(bit_or(...))`` over k probe rows
-per key; probing is **k broadcast hash joins + a bit test, zero
-shuffle of the probed side** — at warehouse scale the batch never
-moves.
+see CLAUDE.md on shift portability). Word packing is exact FLOOR
+division on both engines (``(idx - idx % 60) / 60`` in Spark,
+``idx // 60`` in DuckDB — both operands non-negative, so truncation ≡
+floor): the bitmap itself is bit-identical across engines, not merely
+boolean-equivalent (ADVICE r4 — a bare ``CAST(x / 60 AS BIGINT)``
+ROUNDS in DuckDB while Spark truncates, so (word, bits) rows would
+diverge for idx % 60 ≥ 30 even though probe booleans survive).
+
+Building is one map-side-combined ``groupBy(word).agg(bit_or(...))``
+over k probe rows per key. Probing has two strategies, picked by bitmap
+size (``bloom_probe``):
+
+* **scalar** (bitmap ≤ ``max_literal_words`` words): the materialized
+  bitmap is embedded as ONE dense array literal and each row tests its
+  k bits via ``element_at`` + ``bit_get`` — zero joins, zero shuffle,
+  the probed row is completely untouched (r4 VERDICT #6's fusion). The
+  driver-side collect is bounded by construction (≤ the word cap).
+* **join** (larger bitmaps): k broadcast hash joins + a bit test —
+  still zero shuffle of the probed side; at warehouse scale the batch
+  never moves, and the bitmap stays distributed.
 
 Hash family: double hashing (Kirsch–Mitzenmacher 2006) over the two
 independent 60-bit halves of one md5 digest
@@ -25,21 +40,38 @@ independent 60-bit halves of one md5 digest
 
 Both operands are reduced mod m BEFORE the multiply so every
 intermediate stays < 2^40 — no overflow under ANSI mode, and a DuckDB
-oracle replays every bit (the filter is fully deterministic: no seed,
-no session state). False positives are a bounded, *reproducible*
-function of (m, k, key set); false negatives are impossible — the
-contract query asserts that invariant on both engines.
+oracle replays every bit of the bitmap (the filter is fully
+deterministic: no seed, no session state). False positives are a
+bounded, *reproducible* function of (m, k, key set); false negatives
+are impossible — the contract query asserts that invariant on both
+engines.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_python_sqlite_spark.functions.portable import phash60, phash60b
 
 #: bits packed per bitmap word (≤ 59 keeps 1 << bit positive in int64)
 WORD_BITS = 60
+
+#: default cap for the scalar-literal probe strategy: 8192 words ≈
+#: 480k bits ≈ 64 KiB of plan literal — well under codegen limits,
+#: enough for a ~30k-key filter at 16 bits/key. Larger bitmaps keep
+#: the distributed join path.
+MAX_LITERAL_WORDS = 8192
+
+
+def _word_of(idx: Column) -> Column:
+    """Exact floor(idx / WORD_BITS) for non-negative idx, portable.
+
+    ``idx - idx % 60`` is an exact multiple of 60 and < 2^40, so the
+    double division is exact and the cast is the true integer quotient
+    — matching DuckDB ``//`` bit-for-bit.
+    """
+    return ((idx - idx % WORD_BITS) / WORD_BITS).cast("long")
 
 
 def _probe_cols(col: str, m_bits: int, k: int):
@@ -49,7 +81,7 @@ def _probe_cols(col: str, m_bits: int, k: int):
     out = []
     for i in range(k):
         idx = (h1 + i * h2) % m_bits
-        out.append(((idx / WORD_BITS).cast("long"), idx % WORD_BITS))
+        out.append((_word_of(idx), idx % WORD_BITS))
     return out
 
 
@@ -73,15 +105,31 @@ def bloom_build(df: DataFrame, col: str, m_bits: int, k: int) -> DataFrame:
     )
 
 
-def bloom_probe(
+def _probe_scalar(
     df: DataFrame, col: str, bloom: DataFrame, m_bits: int, k: int
 ) -> DataFrame:
-    """Append ``bloom_maybe`` (true ⇔ all k probe bits set) to ``df``.
+    """Fused probe: the whole bitmap as one dense array literal.
 
-    k broadcast joins against the constant-size bitmap — the probed side
-    is never shuffled and never re-grouped; each row tests its k bits
-    map-side. ``bloom_maybe = false`` is a *certain* non-member.
+    One bounded collect (≤ ceil(m_bits/60) rows) at plan-build time,
+    then a pure projection — no joins, no shuffle, no extra columns.
     """
+    n_words = (m_bits + WORD_BITS - 1) // WORD_BITS
+    dense = [0] * n_words
+    for row in bloom.select("word", "bits").collect():
+        dense[int(row["word"])] = int(row["bits"])
+    arr = F.lit(dense)  # array<bigint> literal, constant size m_bits/8 B
+    maybe = None
+    for w, b in _probe_cols(col, m_bits, k):
+        word_bits = F.element_at(arr, (w + 1).cast("int"))
+        flag = F.bit_get(word_bits, b.cast("int")) == 1
+        maybe = flag if maybe is None else (maybe & flag)
+    return df.withColumn("bloom_maybe", maybe)
+
+
+def _probe_join(
+    df: DataFrame, col: str, bloom: DataFrame, m_bits: int, k: int
+) -> DataFrame:
+    """k broadcast joins against the distributed bitmap (large-m path)."""
     probes = _probe_cols(col, m_bits, k)
     out = df
     flags = []
@@ -107,15 +155,36 @@ def bloom_probe(
     return out.withColumn("bloom_maybe", maybe).drop(*drop)
 
 
+def bloom_probe(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    m_bits: int,
+    k: int,
+    max_literal_words: int = MAX_LITERAL_WORDS,
+) -> DataFrame:
+    """Append ``bloom_maybe`` (true ⇔ all k probe bits set) to ``df``.
+
+    Bitmaps up to ``max_literal_words`` words take the fused scalar
+    path (zero joins — the probed row is untouched); larger bitmaps
+    fall back to k broadcast joins. Either way the probed side is never
+    shuffled. ``bloom_maybe = false`` is a *certain* non-member.
+    """
+    n_words = (m_bits + WORD_BITS - 1) // WORD_BITS
+    if n_words <= max_literal_words:
+        return _probe_scalar(df, col, bloom, m_bits, k)
+    return _probe_join(df, col, bloom, m_bits, k)
+
+
 #: DuckDB twins. Format with the key expression / relation texts.
-#: BLOOM_BUILD_SQL yields (word, bits); BLOOM_PROBE_FLAG_SQL is the
-#: per-row boolean given probe columns pw{i}/joined bb{i} (the contract
-#: query spells the joins out — see __spark_entry__.oracle_sql).
+#: BLOOM_PROBES_SQL yields (word, bits); `//` is DuckDB integer
+#: division ≡ the Spark side's exact-floor `_word_of` (both operands
+#: non-negative), so the packed bitmap is bit-identical across engines.
 BLOOM_PROBES_SQL = """
     SELECT {key} AS key,
            CAST(((CAST('0x' || substr(md5({key}), 1, 15) AS BIGINT) % {m}
                   + i.i * (CAST('0x' || substr(md5({key}), 16, 15) AS BIGINT)
-                           % {m})) % {m}) / {wb} AS BIGINT) AS word,
+                           % {m})) % {m}) // {wb} AS BIGINT) AS word,
            ((CAST('0x' || substr(md5({key}), 1, 15) AS BIGINT) % {m}
              + i.i * (CAST('0x' || substr(md5({key}), 16, 15) AS BIGINT)
                       % {m})) % {m}) % {wb} AS bit

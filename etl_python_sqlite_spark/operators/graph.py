@@ -230,6 +230,14 @@ def dedup_cluster_assignment(
     return tie(out, keepalive=[comp, edges])
 
 
+#: node-count ceiling for the per-iteration broadcast of the rank
+#: vector: 10^7 rank rows ≈ 160 MB serialized — comfortably inside a
+#: large executor's broadcast budget. Above it the rank joins fall
+#: through to shuffle hash joins against the pre-partitioned edge
+#: frame (the billion-node path).
+PAGERANK_BROADCAST_MAX_NODES = 10_000_000
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -238,6 +246,8 @@ def pagerank(
     total_mass: int = 10**12,
     damp_num: int = 85,
     damp_den: int = 100,
+    broadcast_max_nodes: int = PAGERANK_BROADCAST_MAX_NODES,
+    dangling: str = "evaporate",
 ) -> DataFrame:
     """Fixed-iteration PageRank in EXACT integer arithmetic
     (Brin & Page 1998; the quantized estimator is this module's spec).
@@ -246,8 +256,9 @@ def pagerank(
 
         r_0(v)     = total_mass // N
         base       = ((damp_den - damp_num) · r_0) // damp_den
-        r_{t+1}(v) = base + Σ_{(u,v)∈E} (damp_num · r_t(u))
-                                        // (damp_den · outdeg(u))
+        r_{t+1}(v) = base [+ dshare_t]
+                     + Σ_{(u,v)∈E} (damp_num · r_t(u))
+                                   // (damp_den · outdeg(u))
 
     All quantities are positive BIGINTs (truncation ≡ floor), so
     another engine replays every unit bit-for-bit — floating-point
@@ -257,27 +268,46 @@ def pagerank(
     (mass is not conserved) — that is part of the spec, not an
     accident, and both engines evaporate identically.
 
+    Dangling nodes (outdeg 0) contribute nothing. ``dangling``:
+
+    * ``"evaporate"`` (default): dangling mass is dropped — fine for
+      the symmetric co-occurrence graphs this engine builds (every
+      node has outdeg ≥ 1, so the option is moot there).
+    * ``"redistribute"``: classic dangling handling for DIRECTED
+      graphs — each iteration the total rank held by dangling nodes,
+      D_t, is redistributed uniformly::
+
+          dshare_t = (damp_num · D_t) // (damp_den · N)
+
+      One extra one-row aggregate per iteration (the dangling id set
+      is persisted once; D_t is a semi-join + sum collapsed to a
+      single row, then cross-joined — broadcast — into the update).
+
     Scale shape (the Pregel loop in DataFrame form):
 
     * ``edges ⋈ outdeg`` is computed ONCE and persisted — the only
       big frame; it never moves again (no per-iteration shuffle of E).
-    * ranks (one row per NODE, orders of magnitude smaller than E) are
-      **broadcast** to the edge partitions each iteration; the only
-      per-iteration shuffle is the map-side-combined ``groupBy(dst)``
-      of contributions — exactly one exchange of ≤ |V| combined rows.
+    * ranks (one row per NODE, orders of magnitude smaller than E):
+      when ``N ≤ broadcast_max_nodes`` they are **broadcast** to the
+      edge partitions each iteration, so the only per-iteration
+      shuffle is the map-side-combined ``groupBy(dst)`` of
+      contributions — exactly one exchange of ≤ |V| combined rows.
+      When N exceeds the budget (r4 VERDICT #1: an unconditional
+      |V|-row broadcast is the classic iterative-graph scale-killer
+      at 10^9 nodes), the rank joins become plain shuffle hash joins:
+      ``eo`` and ``nodes`` are repartitioned ONCE on the join key and
+      persisted, so each iteration shuffles only the ≤ |V|-row rank /
+      contribution frames — never E.
     * each iteration ends in ``localCheckpoint(eager=True)``: lineage
       stays O(1) (the classic iterative-Spark trap is a plan that
       doubles per round and re-runs every prior broadcast), and the
-      next broadcast reads a materialized RDD. Intermediate
-      checkpoints free via the ContextCleaner as their frames drop;
-      the final frame and the persisted edge frame are scoped to the
-      result via ``tie``.
-
-    Dangling nodes (outdeg 0) contribute nothing and keep ``base`` —
-    callers wanting classic dangling redistribution should add reverse
-    edges (the co-occurrence graphs this engine builds are symmetric,
-    so every node has outdeg ≥ 1).
+      next join reads a materialized RDD. Intermediate checkpoints
+      free via the ContextCleaner as their frames drop; the final
+      frame and the persisted edge frame are scoped to the result via
+      ``tie``.
     """
+    if dangling not in ("evaporate", "redistribute"):
+        raise ValueError(f"unknown dangling mode: {dangling!r}")
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -287,31 +317,66 @@ def pagerank(
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .distinct()
-        .persist()
     )
-    n_nodes = nodes.count()  # one scalar to the driver — sizes the constants
+    outdeg = e.groupBy("u").agg(F.count("*").alias("d"))
+    eo = e.join(outdeg, "u")
+
+    # one scalar to the driver — sizes the constants AND picks the
+    # rank-join strategy (broadcast vs shuffle) before any persist
+    nodes = nodes.persist()
+    n_nodes = nodes.count()
+    use_bcast = n_nodes <= broadcast_max_nodes
+    if use_bcast:
+        eo = eo.persist()
+        rank_side = F.broadcast
+    else:
+        # co-locate the per-iteration joins: E⋈outdeg partitioned by
+        # the probe key once, node frame by the build key once — each
+        # iteration then shuffles only the rank/contribution rows
+        eo = eo.repartition("u").persist()
+        nodes.unpersist()
+        nodes = nodes.repartition("node").persist()
+        nodes.count()
+
+        def rank_side(df: DataFrame) -> DataFrame:
+            return df
+
     r0 = total_mass // n_nodes
     base = (damp_den - damp_num) * r0 // damp_den
-    outdeg = e.groupBy("u").agg(F.count("*").alias("d"))
-    eo = e.join(outdeg, "u").persist()
+
+    redistribute = dangling == "redistribute"
+    if redistribute:
+        dang = nodes.join(
+            outdeg.select(F.col("u").alias("node")), "node", "left_anti"
+        ).persist()
+        dang.count()
+    else:
+        dang = None
 
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("r"))
     contrib = F.expr(f"({damp_num} * r) div ({damp_den} * d)")
+    dshare = F.expr(f"({damp_num} * _dm) div ({damp_den} * {n_nodes})")
     for _ in range(iterations):
         agg = (
-            eo.join(F.broadcast(ranks), eo["u"] == ranks["node"])
+            eo.join(rank_side(ranks), eo["u"] == ranks["node"])
             .select(F.col("v"), contrib.alias("c"))
             .groupBy("v")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            nodes.join(F.broadcast(agg), nodes["node"] == agg["v"], "left")
-            .select(
-                "node",
-                (F.lit(base) + F.coalesce("c", F.lit(0)))
-                .cast("long")
-                .alias("r"),
+        upd = nodes.join(rank_side(agg), nodes["node"] == agg["v"], "left")
+        extra = F.lit(0).cast("long")
+        if redistribute:
+            dm = (
+                ranks.join(rank_side(dang), "node", "left_semi")
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("_dm"))
             )
-            .localCheckpoint(eager=True)
-        )
-    return tie(ranks, eo, nodes)
+            upd = upd.crossJoin(F.broadcast(dm))  # one row, always
+            extra = dshare
+        ranks = upd.select(
+            "node",
+            (F.lit(base) + extra + F.coalesce("c", F.lit(0)))
+            .cast("long")
+            .alias("r"),
+        ).localCheckpoint(eager=True)
+    keep = [eo, nodes] + ([dang] if dang is not None else [])
+    return tie(ranks, *keep)

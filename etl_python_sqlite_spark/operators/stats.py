@@ -21,9 +21,11 @@ because Spark ``div``/DuckDB ``//`` truncate toward zero and the
 numerator can be negative (Spark and DuckDB both give ``%`` the sign of
 the dividend, so the double-pmod forms the canonical non-negative
 residue on both engines). The denominator n·Σxx − Σx² is the scaled
-variance of x: ≥ 0 always, and > 0 whenever x is non-constant within
-the group — callers guarantee that (constant-x groups would make OLS
-meaningless on any engine).
+variance of x: ≥ 0 always, and 0 exactly when x is CONSTANT within the
+group — that degenerate group yields NULL slope/intercept (``NULLIF``
+on both engines) instead of aborting the whole query under ANSI mode's
+decimal divide-by-zero (ADVICE r4: one single-distinct-x slice in
+regenerated testdata must flag a row, not crash the pipeline).
 
 Scale: one map-side-combined ``groupBy`` over the fact table — the same
 single-shuffle shape as any Spark aggregate. Headroom: at SF100
@@ -89,7 +91,9 @@ def ols_by_group(
     sx = F.col("sum_x").cast(_D38)
     sy = F.col("sum_y").cast(_D38)
     num = n * F.col("sxy") - sx * sy
-    den = n * F.col("sxx") - sx * sx
+    # NULLIF: constant-x groups (den = 0) → NULL slope/intercept, which
+    # then propagates through the intercept arithmetic below
+    den = F.nullif(n * F.col("sxx") - sx * sx, F.lit(0).cast(_D38))
     slope = _floor_div(num * F.lit(MICRO).cast(_D38), den).cast(_D38)
     intercept = _floor_div(
         sy * F.lit(MICRO).cast(_D38) - slope * sx, n
@@ -130,7 +134,7 @@ OLS_SQL = """
                    SUM(x) AS sum_x,
                    SUM(y) AS sum_y,
                    (COUNT(*) * SUM(x*y) - SUM(x)*SUM(y)) * 1000000 AS nm,
-                   COUNT(*) * SUM(x*x) - SUM(x)*SUM(x) AS den
+                   NULLIF(COUNT(*) * SUM(x*x) - SUM(x)*SUM(x), 0) AS den
             FROM ({rows})
             GROUP BY {groups}
         )

@@ -344,6 +344,7 @@ def near_dedup_stream_against_corpus(
     handle's ``_corpus_index`` if embedding in a long-lived session).
     """
     from etl_python_sqlite_spark.functions.text import word_shingles
+    from etl_python_sqlite_spark.operators.cache import _release_frame
     from etl_python_sqlite_spark.operators.dedup import portable_band_keys
     from etl_python_sqlite_spark.operators.idempotent import idempotent_append
 
@@ -359,6 +360,7 @@ def near_dedup_stream_against_corpus(
         if batch.isEmpty():
             return
         batch = batch.persist()
+        cands = None
         try:
             bb = portable_band_keys(
                 batch, num_hashes, bands, k, text_col, id_col
@@ -413,6 +415,11 @@ def near_dedup_stream_against_corpus(
             idempotent_append(spark, survivors, out_path, keys=[id_col])
         finally:
             batch.unpersist()
+            if cands is not None:
+                # deterministic checkpoint-block release per micro-batch
+                # (never leave a bare localCheckpoint to the async
+                # ContextCleaner in a long-lived stream — ADVICE r4)
+                _release_frame(cands)
 
     writer = stream_docs.writeStream.foreachBatch(_handle)
     writer._corpus_index = corpus_index  # release handle for embedders
@@ -542,18 +549,36 @@ def maintain_rollup_stream(
         for _, p in versions[:-retain_versions]:
             fs.delete(p, True)
 
+    def _latest_version(spark: SparkSession, below: int):
+        # Existence is probed through the FileSystem API so "no state
+        # yet" is DISTINGUISHED from "state read failed": a transient
+        # object-store error or corrupt footer must propagate (the
+        # micro-batch retries against intact state), never be swallowed
+        # into a silent view reset that drops all accumulated history
+        # from every later merge (ADVICE r4).
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return None
+        best = None
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("v="):
+                v = int(name[2:])
+                if v < below and (best is None or v > best):
+                    best = v
+        return best
+
     def _handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
         delta = build_agg_state(batch, keys, value_col)
-        try:
-            st = spark.read.parquet(state_path)
-            prev_v = st.filter(F.col("v") < batch_id).agg(F.max("v")).first()[0]
-        except Exception:
-            st, prev_v = None, None
+        prev_v = _latest_version(spark, batch_id)
         if prev_v is not None:
-            prev = st.filter(F.col("v") == prev_v).drop("v")
+            # read errors here are REAL failures — let them propagate
+            prev = spark.read.parquet(f"{state_path}/v={prev_v}")
             new_state = merge_agg_states(prev, delta)
         else:
             new_state = delta

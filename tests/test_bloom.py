@@ -70,19 +70,39 @@ def test_bitmap_size_constant_in_corpus_cardinality(spark):
     assert bloom_build(large, "text", M, K).count() <= cap  # saturates, never grows
 
 
-def test_probe_plan_is_broadcast_only(spark):
-    """The probed side must not shuffle: k broadcast joins, no exchange
-    on the probe lineage (the 100 TB contract of a prefilter)."""
-    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "text string")
-    bloom = bloom_build(df, "text", M, K).localCheckpoint(eager=True)
-    plan = (
-        bloom_probe(df, "text", bloom, M, K)
-        ._jdf.queryExecution()
-        .explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "simple"
-            )
+def _plan(df, spark):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
         )
     )
+
+
+def test_probe_scalar_path_is_join_free(spark):
+    """Small bitmaps embed as one array literal: the probe plan must be
+    a pure projection — zero joins, zero exchanges, the probed row
+    untouched (r4 VERDICT #6's fused probe)."""
+    df = spark.createDataFrame([(f"k{i}",) for i in range(50)], "text string")
+    bloom = bloom_build(df, "text", M, K).localCheckpoint(eager=True)
+    plan = _plan(bloom_probe(df, "text", bloom, M, K), spark)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_probe_join_path_is_broadcast_only_and_equivalent(spark):
+    """Above the literal cap (forced: cap=0) the fallback is k broadcast
+    joins — no shuffle of the probed side — and both strategies must
+    agree flag-for-flag."""
+    keys = [f"k{i}" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "text string")
+    probes = keys[:20] + [f"x{i}" for i in range(30)]
+    pdf = spark.createDataFrame([(k,) for k in probes], "text string")
+    bloom = bloom_build(df, "text", M, K).localCheckpoint(eager=True)
+    joined = bloom_probe(pdf, "text", bloom, M, K, max_literal_words=0)
+    plan = _plan(joined, spark)
     assert plan.count("BroadcastHashJoin") == K
     assert "SortMergeJoin" not in plan
+    scalar = bloom_probe(pdf, "text", bloom, M, K)
+    want = {r["text"]: r["bloom_maybe"] for r in scalar.collect()}
+    got = {r["text"]: r["bloom_maybe"] for r in joined.collect()}
+    assert got == want

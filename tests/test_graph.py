@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from etl_python_sqlite_spark.operators.graph import (
     connected_components,
     dedup_cluster_assignment,
+    pagerank,
 )
 
 
@@ -97,6 +98,99 @@ def test_cluster_assignment_includes_singletons(spark):
         6: (5, 2),
         7: (7, 1),
     }
+
+
+# --- pagerank -------------------------------------------------------------
+
+
+def _pagerank_reference(
+    edge_list,
+    iterations=5,
+    total_mass=10**12,
+    damp_num=85,
+    damp_den=100,
+    dangling="evaporate",
+):
+    """Hand-rolled exact-integer PageRank — the module's documented
+    quantized estimator, replayed in pure CPython (no NetworkX)."""
+    edges = sorted({(u, v) for u, v in edge_list if u != v})
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    r0 = total_mass // n
+    base = (damp_den - damp_num) * r0 // damp_den
+    r = {v: r0 for v in nodes}
+    for _ in range(iterations):
+        acc = {v: 0 for v in nodes}
+        for u, v in edges:
+            acc[v] += (damp_num * r[u]) // (damp_den * outdeg[u])
+        extra = 0
+        if dangling == "redistribute":
+            dmass = sum(r[v] for v in nodes if v not in outdeg)
+            extra = (damp_num * dmass) // (damp_den * n)
+        r = {v: base + extra + acc[v] for v in nodes}
+    return r
+
+
+_DIRECTED_EDGES = [
+    # 4 is dangling (no out-edges); 0 is a hub
+    (0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (1, 4), (3, 4),
+]
+
+
+def test_pagerank_matches_integer_reference(spark):
+    edges = spark.createDataFrame(_DIRECTED_EDGES, ["src", "dst"])
+    got = {r["node"]: r["r"] for r in pagerank(edges).collect()}
+    assert got == _pagerank_reference(_DIRECTED_EDGES)
+
+
+def test_pagerank_shuffle_path_identical_ranks(spark):
+    """broadcast_max_nodes=0 forces the large-|V| shuffle-join path —
+    ranks must be bit-identical to the broadcast path (r4 VERDICT #1:
+    the strategy gate must be semantics-free)."""
+    edges = spark.createDataFrame(_DIRECTED_EDGES, ["src", "dst"])
+    bcast = {r["node"]: r["r"] for r in pagerank(edges).collect()}
+    shuf = {
+        r["node"]: r["r"]
+        for r in pagerank(edges, broadcast_max_nodes=0).collect()
+    }
+    assert shuf == bcast
+    assert bcast == _pagerank_reference(_DIRECTED_EDGES)
+
+
+def test_pagerank_dangling_redistribution(spark):
+    """Directed graph with a dangling sink: 'redistribute' must match
+    the hand-rolled reference and differ from evaporation (the sink
+    holds mass, so the share is non-zero)."""
+    edges = spark.createDataFrame(_DIRECTED_EDGES, ["src", "dst"])
+    got = {
+        r["node"]: r["r"]
+        for r in pagerank(edges, dangling="redistribute").collect()
+    }
+    want = _pagerank_reference(_DIRECTED_EDGES, dangling="redistribute")
+    assert got == want
+    evap = _pagerank_reference(_DIRECTED_EDGES, dangling="evaporate")
+    assert want != evap
+    # redistribute on BOTH strategies too (gate × dangling interplay)
+    got_shuf = {
+        r["node"]: r["r"]
+        for r in pagerank(
+            edges, dangling="redistribute", broadcast_max_nodes=0
+        ).collect()
+    }
+    assert got_shuf == want
+
+
+def test_pagerank_rejects_unknown_dangling_mode(spark):
+    edges = spark.createDataFrame(_DIRECTED_EDGES, ["src", "dst"])
+    try:
+        pagerank(edges, dangling="bogus")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError")
 
 
 def test_ext_dedup_clusters_partitions_sample(spark):

@@ -68,3 +68,18 @@ def test_ols_negative_slope_floor_semantics(spark):
     got = _run(spark, data)
     assert got["g"] == _py_ols([(x, y) for _, x, y in data])
     assert got["g"][3] == -3_000_000
+
+
+def test_ols_constant_x_group_yields_null_not_crash(spark):
+    """A constant-x group (den = 0) must surface NULL slope/intercept —
+    under ANSI mode an unguarded decimal divide-by-zero would abort the
+    WHOLE query for one degenerate group (ADVICE r4). Healthy groups in
+    the same frame stay exact."""
+    data = [("const", 5, y) for y in (10, 20, 30)] + [
+        ("ok", x, 7 * x + 13) for x in range(1, 20)
+    ]
+    got = _run(spark, data)
+    n, sx, sy, slope, intercept = got["const"]
+    assert (n, sx, sy) == (3, 15, 60)
+    assert slope is None and intercept is None
+    assert got["ok"][3] == 7_000_000
