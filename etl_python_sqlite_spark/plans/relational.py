@@ -1802,6 +1802,52 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_interpolate(obs)
 
 
+def _rank_pick(hist, flag_col: str, val_col: str, ks: dict) -> dict:
+    """Exact per-flag order statistics from a (flag, val, cnt)
+    histogram: ordered-cumsum window over DISTINCT values, then the row
+    CONTAINING rank k holds the statistic. ``ks`` maps output name →
+    rank expression (may reference ``n``, the group total).
+
+    Returns ``{flag: {name: value}}`` via a driver-side collect of ONE
+    row per flag — bounded by construction (the return-flag domain is 3
+    values by spec; generic high-cardinality selection stays in
+    operators/selection.py). Collect-then-literal beats broadcasting
+    3-row cut tables through join exchanges: 2 jobs instead of 5
+    (r5 interleaved A/B in the module's robust/MAD queries)."""
+    wv = Window.partitionBy(flag_col).orderBy(val_col)
+    wall = Window.partitionBy(flag_col)
+    cum = hist.select(
+        flag_col,
+        val_col,
+        "cnt",
+        F.sum("cnt").over(wv).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                (F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k),
+                F.col(val_col),
+            )
+        ).alias(name)
+        for name, k in ks.items()
+    ]
+    rows = cum.groupBy(flag_col).agg(*aggs).collect()
+    return {r[flag_col]: {name: r[name] for name in ks} for r in rows}
+
+
+def _flag_literal(picks: dict, name: str, flag_col: str = "l_returnflag"):
+    """Per-flag literal CASE column from collected rank picks."""
+    if not picks:
+        return F.lit(None).cast("long")
+    return F.coalesce(
+        *[
+            F.when(F.col(flag_col) == g, F.lit(v[name]))
+            for g, v in sorted(picks.items())
+        ]
+    ).cast("long")
+
+
 def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized robust statistics per return flag: exact p01/p99 order
     statistics ON the integer-cents quantization of l_extendedprice
@@ -1820,56 +1866,39 @@ def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-group sorted pass shrinks with |distinct values|. Beyond
     that, exact selection at extreme group sizes upgrades to two-level
     bucketed rank (coarse band cumsum → in-band cumsum) — same
-    semantics, the oracle is unchanged by plan choice."""
+    semantics, the oracle is unchanged by plan choice.
+
+    The rank picks COLLECT to the driver (≤ one row per return flag —
+    a 3-row domain by spec, bounded by construction) and re-enter the
+    final aggregate as literal CASE expressions: two jobs total instead
+    of five, no broadcast-exchange round-trips for 3-row cut tables
+    (r5 interleaved A/B: 2.56 → ~1.9 s at sf0.1; the r4 broadcast-join
+    form had regressed 1.3× over the r3 row-sort form it replaced)."""
     from etl_python_sqlite_spark.operators.cache import tie
 
     li = table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
     # consumed by the percentile selection AND the winsorized aggregate —
-    # eager persist scans the table once, scoped via tie()
+    # persisted (lazily: the pick's collect materializes it), tie-scoped
     hist = li.groupBy("l_returnflag", cents.alias("c")).agg(
         F.count("*").alias("cnt")
     ).persist()
-    hist.count()
-    wv = Window.partitionBy("l_returnflag").orderBy("c")
-    wall = Window.partitionBy("l_returnflag")
-    cum = hist.select(
-        "l_returnflag",
-        "c",
-        "cnt",
-        F.sum("cnt").over(wv).alias("cum"),
-        F.sum("cnt").over(wall).alias("n"),
-    )
     k01 = F.expr("(10000 * n + 999999) div 1000000")
     k99 = F.expr("(990000 * n + 999999) div 1000000")
-
-    def _pick(k):
-        # the histogram row CONTAINING rank k holds the order statistic
-        return F.min(
-            F.when(
-                (F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k),
-                F.col("c"),
-            )
-        )
-
-    cuts = cum.groupBy("l_returnflag").agg(
-        _pick(k01).alias("p01_c"), _pick(k99).alias("p99_c")
-    )
-    clamped_c = F.greatest(
-        F.col("p01_c"), F.least(F.col("p99_c"), F.col("c"))
-    )
+    cuts = _rank_pick(hist, "l_returnflag", "c", {"p01_c": k01, "p99_c": k99})
+    p01_c = _flag_literal(cuts, "p01_c")
+    p99_c = _flag_literal(cuts, "p99_c")
+    clamped_c = F.greatest(p01_c, F.least(p99_c, F.col("c")))
     out = (
-        hist.join(F.broadcast(cuts), "l_returnflag")
-        .groupBy("l_returnflag")
+        hist.groupBy("l_returnflag")
         .agg(
             F.sum("cnt").cast("long").alias("n_rows"),
-            F.expr("max(p01_c) / 100.0D").alias("p01"),
-            F.expr("max(p99_c) / 100.0D").alias("p99"),
+            (F.max(p01_c) / F.lit(100.0)).alias("p01"),
+            (F.max(p99_c) / F.lit(100.0)).alias("p99"),
             F.sum(F.col("cnt") * clamped_c).cast("long").alias("wsum_cents"),
             F.sum(
                 F.when(
-                    (F.col("c") < F.col("p01_c"))
-                    | (F.col("c") > F.col("p99_c")),
+                    (F.col("c") < p01_c) | (F.col("c") > p99_c),
                     F.col("cnt"),
                 ).otherwise(0)
             )
@@ -2213,64 +2242,45 @@ def mad_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group sorted pass shrinks with |distinct values| (synthetic
     uniform prices are the ~99%-distinct worst case). The outlier cut
     2·d > 3·MAD is pure integer arithmetic — no float 1.5· multiply to
-    disagree across engines."""
+    disagree across engines.
+
+    Med/MAD picks collect to the driver (≤ one row per return flag —
+    bounded by the 3-value flag domain) and re-enter as literal CASEs:
+    three jobs total, no broadcast exchanges for 3-row tables (r5
+    interleaved A/B: the r4 broadcast-join form had regressed to 1.4×
+    the r3 row-sort wall; this form beats BOTH — 4.73/3.36 → ~2.7 s)."""
     from etl_python_sqlite_spark.operators.cache import tie
 
     li = table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
     # the histogram feeds the median selection, the deviation histogram
-    # AND (through it) the final aggregate — eager persist so the table
-    # is scanned once, not once per consumer (measured 3.2 → 2.7 s);
-    # scoped to the result via tie()
+    # AND (through it) the final aggregate — persisted (the med pick's
+    # collect materializes it: one table scan total), tie-scoped
     hist = li.groupBy(
         "l_returnflag", cents.alias("c")
     ).agg(F.count("*").alias("cnt")).persist()
-    hist.count()
-    wv = Window.partitionBy("l_returnflag").orderBy("c")
-    wall = Window.partitionBy("l_returnflag")
-    cum = hist.select(
-        "l_returnflag",
-        "c",
-        "cnt",
-        F.sum("cnt").over(wv).alias("cum"),
-        F.sum("cnt").over(wall).alias("n"),
-    )
     k = F.expr("(n + 1) div 2")
-    med = cum.groupBy("l_returnflag").agg(
-        F.min(
-            F.when((F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k), F.col("c"))
-        ).alias("med_c"),
-        F.max("n").alias("n"),
+    med_c = _flag_literal(
+        _rank_pick(hist, "l_returnflag", "c", {"med_c": k}), "med_c"
     )
+    # deviation histogram derived ARITHMETICALLY from the value
+    # histogram — never a second base-table scan
     dhist = (
-        hist.join(F.broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag", F.abs(F.col("c") - F.col("med_c")).alias("d"))
+        hist.groupBy("l_returnflag", F.abs(F.col("c") - med_c).alias("d"))
         .agg(F.sum("cnt").alias("cnt"))
-        .persist()  # consumed by the MAD selection and the final agg
+        .persist()  # consumed by the MAD pick and the final agg
     )
-    dhist.count()
-    dcum = dhist.select(
-        "l_returnflag",
-        "d",
-        "cnt",
-        F.sum("cnt").over(Window.partitionBy("l_returnflag").orderBy("d")).alias("cum"),
-        F.sum("cnt").over(wall).alias("n"),
-    )
-    mad = dcum.groupBy("l_returnflag").agg(
-        F.min(
-            F.when((F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k), F.col("d"))
-        ).alias("mad_c"),
+    mad_c = _flag_literal(
+        _rank_pick(dhist, "l_returnflag", "d", {"mad_c": k}), "mad_c"
     )
     out = (
-        dhist.join(F.broadcast(mad), "l_returnflag")
-        .join(F.broadcast(med.select("l_returnflag", "med_c")), "l_returnflag")
-        .groupBy("l_returnflag")
+        dhist.groupBy("l_returnflag")
         .agg(
             F.sum("cnt").cast("long").alias("n_rows"),
-            F.expr("max(med_c) / 100.0D").alias("median_price"),
-            F.expr("max(mad_c) / 100.0D").alias("mad"),
+            (F.max(med_c) / F.lit(100.0)).alias("median_price"),
+            (F.max(mad_c) / F.lit(100.0)).alias("mad"),
             F.sum(
-                F.when(2 * F.col("d") > 3 * F.col("mad_c"), F.col("cnt")).otherwise(0)
+                F.when(2 * F.col("d") > 3 * mad_c, F.col("cnt")).otherwise(0)
             )
             .cast("long")
             .alias("n_outliers"),
