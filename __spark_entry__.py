@@ -176,115 +176,18 @@ def _langid_char_sql(text: str = "text") -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records at most 50 CORRECTNESS rows,
-    # taken from the head of this dict. Rounds 1-2 produced green rows for
-    # the original first 50 entries (identical key set both rounds), so the
-    # 40 round-2 additions that never received a driver row are promoted to
-    # the front here, followed by this round's new queries — the
-    # twice-attested block closes the dict.
+    # taken from the head of this dict. Round-5 rotation (VERDICT r4 #8):
+    # the 43 keys last driver-attested in ROUND 2 lead (the least
+    # recently attested — r5's 50-row window covers them plus the head
+    # of the r3 block), then the 47 r3-attested keys, then the 50
+    # r4-attested keys close the dict. New r5 queries are appended to
+    # the FRONT so they land inside the window.
     return {
-        # -- round-4 ORDERING: driver records at most 50 CORRECTNESS rows
-        # -- from the head of this dict. The 34 entries never yet attested
-        # -- by any round's driver run come first; round-4 additions follow
-        # -- (inside the 50-row window); the thrice-attested block closes.
-        "nation_market_share": R.nation_market_share,
-        "large_volume_customers": R.large_volume_customers,
-        "disjunctive_revenue": R.disjunctive_revenue,
-        "idle_customer_balance": R.idle_customer_balance,
-        "ext_doc_chunking": E.ext_doc_chunking,
-        "ext_substring_contamination": E.ext_substring_contamination,
-        "cheapest_supplier_per_part": R.cheapest_supplier_per_part,
-        "supplier_variety_by_brand": R.supplier_variety_by_brand,
-        "daily_volume_anomaly": R.daily_volume_anomaly,
-        "ext_cross_source_dedup": E.ext_cross_source_dedup,
-        "priority_order_counts": R.priority_order_counts,
-        "shipmode_priority_split": R.shipmode_priority_split,
-        "top_supplier_revenue": R.top_supplier_revenue,
-        "ext_chunk_dedup": E.ext_chunk_dedup,
-        "ext_dataset_card": E.ext_dataset_card,
-        "ext_embedding_quantization": E.ext_embedding_quantization,
-        "ext_setsim_prefix_join": E.ext_setsim_prefix_join,
-        "ext_semantic_dedup": E.ext_semantic_dedup,
-        "ts_gap_fill_interpolate": R.ts_gap_fill_interpolate,
-        "robust_price_stats": R.robust_price_stats,
-        "snapshot_diff_orders": R.snapshot_diff_orders,
-        "forecast_revenue_change": R.forecast_revenue_change,
-        "volume_shipping_bilateral": R.volume_shipping_bilateral,
-        "important_stock_parts": R.important_stock_parts,
-        "customer_order_distribution": R.customer_order_distribution,
-        "small_quantity_order_revenue": R.small_quantity_order_revenue,
-        "supplier_part_promotion": R.supplier_part_promotion,
-        "sole_failing_supplier": R.sole_failing_supplier,
-        "json_props_rollup": R.json_props_rollup,
-        "zorder_orders_layout": R.zorder_orders_layout,
-        "ext_bpe_tokenizer": E.ext_bpe_tokenizer,
-        "ext_embedding_pooling": E.ext_embedding_pooling,
-        "impute_group_median": R.impute_group_median,
-        "mad_outlier_scan": R.mad_outlier_scan,
-        # -- round-4 new queries land here (window slots 35-50) ----------
-        "ext_bigram_lm_score": E.ext_bigram_lm_score,
-        "ext_dsir_importance": E.ext_dsir_importance,
-        "ext_leakage_free_split": E.ext_leakage_free_split,
-        "scd2_event_intervals": R.scd2_event_intervals,
-        "incremental_rollup_merge": R.incremental_rollup_merge,
-        "part_basket_pairs": R.part_basket_pairs,
-        "scd1_latest_state": R.scd1_latest_state,
-        "ext_bm25_topk": E.ext_bm25_topk,
-        "ext_pq_topk": E.ext_pq_topk,
-        "dq_expectations_orders": R.dq_expectations_orders,
-        "regression_price_trend": R.regression_price_trend,
-        "ext_bloom_prefilter": E.ext_bloom_prefilter,
-        "part_cooccurrence_pagerank": R.part_cooccurrence_pagerank,
-        # -- attested in earlier rounds (green driver rows) ----------------
-        "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
-        "ext_ann_knn_join": E.ext_ann_knn_join,          # oracle: recall invariant
-        "ext_multimodal_decode": E.ext_multimodal_decode,
-        "ext_curation_funnel": E.ext_curation_funnel,
-        "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,  # oracle: ±5% invariant
-        "ext_dedup_clusters": E.ext_dedup_clusters,
-        "ext_minhash_dedup_clusters": E.ext_minhash_dedup_clusters,  # oracle: portable hash
-        "ext_repetition_filter": E.ext_repetition_filter,
-        "ext_contamination_scan": E.ext_contamination_scan,
-        "ext_tfidf_top_terms": E.ext_tfidf_top_terms,
-        "supplier_profit_by_nation": R.supplier_profit_by_nation,
-        "window_moving_avg": R.window_moving_avg,
-        "lag_gap_analysis": R.lag_gap_analysis,
-        "string_agg_nations": R.string_agg_nations,
-        "grouping_sets_status_year": R.grouping_sets_status_year,
-        "ext_seq_packing": E.ext_seq_packing,
-        "ext_domain_mixture": E.ext_domain_mixture,
-        "ext_word_df_histogram": E.ext_word_df_histogram,
-        "ext_incremental_dedup": E.ext_incremental_dedup,
-        "ext_quality_sample": E.ext_quality_sample,
-        "range_interval_window": R.range_interval_window,
-        "unpivot_nation_metrics": R.unpivot_nation_metrics,
-        "ntile_value_quartiles": R.ntile_value_quartiles,
-        "ship_delay_histogram": R.ship_delay_histogram,
-        "orders_above_customer_avg": R.orders_above_customer_avg,
-        "ext_pii_redact": E.ext_pii_redact,
-        "numeric_profile": R.numeric_profile,
-        "dq_referential_audit": R.dq_referential_audit,
-        "shipping_priority_topn": R.shipping_priority_topn,
-        "local_supplier_volume": R.local_supplier_volume,
-        "returned_items_by_customer": R.returned_items_by_customer,
-        "rank_tie_semantics": R.rank_tie_semantics,
-        "ext_word_rarity_score": E.ext_word_rarity_score,
-        "ext_label_centroid_quality": E.ext_label_centroid_quality,  # oracle: quantized-sum centroid
-        "set_intersect_users": R.set_intersect_users,
-        "window_value_zoo": R.window_value_zoo,
-        "event_funnel_conversion": R.event_funnel_conversion,
-        "cohort_weekly_retention": R.cohort_weekly_retention,
-        "skew_salted_join": R.skew_salted_join,
-        "recursive_month_spine": R.recursive_month_spine,
-        "ext_minhash_near_dups": E.ext_minhash_near_dups,
-        "ext_simhash_fingerprints": E.ext_simhash_fingerprints,
-        "ext_simhash_near_dups": E.ext_simhash_near_dups,
-        "ext_winnowing_pairs": E.ext_winnowing_pairs,
-        "ext_ann_topk_lsh": E.ext_ann_topk_lsh,
-        "ext_ivf_topk": E.ext_ivf_topk,
-        "ext_embedding_near_dups": E.ext_embedding_near_dups,
-        "ext_heavy_hitters": E.ext_heavy_hitters,
-        "ext_kll_quantiles": E.ext_kll_quantiles,
-        "promo_revenue_ratio": R.promo_revenue_ratio,  # slot 50 of the cap
+        # -- NEW in round 5 (never driver-attested) — lead the window --
+        "ext_embedding_dim_stats": E.ext_embedding_dim_stats,
+        "ext_dedup_survivor_quality": E.ext_dedup_survivor_quality,
+        "ext_source_ngram_novelty": E.ext_source_ngram_novelty,
+        # -- last attested round 2 (43) — head of the r5 window --
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
         "groupby_count_avg": R.groupby_count_avg,
@@ -328,6 +231,105 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_pii_scan": E.ext_pii_scan,
         "ext_stratified_split": E.ext_stratified_split,
         "multires_rollup": R.multires_rollup,
+        # -- last attested round 3 (47) --
+        "ext_curation_funnel": E.ext_curation_funnel,
+        "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,
+        "ext_dedup_clusters": E.ext_dedup_clusters,
+        "ext_minhash_dedup_clusters": E.ext_minhash_dedup_clusters,
+        "ext_repetition_filter": E.ext_repetition_filter,
+        "ext_contamination_scan": E.ext_contamination_scan,
+        "ext_tfidf_top_terms": E.ext_tfidf_top_terms,
+        "supplier_profit_by_nation": R.supplier_profit_by_nation,
+        "window_moving_avg": R.window_moving_avg,
+        "lag_gap_analysis": R.lag_gap_analysis,
+        "string_agg_nations": R.string_agg_nations,
+        "grouping_sets_status_year": R.grouping_sets_status_year,
+        "ext_seq_packing": E.ext_seq_packing,
+        "ext_domain_mixture": E.ext_domain_mixture,
+        "ext_word_df_histogram": E.ext_word_df_histogram,
+        "ext_incremental_dedup": E.ext_incremental_dedup,
+        "ext_quality_sample": E.ext_quality_sample,
+        "range_interval_window": R.range_interval_window,
+        "unpivot_nation_metrics": R.unpivot_nation_metrics,
+        "ntile_value_quartiles": R.ntile_value_quartiles,
+        "ship_delay_histogram": R.ship_delay_histogram,
+        "orders_above_customer_avg": R.orders_above_customer_avg,
+        "ext_pii_redact": E.ext_pii_redact,
+        "numeric_profile": R.numeric_profile,
+        "dq_referential_audit": R.dq_referential_audit,
+        "shipping_priority_topn": R.shipping_priority_topn,
+        "local_supplier_volume": R.local_supplier_volume,
+        "returned_items_by_customer": R.returned_items_by_customer,
+        "rank_tie_semantics": R.rank_tie_semantics,
+        "ext_word_rarity_score": E.ext_word_rarity_score,
+        "ext_label_centroid_quality": E.ext_label_centroid_quality,
+        "set_intersect_users": R.set_intersect_users,
+        "window_value_zoo": R.window_value_zoo,
+        "event_funnel_conversion": R.event_funnel_conversion,
+        "cohort_weekly_retention": R.cohort_weekly_retention,
+        "skew_salted_join": R.skew_salted_join,
+        "recursive_month_spine": R.recursive_month_spine,
+        "ext_minhash_near_dups": E.ext_minhash_near_dups,
+        "ext_simhash_fingerprints": E.ext_simhash_fingerprints,
+        "ext_simhash_near_dups": E.ext_simhash_near_dups,
+        "ext_winnowing_pairs": E.ext_winnowing_pairs,
+        "ext_ann_topk_lsh": E.ext_ann_topk_lsh,
+        "ext_ivf_topk": E.ext_ivf_topk,
+        "ext_embedding_near_dups": E.ext_embedding_near_dups,
+        "ext_heavy_hitters": E.ext_heavy_hitters,
+        "ext_kll_quantiles": E.ext_kll_quantiles,
+        "promo_revenue_ratio": R.promo_revenue_ratio,
+        # -- attested round 4 (50) — most recent, tail --
+        "nation_market_share": R.nation_market_share,
+        "large_volume_customers": R.large_volume_customers,
+        "disjunctive_revenue": R.disjunctive_revenue,
+        "idle_customer_balance": R.idle_customer_balance,
+        "ext_doc_chunking": E.ext_doc_chunking,
+        "ext_substring_contamination": E.ext_substring_contamination,
+        "cheapest_supplier_per_part": R.cheapest_supplier_per_part,
+        "supplier_variety_by_brand": R.supplier_variety_by_brand,
+        "daily_volume_anomaly": R.daily_volume_anomaly,
+        "ext_cross_source_dedup": E.ext_cross_source_dedup,
+        "priority_order_counts": R.priority_order_counts,
+        "shipmode_priority_split": R.shipmode_priority_split,
+        "top_supplier_revenue": R.top_supplier_revenue,
+        "ext_chunk_dedup": E.ext_chunk_dedup,
+        "ext_dataset_card": E.ext_dataset_card,
+        "ext_embedding_quantization": E.ext_embedding_quantization,
+        "ext_setsim_prefix_join": E.ext_setsim_prefix_join,
+        "ext_semantic_dedup": E.ext_semantic_dedup,
+        "ts_gap_fill_interpolate": R.ts_gap_fill_interpolate,
+        "robust_price_stats": R.robust_price_stats,
+        "snapshot_diff_orders": R.snapshot_diff_orders,
+        "forecast_revenue_change": R.forecast_revenue_change,
+        "volume_shipping_bilateral": R.volume_shipping_bilateral,
+        "important_stock_parts": R.important_stock_parts,
+        "customer_order_distribution": R.customer_order_distribution,
+        "small_quantity_order_revenue": R.small_quantity_order_revenue,
+        "supplier_part_promotion": R.supplier_part_promotion,
+        "sole_failing_supplier": R.sole_failing_supplier,
+        "json_props_rollup": R.json_props_rollup,
+        "zorder_orders_layout": R.zorder_orders_layout,
+        "ext_bpe_tokenizer": E.ext_bpe_tokenizer,
+        "ext_embedding_pooling": E.ext_embedding_pooling,
+        "impute_group_median": R.impute_group_median,
+        "mad_outlier_scan": R.mad_outlier_scan,
+        "ext_bigram_lm_score": E.ext_bigram_lm_score,
+        "ext_dsir_importance": E.ext_dsir_importance,
+        "ext_leakage_free_split": E.ext_leakage_free_split,
+        "scd2_event_intervals": R.scd2_event_intervals,
+        "incremental_rollup_merge": R.incremental_rollup_merge,
+        "part_basket_pairs": R.part_basket_pairs,
+        "scd1_latest_state": R.scd1_latest_state,
+        "ext_bm25_topk": E.ext_bm25_topk,
+        "ext_pq_topk": E.ext_pq_topk,
+        "dq_expectations_orders": R.dq_expectations_orders,
+        "regression_price_trend": R.regression_price_trend,
+        "ext_bloom_prefilter": E.ext_bloom_prefilter,
+        "part_cooccurrence_pagerank": R.part_cooccurrence_pagerank,
+        "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
+        "ext_ann_knn_join": E.ext_ann_knn_join,
+        "ext_multimodal_decode": E.ext_multimodal_decode,
     }
 
 
@@ -369,6 +371,94 @@ def _pagerank_sql(iters: int = 5, total_mass: int = 10**12) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # -- round-5 additions ------------------------------------------
+        "ext_embedding_dim_stats": """
+            WITH ex AS (
+                SELECT CAST(unnest(range(0, len(v))) AS INT) AS dim,
+                       unnest(v) AS x
+                FROM (SELECT CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings)
+            )
+            SELECT dim,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT)
+                       AS sum_x_micro,
+                   CAST(SUM(CAST(floor(x * x * 1000000000) AS BIGINT)) AS BIGINT)
+                       AS sum_x2_nano,
+                   CAST(MIN(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT)
+                       AS min_x_micro,
+                   CAST(MAX(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT)
+                       AS max_x_micro
+            FROM ex
+            GROUP BY dim
+            ORDER BY dim
+        """,
+        "ext_dedup_survivor_quality": f"""
+            WITH scored AS (
+                SELECT doc_id, source,
+                       md5(array_to_string(
+                           list_sort(list_distinct({_WORDS.format(c='lower(text)')})),
+                           chr(31))) AS grp,
+                       CAST(floor((
+                           0.4e0 * least(CAST(n_words AS DOUBLE) / 100.0e0, 1.0e0)
+                           + 0.4e0 * least(sw_ratio * 5.0e0, 1.0e0)
+                           + 0.2e0 * (1.0e0 - least(p_ratio * 10.0e0, 1.0e0))
+                       ) * 1000000) AS BIGINT) AS q_micro
+                FROM (
+                    SELECT doc_id, source, text,
+                           {_N_WORDS.format(c='text')} AS n_words,
+                           CASE WHEN {_N_WORDS.format(c='text')} > 0 THEN
+                               CAST(len(list_filter(string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+'),
+                                        w -> w IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                               / {_N_WORDS.format(c='text')}
+                           ELSE 0.0e0 END AS sw_ratio,
+                           CASE WHEN length(text) > 0 THEN
+                               CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+                               / length(text)
+                           ELSE 0.0e0 END AS p_ratio
+                    FROM documents
+                )
+            ),
+            ranked AS (
+                SELECT grp, doc_id, source, q_micro,
+                       COUNT(*) OVER (PARTITION BY grp) AS n_dups,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY grp ORDER BY q_micro DESC, doc_id
+                       ) AS rk
+                FROM scored
+            )
+            SELECT grp,
+                   doc_id AS survivor_doc_id,
+                   source AS survivor_source,
+                   q_micro AS survivor_q_micro,
+                   CAST(n_dups AS BIGINT) AS n_dups
+            FROM ranked
+            WHERE n_dups >= 2 AND rk = 1
+            ORDER BY grp
+        """,
+        "ext_source_ngram_novelty": f"""
+            WITH base AS (
+                SELECT source, {_WORDS.format(c='text')} AS w FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT source, sh
+                FROM (SELECT source, unnest({_SHINGLES_SQL}) AS sh FROM base)
+            ),
+            counted AS (
+                SELECT source, sh,
+                       COUNT(*) OVER (PARTITION BY sh) AS n_src
+                FROM sh
+            )
+            SELECT source,
+                   COUNT(*) AS n_shingles,
+                   CAST(SUM(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_exclusive,
+                   (1000000 * CAST(SUM(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT))
+                       // COUNT(*) AS exclusivity_micro
+            FROM counted
+            GROUP BY source
+            ORDER BY source
+        """,
         "fact_dim_join": """
             SELECT c_custkey, c_name, n_name AS nation, r_name AS region, c_acctbal
             FROM customer

@@ -114,13 +114,16 @@ def ext_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-exact, and the booleans pin two facts Spark verifies against its
     own brute-force ground truth:
 
-    * ``recall_ok`` — ≥2 of the exact top-20 recovered. The synthetic
-      embeddings are near-isotropic, so a Hamming-1 probe over 64
-      buckets legitimately recovers 5-8/20 (measured at all three SFs);
-      the floor is a catastrophic-failure detector (bucketing broken →
-      expected overlap ≈ recall of a tiny random scan), sized so data
-      regeneration cannot flake it (P < 1e-2 under an independence
-      model at the measured per-neighbor hit rate).
+    * ``recall_ok`` — a SELF-CALIBRATING floor (VERDICT r4 #5): the
+      recovered count must beat ``max(2, ceil(2k²/n))``, where k²/n is
+      the null model's expected overlap of a random size-k set with the
+      exact top-k. Derived from n IN-QUERY (pure integer cross-multiply,
+      no division), so per-round testdata regeneration re-derives the
+      threshold with the data: a shrunken corpus raises the floor
+      (random overlap is likelier), a grown one lowers it toward the
+      catastrophic-failure detector (bucketing broken → overlap ≈
+      random ≈ k²/n ≪ floor). Measured recovery 5-8/20 at all three
+      SFs vs floor 2 → ≥2.5× regeneration margin.
     * ``quality_ok`` — the returned set's summed cosine (floor-quantized
       to micros) is ≥ half the exact top-20's sum: the standard ANN
       quality-ratio check, which random non-neighbor output would fail.
@@ -143,13 +146,18 @@ def ext_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         corpus.agg(F.count("*").alias("n_vectors"))
-        .crossJoin(recovered.agg((F.count("*") >= 2).alias("recall_ok")))
+        .crossJoin(recovered.agg(F.count("*").cast("long").alias("_nr")))
         .crossJoin(qsum_approx)
         .crossJoin(qsum_exact)
         .crossJoin(best)
         .select(
             "n_vectors",
-            "recall_ok",
+            # recovered ≥ max(2, ceil(2·k²/n)) — see docstring; the
+            # cross-multiplied form is exact-integer on both engines
+            (
+                (F.col("_nr") >= 2)
+                & (F.col("_nr") * F.col("n_vectors") >= 2 * 20 * 20)
+            ).alias("recall_ok"),
             (F.col("qa") * 2 >= F.col("qe")).alias("quality_ok"),
             "best_vec_id",
             "best_cos_sim",
@@ -236,9 +244,11 @@ def ext_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3-scale-b — IVF ANN top-20, driver-checked through the same
     recall+quality invariant shape as ``ext_ann_topk_lsh``. IVF@(16
-    centroids, 6 probes) recovers 10-12/20 at every SF on the
-    near-isotropic synthetic embeddings (measured); the ≥5 floor and the
-    half-quality ratio leave ~2× margin for data regeneration."""
+    centroids, 6 probes) recovers 8-12/20 at every SF on the
+    near-isotropic synthetic embeddings (measured); the self-calibrating
+    floor max(2, ceil(4·k²/n)) (null-model overlap derived from n
+    in-query — VERDICT r4 #5) and the half-quality ratio leave ≥2×
+    margin under per-round data regeneration at any corpus size."""
     embs = _embs(spark, sf_dir)
     qrow = embs.filter(F.col("vec_id") == 0).select("embedding").first()
     q = [float(x) for x in qrow["embedding"]]
@@ -257,13 +267,17 @@ def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         corpus.agg(F.count("*").alias("n_vectors"))
-        .crossJoin(recovered.agg((F.count("*") >= 5).alias("recall_ok")))
+        .crossJoin(recovered.agg(F.count("*").cast("long").alias("_nr")))
         .crossJoin(qsum_approx)
         .crossJoin(qsum_exact)
         .crossJoin(best)
         .select(
             "n_vectors",
-            "recall_ok",
+            # recovered ≥ max(2, ceil(4·k²/n)), derived from n in-query
+            (
+                (F.col("_nr") >= 2)
+                & (F.col("_nr") * F.col("n_vectors") >= 4 * 20 * 20)
+            ).alias("recall_ok"),
             (F.col("qa") * 2 >= F.col("qe")).alias("quality_ok"),
             "best_vec_id",
             "best_cos_sim",
@@ -1725,9 +1739,11 @@ def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 64-candidate shortlist), driver-checked through the same
     recall+quality invariant shape as ``ext_ivf_topk``/``ext_ann_topk_lsh``.
     Measured at every SF: recall 10-15/20, quality ratio ≥ 0.87 — the
-    ≥5 floor and half-quality bound keep ≥2× regeneration margin. The
-    best-hit columns are SQL-exact (the re-rank uses the portable
-    sequential fold)."""
+    self-calibrating floor max(2, ceil(5·k²/n)) (null-model overlap
+    derived from n in-query — VERDICT r4 #5) and half-quality bound
+    keep ≥2.4× regeneration margin at any corpus size. The best-hit
+    columns are SQL-exact (the re-rank uses the portable sequential
+    fold)."""
     from etl_python_sqlite_spark.operators.pq import pq_topk
 
     embs = _embs(spark, sf_dir)
@@ -1748,13 +1764,17 @@ def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         corpus.agg(F.count("*").alias("n_vectors"))
-        .crossJoin(recovered.agg((F.count("*") >= 5).alias("recall_ok")))
+        .crossJoin(recovered.agg(F.count("*").cast("long").alias("_nr")))
         .crossJoin(qsum_approx)
         .crossJoin(qsum_exact)
         .crossJoin(best)
         .select(
             "n_vectors",
-            "recall_ok",
+            # recovered ≥ max(2, ceil(5·k²/n)), derived from n in-query
+            (
+                (F.col("_nr") >= 2)
+                & (F.col("_nr") * F.col("n_vectors") >= 5 * 20 * 20)
+            ).alias("recall_ok"),
             (F.col("qa") * 2 >= F.col("qe")).alias("quality_ok"),
             "best_vec_id",
             "best_cos_sim",
@@ -1808,3 +1828,138 @@ def ext_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit
     )
     return tie(out, bloom)
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: embedding preprocessing, quality-aware dedup, inter-
+# source redundancy
+# ---------------------------------------------------------------------------
+
+def ext_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-E6 — per-dimension embedding profile (the normalization /
+    whitening prep every vector pipeline runs before indexing: detect
+    dead, unbalanced or clipped dimensions). One ``posexplode`` of the
+    vector column → ONE map-side-combined groupBy on the uniform
+    ``dim`` key (64 groups) — no window, no join, the scan streams.
+
+    Exactness: per-row floor-quantization (x → micro-units, x² →
+    nano-units; both engines compute the same IEEE double before the
+    floor, per the repo's float discipline), then BIGINT sums — no
+    cross-row float accumulation anywhere."""
+    embs = _embs(spark, sf_dir)
+    dims = embs.select(
+        F.posexplode(S._as_double_array("embedding")).alias("dim", "x")
+    )
+    xq = F.floor(F.col("x") * 1000000).cast("long")
+    x2q = F.floor(F.col("x") * F.col("x") * 1000000000).cast("long")
+    return (
+        dims.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(xq).cast("long").alias("sum_x_micro"),
+            F.sum(x2q).cast("long").alias("sum_x2_nano"),
+            F.min(xq).cast("long").alias("min_x_micro"),
+            F.max(xq).cast("long").alias("max_x_micro"),
+        )
+        .orderBy("dim")
+    )
+
+
+def ext_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-D8 — quality-aware canonical selection within duplicate
+    groups: instead of keep-min-id, each duplicate group keeps its
+    HIGHEST-quality member (ties → lowest doc_id) — the curation policy
+    real pipelines want when duplicates differ in boilerplate. The
+    group key is the BAG-OF-WORDS signature (md5 of the sorted distinct
+    lowercase word set): word-order-insensitive duplicate collapse, the
+    fuzzier sibling of exact-normalized dedup that actually fires on
+    shuffled/template rewrites (and, unlike the exact key, is non-empty
+    at every test SF — 21-257 groups). Quality ranks on
+    floor(score·10^6) integers (portable); emits only groups ≥2.
+
+    Shape: one scan → a single window over the uniform hash key (count
+    + row_number share ONE shuffle/sort); no self-join, no second
+    scan."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    wordset_key = F.md5(
+        F.concat_ws(
+            "\x1f",
+            F.array_sort(F.array_distinct(X.words(F.lower(F.col("text"))))),
+        )
+    )
+    qmicro = F.floor(X.quality_score(F.col("text")) * 1000000).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        wordset_key.alias("grp"),
+        qmicro.alias("q_micro"),
+    )
+    w = W.partitionBy("grp")
+    ranked = keyed.select(
+        "doc_id",
+        "source",
+        "grp",
+        "q_micro",
+        F.count("*").over(w).alias("n_dups"),
+        F.row_number()
+        .over(w.orderBy(F.desc("q_micro"), F.asc("doc_id")))
+        .alias("rk"),
+    )
+    return (
+        ranked.filter((F.col("n_dups") >= 2) & (F.col("rk") == 1))
+        .select(
+            "grp",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("source").alias("survivor_source"),
+            F.col("q_micro").alias("survivor_q_micro"),
+            F.col("n_dups").cast("long").alias("n_dups"),
+        )
+        .orderBy("grp")
+    )
+
+
+def ext_source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-D9 — inter-source 3-gram redundancy audit (the mixture
+    diagnostic run before weighting sources: a source whose shingles
+    all appear elsewhere adds little novelty). Per source: distinct
+    shingle count, count exclusive to that source, and the exclusivity
+    ratio in integer micro-units.
+
+    Shape: explode→distinct (source, shingle) — one uniform shuffle —
+    then ONE window over the shingle key counts how many sources share
+    each shingle (reuses the distinct's hash partitioning when AQE
+    aligns; no self-join), then a 4-group aggregate. At 100 TB the
+    (source, shingle) distinct is the same bounded-key shuffle every
+    dedup pass does; nothing is ever quadratic."""
+    docs = _docs(spark, sf_dir)
+    sh = (
+        docs.select(
+            "source", F.explode(X.word_shingles(F.col("text"), 3)).alias("sh")
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    counted = sh.select(
+        "source", F.count("*").over(W.partitionBy("sh")).alias("n_src")
+    )
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("n_src") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exclusive"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            "n_exclusive",
+            F.expr("(1000000 * n_exclusive) div n_shingles").alias(
+                "exclusivity_micro"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -21,6 +21,21 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+#: env var naming a sqlite-jdbc driver jar (e.g. xerial
+#: sqlite-jdbc-*.jar). When set AND the file exists, the session builder
+#: puts it on the driver/executor classpath so sources/sqlite.py's JDBC
+#: path activates (distributed partitioned reads of the reference's own
+#: storage engine). Absent in this offline environment — the probe is
+#: how a user with the jar switches the bridge on without code changes.
+SQLITE_JDBC_JAR_ENV = "SPARK_GRAFT_SQLITE_JDBC_JAR"
+
+
+def _sqlite_jdbc_jar() -> str | None:
+    jar = os.environ.get(SQLITE_JDBC_JAR_ENV)
+    if jar and os.path.isfile(jar):
+        return jar
+    return None
+
 
 def get_spark(
     app_name: str = "etl_python_sqlite_spark",
@@ -54,6 +69,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    jar = _sqlite_jdbc_jar()
+    if jar:
+        builder = builder.config("spark.jars", jar)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

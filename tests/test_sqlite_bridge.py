@@ -42,3 +42,48 @@ def test_write_with_insert_or_ignore(spark, tmp_path):
 
     back = read_sqlite(spark, db, "personas")
     assert back.count() == 2
+
+
+def test_jdbc_parity_when_jar_present(spark, tmp_path):
+    """JDBC read path (active only when a sqlite-jdbc jar is on the
+    classpath — session.py probes $SPARK_GRAFT_SQLITE_JDBC_JAR) must
+    return the same rows as the driver-side sqlite3 bridge, including a
+    partitioned parallel read. Skips in jar-less environments (this
+    offline container: no pip, no jar download)."""
+    import pytest
+
+    from etl_python_sqlite_spark.sources.sqlite import _jdbc_available
+
+    if not _jdbc_available(spark):
+        pytest.skip("sqlite-jdbc driver jar not on the session classpath")
+
+    db = str(tmp_path / "parity.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE medidas (id INTEGER PRIMARY KEY, valor REAL)")
+    con.executemany(
+        "INSERT INTO medidas VALUES (?, ?)", [(i, i * 1.5) for i in range(100)]
+    )
+    con.commit()
+    con.close()
+
+    jdbc_rows = {
+        (r["id"], r["valor"])
+        for r in read_sqlite(spark, db, "medidas").collect()
+    }
+    jdbc_part_rows = {
+        (r["id"], r["valor"])
+        for r in read_sqlite(
+            spark, db, "medidas", partition_column="id", num_partitions=4
+        ).collect()
+    }
+    import pandas as pd
+
+    with sqlite3.connect(db) as con2:
+        bridge = {
+            (int(r.id), float(r.valor))
+            for r in pd.read_sql_query(
+                "SELECT * FROM medidas", con2
+            ).itertuples()
+        }
+    assert jdbc_rows == bridge
+    assert jdbc_part_rows == bridge
