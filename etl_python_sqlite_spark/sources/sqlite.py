@@ -6,15 +6,20 @@ scr/etl_batch.py:181). On Spark the first-choice connector is JDBC
 distributes partitioned reads across executors. That driver jar is not
 present in this environment, so the bridge degrades gracefully:
 
-1. **JDBC path** (used when the driver class is reachable): predicate
-   pushdown + ``partitionColumn/lowerBound/upperBound/numPartitions`` for
-   parallel scans.
-2. **Driver-side bridge** (fallback, always available): ``sqlite3`` →
-   Arrow-backed ``createDataFrame``. Single-node read — appropriate for
+1. **JDBC path** (used when the driver class is reachable — session.py
+   probes ``$SPARK_GRAFT_SQLITE_JDBC_JAR``): predicate pushdown +
+   ``partitionColumn/lowerBound/upperBound/numPartitions`` for parallel
+   scans.
+2. **Python DataSource path** (``sources/sqlite_ds.py``, Spark 4
+   ``pyspark.sql.datasource`` — no jar needed): DISTRIBUTED rowid-range
+   partitioned scans + conjunctive filter pushdown over stdlib
+   ``sqlite3``, read-only URI connections per task. The default in this
+   jar-less environment.
+3. **Driver-side bridge** (last resort): ``sqlite3`` → Arrow-backed
+   ``createDataFrame``. Single-node read — appropriate for
    dimension-sized tables only, which is exactly what the reference's
    SQLite databases hold (its README scopes the project to small data).
-   Large fact data belongs in parquet; the bridge exists for
-   compatibility with existing reference databases.
+   Large fact data belongs in parquet.
 """
 
 from __future__ import annotations
@@ -44,7 +49,12 @@ def read_sqlite(
     partition_column: str | None = None,
     num_partitions: int = 8,
 ) -> DataFrame:
-    """Read one SQLite table as a DataFrame (JDBC when possible)."""
+    """Read one SQLite table as a DataFrame.
+
+    Strategy: JDBC if the driver jar is reachable, else the distributed
+    Python DataSource (rowid-partitioned, filter-pushdown), else the
+    driver-side pandas bridge.
+    """
     if _jdbc_available(spark):
         reader = (
             spark.read.format("jdbc")
@@ -65,6 +75,24 @@ def read_sqlite(
                 .option("numPartitions", str(num_partitions))
             )
         return reader.load()
+
+    try:
+        from etl_python_sqlite_spark.sources.sqlite_ds import (
+            FORMAT_NAME,
+            register_sqlite_source,
+        )
+
+        register_sqlite_source(spark)
+        return (
+            spark.read.format(FORMAT_NAME)
+            .option("path", str(db_path))
+            .option("table", table)
+            .option("numPartitions", str(num_partitions))
+            .load()
+        )
+    except Exception:
+        # datasource API unavailable (pre-Spark-4 session) — last resort
+        pass
 
     con = sqlite3.connect(str(db_path))
     try:
