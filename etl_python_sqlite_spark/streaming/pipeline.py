@@ -431,6 +431,7 @@ def attribute_purchases_to_clicks(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream event-time interval join: attribute each purchase
     to every click by the same user within the preceding ``horizon`` —
@@ -448,10 +449,22 @@ def attribute_purchases_to_clicks(
     would grow forever. The equi-key (user_id) keeps the join a hash
     shuffle, uniform under the usual user-key assumptions.
 
+    ``how="left_outer"`` additionally emits each UNCONVERTED click once
+    — with NULL purchase columns — as soon as the watermark proves no
+    matching purchase can still arrive (click state expires at
+    watermark + horizon). That is the funnel-abandonment feed, and the
+    outer half of Structured Streaming's stream-stream join matrix:
+    legal precisely because both watermarks + the interval predicate
+    give Spark the state-expiry certificate; the NULL row surfaces in a
+    micro-batch AFTER the watermark passes the click's horizon, which
+    the e2e test drives with a trailing heartbeat batch.
+
     Works identically on batch frames (unified semantics), which is how
     the pytest pins the matching itself; the streaming e2e test drives
     the same plan through micro-batches and checks append-mode emission.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join mode: {how!r}")
     c = clicks.withWatermark("ts", watermark).select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_id"),
@@ -472,6 +485,7 @@ def attribute_purchases_to_clicks(
             purchase_ts <= click_ts + INTERVAL {horizon}
             """
         ),
+        how,
     ).select(
         F.col("c_user").alias("user_id"),
         "click_id",

@@ -553,3 +553,79 @@ def test_streaming_rollup_maintenance(spark, tmp_path):
     spark.createDataFrame(f3, schema).coalesce(1).write.mode("append").parquet(src)
     run("mv_ck1")  # resume the ORIGINAL checkpoint → only f3 is new
     assert snap() == expected(f1 + f2 + f3)
+
+
+def test_stream_stream_interval_attribution_left_outer(spark, tmp_path):
+    """left_outer interval join: unconverted clicks are ALSO emitted,
+    with NULL purchase columns, once the watermark proves the horizon
+    is closed. Batch pins the row set; streaming drives the same plan
+    and must emit the NULL rows in a post-watermark micro-batch."""
+    from datetime import datetime, timedelta
+
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        attribute_purchases_to_clicks,
+    )
+
+    def ev(i, minute, user, etype, value=0.0):
+        return (i, datetime(2024, 6, 1, 12, 0) + timedelta(minutes=minute),
+                user, etype, value, "{}")
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    clicks_rows = [ev(1, 0, 7, "click"), ev(2, 30, 7, "click"),
+                   ev(3, 0, 9, "click")]
+    purch_rows = [ev(10, 40, 7, "purchase", 5.0),
+                  ev(11, 90, 7, "purchase", 7.0),
+                  ev(12, 40, 8, "purchase", 9.0)]
+    clicks_df = spark.createDataFrame(clicks_rows, schema)
+    purch_df = spark.createDataFrame(purch_rows, schema)
+
+    # batch semantics: click 3 (user 9) never converts → NULL purchase
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in attribute_purchases_to_clicks(
+            clicks_df, purch_df, how="left_outer"
+        ).collect()
+    }
+    assert got == {(1, 10), (2, 10), (2, 11), (3, None)}
+
+    # unknown mode rejected up front
+    try:
+        attribute_purchases_to_clicks(clicks_df, purch_df, how="full")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError")
+
+    # streaming e2e: heartbeat batches on both sides push the watermark
+    # far past every horizon so the outer NULLs finalize under
+    # availableNow (outer rows emit in a LATER batch than the match)
+    csrc, psrc = str(tmp_path / "oc"), str(tmp_path / "op")
+    clicks_df.coalesce(1).write.parquet(csrc)
+    purch_df.coalesce(1).write.parquet(psrc)
+    for m in (600, 1200):
+        spark.createDataFrame([ev(90 + m, m, 1, "click")], schema) \
+            .coalesce(1).write.mode("append").parquet(csrc)
+        spark.createDataFrame([ev(95 + m, m, 2, "purchase")], schema) \
+            .coalesce(1).write.mode("append").parquet(psrc)
+
+    cs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(csrc)
+    ps = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(psrc)
+    out = str(tmp_path / "outer_out")
+    q = (
+        attribute_purchases_to_clicks(cs, ps, how="left_outer")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "outer_ckpt"))
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # every batch attribution must appear; the original unconverted
+    # click must surface as a NULL row (heartbeat clicks may also show
+    # as unconverted — filter to the ids under test)
+    core = {(c, p) for c, p in streamed if c in (1, 2, 3)}
+    assert core == {(1, 10), (2, 10), (2, 11), (3, None)}
