@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FRONT so they land inside the window.
     return {
         # -- NEW in round 5 (never driver-attested) — lead the window --
+        "scd2_apply_changes_events": R.scd2_apply_changes_events,
         "ext_embedding_dim_stats": E.ext_embedding_dim_stats,
         "ext_dedup_survivor_quality": E.ext_dedup_survivor_quality,
         "ext_source_ngram_novelty": E.ext_source_ngram_novelty,
@@ -372,6 +373,37 @@ def _pagerank_sql(iters: int = 5, total_mass: int = 10**12) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         # -- round-5 additions ------------------------------------------
+        # merge ≡ rebuild: the oracle is the FULL-history SCD2 twin;
+        # Spark builds history below the temporal midpoint and merges
+        # the rest as a change batch (scd2_apply_changes)
+        "scd2_apply_changes_events": """
+            WITH flagged AS (
+                SELECT user_id, event_type, ts AS valid_from, event_id,
+                       CASE WHEN lag(event_type) OVER w IS NULL
+                                 OR lag(event_type) OVER w <> event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            changes AS (
+                SELECT user_id, event_type, valid_from, event_id
+                FROM flagged WHERE chg = 1
+            ),
+            iv AS (
+                SELECT user_id, event_type, valid_from,
+                       lead(valid_from) OVER w2 AS valid_to
+                FROM changes
+                WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+            )
+            SELECT user_id, event_type,
+                   strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+                   COALESCE(strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f'), '')
+                       AS valid_to,
+                   CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER)
+                       AS is_current
+            FROM iv
+            ORDER BY user_id, valid_from
+        """,
         "ext_embedding_dim_stats": """
             WITH ex AS (
                 SELECT CAST(unnest(range(0, len(v))) AS INT) AS dim,

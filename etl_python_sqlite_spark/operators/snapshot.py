@@ -161,3 +161,69 @@ def scd2_intervals(
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+def scd2_apply_changes(
+    history: DataFrame,
+    changes: DataFrame,
+    key: str,
+    state_col: str,
+    ts_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """INCREMENTALLY merge a batch of new change events into an existing
+    SCD2 history (the apply-changes half of warehouse CDC — the
+    companion to :func:`scd2_intervals`, which builds history from
+    scratch). Closed intervals are NEVER rescanned or rewritten; only
+    each affected key's single OPEN interval re-enters the window, so
+    per-batch cost is O(changes + affected keys) — the same
+    O(delta)-not-O(history) discipline as
+    ``operators/incremental.merge_agg_states``.
+
+    Contract (the standard append-only CDC assumption): every change
+    event's ``ts_col`` is strictly LATER than the open interval's
+    ``valid_from`` for its key — i.e. batches arrive in time order.
+    Under it, **merge ≡ rebuild**: the result is bit-identical to
+    ``scd2_intervals`` over the concatenated event log (the contract
+    query's oracle proves this against a full-history SQL twin) —
+    including the collapse case where a change carries the SAME state
+    as the open interval (no new row; the open interval's original
+    ``valid_from`` survives, because the open interval re-enters the
+    window as an event at its own ``valid_from``, which sorts first).
+    Late (out-of-order) data would need a closed-interval split and is
+    out of scope here — route it to a full rebuild of the affected
+    keys.
+
+    Shape: affected open intervals are selected by a semi-join on the
+    (uniform) change-key set; the re-windowed union is bounded by the
+    batch; untouched history passes through with zero shuffles.
+    """
+    extra = list(order_cols or [])
+    ckeys = changes.select(key).distinct()
+    open_ = history.filter(F.col("is_current"))
+    open_aff = open_.join(ckeys, key, "left_semi")
+    untouched = history.filter(~F.col("is_current")).unionByName(
+        open_.join(ckeys, key, "left_anti")
+    )
+    # the open interval re-enters as an event at its own valid_from;
+    # _src=0 sorts it before any change event (change ts are strictly
+    # later anyway under the contract — the tiebreak is belt-and-braces)
+    ctypes = dict(changes.dtypes)
+    hist_events = open_aff.select(
+        key,
+        state_col,
+        F.col("valid_from").alias(ts_col),
+        F.lit(0).alias("_src"),
+        *[F.lit(None).cast(ctypes[c]).alias(c) for c in extra],
+    )
+    chg_events = changes.select(
+        key, state_col, ts_col, F.lit(1).alias("_src"), *extra
+    )
+    piece = scd2_intervals(
+        hist_events.unionByName(chg_events),
+        key=key,
+        state_col=state_col,
+        ts_col=ts_col,
+        order_cols=["_src"] + extra,
+    )
+    return untouched.unionByName(piece)

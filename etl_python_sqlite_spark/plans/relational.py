@@ -2290,6 +2290,51 @@ def mad_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tie(out, hist, dhist)
 
 
+def scd2_apply_changes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 apply-changes (operators/snapshot
+    .scd2_apply_changes) proven against the full-rebuild oracle: build
+    history from the events before the corpus' temporal midpoint, merge
+    the remainder as a change batch, and the result must be
+    BIT-IDENTICAL to one-shot SCD2 over the whole log — closed
+    intervals never rescanned, only affected keys' open intervals
+    re-window (O(delta), the CDC-compaction discipline). The midpoint
+    split is computed in-query (one bounded 1-row collect), so per-round
+    data regeneration moves the split with the data; the oracle is the
+    same full-history SQL as ``scd2_event_intervals``."""
+    from etl_python_sqlite_spark.operators.cache import tie
+    from etl_python_sqlite_spark.operators.snapshot import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    split = lo + (hi - lo) / 2
+    hist = scd2_intervals(
+        ev.filter(F.col("ts") < F.lit(split)),
+        key="user_id", state_col="event_type", ts_col="ts",
+        order_cols=["event_id"],
+    ).persist()  # consumed by open-affected semi/anti + untouched pass
+    changes = ev.filter(F.col("ts") >= F.lit(split)).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    merged = scd2_apply_changes(
+        hist, changes, key="user_id", state_col="event_type", ts_col="ts",
+        order_cols=["event_id"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    out = merged.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.coalesce(F.date_format("valid_to", fmt), F.lit("")).alias(
+            "valid_to"
+        ),
+        F.col("is_current").cast("int").alias("is_current"),
+    ).orderBy("user_id", "valid_from")
+    return tie(out, hist)
+
+
 def scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history build over the events stream: each user's
     consecutive runs of equal event_type collapse into validity

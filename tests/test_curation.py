@@ -210,3 +210,72 @@ def test_curation_ops_empty_inputs(spark):
         scd2_intervals(ev, key="user_id", state_col="event_type",
                        ts_col="ts", order_cols=["event_id"]).count() == 0
     )
+
+
+def test_scd2_apply_changes_merge_equals_rebuild(spark):
+    """Planted CDC log split at several boundaries: merging the suffix
+    into the prefix-built history must equal the one-shot rebuild —
+    including same-state collapse across the boundary, brand-new keys,
+    and untouched keys."""
+    from datetime import datetime, timedelta
+
+    from etl_python_sqlite_spark.operators.snapshot import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: A A B B A   (collapse + changes)
+        (1, 1, t0 + timedelta(hours=0), "A"),
+        (2, 1, t0 + timedelta(hours=1), "A"),
+        (3, 1, t0 + timedelta(hours=2), "B"),
+        (4, 1, t0 + timedelta(hours=3), "B"),
+        (5, 1, t0 + timedelta(hours=4), "A"),
+        # user 2: only early events (must pass through untouched)
+        (6, 2, t0 + timedelta(hours=0), "X"),
+        (7, 2, t0 + timedelta(hours=1), "Y"),
+        # user 3: only late events (brand-new key in the change batch)
+        (8, 3, t0 + timedelta(hours=5), "Z"),
+        (9, 3, t0 + timedelta(hours=6), "W"),
+    ]
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    ev = spark.createDataFrame(
+        [(e, u, t, s) for e, u, t, s in rows], schema
+    )
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in df.collect()
+        )
+
+    full = canon(scd2_intervals(
+        ev, key="user_id", state_col="event_type", ts_col="ts",
+        order_cols=["event_id"],
+    ))
+    for split_hours in (1.5, 2.5, 4.5, 5.5):
+        cut = t0 + timedelta(hours=split_hours)
+        hist = scd2_intervals(
+            ev.filter(ev.ts < cut), key="user_id",
+            state_col="event_type", ts_col="ts", order_cols=["event_id"],
+        )
+        merged = scd2_apply_changes(
+            hist,
+            ev.filter(ev.ts >= cut).select(
+                "user_id", "event_type", "ts", "event_id"
+            ),
+            key="user_id", state_col="event_type", ts_col="ts",
+            order_cols=["event_id"],
+        )
+        assert canon(merged) == full, f"split at +{split_hours}h"
+        # closed intervals must be pass-through rows (never re-derived):
+        # every closed pre-split interval appears verbatim in the merge
+        closed_hist = {
+            tuple(r) for r in hist.filter(~hist.is_current).collect()
+        }
+        closed_merged = {
+            tuple(r) for r in merged.filter(~merged.is_current).collect()
+        }
+        assert closed_hist <= closed_merged
