@@ -309,6 +309,13 @@ def pagerank(
       free via the ContextCleaner as their frames drop; the final
       frame and the persisted edge frame are scoped to the result via
       ``tie``.
+    * ONE join per iteration, not two: nodes with no inbound edge have
+      rank exactly ``base [+ dshare]`` every iteration, so instead of
+      left-joining the contribution aggregate back onto the full node
+      frame, the update is ``agg-derived rows ∪ (no-inbound nodes ×
+      constant)`` — a union, which shuffles nothing (r5; bit-identical
+      by construction since coalesce(c, 0) for those nodes IS the
+      constant).
     """
     if dangling not in ("evaporate", "redistribute"):
         raise ValueError(f"unknown dangling mode: {dangling!r}")
@@ -334,13 +341,11 @@ def pagerank(
         eo = eo.persist()
         rank_side = F.broadcast
     else:
-        # co-locate the per-iteration joins: E⋈outdeg partitioned by
-        # the probe key once, node frame by the build key once — each
-        # iteration then shuffles only the rank/contribution rows
+        # co-locate the per-iteration rank join: E⋈outdeg partitioned
+        # by the probe key ONCE — each iteration then shuffles only the
+        # rank/contribution rows (the node frame no longer joins at
+        # all; see the union-update note in the docstring)
         eo = eo.repartition("u").persist()
-        nodes.unpersist()
-        nodes = nodes.repartition("node").persist()
-        nodes.count()
 
         def rank_side(df: DataFrame) -> DataFrame:
             return df
@@ -357,6 +362,13 @@ def pagerank(
     else:
         dang = None
 
+    # nodes that receive no contributions (no inbound edge) — their
+    # per-iteration rank is the constant base [+ dshare]; computed once
+    no_in = nodes.join(
+        e.select(F.col("v").alias("node")).distinct(), "node", "left_anti"
+    ).persist()
+    no_in.count()
+
     ranks = nodes.select("node", F.lit(r0).cast("long").alias("r"))
     contrib = F.expr(f"({damp_num} * r) div ({damp_den} * d)")
     dshare = F.expr(f"({damp_num} * _dm) div ({damp_den} * {n_nodes})")
@@ -367,7 +379,9 @@ def pagerank(
             .groupBy("v")
             .agg(F.sum("c").alias("c"))
         )
-        upd = nodes.join(rank_side(agg), nodes["node"] == agg["v"], "left")
+        upd = agg.select(F.col("v").alias("node"), "c").unionByName(
+            no_in.select("node", F.lit(None).cast("long").alias("c"))
+        )
         extra = F.lit(0).cast("long")
         if redistribute:
             dm = (
@@ -382,5 +396,5 @@ def pagerank(
             .cast("long")
             .alias("r"),
         ).localCheckpoint(eager=True)
-    keep = [eo, nodes] + ([dang] if dang is not None else [])
+    keep = [eo, nodes, no_in] + ([dang] if dang is not None else [])
     return tie(ranks, *keep)
