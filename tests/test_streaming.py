@@ -629,3 +629,66 @@ def test_stream_stream_interval_attribution_left_outer(spark, tmp_path):
     # as unconverted — filter to the ids under test)
     core = {(c, p) for c, p in streamed if c in (1, 2, 3)}
     assert core == {(1, 10), (2, 10), (2, 11), (3, None)}
+
+
+def test_streaming_rollup_read_failure_propagates(spark, tmp_path):
+    """A CORRUPT state version must fail the micro-batch (so it
+    retries), never be silently treated as 'no state yet' — the
+    r4-ADVICE exactly-once hazard: swallowing a read error would write
+    v=N containing only the batch's own delta and permanently drop all
+    accumulated history from every later merge."""
+    import os
+
+    import pytest
+
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        maintain_rollup_stream,
+        read_rollup_state,
+    )
+
+    schema = "k string, v long"
+    src = str(tmp_path / "rf_src")
+    spark.createDataFrame([("a", 5)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    state = str(tmp_path / "rf_state")
+
+    def run(ckpt):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            maintain_rollup_stream(s, ["k"], "v", state)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("rf_ck1")
+    assert read_rollup_state(spark, state).count() == 1
+
+    # corrupt every parquet footer in the newest version dir
+    vdirs = sorted(
+        d for d in os.listdir(state) if d.startswith("v=")
+    )
+    vdir = os.path.join(state, vdirs[-1])
+    for f in os.listdir(vdir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(vdir, f), "r+b") as fh:
+                fh.seek(0)
+                fh.write(b"CORRUPT!" * 16)
+
+    # a new batch must now FAIL (propagated read error), not reset
+    spark.createDataFrame([("b", 7)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    with pytest.raises(Exception):
+        run("rf_ck1")
+    # and crucially: no NEW state version was committed on top of the
+    # corrupt predecessor (a silent reset would have written one
+    # containing only b's delta)
+    after = sorted(d for d in os.listdir(state) if d.startswith("v="))
+    assert after == vdirs
