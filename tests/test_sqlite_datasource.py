@@ -131,3 +131,74 @@ def test_read_sqlite_prefers_distributed_path(spark, tmp_path):
     df = read_sqlite(spark, db, "medidas", num_partitions=5)
     assert df.rdd.getNumPartitions() == 5
     assert df.count() == 50
+
+
+def test_north_star_sqlite_to_target_pipeline(spark, tmp_path):
+    """The north-star flow end-to-end on the distributed source:
+    DataFrame read FROM SQLITE (rowid-partitioned Python DataSource) →
+    the reference's motivo validation/normalization cascade → idempotent
+    parquet target + audit row written BACK to SQLite (OR-IGNORE). A
+    reference user's whole pipeline, no JDBC jar required."""
+    from etl_python_sqlite_spark.operators.idempotent import idempotent_append
+    from etl_python_sqlite_spark.operators.transform import (
+        transform_with_rejections,
+    )
+    from etl_python_sqlite_spark.sources.sqlite import write_sqlite
+
+    src_db = str(tmp_path / "ref_src.db")
+    con = sqlite3.connect(src_db)
+    con.execute(
+        "CREATE TABLE personas (nombre TEXT, edad TEXT, ciudad TEXT)"
+    )
+    con.executemany(
+        "INSERT INTO personas VALUES (?, ?, ?)",
+        [
+            ("ana maria", "30", "lima"),
+            ("LUIS", "40", "quito"),
+            ("pepe", "20", "bogota"),      # under edad_min -> reject
+            ("rosa", "treinta", "cali"),   # bad int -> reject
+            ("ana maria", "30", "lima"),   # duplicate -> OR-IGNORE drop
+        ],
+    )
+    con.commit()
+    con.close()
+
+    raw = read_sqlite(spark, src_db, "personas", num_partitions=3)
+    assert raw.rdd.getNumPartitions() == 3  # distributed read engaged
+
+    valid, rejects = transform_with_rejections(raw)
+
+    target = str(tmp_path / "personas_fact")
+    res = idempotent_append(
+        spark,
+        valid.select("nombre", "edad", "ciudad"),
+        target,
+        keys=["nombre", "edad", "ciudad"],
+    )
+    assert res.inserted_new == 2  # dup collapsed in-batch
+    assert rejects.count() == 2
+
+    # re-run: INSERT OR IGNORE semantics on the target
+    res2 = idempotent_append(
+        spark,
+        valid.select("nombre", "edad", "ciudad"),
+        target,
+        keys=["nombre", "edad", "ciudad"],
+    )
+    assert res2.inserted_new == 0
+
+    # audit written back to SQLite, idempotently keyed
+    audit_db = str(tmp_path / "audit.db")
+    audit = spark.createDataFrame(
+        [("run-1", res.inserted_new, 2)], "run_id string, inserted long, rejected long"
+    )
+    assert write_sqlite(audit, audit_db, "etl_runs",
+                        if_exists_unique_keys=["run_id"]) == 1
+    assert write_sqlite(audit, audit_db, "etl_runs",
+                        if_exists_unique_keys=["run_id"]) == 0
+
+    rows = {
+        (r["nombre"], r["ciudad"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert rows == {("Ana maria", "Lima"), ("Luis", "Quito")}
