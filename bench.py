@@ -151,7 +151,7 @@ def main() -> None:
         for name, sql in oracles.items():
             t0 = time.perf_counter()
             con.sql(sql).fetchall()
-            duck_timings[name] = time.perf_counter() - t0
+            duck_timings[name] = round(time.perf_counter() - t0, 4)
         duckdb_sec = round(sum(duck_timings.values()), 4)
         duckdb_excl_recursive_sec = round(
             sum(t for n, t in duck_timings.items() if n not in _RECURSIVE_ORACLES),
@@ -193,6 +193,14 @@ def main() -> None:
     full = dict(summary)
     full["concurrent_runs_sec"] = concurrent_runs
     full["queries"] = timings
+    # per-query DuckDB twin timings (detail file only, never the final
+    # line): the aggregate baseline swings ~2× with machine state
+    # (r5: 71→144 s on the same corpus), so the breakdown is needed to
+    # tell a genuinely expensive new twin from session noise
+    try:
+        full["duckdb_queries"] = duck_timings
+    except NameError:
+        pass
     print(json.dumps(full, separators=(",", ":")))
     try:
         with open(

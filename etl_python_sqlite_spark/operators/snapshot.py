@@ -170,6 +170,7 @@ def scd2_apply_changes(
     state_col: str,
     ts_col: str,
     order_cols: list[str] | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """INCREMENTALLY merge a batch of new change events into an existing
     SCD2 history (the apply-changes half of warehouse CDC — the
@@ -192,7 +193,11 @@ def scd2_apply_changes(
     window as an event at its own ``valid_from``, which sorts first).
     Late (out-of-order) data would need a closed-interval split and is
     out of scope here — route it to a full rebuild of the affected
-    keys.
+    keys. A violated contract would SILENTLY diverge from the rebuild,
+    so ``validate=True`` (default) runs one bounded count — per-key
+    min change ts joined against the affected open intervals — and
+    raises instead; pass ``validate=False`` only on a hot path whose
+    producer already guarantees time-ordered batches.
 
     Shape: affected open intervals are selected by a semi-join on the
     (uniform) change-key set; the re-windowed union is bounded by the
@@ -202,6 +207,21 @@ def scd2_apply_changes(
     ckeys = changes.select(key).distinct()
     open_ = history.filter(F.col("is_current"))
     open_aff = open_.join(ckeys, key, "left_semi")
+    if validate:
+        # bounded: ≤ one row per changed key on each side
+        cmin = changes.groupBy(key).agg(F.min(ts_col).alias("_min_ts"))
+        n_late = (
+            cmin.join(open_aff.select(key, "valid_from"), key)
+            .filter(F.col("_min_ts") <= F.col("valid_from"))
+            .count()
+        )
+        if n_late:
+            raise ValueError(
+                f"scd2_apply_changes: {n_late} key(s) have change events "
+                "at or before their open interval's valid_from — "
+                "out-of-order batch violates the append-only contract "
+                "(rebuild the affected keys instead)"
+            )
     untouched = history.filter(~F.col("is_current")).unionByName(
         open_.join(ckeys, key, "left_anti")
     )

@@ -279,3 +279,42 @@ def test_scd2_apply_changes_merge_equals_rebuild(spark):
             tuple(r) for r in merged.filter(~merged.is_current).collect()
         }
         assert closed_hist <= closed_merged
+
+
+def test_scd2_apply_changes_rejects_late_data(spark):
+    """A change at/before its key's open-interval start violates the
+    append-only contract; silent divergence from rebuild is forbidden —
+    validate=True (default) must raise, validate=False opts out."""
+    from datetime import datetime, timedelta
+
+    from etl_python_sqlite_spark.operators.snapshot import (
+        scd2_apply_changes,
+        scd2_intervals,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    ev = spark.createDataFrame(
+        [(1, 1, t0, "A"), (2, 1, t0 + timedelta(hours=2), "B")], schema
+    )
+    hist = scd2_intervals(
+        ev, key="user_id", state_col="event_type", ts_col="ts",
+        order_cols=["event_id"],
+    )
+    late = spark.createDataFrame(
+        [(3, 1, t0 + timedelta(hours=1), "C")], schema  # before open start (t0+2h)
+    ).select("user_id", "event_type", "ts", "event_id")
+    try:
+        scd2_apply_changes(
+            hist, late, key="user_id", state_col="event_type", ts_col="ts",
+            order_cols=["event_id"],
+        )
+    except ValueError as e:
+        assert "append-only" in str(e)
+    else:
+        raise AssertionError("expected ValueError on late data")
+    # explicit opt-out still computes (caller takes responsibility)
+    scd2_apply_changes(
+        hist, late, key="user_id", state_col="event_type", ts_col="ts",
+        order_cols=["event_id"], validate=False,
+    ).count()
