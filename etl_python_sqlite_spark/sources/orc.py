@@ -8,9 +8,12 @@ pushed filters appear in the ORC scan plan the same way the parquet plan
 gates do.
 
 Avro, for contrast, is an *external* Spark module (spark-avro jar) — not
-loadable in this offline environment; ``write_avro``/``read_avro`` raise
-with the gate documented, mirroring the sqlite-JDBC gate in
-``sources/sqlite.py``.
+loadable in this offline environment. ``read_avro`` therefore routes to
+the pure-stdlib container reader in ``sources/avro_py.py`` (Python
+DataSource, one partition per file — the r5 jar-gap closure, same trick
+as ``sqlite_ds.py``); ``write_avro`` keeps the documented jar gate
+(distributed Avro WRITING needs the jar; the bounded fixture writer
+lives in ``avro_py.write_avro``).
 """
 
 from __future__ import annotations
@@ -50,10 +53,11 @@ def write_orc(
 
 
 _AVRO_GATE = (
-    "Avro is an external Spark module (org.apache.spark:spark-avro); this "
-    "environment is offline with no package installs, so the jar cannot be "
-    "fetched. With the jar on the classpath these become "
-    "df.write.format('avro') / spark.read.format('avro') one-liners."
+    "Distributed Avro WRITING needs the external spark-avro jar "
+    "(org.apache.spark:spark-avro); this environment is offline with no "
+    "package installs. With the jar it is df.write.format('avro'); for "
+    "bounded fixture/dimension writes use sources/avro_py.write_avro. "
+    "READING needs no jar: sources/avro_py.read_avro."
 )
 
 
@@ -62,4 +66,7 @@ def write_avro(df: DataFrame, path: str | Path) -> None:
 
 
 def read_avro(spark: SparkSession, path: str | Path) -> DataFrame:
-    raise NotImplementedError(_AVRO_GATE)
+    """Jar-free Avro read via the pure-stdlib Python DataSource."""
+    from etl_python_sqlite_spark.sources.avro_py import read_avro as _ra
+
+    return _ra(spark, str(path))

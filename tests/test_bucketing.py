@@ -94,12 +94,18 @@ def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tmp_path):
     assert "bucket" in seg
 
 
-def test_avro_gate_documented(spark):
+def test_avro_gate_documented(spark, tmp_path):
+    """Distributed WRITE keeps the documented jar gate; READ now routes
+    to the jar-free stdlib DataSource (sources/avro_py, r5)."""
     import pytest as _pytest
 
+    from etl_python_sqlite_spark.sources.avro_py import write_avro as fixture_write
     from etl_python_sqlite_spark.sources.orc import read_avro, write_avro
 
     with _pytest.raises(NotImplementedError, match="spark-avro"):
         write_avro(spark.range(1), "/tmp/never")
-    with _pytest.raises(NotImplementedError, match="offline"):
-        read_avro(spark, "/tmp/never")
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "id", "type": "long"}]}
+    p = str(tmp_path / "one.avro")
+    fixture_write([(1,), (2,)], schema, p)
+    assert {r["id"] for r in read_avro(spark, p).collect()} == {1, 2}
