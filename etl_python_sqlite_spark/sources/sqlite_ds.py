@@ -57,6 +57,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     StringStartsWith,
 )
 from pyspark.sql.types import (
@@ -226,6 +227,72 @@ class SqliteDataSource(DataSource):
     def reader(self, schema: StructType) -> SqliteScanReader:
         return SqliteScanReader(self.options, schema)
 
+    def simpleStreamReader(self, schema: StructType):
+        return SqliteTailStreamReader(self.options)
+
+
+class SqliteTailStreamReader(SimpleDataSourceStreamReader):
+    """Structured-Streaming tail of a SQLite table by ``rowid``.
+
+    The reference's storage engine as a LIVE source: each micro-batch
+    reads rows with ``rowid`` in ``(last_offset, current_max]`` — the
+    append-only CDC pattern for rowid tables (SQLite assigns
+    monotonically increasing rowids unless rows are deleted and ids
+    recycled; the documented contract here is append-only producers,
+    the same assumption every rowid/auto-increment CDC tail makes).
+    Offsets are ``{"rowid": N}`` dicts checkpointed by Spark;
+    ``readBetweenOffsets`` re-reads a committed range deterministically
+    on replay, so the source composes with the engine's idempotent
+    sinks for exactly-once end-to-end.
+
+    SimpleDataSourceStreamReader executes on the DRIVER (prefetch
+    model) — right for the dimension-rate tables SQLite holds; a
+    high-rate source would use the partition-planning streamReader API.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path") or options.get("url")
+        self.table = options.get("table") or options.get("dbtable")
+        if not self.path or not self.table:
+            raise ValueError("sqlite_tail requires options: path, table")
+        cols = _table_schema(self.path, self.table).fieldNames()
+        self.cols = ", ".join(f'"{c}"' for c in cols)
+
+    def initialOffset(self) -> dict:
+        return {"rowid": 0}
+
+    def _max_rowid(self) -> int:
+        con = _ro_connect(self.path)
+        try:
+            row = con.execute(
+                f'SELECT MAX(rowid) FROM "{self.table}"'
+            ).fetchone()
+            return int(row[0] or 0)
+        finally:
+            con.close()
+
+    def read(self, start: dict):
+        end = {"rowid": self._max_rowid()}
+        return self.readBetweenOffsets(start, end), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = int(start["rowid"]), int(end["rowid"])
+        if hi <= lo:
+            return iter(())
+        con = _ro_connect(self.path)
+        try:
+            rows = con.execute(
+                f'SELECT {self.cols} FROM "{self.table}"'
+                " WHERE rowid > ? AND rowid <= ? ORDER BY rowid",
+                (lo, hi),
+            ).fetchall()
+        finally:
+            con.close()
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing to ack
+
 
 def register_sqlite_source(spark) -> None:
     """Idempotently register the ``sqlite_py`` format on a session.
@@ -235,3 +302,15 @@ def register_sqlite_source(spark) -> None:
     ``pushFilters`` hard-errors at plan time while the flag is off."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SqliteDataSource)
+
+
+def read_sqlite_stream(spark, db_path, table):
+    """``spark.readStream`` tail of a SQLite table (see
+    :class:`SqliteTailStreamReader`)."""
+    register_sqlite_source(spark)
+    return (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", str(db_path))
+        .option("table", table)
+        .load()
+    )

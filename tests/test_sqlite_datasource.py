@@ -202,3 +202,50 @@ def test_north_star_sqlite_to_target_pipeline(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert rows == {("Ana maria", "Lima"), ("Luis", "Quito")}
+
+
+def test_sqlite_stream_tail_incremental(spark, tmp_path):
+    """Structured-Streaming tail of a SQLite table by rowid: the first
+    availableNow run drains the current rows; rows inserted AFTER it
+    are picked up incrementally by a resumed run (same checkpoint) —
+    none re-read, none missed."""
+    from etl_python_sqlite_spark.sources.sqlite_ds import read_sqlite_stream
+
+    db = str(tmp_path / "tail.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE feed (id INTEGER PRIMARY KEY, v TEXT)")
+    con.executemany(
+        "INSERT INTO feed VALUES (?, ?)", [(i, f"v{i}") for i in range(1, 6)]
+    )
+    con.commit()
+    con.close()
+
+    out = str(tmp_path / "tail_out")
+    ckpt = str(tmp_path / "tail_ckpt")
+
+    def drain():
+        q = (
+            read_sqlite_stream(spark, db, "feed")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(out)
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert {r["id"] for r in spark.read.parquet(out).collect()} == set(
+        range(1, 6)
+    )
+
+    con = sqlite3.connect(db)
+    con.executemany(
+        "INSERT INTO feed VALUES (?, ?)", [(i, f"v{i}") for i in range(6, 9)]
+    )
+    con.commit()
+    con.close()
+
+    drain()  # resume: only rowids 6-8 are new
+    rows = [r["id"] for r in spark.read.parquet(out).collect()]
+    assert sorted(rows) == list(range(1, 9))  # no dup, no gap
