@@ -905,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 5 = 3 THEN NULL
                         WHEN doc_id % 4 = 0 THEN 'bmp'
                         WHEN doc_id % 8 = 2 THEN 'png'
+                        WHEN doc_id % 16 = 6 THEN 'jpeg'
                         WHEN doc_id % 2 = 0 THEN 'ppm'
                         ELSE 'wav' END AS format,
                    CASE WHEN doc_id % 5 <> 3 AND doc_id % 2 = 0

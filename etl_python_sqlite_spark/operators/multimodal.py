@@ -6,17 +6,19 @@ container-friendly formats:
 
 * images: BMP (24-bit uncompressed BI_RGB), PPM (binary P6), PNG
   (8-bit RGB/RGBA, non-interlaced — stdlib ``zlib`` inflate + full
-  filter-type-0..4 scanline reconstruction), and GIF87a/89a (full LZW
+  filter-type-0..4 scanline reconstruction), GIF87a/89a (full LZW
   decompression with variable code widths, global/local palettes,
   interlace reordering, extension-block skipping — first frame of an
-  animation) parsed with ``struct`` + numpy — full pixel arrays, not
-  just headers — plus matching encoders for round-trips and a real
-  nearest-neighbor resize.
+  animation), and **baseline JPEG** (SOF0 Huffman DCT — a full T.81
+  baseline codec in ``operators/jpeg.py``, encoder + decoder, 4:4:4 /
+  4:2:0 / grayscale / restart markers) parsed with ``struct`` + numpy —
+  full pixel arrays, not just headers — plus matching encoders for
+  round-trips and a real nearest-neighbor resize.
 * audio: WAV PCM via the stdlib ``wave`` module — sample rate, channels,
   frames, and the decoded sample matrix.
 
-Formats that genuinely need external libraries (JPEG's DCT entropy
-coding, MP3/AAC codecs, interlaced/paletted/16-bit PNG) still raise
+Formats that genuinely need external libraries (progressive/arithmetic
+JPEG, MP3/AAC codecs, interlaced/paletted/16-bit PNG) still raise
 ``NotImplementedError`` — swapping in PIL/ffmpeg later only changes the
 magic-number dispatch, the batching / schema / partitioning around it is
 unchanged.
@@ -50,6 +52,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from etl_python_sqlite_spark.operators.jpeg import (  # noqa: F401  re-export
+    decode_jpeg,
+    encode_jpeg,
+)
 
 #: canonical multimodal schema: opaque payload + typed metadata
 MEDIA_SCHEMA = T.StructType(
@@ -101,14 +108,10 @@ class DecodedAudio(NamedTuple):
 
 
 def decode_image(content: bytes) -> DecodedImage:
-    """Decode BMP (24-bit BI_RGB), binary PPM (P6), or PNG (8-bit
-    RGB/RGBA non-interlaced) to pixels — pure stdlib+numpy, no image
-    library (PNG inflate is stdlib ``zlib``; scanline filters 0-4 are
-    reconstructed here).
-
-    JPEG would need a DCT entropy codec — that still raises until PIL is
-    available; the dispatch here is the only thing that changes then.
-    """
+    """Decode BMP (24-bit BI_RGB), binary PPM (P6), PNG (8-bit RGB/RGBA
+    non-interlaced), GIF, or baseline JPEG to pixels — pure stdlib+numpy,
+    no image library (PNG inflate is stdlib ``zlib``; JPEG is the full
+    T.81 baseline codec in ``operators/jpeg.py``)."""
     if content is None or len(content) < 2:
         raise ValueError("empty or truncated image payload")
     if content[:2] == b"BM":
@@ -119,9 +122,14 @@ def decode_image(content: bytes) -> DecodedImage:
         return _decode_png(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(content)
+    if content[:2] == b"\xff\xd8":
+        from etl_python_sqlite_spark.operators import jpeg as _jpeg
+
+        d = _jpeg.decode_jpeg(content)
+        return DecodedImage(d.width, d.height, d.pixels)
     raise NotImplementedError(
-        "unsupported image format (only BMP/PPM/PNG/GIF decodable without"
-        " external libs)"
+        "unsupported image format (only BMP/PPM/PNG/GIF/baseline-JPEG"
+        " decodable without external libs)"
     )
 
 
@@ -597,6 +605,9 @@ _FORMAT_BY_MAGIC = (
     (b"P6", "ppm"),
     (b"RIFF", "wav"),
     (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8", "jpeg"),
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
 )
 
 

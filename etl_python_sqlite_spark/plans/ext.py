@@ -541,13 +541,16 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Builds a deterministic binary payload per document (pixels / PCM
     samples are the document's UTF-8 bytes): even doc_ids become images
-    (BMP when doc_id%4==0, else PPM), odd become WAV audio, and every
-    doc_id%5==3 payload is corrupted to exercise per-row reject routing.
-    The payloads then run through ``decode_media_metadata`` — the actual
-    stdlib BMP/PPM/WAV parsers over Arrow batches — and the decoded
-    metadata comes OUT of the parsers. The DuckDB oracle predicts every
-    column from octet_length(text) alone, so a hash match proves the
-    encode→decode round trip is bit-faithful.
+    (BMP when doc_id%4==0, PNG when %8==2, baseline JPEG when %16==6,
+    else PPM), odd become WAV audio, and every doc_id%5==3 payload is
+    corrupted to exercise per-row reject routing. The payloads then run
+    through ``decode_media_metadata`` — the actual stdlib BMP/PPM/PNG/
+    JPEG/WAV parsers over Arrow batches (JPEG is the full T.81 baseline
+    codec in operators/jpeg.py: DCT + canonical Huffman both ways) — and
+    the decoded metadata comes OUT of the parsers. The DuckDB oracle
+    predicts every column from octet_length(text) alone, so a hash match
+    proves the encode→decode round trip is bit-faithful (for JPEG: that
+    SOF0 frame dims survive the lossy pixel path exactly).
 
     Scale: two Arrow-batched stages over (doc_id, text) — no shuffle at
     all until the driver's canonical sort; decode parallelism is the scan
@@ -577,6 +580,8 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         content = M.encode_bmp(px)
                     elif doc_id % 8 == 2:
                         content = M.encode_png(px)  # zlib+filter real codec
+                    elif doc_id % 16 == 6:
+                        content = M.encode_jpeg(px)  # T.81 baseline codec
                     else:
                         content = M.encode_ppm(px)
                     modality = "image"
