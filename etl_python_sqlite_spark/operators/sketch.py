@@ -1,4 +1,4 @@
-"""Mergeable-sketch rollups: HLL distinct counts, KLL quantiles.
+"""Mergeable-sketch rollups: HLL distinct counts, KLL quantiles, CMS.
 
 The 100 TB pattern these encode: build small fixed-size sketches once
 per fine partition (day, file, shard), PERSIST THE SKETCHES, then answer
@@ -7,12 +7,15 @@ That's what makes incremental / hypertable-style distinct-count and
 quantile rollups possible: yesterday's sketch is immutable, today's
 batch adds one more, the monthly number is a union of 30 byte arrays.
 
-Built on Spark 4's native Apache DataSketches expressions
+HLL/KLL are built on Spark 4's native Apache DataSketches expressions
 (``hll_sketch_agg`` / ``hll_union_agg`` / ``kll_sketch_*``) — JVM-side,
-codegen-friendly, no UDFs. Estimates are engine-internal (no DuckDB
-twin), so the driver check is rows-only; `tests/test_sketch.py` pins the
-accuracy contract instead: HLL relative error ≤ the published bound for
-the chosen lgK, and two-level merge ≡ one-shot sketch of the union.
+codegen-friendly, no UDFs. Those estimates are engine-internal (no
+DuckDB twin), so their driver check is rows-only; `tests/test_sketch.py`
+pins the accuracy contract instead: HLL relative error ≤ the published
+bound for the chosen lgK, and two-level merge ≡ one-shot sketch of the
+union. The Count-Min sketch below is different: built on the portable
+hash family, every cell is replayed bit-for-bit by the DuckDB oracle,
+so CMS queries get the full hash-match gate.
 """
 
 from __future__ import annotations
@@ -102,4 +105,134 @@ def distinct_rollup_with_exact(
         F.col("distinct_estimate").cast("long").alias("distinct_estimate"),
         "distinct_exact",
         "n_sketches_merged",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (portable: same cells on Spark and DuckDB)
+# ---------------------------------------------------------------------------
+#
+# Cormode & Muthukrishnan's Count-Min sketch as a RELATIONAL frame of
+# (j, bucket, cnt) cells: row j of the sketch maps a key to bucket
+# universal_hash_j(phash60(key)) mod width and accumulates its weight.
+# Unlike the DataSketches HLL/KLL paths above, every cell is exact
+# integer arithmetic both engines replay bit-for-bit
+# (functions/portable.py), so CMS pipelines get the FULL hash-match
+# oracle, not rows-only.
+#
+# The 100 TB shape: the sketch is depth × width rows BY CONSTRUCTION —
+# independent of corpus cardinality — so it broadcasts at any scale
+# (same regime as the Bloom prefilter, operators/bloom.py); builds are
+# one map-side-combined groupBy; merges are a union + re-sum, never a
+# rescan (the streaming/rollup property that makes per-shard sketches
+# composable).
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build a Count-Min sketch of ``key_col`` as (j, bucket, cnt) cells.
+
+    ``weight_col`` turns the build into a weighted sketch — pass
+    pre-aggregated (key, count) rows to avoid re-hashing every raw
+    occurrence when keys repeat heavily (the word-count pattern).
+
+    Each input row contributes to exactly ``depth`` cells, via an
+    explode over the per-row (j, bucket) pairs — flat columns + groupBy,
+    the repo's approved hot-path shape (no higher-order folds). Missing
+    cells (no key hashed there) are implicitly zero; estimators must
+    COALESCE. Output is at most depth·width rows.
+    """
+    from etl_python_sqlite_spark.functions.portable import (
+        phash60,
+        universal_hash,
+        universal_salt_constants,
+    )
+
+    consts = universal_salt_constants(depth)
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col)
+    base = df.select(phash60(F.col(key_col)).alias("h"), w.alias("w"))
+    cells = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("j"),
+                        (
+                            universal_hash(F.col("h"), F.lit(a), F.lit(b))
+                            % F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for s, a, b in consts
+                ]
+            )
+        ).alias("jb"),
+        "w",
+    )
+    return cells.groupBy(
+        F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket")
+    ).agg(F.sum("w").cast("long").alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS frames built with the SAME (depth, width): union + re-sum.
+    Mergeability is the whole point — per-shard/per-day sketches roll up
+    without rescanning raw data; tests pin merge ≡ one-shot."""
+    it = iter(sketches)
+    u = next(it)
+    for s in it:
+        u = u.unionByName(s)
+    return u.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: the estimate is
+    min over rows j of the key's cell — the classic one-sided estimator
+    (``cms_est`` ≥ true count, always).
+
+    The sketch side is broadcast: ≤ depth·width rows regardless of what
+    was sketched, so the probe side never shuffles.
+    """
+    from etl_python_sqlite_spark.functions.portable import (
+        phash60,
+        universal_hash,
+        universal_salt_constants,
+    )
+
+    consts = universal_salt_constants(depth)
+    probes = keys.withColumn("_h", phash60(F.col(key_col))).select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("j"),
+                        (
+                            universal_hash(F.col("_h"), F.lit(a), F.lit(b))
+                            % F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for s, a, b in consts
+                ]
+            )
+        ).alias("jb"),
+    )
+    others = [c for c in keys.columns]
+    return (
+        probes.select(*others, F.col("jb.j").alias("j"),
+                      F.col("jb.bucket").alias("bucket"))
+        .join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy(*others)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
     )

@@ -1991,3 +1991,55 @@ def ext_source_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def ext_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-CMS — Count-Min sketch frequency estimation over corpus
+    words, checked against exact counts (operators/sketch.py cms_*).
+
+    Pipeline: tokenize → exact word counts (ONE groupBy — doubles as the
+    weighted sketch input and the probe truth) → depth×width CMS cells →
+    point-query the 15 most frequent words → per-word exact count,
+    sketch estimate, and the deterministic one-sided law est ≥ true.
+
+    Width 512 on a ~10^4-word vocabulary GUARANTEES collisions, so the
+    estimates genuinely exceed the truth — the sketch is doing its job,
+    not memorizing. Every cell is portable-hash integer arithmetic, so
+    the DuckDB twin replays the full sketch (build + probe) bit-for-bit:
+    this is a sketch whose ENTIRE state is oracle-checked, unlike the
+    engine-internal HLL/KLL pair.
+
+    Scale: the token explode + word groupBy is the only corpus-sized
+    stage (map-side combined, uniform keys); the sketch is ≤ d·w rows by
+    construction at ANY corpus size, broadcast to the probes; the probe
+    side is top-k rows. At 100 TB you'd drop the exact-count branch and
+    keep the same sketch build (one pass, constant state) — the exact
+    branch here is what makes the answer verifiable at SF scale.
+    """
+    from etl_python_sqlite_spark.operators.sketch import cms_build, cms_estimate
+
+    depth, width, top = 4, 512, 15
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(X.words(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("true_cnt"))
+    )
+    counts = tie(counts.persist(), counts)
+    sketch = cms_build(
+        counts, "term", depth=depth, width=width, weight_col="true_cnt"
+    )
+    probes = counts.orderBy(F.desc("true_cnt"), "term").limit(top)
+    est = cms_estimate(sketch, probes, "term", depth=depth, width=width)
+    w = Window.orderBy(F.desc("true_cnt"), "term")
+    return (
+        est.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank",
+            "term",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("true_cnt")).alias("overestimate_ok"),
+        )
+        .orderBy("rank")
+    )
