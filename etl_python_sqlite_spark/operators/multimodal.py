@@ -5,8 +5,10 @@ Real Spark-side machinery — schema, partitioning, Arrow batch shape,
 container-friendly formats:
 
 * images: BMP (24-bit uncompressed BI_RGB), PPM (binary P6), PNG
-  (8-bit RGB/RGBA, non-interlaced — stdlib ``zlib`` inflate + full
-  filter-type-0..4 scanline reconstruction), GIF87a/89a (full LZW
+  (ALL static pixel formats of the spec: gray / truecolor / paletted /
+  gray+alpha / RGBA at every legal bit depth 1–16, non-interlaced and
+  Adam7 — stdlib ``zlib`` inflate + full filter-type-0..4 scanline
+  reconstruction + bit-level sample unpack), GIF87a/89a (full LZW
   decompression with variable code widths, global/local palettes,
   interlace reordering, extension-block skipping — first frame of an
   animation), and **baseline JPEG** (SOF0 Huffman DCT — a full T.81
@@ -18,7 +20,7 @@ container-friendly formats:
   frames, and the decoded sample matrix.
 
 Formats that genuinely need external libraries (progressive/arithmetic
-JPEG, MP3/AAC codecs, interlaced/paletted/16-bit PNG) still raise
+JPEG, MP3/AAC codecs) still raise
 ``NotImplementedError`` — swapping in PIL/ffmpeg later only changes the
 magic-number dispatch, the batching / schema / partitioning around it is
 unchanged.
@@ -108,8 +110,9 @@ class DecodedAudio(NamedTuple):
 
 
 def decode_image(content: bytes) -> DecodedImage:
-    """Decode BMP (24-bit BI_RGB), binary PPM (P6), PNG (8-bit RGB/RGBA
-    non-interlaced), GIF, or baseline JPEG to pixels — pure stdlib+numpy,
+    """Decode BMP (24-bit BI_RGB), binary PPM (P6), PNG (all static
+    pixel formats incl. paletted/16-bit/Adam7), GIF, or baseline JPEG
+    to pixels — pure stdlib+numpy,
     no image library (PNG inflate is stdlib ``zlib``; JPEG is the full
     T.81 baseline codec in ``operators/jpeg.py``)."""
     if content is None or len(content) < 2:
@@ -207,77 +210,57 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _decode_png(b: bytes) -> DecodedImage:
-    """PNG decode, pure stdlib: chunk walk → ``zlib`` inflate → scanline
-    filter reconstruction (types 0 None / 1 Sub / 2 Up / 3 Average /
-    4 Paeth per the PNG spec §9). Supports 8-bit truecolor (RGB) and
-    truecolor+alpha (RGBA; alpha dropped — the pipeline's pixel model is
-    RGB), non-interlaced. Paletted / 16-bit / Adam7 raise
-    NotImplementedError; CRCs are not verified (corrupt streams surface
-    as zlib/shape errors, which the reject-routing path already catches).
+#: PNG color type → samples per pixel (spec §11.2.2).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: valid bit depths per color type (spec §11.2.2).
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass (spec §8.2).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Sub/Average/Paeth carry a left-pixel dependency, so rows reconstruct
-    with a per-pixel loop — fine for the fixture-scale images this
-    container can produce; a vectorized cumsum fast-path for filter 1
+
+def _png_unfilter(raw: bytes, off: int, w: int, h: int, ch: int, depth: int) -> "np.ndarray":
+    """Reconstruct one (sub-)image's filtered scanlines (types 0 None /
+    1 Sub / 2 Up / 3 Average / 4 Paeth, spec §9) starting at ``off`` in
+    the inflated stream. Returns (h, row_bytes) uint8; the left-neighbor
+    distance is the spec's bpp (whole bytes per pixel, min 1).
+
+    Sub/Average/Paeth carry a left-pixel dependency, so those rows
+    reconstruct with a per-byte loop — fine for the fixture-scale images
+    this container produces; a vectorized cumsum fast-path for filter 1
     keeps the common encoder output (filters 0/1/2) cheap.
     """
-    import zlib
-
-    if b[:8] != _PNG_SIG:
-        raise ValueError("bad PNG signature")
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(b):
-        (ln,) = struct.unpack_from(">I", b, pos)
-        typ = b[pos + 4 : pos + 8]
-        data = b[pos + 8 : pos + 8 + ln]
-        if len(data) < ln:
-            raise ValueError("truncated PNG chunk")
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln  # length + type + payload + crc
-    if ihdr is None or len(ihdr) < 13 or not idat:
-        raise ValueError("missing PNG IHDR/IDAT")
-    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr[:13]
-    )
-    if depth != 8 or ctype not in (2, 6) or interlace != 0:
-        raise NotImplementedError(
-            "only 8-bit non-interlaced truecolor PNG supported"
-        )
-    if w <= 0 or h <= 0:
-        raise ValueError("non-positive PNG dimensions")
-    ch = 3 if ctype == 2 else 4
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
+    stride = (w * ch * depth + 7) // 8
+    bpp = max(1, (ch * depth) // 8)
+    if len(raw) < off + h * (stride + 1):
         raise ValueError("truncated PNG raster")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        ft = raw[y * (stride + 1)]
+        ft = raw[off + y * (stride + 1)]
         line = np.frombuffer(
-            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, np.uint8, count=stride, offset=off + y * (stride + 1) + 1
         ).astype(np.int32)
         if ft == 0:  # None
             cur = line
         elif ft == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif ft == 1:  # Sub: per-channel prefix sum over the row
-            cur = line.reshape(w, ch).cumsum(axis=0, dtype=np.int64)
+        elif ft == 1 and stride % bpp == 0:  # Sub: prefix sum per byte lane
+            cur = line.reshape(stride // bpp, bpp).cumsum(axis=0, dtype=np.int64)
             cur = (cur & 0xFF).astype(np.int32).reshape(stride)
-        elif ft in (3, 4):  # Average / Paeth: left-dependency loop
+        elif ft in (1, 3, 4):  # Sub tail / Average / Paeth: left-dep loop
             cur = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 up = prev[x]
-                if ft == 3:
+                if ft == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ft == 3:
                     cur[x] = (line[x] + ((a + up) >> 1)) & 0xFF
                 else:
-                    c = prev[x - ch] if x >= ch else 0
+                    c = prev[x - bpp] if x >= bpp else 0
                     p = a + up - c
                     pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
@@ -286,8 +269,102 @@ def _decode_png(b: bytes) -> DecodedImage:
             raise ValueError(f"invalid PNG filter type {ft}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    px = out.reshape(h, w, ch)[..., :3].copy()  # drop alpha if present
-    return DecodedImage(int(w), int(h), px)
+    return out
+
+
+def _png_rows_to_samples(rows: "np.ndarray", w: int, ch: int, depth: int) -> "np.ndarray":
+    """(h, row_bytes) filtered-out rows → (h, w, ch) uint8 samples.
+    16-bit samples take the high byte (the standard 8-bit reduction);
+    sub-8-bit samples unpack MSB-first and scale by 255/(2^depth−1)
+    (exact integers for depths 1/2/4: ×255, ×85, ×17)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        return rows[:, : w * ch * 2].reshape(h, w, ch, 2)[..., 0]
+    bits = np.unpackbits(rows, axis=1)[:, : w * ch * depth]
+    groups = bits.reshape(h, w * ch, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    vals = (groups * weights).sum(axis=2).astype(np.uint16)
+    scale = 255 // ((1 << depth) - 1)
+    return (vals * scale).astype(np.uint8).reshape(h, w, ch)
+
+
+def _decode_png(b: bytes) -> DecodedImage:
+    """PNG decode, pure stdlib: chunk walk → ``zlib`` inflate → scanline
+    filter reconstruction → sample unpack → RGB mapping. Full static
+    coverage of the PNG spec's pixel formats: color types 0 (grayscale),
+    2 (truecolor), 3 (paletted, PLTE), 4 (gray+alpha) and 6 (RGBA) at
+    every legal bit depth (1/2/4/8/16 where the spec allows), both
+    non-interlaced and Adam7-interlaced (seven independently-filtered
+    passes scattered into the output grid, spec §8.2). Alpha is dropped
+    and 16-bit samples reduce to their high byte — the pipeline's pixel
+    model is 8-bit RGB. tRNS/gAMA/ancillary chunks are ignored; CRCs are
+    not verified (corrupt streams surface as zlib/shape errors, which
+    the reject-routing path already catches).
+    """
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + payload + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing PNG IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if ctype not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[ctype]:
+        raise ValueError(f"invalid PNG color type {ctype} / depth {depth}")
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
+        raise ValueError("invalid PNG compression/filter/interlace method")
+    if w <= 0 or h <= 0:
+        raise ValueError("non-positive PNG dimensions")
+    ch = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    samples = np.zeros((h, w, ch), dtype=np.uint8)
+    if interlace == 0:
+        samples = _png_rows_to_samples(_png_unfilter(raw, 0, w, h, ch, depth), w, ch, depth)
+    else:
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows = _png_unfilter(raw, off, pw, ph, ch, depth)
+            off += ph * ((pw * ch * depth + 7) // 8 + 1)
+            samples[y0::dy, x0::dx] = _png_rows_to_samples(rows, pw, ch, depth)
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("paletted PNG missing/invalid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = samples[..., 0]
+        # sub-8-bit palette indices were scaled like gray samples — undo
+        if depth < 8:
+            idx = idx // (255 // ((1 << depth) - 1))
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        px = pal[idx]
+    elif ctype in (0, 4):  # grayscale (+alpha dropped)
+        px = np.repeat(samples[..., :1], 3, axis=2)
+    else:  # truecolor (+alpha dropped)
+        px = samples[..., :3].copy()
+    return DecodedImage(int(w), int(h), np.ascontiguousarray(px))
 
 
 def encode_png(pixels: "np.ndarray") -> bytes:

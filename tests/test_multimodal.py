@@ -314,23 +314,131 @@ def test_png_rgba_alpha_dropped_and_gates():
     )
     assert np.array_equal(_decode_png(blob).pixels, px)
 
-    # paletted / 16-bit / interlaced stay honestly gated
-    for ihdr_bad in (
-        _struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0),   # palette
-        _struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0),  # 16-bit
-        _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1),   # Adam7
-    ):
-        bad = (
-            _PNG_SIG + chunk(b"IHDR", ihdr_bad)
-            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
-        )
-        with _pytest.raises(NotImplementedError):
-            _decode_png(bad)
+    # an illegal color-type/depth combination fails loudly
+    bad = (
+        _PNG_SIG
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 16, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError):
+        _decode_png(bad)
 
     # truncated IDAT surfaces as a ValueError/zlib error, not garbage
     good = encode_png(px)
     with _pytest.raises(Exception):
         decode_image(good[:40] + good[44:])
+
+
+def _png_chunk(typ, data):
+    import struct as _struct
+    import zlib
+
+    crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+    return _struct.pack(">I", len(data)) + typ + data + _struct.pack(">I", crc)
+
+
+def _png_blob(w, h, depth, ctype, interlace, raw, plte=b""):
+    import struct as _struct
+    import zlib
+
+    from etl_python_sqlite_spark.operators.multimodal import _PNG_SIG
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    body = _png_chunk(b"IHDR", ihdr)
+    if plte:
+        body += _png_chunk(b"PLTE", plte)
+    return (
+        _PNG_SIG + body
+        + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_pack_rows(samples, depth):
+    """(h, w, ch) integer samples → filter-0 scanlines at ``depth`` bits
+    per sample (MSB-first packing below 8, big-endian pairs at 16)."""
+    h, w, ch = samples.shape
+    out = []
+    for y in range(h):
+        flat = samples[y].reshape(w * ch)
+        if depth == 8:
+            row = flat.astype(np.uint8).tobytes()
+        elif depth == 16:
+            row = flat.astype(">u2").tobytes()
+        else:
+            bits = ((flat[:, None] >> np.arange(depth - 1, -1, -1)) & 1).reshape(-1)
+            pad = (-len(bits)) % 8
+            bits = np.concatenate([bits, np.zeros(pad, bits.dtype)])
+            row = np.packbits(bits.astype(np.uint8)).tobytes()
+        out.append(b"\x00" + row)
+    return b"".join(out)
+
+
+def test_png_paletted_grayscale_and_16bit_decode():
+    """Color types 0/3/4 and 16-bit samples decode exactly: palette
+    lookup, gray→RGB replication (with exact sub-8-bit scaling), alpha
+    dropped, 16-bit reduced to the high byte."""
+    from etl_python_sqlite_spark.operators.multimodal import _decode_png
+
+    rng = np.random.default_rng(7)
+
+    # paletted, every legal depth
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (5, 7), dtype=np.uint8)
+        raw = _png_pack_rows(idx[..., None], depth)
+        img = _decode_png(_png_blob(7, 5, depth, 3, 0, raw, plte=pal.tobytes()))
+        assert np.array_equal(img.pixels, pal[idx]), f"palette depth {depth}"
+
+    # grayscale, every legal depth (sub-8-bit scales by 255/(2^d-1))
+    for depth in (1, 2, 4, 8):
+        g = rng.integers(0, 1 << depth, (4, 6), dtype=np.uint8)
+        raw = _png_pack_rows(g[..., None], depth)
+        img = _decode_png(_png_blob(6, 4, depth, 0, 0, raw))
+        want = (g * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        assert np.array_equal(img.pixels, np.repeat(want[..., None], 3, 2))
+
+    # 16-bit grayscale / truecolor / gray+alpha: high byte wins
+    g16 = rng.integers(0, 1 << 16, (3, 4), dtype=np.uint16)
+    img = _decode_png(_png_blob(4, 3, 16, 0, 0, _png_pack_rows(g16[..., None], 16)))
+    assert np.array_equal(img.pixels, np.repeat((g16 >> 8).astype(np.uint8)[..., None], 3, 2))
+
+    rgb16 = rng.integers(0, 1 << 16, (3, 4, 3), dtype=np.uint16)
+    img = _decode_png(_png_blob(4, 3, 16, 2, 0, _png_pack_rows(rgb16, 16)))
+    assert np.array_equal(img.pixels, (rgb16 >> 8).astype(np.uint8))
+
+    ga = rng.integers(0, 256, (3, 4, 2), dtype=np.uint8)
+    img = _decode_png(_png_blob(4, 3, 8, 4, 0, _png_pack_rows(ga, 8)))
+    assert np.array_equal(img.pixels, np.repeat(ga[..., :1], 3, 2))
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7: seven independently-filtered passes scatter back into the
+    original grid (spec §8.2) — pinned against the plain encoding of the
+    same pixels, across sizes that exercise empty and partial passes."""
+    from etl_python_sqlite_spark.operators.multimodal import _ADAM7, _decode_png
+
+    rng = np.random.default_rng(11)
+    for (h, w) in ((1, 1), (2, 3), (8, 8), (11, 13)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        raw = b"".join(
+            _png_pack_rows(px[y0::dy, x0::dx], 8)
+            for x0, y0, dx, dy in _ADAM7
+            if px[y0::dy, x0::dx].size
+        )
+        img = _decode_png(_png_blob(w, h, 8, 2, 1, raw))
+        assert np.array_equal(img.pixels, px), f"adam7 {h}x{w}"
+
+    # interlaced paletted at 4-bit: sub-byte rows per pass
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 10), dtype=np.uint8)
+    raw = b"".join(
+        _png_pack_rows(idx[y0::dy, x0::dx][..., None], 4)
+        for x0, y0, dx, dy in _ADAM7
+        if idx[y0::dy, x0::dx].size
+    )
+    img = _decode_png(_png_blob(10, 9, 4, 3, 1, raw, plte=pal.tobytes()))
+    assert np.array_equal(img.pixels, pal[idx])
 
 
 def test_gif_roundtrip_exact():
