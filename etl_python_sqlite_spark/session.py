@@ -52,6 +52,14 @@ def get_spark(
     if active is not None:
         return active
 
+    # make google.protobuf importable (shim when absent) BEFORE the JVM
+    # launches: the PYTHONPATH entry must be in the gateway's environment
+    # for python workers to inherit it — transformWithStateInPandas's
+    # state-server clients import it lazily worker-side (protoshim.py)
+    from etl_python_sqlite_spark.protoshim import ensure_protobuf
+
+    ensure_protobuf()
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)

@@ -23,6 +23,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from etl_python_sqlite_spark.protoshim import ensure_protobuf
+
+# Import-time, deliberately: python WORKERS import this module when they
+# unpickle our StatefulProcessor subclasses, and the shim must be on
+# sys.path before pyspark's state clients lazily `import google.protobuf`
+# (see protoshim.py). No-op when the real package exists.
+ensure_protobuf()
+
 SESSION_GAP_S = 1800
 
 OUTPUT_SCHEMA = T.StructType(
@@ -145,12 +153,13 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     conf), updates are Arrow-batched per key; key distribution is the
     stream's user_id distribution — salt upstream if a hot user exists.
 
-    ENVIRONMENT NOTE: executing this operator requires ``google.protobuf``
-    (Spark's state-server protocol for the new API) which is not
-    installed in this container and cannot be (no pip) — the test gates
-    on its availability. The ``applyInPandasWithState`` sessionizer above
-    is the fully-exercised stateful path here; this function documents
-    and wires the successor API for protobuf-equipped clusters.
+    RUNTIME NOTE: the new API's state-server protocol needs
+    ``google.protobuf``; when the real package is absent the repo's
+    pure-stdlib shim (``protoshim.py``) satisfies it, so this runs for
+    real in this container (test_skew_stateful exercises the full
+    python↔JVM protocol). The state store must be RocksDB
+    (``spark.sql.streaming.stateStore.providerClass``) — the default
+    HDFS-backed provider rejects TWS's multiple column families.
     """
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 

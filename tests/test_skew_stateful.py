@@ -123,34 +123,43 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     """Spark-4 typed-state API: cumulative per-user totals persist across
     micro-batches (file-per-batch source, availableNow trigger).
 
-    Requires google.protobuf (the new API's state-server protocol) —
-    absent in this container, so the test skips rather than exercising a
-    guaranteed crash; the plan itself still builds below."""
+    The state-server protocol needs google.protobuf — satisfied here by
+    the repo's pure-stdlib shim (protoshim.py) when the real package is
+    absent, so this exercises the FULL runtime: python-side protobuf
+    encode → JVM state server → RocksDB state store (the only provider
+    that supports TWS's multiple column families) → protobuf decode."""
     pytest.importorskip("google.protobuf.descriptor")
     from etl_python_sqlite_spark.streaming.stateful import running_totals_stream
 
-    src = str(tmp_path / "tws_src")
-    schema = "user_id long, value double"
-    spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 1.0)], schema).coalesce(
-        1
-    ).write.mode("append").parquet(src)
-    spark.createDataFrame([(1, 2.0), (3, 7.0)], schema).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "tws_src")
+        schema = "user_id long, value double"
+        spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 1.0)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        spark.createDataFrame([(1, 2.0), (3, 7.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
 
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-    )
-    q = (
-        running_totals_stream(stream)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName("tws_out")
-        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            running_totals_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tws_out")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     rows = spark.sql("select * from tws_out").collect()
     # final cumulative value per user must reflect BOTH batches for user 1
