@@ -191,3 +191,90 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_types", T.IntegerType()),
+        T.StructField("top_type", T.StringType()),
+        T.StructField("recent_sum", T.DoubleType()),
+    ]
+)
+
+#: ListState event buffer cap — keeps per-key state O(1) regardless of
+#: how many events a hot user produces.
+PROFILE_RECENT_K = 8
+
+
+def user_event_profile_stream(events: DataFrame) -> DataFrame:
+    """Per-user behavioral profile across micro-batches, exercising ALL
+    THREE typed-state primitives of ``transformWithStateInPandas`` in
+    one operator (columns: user_id long, event_type string, value
+    double):
+
+    * **ValueState** ``total`` — lifetime event count, with a TTL (the
+      per-state retention the old API couldn't express; also the
+      protocol's ``StateCallCommand.ttl`` path);
+    * **MapState** ``counts`` — event-type → count (typed user keys in
+      the state store, not a serialized dict blob: point lookups and
+      updates without rewriting the whole map);
+    * **ListState** ``recent`` — the last ``PROFILE_RECENT_K`` values
+      (bounded buffer: append per event, trim by rewrite when over cap).
+
+    Emits one row per user per micro-batch with the updated profile.
+    Scale: state is per-key in RocksDB; the map/list sizes are bounded
+    by the type-domain and the buffer cap, so a hot key's state stays
+    O(types + K) — the skew concern is shuffle volume, not state size.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class EventProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState(
+                "total", "n BIGINT", ttlDurationMs=7 * 24 * 3600 * 1000
+            )
+            self._counts = handle.getMapState("counts", "etype STRING", "n BIGINT")
+            self._recent = handle.getListState("recent", "v DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n = int(self._total.get()[0]) if self._total.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                for etype, value in zip(pdf["event_type"], pdf["value"]):
+                    k = (str(etype),)
+                    prev = (
+                        int(self._counts.getValue(k)[0])
+                        if self._counts.containsKey(k)
+                        else 0
+                    )
+                    self._counts.updateValue(k, (prev + 1,))
+                    self._recent.appendValue((float(value),))
+            self._total.update((n,))
+            vals = [float(r[0]) for r in self._recent.get()]
+            if len(vals) > PROFILE_RECENT_K:
+                vals = vals[-PROFILE_RECENT_K:]
+                self._recent.put([(v,) for v in vals])
+            counts = {k[0]: int(v[0]) for k, v in self._counts.iterator()}
+            best = max(counts.values())
+            top = min(t for t, c in counts.items() if c == best)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_types": [len(counts)],
+                    "top_type": [top],
+                    "recent_sum": [float(sum(vals))],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        EventProfile(),
+        outputStructType=PROFILE_SCHEMA,
+        outputMode="append",
+        timeMode="processingTime",  # required for TTL'd state variables
+    )

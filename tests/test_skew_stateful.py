@@ -183,3 +183,66 @@ def test_transform_with_state_plan_builds(spark):
     assert [f.name for f in out.schema.fields] == [
         "user_id", "n_events", "total_value",
     ]
+
+
+def test_transform_with_state_event_profile(spark, tmp_path):
+    """ListState + MapState + TTL'd ValueState through the full protocol:
+    per-user profile accumulates across two micro-batches (memory sink,
+    last emission per user wins)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from etl_python_sqlite_spark.streaming.stateful import (
+        PROFILE_RECENT_K,
+        user_event_profile_stream,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "twsp_src")
+        schema = "user_id long, event_type string, value double"
+        spark.createDataFrame(
+            [(1, "click", 1.0), (1, "view", 2.0), (1, "click", 3.0), (2, "view", 5.0)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        # batch 2: user 1 again (ties click/view 2-2 -> lexicographic min),
+        # plus a burst that overflows user 2's recent-K buffer
+        burst = [(2, "buy", float(i)) for i in range(1, PROFILE_RECENT_K + 3)]
+        spark.createDataFrame(
+            [(1, "view", 4.0)] + burst, schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            user_event_profile_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("twsp_out")
+            .option("checkpointLocation", str(tmp_path / "twsp_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    rows = spark.sql("select * from twsp_out").collect()
+    final = {}
+    for r in rows:  # last emission per user = max n_events
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    u1 = final[1]
+    assert (u1["n_events"], u1["n_types"], u1["top_type"]) == (4, 2, "click")
+    assert u1["recent_sum"] == 1.0 + 2.0 + 3.0 + 4.0
+    u2 = final[2]
+    # 1 view + K+2 buys: buffer keeps the LAST K values
+    assert (u2["n_events"], u2["n_types"], u2["top_type"]) == (
+        PROFILE_RECENT_K + 3, 2, "buy",
+    )
+    assert u2["recent_sum"] == float(
+        sum(range(3, PROFILE_RECENT_K + 3))
+    )
