@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FRONT so they land inside the window.
     return {
         # -- NEW in round 5 (never driver-attested) — lead the window --
+        "ext_cms_word_counts": E.ext_cms_word_counts,
+        "ext_vocab_edit_pairs": E.ext_vocab_edit_pairs,
         "scd2_apply_changes_events": R.scd2_apply_changes_events,
         "ext_embedding_dim_stats": E.ext_embedding_dim_stats,
         "ext_dedup_survivor_quality": E.ext_dedup_survivor_quality,
@@ -371,8 +373,109 @@ def _pagerank_sql(iters: int = 5, total_mass: int = 10**12) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    cms_salts = ", ".join(
+        f"({s}, {a}, {b})" for s, a, b in universal_salt_constants(4)
+    )
     return {
         # -- round-5 additions ------------------------------------------
+        # Count-Min sketch replayed IN FULL: every (j, bucket) cell is
+        # the same portable-hash integer arithmetic on both engines, so
+        # the sketch state itself (not just an invariant) is checked
+        "ext_cms_word_counts": f"""
+            WITH counts AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt
+                FROM (SELECT unnest({_WORDS.format(c='lower(text)')}) AS term
+                      FROM documents)
+                GROUP BY term
+            ),
+            salts AS (SELECT * FROM (VALUES {cms_salts}) AS v(s, a, b)),
+            hashed AS (
+                SELECT term, true_cnt, {PHASH60_SQL.format(c='term')} AS h
+                FROM counts
+            ),
+            cells AS (
+                SELECT s AS j,
+                       ({UNIVERSAL_HASH_SQL.format(h='h', a='a', b='b')}) % 512
+                           AS bucket,
+                       true_cnt
+                FROM hashed CROSS JOIN salts
+            ),
+            sketch AS (
+                SELECT j, bucket, CAST(SUM(true_cnt) AS BIGINT) AS cnt
+                FROM cells GROUP BY j, bucket
+            ),
+            probes AS (
+                SELECT term, true_cnt, h FROM hashed
+                ORDER BY true_cnt DESC, term LIMIT 15
+            ),
+            pcells AS (
+                SELECT term, true_cnt, s AS j,
+                       ({UNIVERSAL_HASH_SQL.format(h='h', a='a', b='b')}) % 512
+                           AS bucket
+                FROM probes CROSS JOIN salts
+            ),
+            est AS (
+                SELECT term, true_cnt,
+                       CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_est
+                FROM pcells LEFT JOIN sketch sk USING (j, bucket)
+                GROUP BY term, true_cnt
+            )
+            SELECT CAST(row_number() OVER (ORDER BY true_cnt DESC, term) AS INT)
+                       AS rank,
+                   term, true_cnt, cms_est,
+                   cms_est >= true_cnt AS overestimate_ok
+            FROM est
+            ORDER BY rank
+        """,
+        # PassJoin k=1 pigeonhole replayed: identical blocking (anchored
+        # half-keys at partner lengths) + levenshtein verify
+        "ext_vocab_edit_pairs": f"""
+            WITH vocab AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS df
+                FROM (
+                    SELECT unnest({_WORDS.format(c='lower(text)')}) AS w
+                    FROM documents
+                    UNION ALL
+                    SELECT unnest({_WORDS.format(c='lower(p_name)')}) AS w
+                    FROM part
+                )
+                GROUP BY w
+                HAVING length(w) >= 3
+            ),
+            ikeys AS (
+                SELECT w, df, 'P' AS role, length(w) AS lk,
+                       substr(w, 1, length(w) // 2) AS part
+                FROM vocab
+                UNION ALL
+                SELECT w, df, 'S', length(w), substr(w, length(w) // 2 + 1)
+                FROM vocab
+            ),
+            pkeys AS (
+                SELECT w AS w2, df AS df2, 'P' AS role, length(w) + d AS lk,
+                       substr(w, 1, (length(w) + d) // 2) AS part
+                FROM vocab CROSS JOIN (VALUES (-1), (0), (1)) AS dd(d)
+                WHERE length(w) + d >= 3
+                UNION ALL
+                SELECT w, df, 'S', length(w) + d,
+                       substr(w, length(w)
+                                 - ((length(w) + d) - (length(w) + d) // 2)
+                                 + 1)
+                FROM vocab CROSS JOIN (VALUES (-1), (0), (1)) AS dd(d)
+                WHERE length(w) + d >= 3
+            ),
+            cands AS (
+                SELECT DISTINCT i.w, i.df, p.w2, p.df2
+                FROM ikeys i
+                JOIN pkeys p
+                  ON i.role = p.role AND i.lk = p.lk AND i.part = p.part
+                WHERE i.w < p.w2
+            )
+            SELECT w AS w_a, w2 AS w_b, df AS df_a, df2 AS df_b,
+                   CAST(1 AS INT) AS dist
+            FROM cands
+            WHERE levenshtein(w, w2) = 1
+            ORDER BY w_a, w_b
+        """,
         # merge ≡ rebuild: the oracle is the FULL-history SCD2 twin;
         # Spark builds history below the temporal midpoint and merges
         # the rest as a change batch (scd2_apply_changes)

@@ -2043,3 +2043,37 @@ def ext_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+def ext_vocab_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-EDITDIST — typo-radius pair mining over the corpus
+    vocabulary: all distinct word pairs at Levenshtein distance exactly
+    1 (length ≥ 3, case-folded), with each word's document frequency —
+    the misspelling-discovery / OCR-noise audit of a curation pipeline.
+
+    Blocking is the k=1 PassJoin pigeonhole (operators/editdist.py): a
+    single edit leaves one anchored half of the word intact, so
+    candidates are equi-join buckets on (role, length, half) — block
+    sizes are vocabulary statistics, never corpus-quadratic. Verify is
+    a thresholded levenshtein on candidates only.
+
+    The DuckDB twin replays the identical blocking + verify, so the
+    result (not just an invariant) is hash-checked; completeness vs
+    brute force is pinned separately in tests/test_editdist.py.
+    """
+    from etl_python_sqlite_spark.operators.editdist import edit_distance_pairs
+
+    docs = _docs(spark, sf_dir)
+    parts = load_table(spark, sf_dir, "part")
+    # vocabulary = document words ∪ part-name words: the documents side
+    # carries the corpus-scale story; the part side (TPC-H's fixed color
+    # list) guarantees the query FIRES at every SF (rose/rosy et al.) —
+    # the generated document vocabulary is pairwise farther than 1 edit
+    tokens = docs.select(
+        F.explode(X.words(F.lower(F.col("text")))).alias("w")
+    ).unionAll(
+        parts.select(F.explode(X.words(F.lower(F.col("p_name")))).alias("w"))
+    )
+    vocab = tokens.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    pairs = edit_distance_pairs(vocab, "w", min_len=3, carry_cols=["df"])
+    return pairs.orderBy("w_a", "w_b")
