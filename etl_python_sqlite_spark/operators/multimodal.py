@@ -17,7 +17,10 @@ container-friendly formats:
   full pixel arrays, not just headers — plus matching encoders for
   round-trips and a real nearest-neighbor resize.
 * audio: WAV PCM via the stdlib ``wave`` module — sample rate, channels,
-  frames, and the decoded sample matrix.
+  frames, and the decoded sample matrix; MP3 gets a real FRAME-HEADER
+  walk (``mp3_frame_metadata``: MPEG-1/2 Layer I–III header tables,
+  ID3v2/v1 skipping, sample-exact duration, byte-true VBR average
+  bitrate) while payload decode stays gated.
 
 Formats that genuinely need external libraries (progressive/arithmetic
 JPEG, MP3/AAC codecs) still raise
@@ -584,6 +587,97 @@ def decode_audio(content: bytes) -> DecodedAudio:
     return DecodedAudio(sr, ch, n_frames, n_frames * 1000 // sr if sr else 0, samples)
 
 
+#: (version_group, layer) → bitrate kbps by header index (public
+#: MPEG-1/2 audio spec tables; version_group 1 = MPEG1, 2 = MPEG2/2.5).
+_MP3_BITRATES = {
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+}
+#: version bits (header BB field) → sample rates by index.
+_MP3_SAMPLERATES = {
+    3: [44100, 48000, 32000],  # MPEG1
+    2: [22050, 24000, 16000],  # MPEG2
+    0: [11025, 12000, 8000],   # MPEG2.5
+}
+
+
+def mp3_frame_metadata(b: bytes) -> dict:
+    """Parse MPEG audio (MP3) FRAME HEADERS — no payload decode: walks
+    the frame chain (skipping a leading ID3v2 tag and a trailing ID3v1
+    'TAG' block), validates sync/version/layer/bitrate/samplerate per
+    the public MPEG-1/2 audio spec, and derives the metadata a curation
+    pipeline needs: sample rate, channel count, frame count, exact
+    sample-derived duration, and the byte-true average bitrate (so VBR
+    streams report their real rate, not the first frame's).
+
+    Full sample decode of Layer III (Huffman + IMDCT + synthesis
+    filterbank) still needs an external codec — ``decode_audio`` keeps
+    raising for MP3; this closes the METADATA half of that gap with
+    stdlib struct math only.
+    """
+    pos = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        size = (
+            ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        )
+        pos = 10 + size
+    n_frames = 0
+    total_samples = 0
+    total_bytes = 0
+    sample_rate = None
+    channels = None
+    while pos + 4 <= len(b):
+        if b[pos : pos + 3] == b"TAG":  # ID3v1 trailer
+            break
+        h0, h1, h2, h3 = b[pos : pos + 4]
+        if h0 != 0xFF or (h1 & 0xE0) != 0xE0:
+            break
+        version_bits = (h1 >> 3) & 0x3
+        layer_bits = (h1 >> 1) & 0x3
+        if version_bits == 1 or layer_bits == 0:
+            break  # reserved version/layer
+        layer = 4 - layer_bits  # 3->I ... 1->III
+        vgroup = 1 if version_bits == 3 else 2
+        br_idx = (h2 >> 4) & 0xF
+        sr_idx = (h2 >> 2) & 0x3
+        padding = (h2 >> 1) & 0x1
+        if br_idx in (0, 15) or sr_idx == 3:
+            break  # free-format/invalid
+        bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+        sr = _MP3_SAMPLERATES[version_bits][sr_idx]
+        if layer == 1:
+            frame_len = (12 * bitrate // sr + padding) * 4
+            samples = 384
+        else:
+            samples = 1152 if (layer == 2 or vgroup == 1) else 576
+            frame_len = samples // 8 * bitrate // sr + padding
+        if frame_len <= 4 or pos + frame_len > len(b):
+            break
+        n_frames += 1
+        total_samples += samples
+        total_bytes += frame_len
+        sample_rate = sr
+        channels = 1 if (h3 >> 6) & 0x3 == 3 else 2
+        pos += frame_len
+    if not n_frames or not sample_rate:
+        raise ValueError("no valid MPEG audio frames found")
+    duration_ms = total_samples * 1000 // sample_rate
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_ms": duration_ms,
+        "avg_bitrate_kbps": (
+            total_bytes * 8 * sample_rate // total_samples // 1000
+        ),
+    }
+
+
 def encode_wav(
     samples: "np.ndarray", sample_rate: int, channels: int = 1
 ) -> bytes:
@@ -685,7 +779,14 @@ _FORMAT_BY_MAGIC = (
     (b"\xff\xd8", "jpeg"),
     (b"GIF87a", "gif"),
     (b"GIF89a", "gif"),
+    (b"ID3", "mp3"),
 )
+
+
+def _looks_like_mp3(b: bytes) -> bool:
+    return b[:3] == b"ID3" or (
+        len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+    )
 
 
 def _decode_one(modality: str, content) -> dict:
@@ -704,11 +805,20 @@ def _decode_one(modality: str, content) -> dict:
             img = decode_image(b)
             out.update(width=img.width, height=img.height, decode_ok=True)
         elif modality == "audio":
-            au = decode_audio(b)
-            out.update(
-                sample_rate=au.sample_rate, channels=au.channels,
-                duration_ms=au.duration_ms, decode_ok=True,
-            )
+            if _looks_like_mp3(b):
+                # frame-header walk: real metadata, payload decode gated
+                md = mp3_frame_metadata(b)
+                out.update(
+                    format="mp3", sample_rate=md["sample_rate"],
+                    channels=md["channels"], duration_ms=md["duration_ms"],
+                    decode_ok=True,
+                )
+            else:
+                au = decode_audio(b)
+                out.update(
+                    sample_rate=au.sample_rate, channels=au.channels,
+                    duration_ms=au.duration_ms, decode_ok=True,
+                )
         else:
             out["decode_error"] = f"no decoder for modality {modality!r}"
     except Exception as e:  # corrupt blob = data, not a stage failure

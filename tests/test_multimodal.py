@@ -535,3 +535,58 @@ def test_gif_offset_frames_rejected():
     blob[desc + 1 : desc + 3] = _struct.pack("<H", 2)  # left offset = 2
     with _pytest.raises(NotImplementedError, match="offset"):
         M.decode_image(bytes(blob))
+
+
+def _mp3_frame(bitrate_kbps=128, sr=44100, pad=0, mono=False):
+    """One synthetic MPEG1 Layer-III frame: valid header + zero payload."""
+    br_idx = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320].index(
+        bitrate_kbps
+    )
+    sr_idx = [44100, 48000, 32000].index(sr)
+    h1 = 0xFB  # sync low bits + MPEG1 + Layer III + no CRC
+    h2 = (br_idx << 4) | (sr_idx << 2) | (pad << 1)
+    h3 = 0xC0 if mono else 0x00
+    ln = 144 * bitrate_kbps * 1000 // sr + pad
+    return bytes([0xFF, h1, h2, h3]) + b"\x00" * (ln - 4)
+
+
+def test_mp3_frame_metadata():
+    from etl_python_sqlite_spark.operators.multimodal import (
+        _decode_one,
+        decode_audio,
+        mp3_frame_metadata,
+    )
+
+    # 10 CBR frames at 128k/44100 stereo behind an ID3v2 tag and before
+    # an ID3v1 trailer
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+    body = b"".join(_mp3_frame() for _ in range(10))
+    blob = id3 + body + b"TAG" + b"\x00" * 125
+    md = mp3_frame_metadata(blob)
+    assert md["sample_rate"] == 44100 and md["channels"] == 2
+    assert md["n_frames"] == 10
+    assert md["duration_ms"] == 10 * 1152 * 1000 // 44100
+    assert md["avg_bitrate_kbps"] == 127  # 417-byte frames truncate below 128k
+
+    # VBR: mixed 128k + 320k mono frames — byte-true average, not first-frame
+    vbr = b"".join(
+        _mp3_frame(bitrate_kbps=(128 if i % 2 else 320), mono=True)
+        for i in range(8)
+    )
+    md2 = mp3_frame_metadata(vbr)
+    assert md2["channels"] == 1 and md2["n_frames"] == 8
+    assert 200 < md2["avg_bitrate_kbps"] < 250
+
+    # metadata dispatch: audio modality routes MP3 to the header walk
+    row = _decode_one("audio", blob)
+    assert row["decode_ok"] and row["format"] == "mp3"
+    assert row["sample_rate"] == 44100 and row["duration_ms"] == md["duration_ms"]
+
+    # full sample decode stays honestly gated
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(blob)
+
+    # garbage after the tag -> no frames -> routed as a decode error
+    assert not _decode_one("audio", id3 + b"\x12\x34garbage")["decode_ok"]
