@@ -2539,10 +2539,11 @@ def regression_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def part_cooccurrence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer-exact PageRank (operators/graph.pagerank — the Pregel
-    loop in DataFrame form: E ⋈ outdeg persisted once, per-iteration
-    broadcast of the small rank vector, one combined exchange per
-    round) over the part co-occurrence graph: directed edges between
+    """Integer-exact PageRank (operators/graph.pagerank — tiered: this
+    SF-scale co-occurrence graph fits one partition, so the measured
+    edge count routes it to the single-task numpy tier; bigger graphs
+    get the Pregel loop with broadcast- or shuffle-joined ranks, all
+    three bit-identical) over the part co-occurrence graph: directed edges between
     every pair of parts sharing an order, both orientations — the same
     per-order blocking as ``part_basket_pairs``, so edge generation is
     O(rows · basket), never corpus-quadratic. Top 25 most central

@@ -141,23 +141,48 @@ _DIRECTED_EDGES = [
 
 
 def test_pagerank_matches_integer_reference(spark):
+    # default limits route this 7-edge graph through the LOCAL tier
     edges = spark.createDataFrame(_DIRECTED_EDGES, ["src", "dst"])
     got = {r["node"]: r["r"] for r in pagerank(edges).collect()}
     assert got == _pagerank_reference(_DIRECTED_EDGES)
 
 
-def test_pagerank_shuffle_path_identical_ranks(spark):
-    """broadcast_max_nodes=0 forces the large-|V| shuffle-join path —
-    ranks must be bit-identical to the broadcast path (r4 VERDICT #1:
-    the strategy gate must be semantics-free)."""
+def test_pagerank_all_tiers_identical_ranks(spark):
+    """The three execution tiers — single-task local, broadcast-rank
+    Pregel, shuffle-join Pregel — are strategy only: ranks must be
+    bit-identical across all of them and equal the CPython reference
+    (r4 VERDICT #1: the strategy gate must be semantics-free)."""
     edges = spark.createDataFrame(_DIRECTED_EDGES, ["src", "dst"])
-    bcast = {r["node"]: r["r"] for r in pagerank(edges).collect()}
+    want = _pagerank_reference(_DIRECTED_EDGES)
+    local = {r["node"]: r["r"] for r in pagerank(edges).collect()}
+    bcast = {
+        r["node"]: r["r"]
+        for r in pagerank(edges, local_edge_limit=0).collect()
+    }
     shuf = {
         r["node"]: r["r"]
-        for r in pagerank(edges, broadcast_max_nodes=0).collect()
+        for r in pagerank(
+            edges, local_edge_limit=0, broadcast_max_nodes=0
+        ).collect()
     }
-    assert shuf == bcast
-    assert bcast == _pagerank_reference(_DIRECTED_EDGES)
+    assert local == bcast == shuf == want
+
+
+def test_pagerank_tiers_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    redges = sorted(
+        {(rng.randrange(60), rng.randrange(60)) for _ in range(300)}
+    )
+    redges = [(u, v) for u, v in redges if u != v]
+    df = spark.createDataFrame(redges, ["src", "dst"])
+    want = _pagerank_reference(redges)
+    local = {r["node"]: r["r"] for r in pagerank(df).collect()}
+    dist = {
+        r["node"]: r["r"] for r in pagerank(df, local_edge_limit=0).collect()
+    }
+    assert local == dist == want
 
 
 def test_pagerank_dangling_redistribution(spark):
@@ -173,14 +198,21 @@ def test_pagerank_dangling_redistribution(spark):
     assert got == want
     evap = _pagerank_reference(_DIRECTED_EDGES, dangling="evaporate")
     assert want != evap
-    # redistribute on BOTH strategies too (gate × dangling interplay)
+    # redistribute on ALL tiers (gate × dangling interplay)
+    got_bcast = {
+        r["node"]: r["r"]
+        for r in pagerank(
+            edges, dangling="redistribute", local_edge_limit=0
+        ).collect()
+    }
     got_shuf = {
         r["node"]: r["r"]
         for r in pagerank(
-            edges, dangling="redistribute", broadcast_max_nodes=0
+            edges, dangling="redistribute", local_edge_limit=0,
+            broadcast_max_nodes=0,
         ).collect()
     }
-    assert got_shuf == want
+    assert got_bcast == want and got_shuf == want
 
 
 def test_pagerank_rejects_unknown_dangling_mode(spark):
