@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the FRONT so they land inside the window.
     return {
         # -- NEW in round 5 (never driver-attested) — lead the window --
+        "part_triangle_stats": R.part_triangle_stats,
         "ext_cms_word_counts": E.ext_cms_word_counts,
         "ext_vocab_edit_pairs": E.ext_vocab_edit_pairs,
         "scd2_apply_changes_events": R.scd2_apply_changes_events,
@@ -378,6 +379,47 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         # -- round-5 additions ------------------------------------------
+        # Degree-ordered triangle counting (Schank–Wagner forward
+        # algorithm): the oriented edge set, wedge generation and
+        # closure join are replayed exactly — the comparator is pure
+        # integer (degree, id) lexicographic on both engines
+        "part_triangle_stats": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+                  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM (SELECT u AS node FROM e
+                          UNION ALL SELECT v AS node FROM e)
+                    GROUP BY node),
+            eor AS (SELECT CASE WHEN du.d < dv.d
+                                  OR (du.d = dv.d AND e.u < e.v)
+                                THEN e.u ELSE e.v END AS a,
+                           CASE WHEN du.d < dv.d
+                                  OR (du.d = dv.d AND e.u < e.v)
+                                THEN e.v ELSE e.u END AS b,
+                           CASE WHEN du.d < dv.d
+                                  OR (du.d = dv.d AND e.u < e.v)
+                                THEN dv.d ELSE du.d END AS db
+                    FROM e JOIN deg du ON e.u = du.node
+                           JOIN deg dv ON e.v = dv.node),
+            wed AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                    FROM eor e1 JOIN eor e2 ON e1.a = e2.a
+                    WHERE e1.db < e2.db
+                       OR (e1.db = e2.db AND e1.b < e2.b)),
+            tri AS (SELECT w.a, w.b, w.c
+                    FROM wed w JOIN eor t ON w.b = t.a AND w.c = t.b),
+            pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+                     FROM (SELECT a AS node FROM tri
+                           UNION ALL SELECT b FROM tri
+                           UNION ALL SELECT c FROM tri)
+                     GROUP BY node)
+            SELECT p.node AS part, p.tri_cnt AS tri_cnt, d.d AS degree,
+                   CAST((2000000 * p.tri_cnt) // (d.d * (d.d - 1))
+                        AS BIGINT) AS cc_micro
+            FROM pern p JOIN deg d ON p.node = d.node
+            ORDER BY p.tri_cnt DESC, part LIMIT 25
+        """,
         # Count-Min sketch replayed IN FULL: every (j, bucket) cell is
         # the same portable-hash integer arithmetic on both engines, so
         # the sketch state itself (not just an invariant) is checked

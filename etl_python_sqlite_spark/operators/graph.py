@@ -483,3 +483,96 @@ def pagerank(
         ).localCheckpoint(eager=True)
     keep = [e, eo, nodes, no_in] + ([dang] if dang is not None else [])
     return tie(ranks, *keep)
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (Schank & Wagner 2005's *forward* algorithm; the MapReduce shaping
+    follows Suri & Vassilvitskii, WWW 2011 — public literature).
+
+    Returns ``(node, tri_cnt, degree)`` for every node in ≥ 1 triangle.
+    Global triangle count = Σ tri_cnt / 3.
+
+    Why orientation matters at scale: the naive wedge join pairs each
+    node's FULL neighbor list — a celebrity node with 10^6 neighbors
+    yields 10^12 wedges. Orienting every edge from the lower
+    (degree, id) endpoint to the higher caps every out-list at
+    O(√|E|): each triangle {a,b,c} is generated exactly once, at its
+    lowest-ordered corner, and total wedge volume is O(|E|^1.5) on ANY
+    degree distribution — the hub explosion is structurally gone.
+
+    Plan shape: two shuffles prepare the oriented frame (degree agg +
+    join), the wedge stage is a self-equi-join on the apex (the frame
+    is repartitioned ONCE on ``a`` so both join sides are co-located),
+    closure is an equi-join of wedges against oriented edges on
+    (b, c), and per-node counts are one explode + map-side-combined
+    groupBy. No cartesian anywhere; every key is a uniformly-hashed
+    node id. The ordering comparator is pure-integer lexicographic
+    (degree, node), so another engine replays the exact same oriented
+    edge set bit-for-bit — no floats, no engine-specific hashing.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .persist()
+    )
+    e.count()  # consumed by deg, the orientation join, and (via deg) the
+    # final degree attach — materialize once (multi-consumer invariant)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .persist()
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # oriented edge a->b carries b's degree so the wedge stage can order
+    # the two far endpoints without another degree join
+    eor = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
+        .repartition("a")
+        .persist()
+    )
+    eor.count()  # self-join + closure probe: materialize before reuse
+    wed = (
+        eor.join(
+            eor.select(
+                F.col("a"),
+                F.col("b").alias("c"),
+                F.col("db").alias("dc"),
+            ),
+            "a",
+        )
+        .filter(
+            (F.col("db") < F.col("dc"))
+            | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+        )
+        .select("a", "b", "c")
+    )
+    tri = wed.join(
+        eor.select(F.col("a").alias("b"), F.col("b").alias("c")),
+        ["b", "c"],
+    )
+    per = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_cnt"))
+    )
+    out = per.join(deg, "node").select("node", "tri_cnt", F.col("d").alias("degree"))
+    return tie(out, e, deg, eor)

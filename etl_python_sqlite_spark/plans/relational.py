@@ -2567,3 +2567,37 @@ def part_cooccurrence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pr's own tie must stay alive as long as this result (its plan
     # reads the checkpointed rank RDD) — composition rule in cache.py
     return tie(out, op, keepalive=[pr])
+
+
+def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the part
+    co-occurrence graph (operators/graph.triangle_counts — degree-
+    ordered forward algorithm, every triangle generated exactly once
+    at its lowest-(degree,id) corner, wedge volume O(|E|^1.5) on any
+    degree distribution). Same per-order pair blocking as
+    ``part_basket_pairs``. cc_micro = floor(2e6·tri / (d·(d−1))) —
+    pure-integer, replayed bit-for-bit by the DuckDB twin. Top 25 by
+    triangle count."""
+    from etl_python_sqlite_spark.operators.cache import tie
+    from etl_python_sqlite_spark.operators.graph import triangle_counts
+
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().persist()
+    op.count()  # self-join consumer — materialize first
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v")
+    tc = triangle_counts(edges, "u", "v")
+    out = (
+        tc.select(
+            F.col("node").alias("part"),
+            F.col("tri_cnt"),
+            F.col("degree"),
+            F.expr("(2000000 * tri_cnt) div (degree * (degree - 1))")
+            .cast("long")
+            .alias("cc_micro"),
+        )
+        .orderBy(F.desc("tri_cnt"), "part")
+        .limit(25)
+    )
+    return tie(out, op, keepalive=[tc])

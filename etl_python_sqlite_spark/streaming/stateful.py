@@ -278,3 +278,62 @@ def user_event_profile_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="processingTime",  # required for TTL'd state variables
     )
+
+
+def first_occurrence_stream(
+    records: DataFrame,
+    key_col: str = "doc_key",
+    ttl_hours: int = 14 * 24,
+) -> DataFrame:
+    """Streaming EXACT dedup with BOUNDED state: emit only the first
+    occurrence of each ``key_col`` (e.g. a content hash), remembering
+    seen keys in TTL'd ValueState — the ingest-dedup shape for a
+    training-data firehose.
+
+    Why TWS and not ``dropDuplicates`` + watermark: the watermark form
+    bounds state by EVENT TIME, so a duplicate arriving after the
+    watermark passes is re-emitted; this form bounds state by a
+    RETENTION POLICY (``ttl_hours`` since last write of that key's
+    state), which is the contract corpus ingestion actually wants
+    ("drop re-crawls within N days, re-admit after"). State per key is
+    one boolean-sized row in RocksDB, evicted by TTL — a 10^10-key
+    month-scale firehose holds only the keys seen inside the retention
+    window.
+
+    Emits each surviving row's key plus ``n_dropped`` (duplicates
+    suppressed for that key within this batch) — the ingest-rate audit
+    column.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("n_dropped", T.LongType()),
+        ]
+    )
+
+    class FirstSeen(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "seen BOOLEAN", ttlDurationMs=ttl_hours * 3600 * 1000
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n = 0
+            for pdf in rows:
+                n += len(pdf)
+            if self._seen.exists():
+                return  # wholly duplicate: emit nothing, refresh nothing
+            self._seen.update((True,))
+            yield pd.DataFrame({"key": [key[0]], "n_dropped": [n - 1]})
+
+        def close(self) -> None:
+            pass
+
+    return records.groupBy(key_col).transformWithStateInPandas(
+        FirstSeen(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="processingTime",
+    )

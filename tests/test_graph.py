@@ -238,3 +238,56 @@ def test_ext_dedup_clusters_partitions_sample(spark):
     for cid, members in by_cluster.items():
         assert cid == min(m["doc_id"] for m in members)
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def _brute_triangles(edge_list):
+    """itertools reference: count triangles per node on the undirected
+    simple graph."""
+    import itertools
+
+    adj = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return {n: (t, len(adj[n])) for n, t in tri.items() if t > 0}
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    from etl_python_sqlite_spark.operators.graph import triangle_counts
+
+    # K4 glued to a square with one diagonal, plus a triangle-free tail
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),   # K4: 4 triangles
+        (4, 5), (5, 6), (6, 7), (7, 4), (5, 7),           # square + diag
+        (7, 8), (8, 9),                                    # tail
+        (2, 1), (3, 1), (1, 1),                            # dups + self-loop
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["tri_cnt"], r["degree"])
+        for r in triangle_counts(df).collect()
+    }
+    assert got == _brute_triangles(edges)
+
+
+def test_triangle_counts_random_graph(spark):
+    import random
+
+    from etl_python_sqlite_spark.operators.graph import triangle_counts
+
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(40), rnd.randrange(40)) for _ in range(220)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["tri_cnt"], r["degree"])
+        for r in triangle_counts(df).collect()
+    }
+    assert got == _brute_triangles(edges)

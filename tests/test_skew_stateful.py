@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import time
 from datetime import datetime, timedelta
 
 import pytest
@@ -119,6 +120,28 @@ def test_stateful_sessionizer_stream(spark, tmp_path):
     assert not any(u == 2 for (u, *_ ) in got)
 
 
+def _poll_sink(spark, q, table, done, timeout=420):
+    """Drain a memory-sink streaming query by POLLING the sink until
+    ``done(rows)`` holds. With ``timeMode="processingTime"`` an
+    availableNow TWS query never self-terminates (the trigger keeps
+    scheduling timer/TTL micro-batches forever — observed state store
+    at version 122), and ``processAllAvailable()`` blocks on the same
+    never-quiescent condition; watching the sink for the expected final
+    data is the only deterministic drain. Caller stops the query."""
+    deadline = time.monotonic() + timeout
+    rows = []
+    while time.monotonic() < deadline:
+        if q.exception() is not None:
+            raise q.exception()
+        rows = spark.sql(f"select * from {table}").collect()
+        if done(rows):
+            return rows
+        time.sleep(2)
+    raise AssertionError(
+        f"sink {table} never reached the expected state; last rows: {rows}"
+    )
+
+
 def test_transform_with_state_running_totals(spark, tmp_path):
     """Spark-4 typed-state API: cumulative per-user totals persist across
     micro-batches (file-per-batch source, availableNow trigger).
@@ -135,6 +158,7 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    q = None
     try:
         src = str(tmp_path / "tws_src")
         schema = "user_id long, value double"
@@ -157,8 +181,10 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(300), "TWS query did not terminate"
     finally:
+        if q is not None:
+            q.stop()  # idempotent; frees the query name on timeout paths
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     rows = spark.sql("select * from tws_out").collect()
@@ -199,6 +225,7 @@ def test_transform_with_state_event_profile(spark, tmp_path):
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    q = None
     try:
         src = str(tmp_path / "twsp_src")
         schema = "user_id long, event_type string, value double"
@@ -225,11 +252,21 @@ def test_transform_with_state_event_profile(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        # timeMode=processingTime: never self-terminates — poll the sink
+        # until both users' batch-2 emissions have committed
+        rows = _poll_sink(
+            spark,
+            q,
+            "twsp_out",
+            lambda rs: any(r["user_id"] == 1 and r["n_events"] >= 4 for r in rs)
+            and any(r["user_id"] == 2 and r["n_events"] >= PROFILE_RECENT_K + 3
+                    for r in rs),
+        )
     finally:
+        if q is not None:
+            q.stop()
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
-    rows = spark.sql("select * from twsp_out").collect()
     final = {}
     for r in rows:  # last emission per user = max n_events
         cur = final.get(r["user_id"])
@@ -246,3 +283,54 @@ def test_transform_with_state_event_profile(spark, tmp_path):
     assert u2["recent_sum"] == float(
         sum(range(3, PROFILE_RECENT_K + 3))
     )
+
+
+def test_first_occurrence_stream_dedup(spark, tmp_path):
+    """TTL'd seen-key state across micro-batches: batch-2 re-sends of
+    batch-1 keys are suppressed entirely; within-batch duplicates are
+    collapsed to one emission with the drop count."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from etl_python_sqlite_spark.streaming.stateful import first_occurrence_stream
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    q = None
+    try:
+        src = str(tmp_path / "dedup_src")
+        schema = "doc_key string, payload string"
+        spark.createDataFrame(
+            [("a", "1"), ("a", "2"), ("b", "3")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [("a", "4"), ("c", "5"), ("c", "6"), ("c", "7")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            first_occurrence_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("tws_dedup_out")
+            .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        # processingTime mode never self-terminates: poll until batch 2's
+        # commit is visible ('c' only exists in batch 2), then stop
+        raw = _poll_sink(
+            spark, q, "tws_dedup_out",
+            lambda rs: any(r["key"] == "c" for r in rs),
+        )
+    finally:
+        if q is not None:
+            q.stop()
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    rows = {(r["key"], r["n_dropped"]) for r in raw}
+    # a: first batch wins (1 within-batch dup dropped); batch-2 're-crawl'
+    # suppressed with NO new emission. c: 3 copies -> one row, 2 dropped.
+    assert rows == {("a", 1), ("b", 0), ("c", 2)}
