@@ -176,66 +176,14 @@ def _langid_char_sql(text: str = "text") -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records at most 50 CORRECTNESS rows,
-    # taken from the head of this dict. Round-5 rotation (VERDICT r4 #8):
-    # the 43 keys last driver-attested in ROUND 2 lead (the least
-    # recently attested — r5's 50-row window covers them plus the head
-    # of the r3 block), then the 47 r3-attested keys, then the 50
-    # r4-attested keys close the dict. New r5 queries are appended to
-    # the FRONT so they land inside the window.
+    # taken from the head of this dict. Round-6 rotation (VERDICT r5 #7):
+    # the 47 keys last driver-attested in ROUND 3 lead (least recently
+    # attested), the r4-attested block follows (its head fills the rest
+    # of the 50-row window), and the keys attested in round 5 (7 new +
+    # the old r2 block) close the dict. New r6 queries go at the very
+    # FRONT so they land inside the window. Expected r6 ∩ r5 overlap: 0.
     return {
-        # -- NEW in round 5 (never driver-attested) — lead the window --
-        "part_triangle_stats": R.part_triangle_stats,
-        "ext_cms_word_counts": E.ext_cms_word_counts,
-        "ext_vocab_edit_pairs": E.ext_vocab_edit_pairs,
-        "scd2_apply_changes_events": R.scd2_apply_changes_events,
-        "ext_embedding_dim_stats": E.ext_embedding_dim_stats,
-        "ext_dedup_survivor_quality": E.ext_dedup_survivor_quality,
-        "ext_source_ngram_novelty": E.ext_source_ngram_novelty,
-        # -- last attested round 2 (43) — head of the r5 window --
-        "fact_dim_join": R.fact_dim_join,
-        "join_filter_by_key": R.join_filter_by_key,
-        "groupby_count_avg": R.groupby_count_avg,
-        "filter_projection": R.filter_projection,
-        "distinct_dim": R.distinct_dim,
-        "anti_join_new_rows": R.anti_join_new_rows,
-        "semi_join_existing": R.semi_join_existing,
-        "agg_pricing_summary": R.agg_pricing_summary,
-        "agg_minmax_distinct": R.agg_minmax_distinct,
-        "topk_per_group": R.topk_per_group,
-        "case_cascade_classify": R.case_cascade_classify,
-        "strict_cast_json": R.strict_cast_json,
-        "normalize_names": R.normalize_names,
-        "hourly_event_rollup": R.hourly_event_rollup,
-        "set_except_users": R.set_except_users,
-        "rollup_region_nation": R.rollup_region_nation,
-        "inline_cascade_annotated": R.inline_cascade_annotated,
-        "cube_status_priority": R.cube_status_priority,
-        "string_funcs": R.string_funcs,
-        "date_parts_agg": R.date_parts_agg,
-        "sql_exists_subquery": R.sql_exists_subquery,
-        "percentiles_by_group": R.percentiles_by_group,
-        "pivot_event_types": R.pivot_event_types,
-        "union_all_tagged": R.union_all_tagged,
-        "having_filter": R.having_filter,
-        "sessionize_events": R.sessionize_events,
-        "top_orders_limit": R.top_orders_limit,
-        "null_handling_outer_join": R.null_handling_outer_join,
-        "ext_exact_dedup": E.ext_exact_dedup,
-        "ext_normalized_dedup": E.ext_normalized_dedup,
-        "ext_ngram_jaccard_pairs": E.ext_ngram_jaccard_pairs,
-        "ext_cosine_topk": E.ext_cosine_topk,
-        "ext_cosine_pairs_sample": E.ext_cosine_pairs_sample,
-        "ext_text_stats": E.ext_text_stats,
-        "ext_langid": E.ext_langid,
-        "ext_quality_scores": E.ext_quality_scores,
-        "ext_token_count_by_source": E.ext_token_count_by_source,
-        "skew_salted_agg": R.skew_salted_agg,
-        "asof_purchase_click": R.asof_purchase_click,
-        "range_join_errors": R.range_join_errors,
-        "ext_pii_scan": E.ext_pii_scan,
-        "ext_stratified_split": E.ext_stratified_split,
-        "multires_rollup": R.multires_rollup,
-        # -- last attested round 3 (47) --
+        # -- last attested round 3 (47) — lead the r6 window --
         "ext_curation_funnel": E.ext_curation_funnel,
         "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,
         "ext_dedup_clusters": E.ext_dedup_clusters,
@@ -283,7 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_heavy_hitters": E.ext_heavy_hitters,
         "ext_kll_quantiles": E.ext_kll_quantiles,
         "promo_revenue_ratio": R.promo_revenue_ratio,
-        # -- attested round 4 (50) — most recent, tail --
+        # -- last attested round 4 (50) — head lands in the window --
         "nation_market_share": R.nation_market_share,
         "large_volume_customers": R.large_volume_customers,
         "disjunctive_revenue": R.disjunctive_revenue,
@@ -334,6 +282,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,
         "ext_multimodal_decode": E.ext_multimodal_decode,
+        # -- new round 5, attested r5 --
+        "part_triangle_stats": R.part_triangle_stats,
+        "ext_cms_word_counts": E.ext_cms_word_counts,
+        "ext_vocab_edit_pairs": E.ext_vocab_edit_pairs,
+        "scd2_apply_changes_events": R.scd2_apply_changes_events,
+        "ext_embedding_dim_stats": E.ext_embedding_dim_stats,
+        "ext_dedup_survivor_quality": E.ext_dedup_survivor_quality,
+        "ext_source_ngram_novelty": E.ext_source_ngram_novelty,
+        # -- attested r5 (the old r2 block) — most recent, tail --
+        "fact_dim_join": R.fact_dim_join,
+        "join_filter_by_key": R.join_filter_by_key,
+        "groupby_count_avg": R.groupby_count_avg,
+        "filter_projection": R.filter_projection,
+        "distinct_dim": R.distinct_dim,
+        "anti_join_new_rows": R.anti_join_new_rows,
+        "semi_join_existing": R.semi_join_existing,
+        "agg_pricing_summary": R.agg_pricing_summary,
+        "agg_minmax_distinct": R.agg_minmax_distinct,
+        "topk_per_group": R.topk_per_group,
+        "case_cascade_classify": R.case_cascade_classify,
+        "strict_cast_json": R.strict_cast_json,
+        "normalize_names": R.normalize_names,
+        "hourly_event_rollup": R.hourly_event_rollup,
+        "set_except_users": R.set_except_users,
+        "rollup_region_nation": R.rollup_region_nation,
+        "inline_cascade_annotated": R.inline_cascade_annotated,
+        "cube_status_priority": R.cube_status_priority,
+        "string_funcs": R.string_funcs,
+        "date_parts_agg": R.date_parts_agg,
+        "sql_exists_subquery": R.sql_exists_subquery,
+        "percentiles_by_group": R.percentiles_by_group,
+        "pivot_event_types": R.pivot_event_types,
+        "union_all_tagged": R.union_all_tagged,
+        "having_filter": R.having_filter,
+        "sessionize_events": R.sessionize_events,
+        "top_orders_limit": R.top_orders_limit,
+        "null_handling_outer_join": R.null_handling_outer_join,
+        "ext_exact_dedup": E.ext_exact_dedup,
+        "ext_normalized_dedup": E.ext_normalized_dedup,
+        "ext_ngram_jaccard_pairs": E.ext_ngram_jaccard_pairs,
+        "ext_cosine_topk": E.ext_cosine_topk,
+        "ext_cosine_pairs_sample": E.ext_cosine_pairs_sample,
+        "ext_text_stats": E.ext_text_stats,
+        "ext_langid": E.ext_langid,
+        "ext_quality_scores": E.ext_quality_scores,
+        "ext_token_count_by_source": E.ext_token_count_by_source,
+        "skew_salted_agg": R.skew_salted_agg,
+        "asof_purchase_click": R.asof_purchase_click,
+        "range_join_errors": R.range_join_errors,
+        "ext_pii_scan": E.ext_pii_scan,
+        "ext_stratified_split": E.ext_stratified_split,
+        "multires_rollup": R.multires_rollup,
     }
 
 

@@ -393,6 +393,16 @@ def pagerank(
     """
     if dangling not in ("evaporate", "redistribute"):
         raise ValueError(f"unknown dangling mode: {dangling!r}")
+    # The local-numpy tier multiplies damp_num · r in int64 and would
+    # OVERFLOW SILENTLY for extreme caller-supplied masses while the
+    # Pregel tiers (ANSI Spark longs) raise loudly — guard once here so
+    # every tier is loud (ADVICE r5). The per-node rank can exceed r_0
+    # only via inbound concentration, bounded by total_mass itself.
+    if total_mass * damp_num >= 2**63:
+        raise ValueError(
+            f"total_mass={total_mass} · damp_num={damp_num} overflows int64; "
+            "reduce total_mass (rank resolution) or the damping numerator"
+        )
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))

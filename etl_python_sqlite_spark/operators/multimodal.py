@@ -626,6 +626,10 @@ def mp3_frame_metadata(b: bytes) -> dict:
             | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
         )
         pos = 10 + size
+        if b[5] & 0x10:
+            # ID3v2 footer flag: a 10-byte footer follows the tag body
+            # and is NOT counted in the syncsafe size (ADVICE r5)
+            pos += 10
     n_frames = 0
     total_samples = 0
     total_bytes = 0
@@ -658,6 +662,22 @@ def mp3_frame_metadata(b: bytes) -> dict:
             frame_len = samples // 8 * bitrate // sr + padding
         if frame_len <= 4 or pos + frame_len > len(b):
             break
+        if n_frames == 0:
+            # A VBR info frame (Xing/Info/VBRI) is a valid MPEG frame
+            # whose payload is a table of contents, not audio — counting
+            # it skews n_frames/duration/avg_bitrate on real VBR files
+            # (ADVICE r5). Xing/Info sits right after the side info
+            # (offset depends on version/mode); VBRI is fixed at +36.
+            side = (
+                (17 if (h3 >> 6) & 0x3 == 3 else 32)
+                if vgroup == 1
+                else (9 if (h3 >> 6) & 0x3 == 3 else 17)
+            )
+            tag_at = b[pos + 4 + side : pos + 8 + side]
+            vbri_at = b[pos + 36 : pos + 40]
+            if tag_at in (b"Xing", b"Info") or vbri_at == b"VBRI":
+                pos += frame_len
+                continue
         n_frames += 1
         total_samples += samples
         total_bytes += frame_len

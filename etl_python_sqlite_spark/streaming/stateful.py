@@ -232,11 +232,19 @@ def user_event_profile_stream(events: DataFrame) -> DataFrame:
 
     class EventProfile(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._total = handle.getValueState(
-                "total", "n BIGINT", ttlDurationMs=7 * 24 * 3600 * 1000
+            # ONE retention policy for the whole profile: if any piece
+            # expires, all pieces expire together — a TTL on `total`
+            # alone would reset n_events to 0 while n_types/top_type/
+            # recent_sum still reflected lifetime history (internally
+            # inconsistent rows, ADVICE r5).
+            ttl = 7 * 24 * 3600 * 1000
+            self._total = handle.getValueState("total", "n BIGINT", ttlDurationMs=ttl)
+            self._counts = handle.getMapState(
+                "counts", "etype STRING", "n BIGINT", ttlDurationMs=ttl
             )
-            self._counts = handle.getMapState("counts", "etype STRING", "n BIGINT")
-            self._recent = handle.getListState("recent", "v DOUBLE")
+            self._recent = handle.getListState(
+                "recent", "v DOUBLE", ttlDurationMs=ttl
+            )
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
             n = int(self._total.get()[0]) if self._total.exists() else 0

@@ -590,3 +590,42 @@ def test_mp3_frame_metadata():
 
     # garbage after the tag -> no frames -> routed as a decode error
     assert not _decode_one("audio", id3 + b"\x12\x34garbage")["decode_ok"]
+
+
+def test_mp3_id3_footer_and_vbr_header_frame():
+    """ADVICE r5: (a) an ID3v2 tag with the footer flag set occupies 10
+    extra bytes past the syncsafe size; (b) a Xing/Info/VBRI VBR header
+    frame is a valid MPEG frame but carries no audio — it must not count
+    toward n_frames/duration/avg_bitrate."""
+    from etl_python_sqlite_spark.operators.multimodal import mp3_frame_metadata
+
+    # (a) footer flag (byte 5 bit 4): body 20 bytes + 10-byte footer
+    id3f = (
+        b"ID3\x04\x00\x10" + bytes([0, 0, 0, 20]) + b"\x00" * 20
+        + b"3DI\x04\x00\x10" + bytes([0, 0, 0, 20])
+    )
+    blob = id3f + b"".join(_mp3_frame() for _ in range(4))
+    md = mp3_frame_metadata(blob)
+    assert md["n_frames"] == 4 and md["sample_rate"] == 44100
+
+    # (b) first frame carries a Xing tag right after the MPEG1-stereo
+    # side info (offset 4+32); it must be walked over, not counted
+    xing_frame = bytearray(_mp3_frame())
+    xing_frame[36:40] = b"Xing"
+    audio = b"".join(_mp3_frame() for _ in range(6))
+    md2 = mp3_frame_metadata(bytes(xing_frame) + audio)
+    assert md2["n_frames"] == 6
+    assert md2["duration_ms"] == 6 * 1152 * 1000 // 44100
+    assert md2["avg_bitrate_kbps"] == 127  # header frame excluded from bytes
+
+    # VBRI variant (fixed offset 36), mono side-info width also exercised
+    mono = bytearray(_mp3_frame(mono=True))
+    mono[36:40] = b"VBRI"
+    md3 = mp3_frame_metadata(bytes(mono) + b"".join(_mp3_frame(mono=True) for _ in range(3)))
+    assert md3["n_frames"] == 3 and md3["channels"] == 1
+
+    # an Info (CBR) header frame too
+    info = bytearray(_mp3_frame())
+    info[36:40] = b"Info"
+    md4 = mp3_frame_metadata(bytes(info) + audio)
+    assert md4["n_frames"] == 6
