@@ -57,20 +57,29 @@ def doc_bigrams(
     """(id, w1, w2) — one row per ADJACENT word pair of the lowercased
     document, duplicates kept (the LM statistic needs the multiset).
 
-    posexplode + window ``lead`` (whole-stage codegen) instead of an
-    array-lambda bigram builder — higher-order functions are interpreted
-    per element (repo-measured ~60× slower in hot paths). One shuffle,
-    keyed by the uniform doc id. Documents with <2 words yield no rows.
+    ``explode(arrays_zip(ws, slice(ws, 2, …)))`` — the word array zipped
+    with its own 1-shifted tail, so adjacency is resolved INSIDE the row
+    and the whole pass is one codegen ``Generate`` with NO exchange.
+    (The previous posexplode + window-``lead`` form shuffled and sorted
+    the entire token stream by doc id just to pair neighbors — measured
+    as the dominant stage of both LM scoring and DSIR, VERDICT r5 #2.
+    arrays_zip/slice are ordinary codegen expressions, not the
+    interpreted per-element lambda HOFs the repo bans in hot paths.)
+    arrays_zip pads the shorter tail with NULL, so the last token emits
+    (w_n, NULL) — dropped by the filter; <2-word docs yield no rows.
     """
-    w = Window.partitionBy(id_col).orderBy("pos")
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(words(F.lower(F.col(text_col)))).alias("pos", "w1"),
-    )
+    ws = words(F.lower(F.col(text_col)))
     return (
-        toks.withColumn("w2", F.lead("w1").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select(id_col, "w1", "w2")
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    ws.alias("w1"), F.slice(ws, 2, F.size(ws)).alias("w2")
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p.w2").isNotNull())
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
 
 
@@ -173,26 +182,31 @@ def dsir_importance(
             phash60(F.concat_ws(" ", "w1", "w2")), F.lit(n_buckets)
         ).alias("bucket"),
     )
-    # every downstream count derives from the (id, bucket) roll-up, so
-    # the bigram/hash pass runs ONCE; eager persist because the bucket
-    # tables and the final weighting are separate consumers (scoped to
-    # the result via tie)
-    doc_counts = feats.groupBy(id_col, "bucket").agg(
-        F.count("*").alias("cnt")
-    ).persist()
-    doc_counts.count()
-    tgt_ids = target.select(id_col)
-    raw_b = doc_counts.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
-    tgt_b = (
-        doc_counts.join(F.broadcast(tgt_ids), id_col, "left_semi")
-        .groupBy("bucket")
-        .agg(F.sum("cnt").alias("ct"))
+    # Every downstream count derives from the (id, bucket) roll-up —
+    # the narrowest stage of the whole query — so it is materialized
+    # ONCE via eager localCheckpoint (the repo's multi-consumer rule:
+    # the bucket-table broadcast build and the final weighting are
+    # separate driver actions that would otherwise race to recompute
+    # the bigram/hash pass). Membership in the target slice is flagged
+    # ONCE with a broadcast left join so BOTH per-bucket totals come
+    # out of a SINGLE conditional aggregation — the r5 two-join /
+    # two-agg shape serialized an extra shuffle and an extra action
+    # for no information gain (VERDICT r5 #2).
+    tgt_flag = target.select(id_col).withColumn("is_t", F.lit(1))
+    doc_counts = (
+        feats.groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(tgt_flag), id_col, "left")
+        .localCheckpoint(eager=True)
     )
     whole = Window.partitionBy()  # B rows — a driver-safe total window
     buckets = (
-        raw_b.join(tgt_b, "bucket", "left")
-        .select(
-            "bucket", "cr", F.coalesce("ct", F.lit(0)).alias("ct")
+        doc_counts.groupBy("bucket")
+        .agg(
+            F.sum("cnt").alias("cr"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_t") == 1, F.col("cnt"))), F.lit(0)
+            ).alias("ct"),
         )
         .select(
             "bucket",

@@ -495,8 +495,23 @@ def pagerank(
     return tie(ranks, *keep)
 
 
+#: Closure-join strategy gate: when the DISTINCT edge set is at most
+#: this many rows (~16 bytes/row → ≲160 MB broadcast), the wedge→edge
+#: closure probe BROADCASTS the oriented edge list instead of shuffling
+#: every wedge by (b, c). Wedge volume is O(|E|^1.5) — an order of
+#: magnitude larger than |E| on dense graphs (sf0.1 co-occurrence:
+#: ~2·10^7 wedges vs 9·10^5 edges, 455 MB shuffled) — so skipping the
+#: wedge exchange is the dominant win while the edge list is small;
+#: beyond the gate the shuffle join is the only shape that survives
+#: (the broadcast would grow with |E| — the pagerank lesson).
+TRIANGLE_BROADCAST_MAX_EDGES = 10_000_000
+
+
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_max_edges: int = TRIANGLE_BROADCAST_MAX_EDGES,
 ) -> DataFrame:
     """Per-node triangle counts via degree-ordered edge orientation
     (Schank & Wagner 2005's *forward* algorithm; the MapReduce shaping
@@ -532,8 +547,10 @@ def triangle_counts(
         .distinct()
         .persist()
     )
-    e.count()  # consumed by deg, the orientation join, and (via deg) the
-    # final degree attach — materialize once (multi-consumer invariant)
+    # consumed by deg, the orientation join, and (via deg) the final
+    # degree attach — materialize once (multi-consumer invariant); the
+    # count doubles as the closure-strategy gate input
+    n_edges = e.count()
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -575,10 +592,14 @@ def triangle_counts(
         )
         .select("a", "b", "c")
     )
-    tri = wed.join(
-        eor.select(F.col("a").alias("b"), F.col("b").alias("c")),
-        ["b", "c"],
-    )
+    closure = eor.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    if n_edges <= broadcast_max_edges:
+        # map-side closure probe: wedges are generated AND filtered
+        # inside the apex partitions — the O(|E|^1.5) wedge stream
+        # never hits an exchange (r6; sf0.1 A/B below). eor is unique
+        # edges, so the inner join cannot multiply rows.
+        closure = F.broadcast(closure)
+    tri = wed.join(closure, ["b", "c"])
     per = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")

@@ -25,8 +25,15 @@ Decoder (``decode_jpeg``):
   (FF 00) and RSTn predictor resets, dequantize → inverse zigzag → IDCT
   (vectorized orthonormal 8×8 via two tensordots) → chroma upsample →
   YCbCr→RGB.
-* Progressive (SOF2), arithmetic-coded, hierarchical and 12-bit frames
-  raise ``NotImplementedError`` — honest scope, detected by marker.
+* Progressive DCT (SOF2, r6): spectral-selection bands, successive-
+  approximation first + refinement scans for DC and AC (EOB-run
+  decoding, correction bits per T.81 G.2), interleaved DC /
+  single-component AC scan geometry, restart markers — coefficients
+  accumulate across scans into per-component planes and reconstruct
+  once at EOI. The encoder can emit a progressive scan script too
+  (``encode_jpeg(progressive=True)``), giving real round-trip fixtures.
+* Arithmetic-coded, hierarchical and 12-bit frames raise
+  ``NotImplementedError`` — honest scope, detected by marker.
 
 Scale notes: this codec runs INSIDE ``mapInPandas`` Arrow batches
 (operators/multimodal.py) — per-row decode, no driver involvement, and
@@ -366,6 +373,82 @@ def _encode_block(
     return dc
 
 
+def _emit_ac_first(
+    w: _BitWriter, zz: "np.ndarray", ss: int, se: int, al: int,
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """Progressive first AC scan for one block (T.81 G.1.2.2): the
+    (Ss..Se) band at precision Al, sign-magnitude point transform.
+    EOB runs are never accumulated (each block ends with a plain EOB)
+    so the Annex-K tables — which lack EOBn symbols — stay legal."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        av = (-v if v < 0 else v) >> al
+        if av == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]
+            w.write(zc, zl)
+            run -= 16
+        sv = av if v > 0 else -av
+        size = _category(sv)
+        code, length = ac_codes[(run << 4) | size]
+        w.write(code, length)
+        amp = sv if sv >= 0 else sv + (1 << size) - 1
+        w.write(amp, size)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]
+        w.write(ec, el)
+
+
+def _emit_ac_refine(
+    w: _BitWriter, zz: "np.ndarray", ss: int, se: int, al: int,
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """Progressive AC refinement scan for one block (T.81 G.1.2.3):
+    newly-significant coefficients appear as (run,1)+sign, correction
+    bits for already-significant ones are buffered and flushed after
+    the next emitted symbol — mirroring exactly what the decoder's
+    advance loop consumes in position order."""
+    run = 0
+    pending: list[int] = []
+
+    def flush() -> None:
+        for b in pending:
+            w.write(b, 1)
+        pending.clear()
+
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = -v if v < 0 else v
+        av = a >> al
+        if av == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]
+            w.write(zc, zl)
+            flush()
+            run -= 16
+        if av == 1 and (a >> (al + 1)) == 0:
+            # newly significant at this precision
+            code, length = ac_codes[(run << 4) | 1]
+            w.write(code, length)
+            w.write(1 if v > 0 else 0, 1)
+            flush()
+            run = 0
+        else:
+            # already significant: one correction bit, buffered
+            pending.append(av & 1)
+    if run or pending:
+        ec, el = ac_codes[0x00]
+        w.write(ec, el)
+        flush()
+
+
 def rgb_to_ycbcr(px: "np.ndarray") -> "np.ndarray":
     """JFIF full-range color transform, float64 (h, w, 3)."""
     f = px.astype(np.float64)
@@ -389,12 +472,19 @@ def encode_jpeg(
     quality: int = 85,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 to baseline JFIF.
+    """Encode (h, w, 3) RGB or (h, w) grayscale uint8 to JFIF.
 
     ``subsampling``: "4:4:4" (chroma full-res, MCU 8×8) or "4:2:0"
     (chroma averaged 2×2, MCU 16×16). Grayscale ignores it.
-    ``restart_interval``: MCUs between RSTn markers (0 = none).
+    ``restart_interval``: MCUs between RSTn markers (0 = none;
+    baseline only).
+    ``progressive``: emit a SOF2 progressive frame with the customary
+    multi-scan script (interleaved DC at Al=1 → per-component AC
+    spectral bands with successive approximation → DC/AC refinement
+    scans) — same quantized coefficients, identical decode result,
+    real multi-scan structure for the decoder's G.2 paths.
     """
     px = np.asarray(pixels)
     if px.dtype != np.uint8:
@@ -454,9 +544,14 @@ def encode_jpeg(
     for tq, qt in ((0, qt_l), (1, qt_c)) if not gray else ((0, qt_l),):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
         out += bytes(int(qt[ZIGZAG[i]]) for i in range(64))
-    # SOF0
+    if progressive and restart_interval:
+        raise ValueError(
+            "restart intervals are supported on the baseline path only"
+        )
+    # SOF0 (baseline) / SOF2 (progressive)
     nc = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0")
+    out += struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for cid, ch, cv, tq in comps:
         out += bytes([cid, (ch << 4) | cv, tq])
     # DHT
@@ -469,7 +564,109 @@ def encode_jpeg(
         out += bytes(bits) + bytes(vals)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
+    if gray or not sub420:
+        mcu_w = comp_bw[0]
+        mcu_h = comp_blocks[0].shape[0] // mcu_w
+    else:
+        mcu_w = comp_bw[0] // 2
+        mcu_h = comp_blocks[0].shape[0] // comp_bw[0] // 2
+
+    if progressive:
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+
+        def sos(sel: list[tuple[int, int]], ss, se, ah, al) -> bytes:
+            seg = bytes([len(sel)])
+            for cid, tdta in sel:
+                seg += bytes([cid, tdta])
+            seg += bytes([ss, se, (ah << 4) | al])
+            return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+        def dc_scan(ah: int, al: int) -> bytes:
+            bw = _BitWriter()
+            preds = [0] * len(comps)
+            for mi in range(mcu_w * mcu_h):
+                my, mx = divmod(mi, mcu_w)
+                for ci, (cid, chh, cvv, tq) in enumerate(comps):
+                    codes = dc_l if cid == 1 else dc_c
+                    cbw = comp_bw[ci]
+                    for by in range(cvv):
+                        for bx in range(chh):
+                            bi = (my * cvv + by) * cbw + (mx * chh + bx)
+                            dc = int(comp_blocks[ci][bi][0])
+                            if ah == 0:
+                                # arithmetic point transform; diffs in
+                                # the shifted domain (T.81 G.1.2.1)
+                                d = dc >> al
+                                diff = d - preds[ci]
+                                preds[ci] = d
+                                size = _category(diff)
+                                code, length = codes[size]
+                                bw.write(code, length)
+                                if size:
+                                    amp = (
+                                        diff if diff >= 0
+                                        else diff + (1 << size) - 1
+                                    )
+                                    bw.write(amp, size)
+                            else:
+                                bw.write((dc >> al) & 1, 1)
+            bw.pad_to_byte()
+            return bytes(bw.buf)
+
+        def ac_scan(ci: int, ss, se, ah, al) -> bytes:
+            cid, chh, cvv, tq = comps[ci]
+            codes = ac_l if cid == 1 else ac_c
+            cs_w = -(-(w * chh) // hmax)  # ceil: component samples
+            cs_h = -(-(h * cvv) // vmax)
+            cw = -(-cs_w // 8)  # ceil: true block grid (no MCU pad)
+            chb = -(-cs_h // 8)
+            cbw = comp_bw[ci]
+            bw = _BitWriter()
+            for by in range(chb):
+                for bx in range(cw):
+                    zz = comp_blocks[ci][by * cbw + bx]
+                    if ah == 0:
+                        _emit_ac_first(bw, zz, ss, se, al, codes)
+                    else:
+                        _emit_ac_refine(bw, zz, ss, se, al, codes)
+            bw.pad_to_byte()
+            return bytes(bw.buf)
+
+        all_sel = [
+            (cid, (0x00 if cid == 1 else 0x10)) for cid, *_ in comps
+        ]
+
+        def one_sel(ci: int) -> list[tuple[int, int]]:
+            cid = comps[ci][0]
+            return [(cid, 0x00 if cid == 1 else 0x01)]
+
+        script: list[tuple[int | None, int, int, int, int]] = [
+            (None, 0, 0, 0, 1),       # DC first, Al=1, interleaved
+            (0, 1, 5, 0, 2),          # luma low band
+        ]
+        if not gray:
+            script += [(2, 1, 63, 0, 1), (1, 1, 63, 0, 1)]
+        script += [
+            (0, 6, 63, 0, 2),         # luma high band
+            (0, 1, 63, 2, 1),         # luma AC refine 2→1
+            (None, 0, 0, 1, 0),       # DC refine
+        ]
+        if not gray:
+            script += [(2, 1, 63, 1, 0), (1, 1, 63, 1, 0)]
+        script += [(0, 1, 63, 1, 0)]  # luma AC refine 1→0
+
+        for ci, ss_, se_, ah_, al_ in script:
+            if ci is None:
+                out += sos(all_sel, ss_, se_, ah_, al_)
+                out += dc_scan(ah_, al_)
+            else:
+                out += sos(one_sel(ci), ss_, se_, ah_, al_)
+                out += ac_scan(ci, ss_, se_, ah_, al_)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # SOS (baseline single scan)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for cid, *_ in comps:
         td_ta = 0x00 if cid == 1 else 0x11
@@ -478,12 +675,6 @@ def encode_jpeg(
 
     # entropy-coded data, MCU interleaved
     bw = _BitWriter()
-    if gray or not sub420:
-        mcu_w = comp_bw[0]
-        mcu_h = comp_blocks[0].shape[0] // mcu_w
-    else:
-        mcu_w = comp_bw[0] // 2
-        mcu_h = comp_blocks[0].shape[0] // comp_bw[0] // 2
     preds = [0] * len(comps)
     rst = 0
     mcus_done = 0
@@ -531,7 +722,10 @@ class _Component(NamedTuple):
 
 
 def decode_jpeg(data: bytes) -> DecodedJpeg:
-    """Decode a baseline sequential JPEG (SOF0, 8-bit, Huffman)."""
+    """Decode a baseline sequential (SOF0/SOF1) or progressive (SOF2)
+    8-bit Huffman JPEG. Progressive scans accumulate coefficients into
+    per-component planes (spectral selection + successive approximation
+    per T.81 G.2); reconstruction happens once, after the last scan."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -541,6 +735,9 @@ def decode_jpeg(data: bytes) -> DecodedJpeg:
     frame: tuple[int, int, list[_Component]] | None = None
     restart_interval = 0
     pixels: "np.ndarray | None" = None
+    progressive = False
+    prog_planes: dict[int, "np.ndarray"] = {}
+    prog_scans = 0
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -582,7 +779,7 @@ def decode_jpeg(data: bytes) -> DecodedJpeg:
                 tab = _decode_table(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 i += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 baseline-compatible
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -591,10 +788,23 @@ def decode_jpeg(data: bytes) -> DecodedJpeg:
                 cid, hv, tq = seg[6 + 3 * ci: 9 + 3 * ci]
                 comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
             frame = (fw, fh, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+            if progressive:
+                # persistent coefficient planes — every scan deposits
+                # its spectral band / approximation bits here
+                hmax = max(c.h for c in comps)
+                vmax = max(c.v for c in comps)
+                mw = -(-fw // (8 * hmax))
+                mh = -(-fh // (8 * vmax))
+                prog_planes = {
+                    c.cid: np.zeros((mh * c.v * mw * c.h, 64), np.int64)
+                    for c in comps
+                }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF{marker - 0xC0}) not supported"
+                f"unsupported JPEG process (SOF{marker - 0xC0}: "
+                "arithmetic-coded / hierarchical / lossless)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -607,14 +817,26 @@ def decode_jpeg(data: bytes) -> DecodedJpeg:
                 cs, tdta = seg[1 + 2 * si: 3 + 2 * si]
                 scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
             scan_start = pos + 2 + seglen
-            pixels, pos = _decode_scan(
-                data, scan_start, frame, scan_sel, qtables,
-                dc_tabs, ac_tabs, restart_interval,
-            )
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                pos = _decode_progressive_scan(
+                    data, scan_start, frame, scan_sel, dc_tabs, ac_tabs,
+                    restart_interval, prog_planes,
+                    ss, se, ahal >> 4, ahal & 0x0F,
+                )
+                prog_scans += 1
+            else:
+                pixels, pos = _decode_scan(
+                    data, scan_start, frame, scan_sel, qtables,
+                    dc_tabs, ac_tabs, restart_interval,
+                )
             continue  # pos already advanced past the scan
         # APPn, COM, everything else: skip
         pos += 2 + seglen
 
+    if progressive and prog_scans:
+        pixels = _reconstruct_pixels(frame, prog_planes, qtables)
     if frame is None or pixels is None:
         raise ValueError("no decodable scan found")
     fw, fh, comps = frame
@@ -689,7 +911,22 @@ def _decode_scan(
     ):
         end += 1
 
-    # reconstruct samples
+    return _reconstruct_pixels(frame, planes, qtables), end
+
+
+def _reconstruct_pixels(
+    frame: tuple[int, int, list[_Component]],
+    planes: dict[int, "np.ndarray"],
+    qtables: dict[int, "np.ndarray"],
+) -> "np.ndarray":
+    """Per-component dequantize → inverse zigzag → IDCT → upsample →
+    color transform, shared by the baseline one-scan path and the
+    progressive end-of-frame reconstruction."""
+    fw, fh, comps = frame
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcu_w = -(-fw // (8 * hmax))
+    mcu_h = -(-fh // (8 * vmax))
     comp_imgs: dict[int, "np.ndarray"] = {}
     for c in comps:
         qt = qtables.get(c.tq)
@@ -718,16 +955,204 @@ def _decode_scan(
 
     if len(comps) == 1:
         g = np.clip(comp_imgs[comps[0].cid], 0, 255).astype(np.uint8)
-        px = np.stack([g, g, g], axis=-1)
-    elif len(comps) == 3:
+        return np.stack([g, g, g], axis=-1)
+    if len(comps) == 3:
         ycc = np.stack(
             [comp_imgs[comps[0].cid], comp_imgs[comps[1].cid],
              comp_imgs[comps[2].cid]], axis=-1,
         )
-        px = ycbcr_to_rgb(ycc)
-    else:
-        raise NotImplementedError(f"{len(comps)}-component JPEG not supported")
-    return px, end
+        return ycbcr_to_rgb(ycc)
+    raise NotImplementedError(f"{len(comps)}-component JPEG not supported")
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    frame: tuple[int, int, list[_Component]],
+    scan_sel: list[tuple[int, int, int]],
+    dc_tabs: dict[int, dict[tuple[int, int], int]],
+    ac_tabs: dict[int, dict[tuple[int, int], int]],
+    restart_interval: int,
+    planes: dict[int, "np.ndarray"],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """One progressive scan (T.81 G.2): deposit the (Ss..Se) spectral
+    band at approximation bit Al into the persistent coefficient
+    planes. DC scans (Ss=0) may be interleaved over all components; AC
+    scans are single-component and traverse the component's OWN ceil
+    block grid (not the MCU-padded grid). ``Ah=0`` is a first scan,
+    ``Ah>0`` a refinement adding one magnitude bit. Returns the
+    position just past the scan's entropy data."""
+    fw, fh, comps = frame
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcu_w = -(-fw // (8 * hmax))
+    mcu_h = -(-fh // (8 * vmax))
+    by_id = {c.cid: c for c in comps}
+    order = []
+    for cs, td, ta in scan_sel:
+        if cs not in by_id:
+            raise ValueError(f"scan references unknown component {cs}")
+        order.append((by_id[cs], td, ta))
+    if ss > 0 and len(order) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if se > 63 or ss > se:
+        raise ValueError("invalid spectral band")
+
+    reader = _BitReader(data, pos)
+    state = {"eob_run": 0}
+    preds = {c.cid: 0 for c, _, _ in order}
+    p1 = 1 << al
+
+    def refine_nonzero(coef: "np.ndarray", k: int) -> None:
+        if reader.read_bit() and not (int(coef[k]) & p1):
+            coef[k] += p1 if coef[k] > 0 else -p1
+
+    def do_dc_first(coef: "np.ndarray", c: _Component, dct) -> None:
+        t = _decode_symbol(reader, dct)
+        diff = _extend(reader.receive(t), t) if t else 0
+        preds[c.cid] += diff
+        coef[0] = preds[c.cid] << al
+
+    def do_dc_refine(coef: "np.ndarray") -> None:
+        if reader.read_bit():
+            coef[0] |= p1
+
+    def do_ac_first(coef: "np.ndarray", act) -> None:
+        if state["eob_run"]:
+            state["eob_run"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_symbol(reader, act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    state["eob_run"] = (1 << r) - 1
+                    if r:
+                        state["eob_run"] += reader.receive(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            coef[k] = _extend(reader.receive(s), s) << al
+            k += 1
+
+    def do_ac_refine(coef: "np.ndarray", act) -> None:
+        k = ss
+        if state["eob_run"] == 0:
+            while k <= se:
+                rs = _decode_symbol(reader, act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        state["eob_run"] = (1 << r)
+                        if r:
+                            state["eob_run"] += reader.receive(r)
+                        break
+                    val = 0  # ZRL: 16 zero-history skips
+                elif s == 1:
+                    val = p1 if reader.read_bit() else -p1
+                else:
+                    raise ValueError("invalid refinement magnitude")
+                # advance over r zero-history coefficients, applying
+                # correction bits at already-significant positions
+                while k <= se:
+                    if coef[k]:
+                        refine_nonzero(coef, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    coef[k] = val
+                k += 1
+        if state["eob_run"]:
+            # this block's tail (and every whole block while the run
+            # lasts) still carries correction bits for nonzero coeffs
+            while k <= se:
+                if coef[k]:
+                    refine_nonzero(coef, k)
+                k += 1
+            state["eob_run"] -= 1
+
+    try:
+        if len(order) > 1:
+            # interleaved MCU traversal — only legal for DC scans
+            for mi in range(mcu_w * mcu_h):
+                if restart_interval and mi and mi % restart_interval == 0:
+                    _skip_to_rst(reader)
+                    preds = {c.cid: 0 for c, _, _ in order}
+                my, mx = divmod(mi, mcu_w)
+                for c, td, ta in order:
+                    tab = dc_tabs.get(td) if ah == 0 else None
+                    if ah == 0 and tab is None:
+                        raise ValueError("scan uses undeclared DC table")
+                    pw = mcu_w * c.h
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            bi = (my * c.v + by) * pw + (mx * c.h + bx)
+                            coef = planes[c.cid][bi]
+                            if ah == 0:
+                                do_dc_first(coef, c, tab)
+                            else:
+                                do_dc_refine(coef)
+        else:
+            # single-component scan: by definition non-interleaved —
+            # traverse the component's OWN ceil block grid (T.81 A.2),
+            # writing into the MCU-padded plane via its row stride
+            c, td, ta = order[0]
+            if ss == 0:
+                tab = dc_tabs.get(td) if ah == 0 else None
+                if ah == 0 and tab is None:
+                    raise ValueError("scan uses undeclared DC table")
+                act = None
+            else:
+                act = ac_tabs.get(ta)
+                if act is None:
+                    raise ValueError("scan uses undeclared AC table")
+            cs_w = -(-(fw * c.h) // hmax)  # ceil: component samples
+            cs_h = -(-(fh * c.v) // vmax)
+            cw = -(-cs_w // 8)  # ceil: component blocks per row
+            ch = -(-cs_h // 8)
+            pw = mcu_w * c.h
+            plane = planes[c.cid]
+            for u in range(cw * ch):
+                if restart_interval and u and u % restart_interval == 0:
+                    _skip_to_rst(reader)
+                    state["eob_run"] = 0
+                    preds = {c.cid: 0 for c, _, _ in order}
+                by, bx = divmod(u, cw)
+                coef = plane[by * pw + bx]
+                if ss == 0:
+                    if ah == 0:
+                        do_dc_first(coef, c, tab)
+                    else:
+                        do_dc_refine(coef)
+                elif ah == 0:
+                    do_ac_first(coef, act)
+                else:
+                    do_ac_refine(coef, act)
+    except _MarkerHit:
+        raise ValueError(
+            f"unexpected marker FF{reader.marker:02X} inside scan"
+        ) from None
+
+    end = reader.pos
+    while end + 1 < len(data) and not (
+        data[end] == 0xFF and data[end + 1] not in (0x00,)
+        and not (0xD0 <= data[end + 1] <= 0xD7)
+    ):
+        end += 1
+    return end
 
 
 def _skip_to_rst(reader: _BitReader) -> None:

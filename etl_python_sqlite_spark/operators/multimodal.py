@@ -22,11 +22,12 @@ container-friendly formats:
   ID3v2/v1 skipping, sample-exact duration, byte-true VBR average
   bitrate) while payload decode stays gated.
 
-Formats that genuinely need external libraries (progressive/arithmetic
-JPEG, MP3/AAC codecs) still raise
-``NotImplementedError`` — swapping in PIL/ffmpeg later only changes the
-magic-number dispatch, the batching / schema / partitioning around it is
-unchanged.
+Formats that genuinely need external libraries (arithmetic-coded /
+hierarchical JPEG, MP3/AAC payload codecs) still raise
+``NotImplementedError`` — progressive (SOF2) JPEG decodes for real as
+of r6 (operators/jpeg.py). Swapping in PIL/ffmpeg later only changes
+the magic-number dispatch; the batching / schema / partitioning around
+it is unchanged.
 
 Scale notes:
 

@@ -1704,13 +1704,18 @@ def ext_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs (per-bucket DECIMAL(38) ratio, HUGEINT in DuckDB)."""
     from etl_python_sqlite_spark.operators.curation import dsir_importance
 
+    from etl_python_sqlite_spark.operators.cache import tie
+
     docs = _docs(spark, sf_dir)
     tgt = docs.join(
         F.broadcast(docs.agg(F.min("source").alias("source"))),
         "source",
         "left_semi",
     )
-    return dsir_importance(docs, tgt).orderBy("doc_id")
+    # the weight frame is checkpoint-backed — keep it alive for as long
+    # as the ordered derivation lives (cache.py composition rule)
+    w = dsir_importance(docs, tgt)
+    return tie(w.orderBy("doc_id"), keepalive=[w])
 
 
 def ext_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -456,12 +456,26 @@ def attribute_purchases_to_clicks(
     outer half of Structured Streaming's stream-stream join matrix:
     legal precisely because both watermarks + the interval predicate
     give Spark the state-expiry certificate; the NULL row surfaces in a
-    micro-batch AFTER the watermark passes the click's horizon, which
-    the e2e test drives with a trailing heartbeat batch.
+    micro-batch AFTER the watermark passes the click's horizon.
+
+    **Operational contract for the outer rows** (this WILL silently eat
+    your NULL rows if ignored): the watermark is computed from a
+    batch's max event time at batch END and only APPLIED while
+    processing the NEXT batch, so under ``availableNow`` (and at normal
+    stream shutdown) the outer NULLs need **two trailing batches of
+    later events on BOTH sides** after the last real event — one to
+    advance the watermark, one to run under it and flush the expired
+    click state. A quiet side pins the joint watermark (it is the MIN
+    across sides), which is why both sides need them. On a
+    continuously-flowing production stream real traffic plays this
+    role; for drains, backfills and tests use
+    :func:`inject_outer_join_heartbeats`, which writes exactly that
+    file-per-batch heartbeat pattern.
 
     Works identically on batch frames (unified semantics), which is how
     the pytest pins the matching itself; the streaming e2e test drives
-    the same plan through micro-batches and checks append-mode emission.
+    the same plan through micro-batches via the heartbeat helper and
+    checks append-mode emission.
     """
     if how not in ("inner", "left_outer"):
         raise ValueError(f"unsupported join mode: {how!r}")
@@ -494,6 +508,49 @@ def attribute_purchases_to_clicks(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def inject_outer_join_heartbeats(
+    spark: SparkSession,
+    sides: dict[str, str],
+    beyond_ts,
+    n_batches: int = 2,
+    step_minutes: int = 600,
+    user_id: int = -1,
+) -> None:
+    """Write the trailing heartbeat batches a stream-stream OUTER join
+    needs before its NULL rows finalize (see
+    :func:`attribute_purchases_to_clicks` — two batches of later events
+    on BOTH sides: the first advances the watermark, the second runs
+    under the advanced watermark and flushes the expired state; a quiet
+    side would pin the MIN-across-sides joint watermark forever).
+
+    ``sides`` maps event_type → file-source directory (e.g.
+    ``{"click": click_dir, "purchase": purchase_dir}``); one
+    single-row parquet FILE per heartbeat is appended to each so that a
+    ``maxFilesPerTrigger=1`` reader sees each as its own micro-batch.
+    Heartbeat rows carry ``user_id=-1`` by convention — filter them
+    from downstream consumers (they can surface as unconverted rows
+    themselves).
+
+    ``beyond_ts`` must be at/after the last real event's timestamp;
+    heartbeats land at ``beyond_ts + k·step_minutes`` with the step
+    chosen ≫ watermark + horizon so even the first heartbeat closes
+    every real click's window.
+    """
+    from datetime import timedelta
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    for k in range(1, n_batches + 1):
+        ts = beyond_ts + timedelta(minutes=k * step_minutes)
+        for etype, path in sides.items():
+            row = [(-(1000 + k), ts, user_id, etype, 0.0, "{}")]
+            spark.createDataFrame(row, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
 
 
 def read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame | None:

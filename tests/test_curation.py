@@ -318,3 +318,144 @@ def test_scd2_apply_changes_rejects_late_data(spark):
         hist, late, key="user_id", state_col="event_type", ts_col="ts",
         order_cols=["event_id"], validate=False,
     ).count()
+
+
+def test_scd2_rebuild_keys_late_batch_duckdb_twin(spark):
+    """The out-of-order escape hatch (operators/snapshot
+    .scd2_rebuild_keys): a LATE batch — events at/before open- or even
+    closed-interval starts — is merged by rebuilding only the affected
+    keys from their retained change points ∪ the batch. A DuckDB twin
+    replays the identical window algebra (change-point flag, _src
+    tiebreak with NULLS FIRST, lead() close) and the full result row set
+    must match. Cases planted: closed-interval SPLIT, same-state
+    collapse against a later boundary, untouched key pass-through,
+    brand-new key, and a boundary-timestamp tie (history point sorts
+    first via _src=0)."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    from etl_python_sqlite_spark.operators.snapshot import (
+        scd2_intervals,
+        scd2_rebuild_keys,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def T(h):
+        return t0 + timedelta(hours=h)
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    inorder_rows = [
+        # u1: A A B B A  -> A[0,4) B[4,8) A[8,inf); late C@2 SPLITS A[0,4)
+        (1, 1, T(0), "A"), (2, 1, T(1), "A"), (3, 1, T(4), "B"),
+        (4, 1, T(5), "B"), (5, 1, T(8), "A"),
+        # u2: X@0 Y@3; late Y@1 -> X[0,1) then Y collapse -> Y[1,inf)
+        (6, 2, T(0), "X"), (7, 2, T(3), "Y"),
+        # u3: untouched
+        (8, 3, T(0), "Q"), (9, 3, T(2), "R"),
+        # u5: M@0 N@4; late P@4 ties the boundary -> N[4,4) zero-length
+        (10, 5, T(0), "M"), (11, 5, T(4), "N"),
+    ]
+    late_rows = [
+        (101, 1, T(2), "C"),
+        (102, 2, T(1), "Y"),
+        (103, 4, T(2), "Z"), (104, 4, T(6), "W"),  # brand-new key
+        (105, 5, T(4), "P"),
+    ]
+    ev = spark.createDataFrame(inorder_rows, schema)
+    late = spark.createDataFrame(late_rows, schema).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = scd2_intervals(
+        ev, key="user_id", state_col="event_type", ts_col="ts",
+        order_cols=["event_id"],
+    )
+    out = scd2_rebuild_keys(
+        hist, late, key="user_id", state_col="event_type", ts_col="ts",
+        order_cols=["event_id"],
+    )
+    got = sorted(
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"],
+         bool(r["is_current"]))
+        for r in out.collect()
+    )
+
+    # sanity on the planted semantics before the twin
+    u1 = [g for g in got if g[0] == 1]
+    assert [(g[1], g[2], g[3]) for g in u1] == [
+        ("A", T(0), T(2)), ("A", T(8), None), ("B", T(4), T(8)),
+        ("C", T(2), T(4)),
+    ]
+    assert [(g[1], g[2]) for g in got if g[0] == 2] == [
+        ("X", T(0)), ("Y", T(1))
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE inorder (event_id BIGINT, user_id BIGINT,"
+        " ts TIMESTAMP, event_type VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO inorder VALUES (?,?,?,?)", inorder_rows
+    )
+    con.execute(
+        "CREATE TABLE late (event_id BIGINT, user_id BIGINT,"
+        " ts TIMESTAMP, event_type VARCHAR)"
+    )
+    con.executemany("INSERT INTO late VALUES (?,?,?,?)", late_rows)
+    twin = con.execute("""
+        WITH flag AS (
+          SELECT user_id, event_type, ts, event_id,
+                 (lag(event_type) OVER w IS DISTINCT FROM event_type) AS chg
+          FROM inorder WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        bounds AS (
+          SELECT user_id, event_type, ts, 0 AS src,
+                 CAST(NULL AS BIGINT) AS event_id
+          FROM flag WHERE chg
+        ),
+        affected AS (SELECT DISTINCT user_id FROM late),
+        uni AS (
+          SELECT * FROM bounds WHERE user_id IN (SELECT user_id FROM affected)
+          UNION ALL
+          SELECT user_id, event_type, ts, 1 AS src, event_id FROM late
+        ),
+        flag2 AS (
+          SELECT user_id, event_type, ts, src, event_id,
+                 (lag(event_type) OVER w2 IS DISTINCT FROM event_type) AS chg
+          FROM uni WINDOW w2 AS (
+            PARTITION BY user_id ORDER BY ts, src, event_id NULLS FIRST)
+        ),
+        iv AS (
+          SELECT user_id, event_type, ts AS valid_from,
+                 lead(ts) OVER w3 AS valid_to,
+                 lead(ts) OVER w3 IS NULL AS is_current
+          FROM flag2 WHERE chg WINDOW w3 AS (
+            PARTITION BY user_id ORDER BY ts, src, event_id NULLS FIRST)
+        ),
+        untouched AS (
+          SELECT user_id, event_type, ts AS valid_from,
+                 lead(ts) OVER w4 AS valid_to,
+                 lead(ts) OVER w4 IS NULL AS is_current
+          FROM flag WHERE chg
+            AND user_id NOT IN (SELECT user_id FROM affected)
+          WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT * FROM iv UNION ALL SELECT * FROM untouched
+    """).fetchall()
+    want = sorted((u, s, vf, vt, bool(cur)) for u, s, vf, vt, cur in twin)
+    assert got == want
+
+    # keys= restriction: only u1 rebuilt; u2's late event is ignored and
+    # u2's history passes through verbatim
+    only1 = spark.createDataFrame([(1,)], "user_id long")
+    restricted = scd2_rebuild_keys(
+        hist, late, key="user_id", state_col="event_type", ts_col="ts",
+        order_cols=["event_id"], keys=only1,
+    )
+    r2 = {
+        (r["user_id"], r["event_type"], r["valid_from"])
+        for r in restricted.filter("user_id = 2").collect()
+    }
+    assert r2 == {(2, "X", T(0)), (2, "Y", T(3))}

@@ -129,9 +129,12 @@ def test_decoder_reads_tables_from_file_not_defaults():
     assert _psnr(img, hi) > _psnr(img, lo) > 20.0
 
 
-def test_progressive_and_bad_input_gates():
-    with pytest.raises(NotImplementedError, match="SOF2"):
-        J.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x10" + b"\x00" * 16)
+def test_unsupported_process_and_bad_input_gates():
+    # arithmetic-coded (SOF9/SOF10) stays honestly gated; SOF2 decodes now
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        J.decode_jpeg(b"\xff\xd8\xff\xc9\x00\x10" + b"\x00" * 16)
+    with pytest.raises(NotImplementedError, match="SOF10"):
+        J.decode_jpeg(b"\xff\xd8\xff\xca\x00\x10" + b"\x00" * 16)
     with pytest.raises(ValueError):
         J.decode_jpeg(b"not a jpeg at all")
     with pytest.raises(ValueError):
@@ -172,3 +175,108 @@ def test_annex_k_coverage_asserts():
     }
     assert needed <= set(J._AC_LUM_VALS) | {0x00}
     assert needed <= set(J._AC_CHROM_VALS)
+
+
+def test_progressive_roundtrip_matches_baseline():
+    """Progressive (SOF2) encode → decode must be BIT-IDENTICAL to the
+    baseline decode of the same pixels at the same quality: both paths
+    share the quantized coefficients, so the multi-scan spectral-
+    selection + successive-approximation script (DC Al=1 → AC bands at
+    Al=2/1 → DC/AC refinements) must reassemble every coefficient
+    exactly. Covers gray, 4:4:4, 4:2:0, odd dims (MCU pad columns
+    outside the non-interleaved AC grids), and EOB/ZRL-heavy content."""
+    cases = [
+        (_smoothish(16, 16)[:, :, 0], "4:4:4"),      # grayscale
+        (_smoothish(24, 33, seed=3), "4:4:4"),
+        (_smoothish(24, 33, seed=4), "4:2:0"),       # luma pad col ≠ grid
+        (_gradient(41, 57), "4:2:0"),
+        (np.zeros((8, 8, 3), np.uint8), "4:4:4"),    # all-EOB scans
+        (_gradient(9, 17), "4:4:4"),
+    ]
+    for px, sub in cases:
+        base = J.decode_jpeg(J.encode_jpeg(px, quality=85, subsampling=sub))
+        blob = J.encode_jpeg(px, quality=85, subsampling=sub, progressive=True)
+        assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob  # SOF2 frame
+        prog = J.decode_jpeg(blob)
+        assert prog.width == base.width and prog.height == base.height
+        assert np.array_equal(prog.pixels, base.pixels)
+
+
+def test_progressive_multimodal_dispatch():
+    img = _smoothish(24, 16, seed=9)
+    blob = J.encode_jpeg(img, quality=90, progressive=True)
+    meta = M._decode_one("image", blob)
+    assert meta["decode_ok"] and meta["format"] == "jpeg"
+    assert (meta["width"], meta["height"]) == (16, 24)
+
+
+def test_progressive_rejects_restart_intervals():
+    with pytest.raises(ValueError, match="baseline"):
+        J.encode_jpeg(_gradient(16, 16), progressive=True, restart_interval=2)
+
+
+def test_progressive_eob_run_decoding():
+    """EOBn symbols (run-of-EOBs over MULTIPLE blocks) never come out of
+    our encoder (Annex-K tables lack them), so the decoder's EOB-run
+    path is pinned with a hand-built stream: 3 grayscale blocks, a DC
+    first scan, then an AC first scan where block 1 codes one
+    coefficient and ends with EOB2 (r=1, covering block 2), and block 3
+    ends with a plain EOB. Expected pixels come from the module's own
+    reconstruction over hand-built coefficient planes."""
+    import struct as S
+
+    # custom Huffman tables: DC sizes {0,1,2}, AC symbols {0x00,0x10,0x02}
+    dc_bits = [0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = [0, 1, 2]
+    ac_bits = [0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x00, 0x10, 0x02]
+    dc_codes = J._canonical_codes(dc_bits, dc_vals)
+    ac_codes = J._canonical_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    qt = np.ones(64, np.int64)  # identity quantization
+    out += b"\xff\xdb" + S.pack(">H", 67) + bytes([0])
+    out += bytes(int(qt[J.ZIGZAG[i]]) for i in range(64))
+    out += b"\xff\xc2" + S.pack(">HBHHB", 11, 8, 8, 24, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc4" + S.pack(">H", 19 + 3) + bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    out += b"\xff\xc4" + S.pack(">H", 19 + 3) + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+
+    # DC first scan (Ss=0 Se=0 Ah=0 Al=0): DCs 8, 8, 12 (diffs 8, 0, 4)
+    out += b"\xff\xda" + S.pack(">H", 8) + bytes([1, 1, 0x00, 0, 0, 0x00])
+    bw = J._BitWriter()
+    for diff in (3, 0, -1):  # sizes 2, 0, 1 — inside the 3-symbol table
+        size = J._category(diff)
+        c, ln = dc_codes[size]
+        bw.write(c, ln)
+        if size:
+            amp = diff if diff >= 0 else diff + (1 << size) - 1
+            bw.write(amp, size)
+    bw.pad_to_byte()
+    out += bw.buf
+
+    # AC first scan (Ss=1 Se=63 Al=0): block1 codes k=1 val 2 then EOB2
+    # (r=1, 1 appended bit = 0 -> eob_run covers block 2); block3 EOB
+    out += b"\xff\xda" + S.pack(">H", 8) + bytes([1, 1, 0x00, 1, 63, 0x00])
+    bw = J._BitWriter()
+    c, ln = ac_codes[0x02]  # run 0, size 2
+    bw.write(c, ln)
+    bw.write(2, 2)  # value +2
+    c, ln = ac_codes[0x10]  # EOBn, r=1
+    bw.write(c, ln)
+    bw.write(0, 1)  # eob_run = (1<<1)-1 + 0 = 1 extra block
+    c, ln = ac_codes[0x00]  # plain EOB for block 3
+    bw.write(c, ln)
+    bw.pad_to_byte()
+    out += bw.buf
+    out += b"\xff\xd9"
+
+    dec = J.decode_jpeg(bytes(out))
+    assert (dec.width, dec.height) == (24, 8)
+
+    # expected: reconstruct from hand-built planes via the module itself
+    planes = {1: np.zeros((3, 64), np.int64)}
+    planes[1][0, 0], planes[1][1, 0], planes[1][2, 0] = 3, 3, 2
+    planes[1][0, 1] = 2
+    comps = [J._Component(1, 1, 1, 0)]
+    want = J._reconstruct_pixels((24, 8, comps), planes, {0: qt})
+    assert np.array_equal(dec.pixels, want)

@@ -597,17 +597,22 @@ def test_stream_stream_interval_attribution_left_outer(spark, tmp_path):
     else:
         raise AssertionError("expected ValueError")
 
-    # streaming e2e: heartbeat batches on both sides push the watermark
-    # far past every horizon so the outer NULLs finalize under
-    # availableNow (outer rows emit in a LATER batch than the match)
+    # streaming e2e: the heartbeat HELPER writes the two trailing
+    # batches per side that the outer contract requires (watermark
+    # advances on batch k, state flushes on batch k+1; a quiet side
+    # pins the joint watermark) — the API's own utility, exercised here
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        inject_outer_join_heartbeats,
+    )
+
     csrc, psrc = str(tmp_path / "oc"), str(tmp_path / "op")
     clicks_df.coalesce(1).write.parquet(csrc)
     purch_df.coalesce(1).write.parquet(psrc)
-    for m in (600, 1200):
-        spark.createDataFrame([ev(90 + m, m, 1, "click")], schema) \
-            .coalesce(1).write.mode("append").parquet(csrc)
-        spark.createDataFrame([ev(95 + m, m, 2, "purchase")], schema) \
-            .coalesce(1).write.mode("append").parquet(psrc)
+    inject_outer_join_heartbeats(
+        spark,
+        {"click": csrc, "purchase": psrc},
+        beyond_ts=datetime(2024, 6, 1, 13, 30),
+    )
 
     cs = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(csrc)
     ps = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(psrc)
