@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the old r2 block) close the dict. New r6 queries go at the very
     # FRONT so they land inside the window. Expected r6 ∩ r5 overlap: 0.
     return {
+        # -- NEW in round 6 (never driver-attested) — lead the window --
+        "scd2_rebuild_late_events": R.scd2_rebuild_late_events,
         # -- last attested round 3 (47) — lead the r6 window --
         "ext_curation_funnel": E.ext_curation_funnel,
         "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,
@@ -517,6 +519,77 @@ def oracle_sql() -> dict[str, str]:
             FROM cands
             WHERE levenshtein(w, w2) = 1
             ORDER BY w_a, w_b
+        """,
+        # out-of-order merge: history from event_id % 7 != 3, the rest
+        # arrives late; affected keys rebuild from retained change
+        # points ∪ batch (scd2_rebuild_keys). The twin replays the same
+        # window algebra: boundary events (src 0, NULL event_id, state
+        # tiebreak) union late events, change-flag + lead() close.
+        "scd2_rebuild_late_events": """
+            WITH inorder AS (
+                SELECT * FROM events WHERE event_id % 7 <> 3
+            ),
+            late AS (
+                SELECT user_id, event_type, ts, event_id
+                FROM events WHERE event_id % 7 = 3
+            ),
+            flag AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(event_type) OVER w IS NULL
+                                 OR lag(event_type) OVER w <> event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM inorder
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            affected AS (SELECT DISTINCT user_id FROM late),
+            uni AS (
+                SELECT user_id, event_type, ts, 0 AS src,
+                       CAST(NULL AS BIGINT) AS event_id,
+                       event_type AS st
+                FROM flag
+                WHERE chg = 1
+                  AND user_id IN (SELECT user_id FROM affected)
+                UNION ALL
+                SELECT user_id, event_type, ts, 1 AS src, event_id,
+                       event_type AS st
+                FROM late
+            ),
+            flag2 AS (
+                SELECT user_id, event_type, ts, src, event_id, st,
+                       CASE WHEN lag(event_type) OVER w2 IS NULL
+                                 OR lag(event_type) OVER w2 <> event_type
+                            THEN 1 ELSE 0 END AS chg
+                FROM uni
+                WINDOW w2 AS (PARTITION BY user_id
+                              ORDER BY ts, src, event_id NULLS FIRST, st)
+            ),
+            iv AS (
+                SELECT user_id, event_type, ts AS valid_from,
+                       lead(ts) OVER w3 AS valid_to
+                FROM flag2 WHERE chg = 1
+                WINDOW w3 AS (PARTITION BY user_id
+                              ORDER BY ts, src, event_id NULLS FIRST, st)
+            ),
+            untouched AS (
+                SELECT user_id, event_type, ts AS valid_from,
+                       lead(ts) OVER w4 AS valid_to
+                FROM flag
+                WHERE chg = 1
+                  AND user_id NOT IN (SELECT user_id FROM affected)
+                WINDOW w4 AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            allv AS (
+                SELECT * FROM iv UNION ALL SELECT * FROM untouched
+            )
+            SELECT user_id, event_type,
+                   strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f')
+                       AS valid_from,
+                   COALESCE(strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f'), '')
+                       AS valid_to,
+                   CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END
+                        AS INTEGER) AS is_current
+            FROM allv
+            ORDER BY user_id, valid_from
         """,
         # merge ≡ rebuild: the oracle is the FULL-history SCD2 twin;
         # Spark builds history below the temporal midpoint and merges

@@ -285,6 +285,13 @@ def scd2_rebuild_keys(
     the validator's violating keys, letting the in-order remainder take
     the O(delta) fast path); default: every key present in ``changes``.
 
+    Determinism: history boundary events carry NULL ``order_cols`` (the
+    interval table does not retain them), so two boundaries of one key
+    at the SAME timestamp would tie; the state value itself is appended
+    as the final tiebreaker — a documented, engine-portable total order
+    (binary string compare on both Spark and DuckDB). Data whose
+    retained change points never share a per-key timestamp is unaffected.
+
     Scale: affected keys' history is selected by one semi-join on the
     uniform key; the re-windowed union is O(affected history + batch);
     untouched keys pass through an anti-join with no window. Cost is
@@ -302,15 +309,17 @@ def scd2_rebuild_keys(
         F.col("valid_from").alias(ts_col),
         F.lit(0).alias("_src"),
         *[F.lit(None).cast(ctypes[c]).alias(c) for c in extra],
+        F.col(state_col).alias("_st"),
     )
     chg_events = changes.join(rkeys, key, "left_semi").select(
-        key, state_col, ts_col, F.lit(1).alias("_src"), *extra
+        key, state_col, ts_col, F.lit(1).alias("_src"), *extra,
+        F.col(state_col).alias("_st"),
     )
     piece = scd2_intervals(
         hist_events.unionByName(chg_events),
         key=key,
         state_col=state_col,
         ts_col=ts_col,
-        order_cols=["_src"] + extra,
+        order_cols=["_src"] + extra + ["_st"],
     )
     return untouched.unionByName(piece)

@@ -2379,6 +2379,55 @@ def scd2_apply_changes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tie(out, hist)
 
 
+def scd2_rebuild_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order CDC merge via per-key rebuild (operators/snapshot
+    .scd2_rebuild_keys — the escape hatch scd2_apply_changes' validator
+    points at): history is built from the events whose ids miss a
+    deterministic residue class, the held-out slice arrives as a LATE
+    batch (its timestamps interleave arbitrarily with closed
+    intervals), and only the affected keys' interval sets are rebuilt
+    from their retained change points ∪ the batch — closed-interval
+    split, same-state collapse and boundary ties all exercised on real
+    data. The DuckDB twin replays the identical window algebra
+    (change-point flag → affected-key union with the _src/NULLS FIRST/
+    state tiebreak → lead() close), so the whole merged history is
+    value-hash-checked. Untouched keys pass through with no window.
+
+    Scale: O(touched keys' intervals + batch); the untouched side is
+    one anti-join. Late-heavy workloads degrade gracefully toward a
+    full rebuild — exactly the contract's intent."""
+    from etl_python_sqlite_spark.operators.cache import tie
+    from etl_python_sqlite_spark.operators.snapshot import (
+        scd2_intervals,
+        scd2_rebuild_keys,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    inorder = ev.filter(F.col("event_id") % 7 != 3)
+    late = ev.filter(F.col("event_id") % 7 == 3).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist = scd2_intervals(
+        inorder, key="user_id", state_col="event_type", ts_col="ts",
+        order_cols=["event_id"],
+    ).persist()  # consumed by the semi (affected) and anti (untouched) passes
+    merged = scd2_rebuild_keys(
+        hist, late, key="user_id", state_col="event_type", ts_col="ts",
+        order_cols=["event_id"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    out = merged.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.coalesce(F.date_format("valid_to", fmt), F.lit("")).alias(
+            "valid_to"
+        ),
+        F.col("is_current").cast("int").alias("is_current"),
+    ).orderBy("user_id", "valid_from")
+    return tie(out, hist)
+
+
 def scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history build over the events stream: each user's
     consecutive runs of equal event_type collapse into validity
