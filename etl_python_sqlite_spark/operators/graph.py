@@ -496,15 +496,19 @@ def pagerank(
 
 
 #: Closure-join strategy gate: when the DISTINCT edge set is at most
-#: this many rows (~16 bytes/row → ≲160 MB broadcast), the wedge→edge
-#: closure probe BROADCASTS the oriented edge list instead of shuffling
-#: every wedge by (b, c). Wedge volume is O(|E|^1.5) — an order of
-#: magnitude larger than |E| on dense graphs (sf0.1 co-occurrence:
-#: ~2·10^7 wedges vs 9·10^5 edges, 455 MB shuffled) — so skipping the
-#: wedge exchange is the dominant win while the edge list is small;
-#: beyond the gate the shuffle join is the only shape that survives
-#: (the broadcast would grow with |E| — the pagerank lesson).
-TRIANGLE_BROADCAST_MAX_EDGES = 10_000_000
+#: this many rows, the wedge→edge closure probe BROADCASTS the oriented
+#: edge list instead of shuffling every wedge by (b, c). Wedge volume
+#: is O(|E|^1.5) — an order of magnitude larger than |E| on dense
+#: graphs (sf0.1 co-occurrence: ~2·10^7 wedges vs 9·10^5 edges, 455 MB
+#: shuffled) — so skipping the wedge exchange dominates while the edge
+#: list is broadcastable. MEASURED (r6, 16× lineitem probe, 14.3M
+#: edges): broadcast 96 s vs shuffle 166 s — broadcast still 1.7×
+#: faster, so the gate sits above that point. Beyond it the shuffle
+#: join is the only shape that survives: the hashed relation is
+#: ~16 B/row × 3-4× overhead (≈1.5 GB at this gate), which must fit
+#: EVERY executor — at 10^9 edges the broadcast is the classic
+#: scale-killer (the pagerank lesson).
+TRIANGLE_BROADCAST_MAX_EDGES = 20_000_000
 
 
 def triangle_counts(
