@@ -27,10 +27,13 @@ splitting a single file on sync markers is possible but needs a scan —
 documented trade, not silent). Each task opens and decodes only its
 file.
 
-The module also provides :func:`write_avro` — a bounded single-file
-writer (deflate codec) used for fixtures and dimension-sized sinks; at
-scale Avro WRITING should go through a real writer service, while this
-READER is the migration path for existing Avro lakes.
+Writing is DISTRIBUTED too (r6): :class:`AvroBatchWriter` implements
+the Python DataSource write protocol — each task streams its partition
+into one deflate-block container file under a temp name, the driver's
+``commit`` renames them into place (overwrite removes stale parts),
+``abort`` cleans up — so the spark-avro jar is not needed in either
+direction. :func:`write_avro` remains as the bounded single-file
+fixture writer (deterministic sync marker).
 """
 
 from __future__ import annotations
@@ -44,7 +47,13 @@ from dataclasses import dataclass
 from datetime import date, datetime, timedelta, timezone
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -331,6 +340,9 @@ class AvroDataSource(DataSource):
     def reader(self, schema: StructType):
         return AvroScanReader(self.options, schema)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return AvroBatchWriter(self.options, schema, overwrite)
+
 
 def register_avro_source(spark) -> None:
     spark.dataSource.register(AvroDataSource)
@@ -458,3 +470,182 @@ def write_avro(
     out.write(sync)
     with open(path, "wb") as fh:
         fh.write(out.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# distributed writer (Python DataSource write path — no spark-avro jar)
+# ---------------------------------------------------------------------------
+
+def _avro_type_of(dt: DataType, name: str):
+    """Spark type → Avro schema (JSON-able), the inverse of _spark_type
+    for the writer-supported subset. Named types get path-derived names
+    (Avro requires unique record names)."""
+    if isinstance(dt, LongType):
+        return "long"
+    if isinstance(dt, IntegerType):
+        return "int"
+    if isinstance(dt, DoubleType):
+        return "double"
+    if isinstance(dt, FloatType):
+        return "float"
+    if isinstance(dt, StringType):
+        return "string"
+    if isinstance(dt, BinaryType):
+        return "bytes"
+    if isinstance(dt, BooleanType):
+        return "boolean"
+    if isinstance(dt, TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, ArrayType):
+        items = _avro_type_of(dt.elementType, name + "_item")
+        return {
+            "type": "array",
+            "items": ["null", items] if dt.containsNull else items,
+        }
+    if isinstance(dt, MapType):
+        if not isinstance(dt.keyType, StringType):
+            raise ValueError("avro maps require string keys")
+        values = _avro_type_of(dt.valueType, name + "_value")
+        return {
+            "type": "map",
+            "values": ["null", values] if dt.valueContainsNull else values,
+        }
+    if isinstance(dt, StructType):
+        return _avro_schema_of(dt, name)
+    raise ValueError(f"unsupported Spark type for avro write: {dt}")
+
+
+def _avro_schema_of(st: StructType, name: str = "spark_record") -> dict:
+    fields = []
+    for f in st.fields:
+        t = _avro_type_of(f.dataType, f"{name}_{f.name}")
+        fields.append(
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+@dataclass
+class _AvroCommit(WriterCommitMessage):
+    tmp_path: str
+    final_name: str
+    n_rows: int
+
+
+class AvroBatchWriter(DataSourceWriter):
+    """Distributed Avro write: each task streams its partition into ONE
+    container file (deflate blocks of ``BLOCK_ROWS``), written under a
+    temp name; the driver's ``commit`` renames every task file into
+    place and — in overwrite mode — removes pre-existing part files,
+    so a failed job never leaves a half-replaced dataset and a replayed
+    task never double-counts (tmp names carry the attempt id; only the
+    committed attempt is renamed). ``abort`` deletes the temp files.
+
+    Closes the r2–r5 "distributed Avro write needs the spark-avro jar"
+    gap the same way ``sqlite_ds.py`` closed the JDBC gap: the Avro
+    object-container format is stdlib-writable, and the Spark 4 Python
+    DataSource write protocol supplies the task/commit machinery.
+    Scale: one file per partition, each task O(its rows), no driver
+    data movement — repartition upstream to control file count/size.
+    Paths are local/posix-mounted filesystems (same contract as this
+    module's reader; object stores need a mounted or fuse path).
+    """
+
+    BLOCK_ROWS = 2000
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("avro_py write needs a path")
+        self.avro_schema = _avro_schema_of(schema)
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _AvroCommit:
+        import hashlib
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        attempt = ctx.taskAttemptId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        final = f"part-{pid:05d}.avro"
+        tmp = os.path.join(self.path, f"_tmp-{pid:05d}-{attempt}.avro")
+        # sync marker deterministic per FINAL file name: a replayed
+        # attempt produces a byte-identical container
+        sync = hashlib.md5(final.encode()).digest()
+        n_total = 0
+        with open(tmp, "wb") as fh:
+            fh.write(_MAGIC)
+            meta = {
+                "avro.schema": json.dumps(self.avro_schema).encode(),
+                "avro.codec": b"deflate",
+            }
+            fh.write(_zigzag(len(meta)))
+            for k, v in meta.items():
+                kb = k.encode()
+                fh.write(_zigzag(len(kb)) + kb)
+                fh.write(_zigzag(len(v)) + v)
+            fh.write(_zigzag(0))
+            fh.write(sync)
+
+            buf = bytearray()
+            n_block = 0
+
+            def flush():
+                nonlocal buf, n_block
+                if not n_block:
+                    return
+                co = zlib.compressobj(9, zlib.DEFLATED, -15)
+                block = co.compress(bytes(buf)) + co.flush()
+                fh.write(_zigzag(n_block))
+                fh.write(_zigzag(len(block)))
+                fh.write(block)
+                fh.write(sync)
+                buf = bytearray()
+                n_block = 0
+
+            for row in iterator:
+                _encode(buf, self.avro_schema, tuple(row))
+                n_block += 1
+                n_total += 1
+                if n_block >= self.BLOCK_ROWS:
+                    flush()
+            flush()
+        return _AvroCommit(tmp, final, n_total)
+
+    def commit(self, messages) -> None:
+        # pre-existing part files only — the listing runs AFTER tasks
+        # wrote their temp files, which must not enter the delete set
+        existing = (
+            {
+                f
+                for f in os.listdir(self.path)
+                if f.endswith(".avro") and not f.startswith("_tmp")
+            }
+            if os.path.isdir(self.path)
+            else set()
+        )
+        renamed = set()
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(m.tmp_path, os.path.join(self.path, m.final_name))
+            renamed.add(m.final_name)
+        if self.overwrite:
+            for f in existing - renamed:
+                os.remove(os.path.join(self.path, f))
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+def write_avro_dataset(df, path: str, mode: str = "overwrite") -> None:
+    """Distributed Avro write, no jar: one container file per partition
+    via the Python DataSource write protocol (see AvroBatchWriter)."""
+    register_avro_source(df.sparkSession)
+    df.write.format(FORMAT_NAME).mode(mode).save(path)

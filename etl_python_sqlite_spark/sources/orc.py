@@ -8,12 +8,12 @@ pushed filters appear in the ORC scan plan the same way the parquet plan
 gates do.
 
 Avro, for contrast, is an *external* Spark module (spark-avro jar) — not
-loadable in this offline environment. ``read_avro`` therefore routes to
-the pure-stdlib container reader in ``sources/avro_py.py`` (Python
-DataSource, one partition per file — the r5 jar-gap closure, same trick
-as ``sqlite_ds.py``); ``write_avro`` keeps the documented jar gate
-(distributed Avro WRITING needs the jar; the bounded fixture writer
-lives in ``avro_py.write_avro``).
+loadable in this offline environment. Both directions now route through
+the pure-stdlib Python DataSource in ``sources/avro_py.py``: reads one
+partition per file (the r5 jar-gap closure, same trick as
+``sqlite_ds.py``) and, as of r6, WRITES distributed too
+(``avro_py.write_avro_dataset`` — per-task container files, temp-name +
+driver-commit rename). No jar gate remains on the Avro path.
 """
 
 from __future__ import annotations

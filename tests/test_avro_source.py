@@ -107,3 +107,57 @@ def test_corrupt_container_raises(tmp_path):
         assert "container" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_distributed_avro_write_roundtrip(spark, tmp_path):
+    """The write half of the jar gap (VERDICT r5 missing #3): a
+    DataFrame writes DISTRIBUTED through the Python DataSource write
+    protocol — one container file per partition, temp-name + driver
+    commit rename — and reads back through this module's own reader
+    with values intact, including nullable columns, arrays, timestamps
+    and nested structs."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_python_sqlite_spark.sources.avro_py import (
+        read_avro,
+        write_avro_dataset,
+    )
+
+    df = (
+        spark.range(0, 100)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2.5).alias("x"),
+            F.concat(F.lit("v"), F.col("id")).alias("s"),
+            F.when(F.col("id") % 3 == 0, F.col("id")).alias("maybe"),
+            F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+            F.to_timestamp(F.lit("2024-06-01 12:00:00")).alias("ts"),
+            F.struct(F.col("id").alias("a"), F.lit("z").alias("b")).alias("nest"),
+        )
+        .repartition(4)
+    )
+    out = str(tmp_path / "avro_out")
+    write_avro_dataset(df, out, mode="overwrite")
+
+    import os
+
+    parts = sorted(f for f in os.listdir(out) if f.endswith(".avro"))
+    assert len(parts) == 4 and all(p.startswith("part-") for p in parts)
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp")]
+
+    back = read_avro(spark, out)
+    assert back.count() == 100
+    rows = {r["k"]: r for r in back.collect()}
+    assert rows[6]["maybe"] == 6 and rows[7]["maybe"] is None
+    assert rows[9]["arr"] == [9, 10]
+    assert rows[9]["s"] == "v9" and abs(rows[9]["x"] - 22.5) < 1e-9
+    assert rows[9]["ts"] == datetime(2024, 6, 1, 12, 0)
+    assert rows[9]["nest"]["a"] == 9 and rows[9]["nest"]["b"] == "z"
+
+    # overwrite replaces the dataset (fewer partitions -> fewer files,
+    # stale part files removed)
+    write_avro_dataset(df.filter("k < 10").repartition(2), out, mode="overwrite")
+    assert read_avro(spark, out).count() == 10
+    assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 2
