@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 6 (never driver-attested) — lead the window --
         "scd2_rebuild_late_events": R.scd2_rebuild_late_events,
+        "ext_unicode_normalize": E.ext_unicode_normalize,
         # -- last attested round 3 (47) — lead the r6 window --
         "ext_curation_funnel": E.ext_curation_funnel,
         "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,
@@ -519,6 +520,30 @@ def oracle_sql() -> dict[str, str]:
             FROM cands
             WHERE levenshtein(w, w2) = 1
             ORDER BY w_a, w_b
+        """,
+        # Unicode NFC: CPython UCD (pandas_udf) vs DuckDB utf8proc —
+        # bit-identical on assigned text by the normalization
+        # STABILITY policy; suffixes built with chr() so both engines
+        # see the exact same decomposed sequences.
+        "ext_unicode_normalize": """
+            WITH s AS (
+                SELECT doc_id,
+                       text || ' ' || CASE CAST(doc_id % 4 AS INTEGER)
+                           WHEN 0 THEN 'e' || chr(769)
+                           WHEN 1 THEN chr(4352) || chr(4449)
+                           WHEN 2 THEN 'A' || chr(778)
+                           WHEN 3 THEN chr(233)
+                       END AS raw
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(raw) AS BIGINT) AS len_raw,
+                   CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+                   CAST(CASE WHEN raw <> nfc_normalize(raw) THEN 1 ELSE 0 END
+                        AS INTEGER) AS changed,
+                   md5(nfc_normalize(raw)) AS nfc_md5
+            FROM s
+            ORDER BY doc_id
         """,
         # out-of-order merge: history from event_id % 7 != 3, the rest
         # arrives late; affected keys rebuild from retained change

@@ -233,3 +233,38 @@ def langid_char_ngrams(col: Column | str) -> Column:
     for lang in sorted(scores):
         expr = expr.when(scores[lang] == best, F.lit(lang))
     return expr
+
+
+def nfc_normalize(col: Column | str) -> Column:
+    """Unicode NFC normalization — canonical composition of combining
+    sequences (é as e+◌́ → é, Hangul jamo → syllables), the first
+    hygiene pass of any multilingual training corpus: dedup keys,
+    tokenizers and equality joins all disagree on canonically-
+    equivalent byte sequences until the corpus is normalized.
+
+    Spark has no built-in normalizer, so this is one of the repo's few
+    sanctioned Python paths: an Arrow-batched ``pandas_udf`` over
+    CPython's ``unicodedata`` (UCD) — vectorized batches, never
+    row-at-a-time serialization. Cross-engine exactness holds by the
+    Unicode NORMALIZATION STABILITY policy: once a character is
+    assigned, its normalization never changes between Unicode versions,
+    so CPython's UCD and DuckDB's utf8proc (``nfc_normalize``) agree
+    bit-for-bit on any assigned text — which is what lets the contract
+    query value-hash the whole normalized corpus against the twin.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    # annotations are postponed module-wide (PEP 563), so the Series
+    # hints would be unresolvable strings — set them as live objects
+    import pandas as pd
+
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = pandas_udf("string")(_nfc)
+    return udf(F.col(col) if isinstance(col, str) else col)

@@ -2082,3 +2082,37 @@ def ext_vocab_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tokens.groupBy("w").agg(F.count("*").cast("long").alias("df"))
     pairs = edit_distance_pairs(vocab, "w", min_len=3, carry_cols=["df"])
     return pairs.orderBy("w_a", "w_b")
+
+
+def ext_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-T7 — Unicode NFC corpus normalization
+    (functions/text.nfc_normalize, Arrow-batched pandas_udf over the
+    CPython UCD): every document gets a deterministic decomposed /
+    composed suffix by doc_id residue (combining acute, Hangul jamo,
+    combining ring, a precomposed control), is NFC-normalized, and the
+    FULL normalized corpus is value-hash-checked against DuckDB's
+    utf8proc ``nfc_normalize`` — exact across engines by the Unicode
+    normalization stability policy. Emits char lengths before/after, a
+    changed flag and the md5 of the normalized text."""
+    from etl_python_sqlite_spark.functions.text import nfc_normalize
+
+    docs = _docs(spark, sf_dir)
+    suffix = F.element_at(
+        F.array(
+            F.lit("e\u0301"),        # e + combining acute -> \u00e9
+            F.lit("\u1100\u1161"),   # Hangul jamo L+V     -> \uac00
+            F.lit("A\u030a"),        # A + combining ring  -> \u00c5
+            F.lit("\u00e9"),         # precomposed \u00e9 (no-op)
+        ),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    raw = F.concat(F.col("text"), F.lit(" "), suffix)
+    d = docs.select("doc_id", raw.alias("raw"))
+    d = d.withColumn("norm", nfc_normalize("raw"))
+    return d.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("len_raw"),
+        F.length("norm").cast("long").alias("len_nfc"),
+        (F.col("raw") != F.col("norm")).cast("int").alias("changed"),
+        F.md5(F.col("norm")).alias("nfc_md5"),
+    ).orderBy("doc_id")

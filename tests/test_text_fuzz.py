@@ -145,3 +145,29 @@ def test_x0b_word_split_cross_engine(spark):
     ]
     py_counts = [len(s.split()) for s in sorted(samples)]
     assert spark_counts == duck_counts == py_counts
+
+
+def test_nfc_normalize_composes(spark):
+    """Decomposed combining sequences compose under NFC; composed text
+    and NULLs pass through (functions/text.nfc_normalize — the
+    Arrow-batched UCD path; cross-engine parity is the contract
+    query's oracle)."""
+    from pyspark.sql import functions as F
+
+    from etl_python_sqlite_spark.functions.text import nfc_normalize
+
+    rows = [
+        (1, "café"),      # cafe + combining acute
+        (2, "가"),         # Hangul jamo
+        (3, "café"),            # already composed
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string").select(
+        "id", nfc_normalize("t").alias("n"), F.length("t").alias("lr"),
+        F.length(nfc_normalize("t")).alias("ln"),
+    )
+    got = {r["id"]: (r["n"], r["lr"], r["ln"]) for r in df.collect()}
+    assert got[1] == ("café", 5, 4)
+    assert got[2] == ("가", 2, 1)
+    assert got[3] == ("café", 4, 4)
+    assert got[4] == (None, None, None)
