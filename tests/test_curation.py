@@ -459,3 +459,109 @@ def test_scd2_rebuild_keys_late_batch_duckdb_twin(spark):
         for r in restricted.filter("user_id = 2").collect()
     }
     assert r2 == {(2, "X", T(0)), (2, "Y", T(3))}
+
+
+def test_scd2_rebuild_keys_fuzz_against_python_reference(spark):
+    """Seeded-random CDC logs (duplicate per-key timestamps, same-state
+    runs, late batches that interleave arbitrarily — including AT
+    boundary timestamps) verified against a pure-Python replay of the
+    documented rebuild algebra: inorder change points → boundary events
+    (src 0, NULL event_id, state tiebreak) ∪ late events → change-flag
+    + lead close; untouched keys pass through verbatim."""
+    import random
+    from datetime import datetime, timedelta
+
+    from etl_python_sqlite_spark.operators.snapshot import (
+        scd2_intervals,
+        scd2_rebuild_keys,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def ref_change_points(evs):
+        """evs: [(state, ts, sortkey...)] pre-sorted → retained points."""
+        out, prev = [], object()
+        for e in evs:
+            if e[0] != prev:
+                out.append(e)
+            prev = e[0]
+        return out
+
+    def ref_intervals(points):
+        """[(state, ts, ...)] in order → (state, vf, vt, is_current)."""
+        out = []
+        for i, p in enumerate(points):
+            vt = points[i + 1][1] if i + 1 < len(points) else None
+            out.append((p[0], p[1], vt, vt is None))
+        return out
+
+    rng = random.Random(61)
+    for trial in range(12):
+        n = rng.randint(6, 24)
+        rows = []
+        for eid in range(1, n + 1):
+            rows.append(
+                (
+                    eid,
+                    rng.randint(1, 4),                      # user
+                    t0 + timedelta(hours=rng.randint(0, 10)),  # dup-able ts
+                    rng.choice("ABC"),                      # state
+                )
+            )
+        late_ids = {eid for eid, *_ in rows if rng.random() < 0.35}
+        inorder = [r for r in rows if r[0] not in late_ids]
+        late = [r for r in rows if r[0] in late_ids]
+        if not inorder or not late:
+            continue
+
+        schema = "event_id long, user_id long, ts timestamp, event_type string"
+        hist = scd2_intervals(
+            spark.createDataFrame(inorder, schema),
+            key="user_id", state_col="event_type", ts_col="ts",
+            order_cols=["event_id"],
+        )
+        got = sorted(
+            (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"],
+             bool(r["is_current"]))
+            for r in scd2_rebuild_keys(
+                hist,
+                spark.createDataFrame(late, schema).select(
+                    "user_id", "event_type", "ts", "event_id"
+                ),
+                key="user_id", state_col="event_type", ts_col="ts",
+                order_cols=["event_id"],
+            ).collect()
+        )
+
+        # pure-Python reference
+        want = []
+        affected = {u for _, u, _, _ in late}
+        by_user_inorder = {}
+        for eid, u, ts, s in sorted(inorder, key=lambda r: (r[1], r[2], r[0])):
+            by_user_inorder.setdefault(u, []).append((s, ts, eid))
+        for u, evs in by_user_inorder.items():
+            bounds = ref_change_points(evs)
+            if u not in affected:
+                want += [(u, s, vf, vt, cur)
+                         for s, vf, vt, cur in ref_intervals(bounds)]
+                continue
+            # uni: boundaries (src 0, eid None -> sorts FIRST) + late
+            uni = [(s, ts, 0, (0, 0), s) for s, ts, _ in bounds]
+            uni += [
+                (s, ts, 1, (1, eid), s)
+                for eid, uu, ts, s in late
+                if uu == u
+            ]
+            uni.sort(key=lambda e: (e[1], e[2], e[3], e[4]))
+            pts = ref_change_points(uni)
+            want += [(u, s, vf, vt, cur)
+                     for s, vf, vt, cur in ref_intervals(pts)]
+        # brand-new keys present only in the late batch
+        for u in affected - set(by_user_inorder):
+            uni = sorted(
+                ((s, ts, 1, (1, eid), s) for eid, uu, ts, s in late if uu == u),
+                key=lambda e: (e[1], e[2], e[3], e[4]),
+            )
+            want += [(u, s, vf, vt, cur)
+                     for s, vf, vt, cur in ref_intervals(ref_change_points(uni))]
+        assert got == sorted(want), f"trial {trial}"
