@@ -1878,7 +1878,11 @@ def _flag_cents_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt")
     ).persist()
     while len(_FLAG_HIST_MEMO) >= _FLAG_HIST_MAX:
-        _, old = _FLAG_HIST_MEMO.popitem()
+        # evict the LEAST recently used — dicts iterate in insertion
+        # order and hits re-insert, so the first key is the oldest
+        # (popitem() would pop the NEWEST — LIFO, not LRU)
+        oldest = next(iter(_FLAG_HIST_MEMO))
+        old = _FLAG_HIST_MEMO.pop(oldest)
         try:
             old.unpersist()
         except Exception:

@@ -161,3 +161,31 @@ def test_distributed_avro_write_roundtrip(spark, tmp_path):
     write_avro_dataset(df.filter("k < 10").repartition(2), out, mode="overwrite")
     assert read_avro(spark, out).count() == 10
     assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 2
+
+
+def test_avro_writer_abort_cleans_tmp_files(spark, tmp_path):
+    """abort() removes task temp files and leaves committed data alone."""
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from etl_python_sqlite_spark.sources.avro_py import (
+        AvroBatchWriter,
+        _AvroCommit,
+        read_avro,
+        write_avro_dataset,
+    )
+
+    out = str(tmp_path / "aw")
+    write_avro_dataset(spark.range(5).selectExpr("id AS k"), out)
+    # fabricate a failed job's leftovers: one orphan tmp + its message
+    orphan = os.path.join(out, "_tmp-00009-42.avro")
+    open(orphan, "wb").write(b"partial")
+    w = AvroBatchWriter(
+        {"path": out}, StructType([StructField("k", LongType(), False)]),
+        overwrite=True,
+    )
+    w.abort([None, _AvroCommit(orphan, "part-00009.avro", 5)])
+    assert not os.path.exists(orphan)
+    # committed dataset untouched and still readable
+    assert read_avro(spark, out).count() == 5

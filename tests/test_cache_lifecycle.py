@@ -173,3 +173,27 @@ def test_split_rejects_releases_cache(spark, tmp_path):
     del rejects
     gc.collect()
     assert _n_persistent(spark) == before
+
+
+def test_shared_flag_histogram_memo_bounded_and_releasable(spark):
+    """The mad/robust shared histogram is SESSION-scoped by design (the
+    frame is bounded by the price domain, not data volume) — but the
+    memo itself must stay bounded (LRU cap) and explicitly releasable."""
+    from etl_python_sqlite_spark.plans import relational as R
+
+    R.release_shared_histograms()
+    before = _n_persistent(spark)
+    h1 = R._flag_cents_hist(spark, SF_SMOKE)
+    h1.count()
+    assert _n_persistent(spark) == before + 1
+    # same key -> same frame, no second cache entry
+    assert R._flag_cents_hist(spark, SF_SMOKE) is h1
+    assert _n_persistent(spark) == before + 1
+    # LRU cap: further distinct keys evict (and unpersist) the oldest
+    R._flag_cents_hist(spark, "/root/testdata/sf0.01").count()
+    R._flag_cents_hist(spark, "/root/testdata/sf0.1").count()
+    assert len(R._FLAG_HIST_MEMO) == R._FLAG_HIST_MAX
+    # explicit release drops every entry and its storage
+    R.release_shared_histograms()
+    assert len(R._FLAG_HIST_MEMO) == 0
+    assert _n_persistent(spark) == before

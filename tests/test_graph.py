@@ -291,3 +291,31 @@ def test_triangle_counts_random_graph(spark):
         for r in triangle_counts(df).collect()
     }
     assert got == _brute_triangles(edges)
+
+
+def test_triangle_closure_tiers_identical(spark):
+    """The broadcast and shuffle closure strategies must produce the
+    SAME per-node triangle counts — the strategy gate is a physical
+    choice, never a semantic one (the pagerank tier-equality rule)."""
+    from etl_python_sqlite_spark.operators.graph import triangle_counts
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),            # triangle
+        (3, 4), (4, 5), (3, 5),            # triangle sharing node 3
+        (5, 6), (6, 7),                    # path, no triangle
+        (1, 4),                            # closes (1,3,4)
+        (8, 9),                            # isolated edge
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def canon(out):
+        return sorted(
+            (r["node"], r["tri_cnt"], r["degree"]) for r in out.collect()
+        )
+
+    bcast = canon(triangle_counts(df))  # default gate -> broadcast
+    shuf = canon(triangle_counts(df, broadcast_max_edges=0))  # forced shuffle
+    assert bcast == shuf
+    # ground truth: triangles {1,2,3}, {3,4,5}, {1,3,4}
+    by_node = {n: t for n, t, _ in bcast}
+    assert by_node == {1: 2, 2: 1, 3: 3, 4: 2, 5: 1}
