@@ -283,16 +283,29 @@ def _local_pagerank(
         )
         n = len(nodes)
         u_idx, v_idx = inv[: len(e)], inv[len(e) :]
-        outdeg = np.zeros(n, dtype=np.int64)
-        np.add.at(outdeg, u_idx, 1)
+        outdeg = np.bincount(u_idx, minlength=n).astype(np.int64)
         r0 = total_mass // n
         base = (damp_den - damp_num) * r0 // damp_den
         r = np.full(n, r0, dtype=np.int64)
         dangling_mask = outdeg == 0
+        # Segment-sum plumbing, built ONCE: np.add.at is an unbuffered
+        # scatter (measured ~5× the whole kernel's cost on a 2.4M-edge
+        # graph); sorting the destination index once and reducing with
+        # np.add.reduceat is exact int64 sequential addition per
+        # segment — bit-identical totals (integer addition commutes),
+        # pinned by the tier-equality test.
+        perm = np.argsort(v_idx, kind="stable")
+        v_sorted = v_idx[perm]
+        starts = np.flatnonzero(
+            np.r_[True, v_sorted[1:] != v_sorted[:-1]]
+        )
+        seg_nodes = v_sorted[starts] if len(v_sorted) else v_sorted
+        denom = damp_den * outdeg
         for _ in range(iterations):
-            contrib = (damp_num * r[u_idx]) // (damp_den * outdeg[u_idx])
+            contrib = (damp_num * r)[u_idx] // denom[u_idx]
             agg = np.zeros(n, dtype=np.int64)
-            np.add.at(agg, v_idx, contrib)
+            if len(starts):
+                agg[seg_nodes] = np.add.reduceat(contrib[perm], starts)
             extra = 0
             if redistribute:
                 dm = int(r[dangling_mask].sum())
@@ -314,6 +327,7 @@ def pagerank(
     broadcast_max_nodes: int = PAGERANK_BROADCAST_MAX_NODES,
     dangling: str = "evaporate",
     local_edge_limit: int = PAGERANK_LOCAL_EDGE_LIMIT,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank in EXACT integer arithmetic
     (Brin & Page 1998; the quantized estimator is this module's spec).
@@ -403,12 +417,21 @@ def pagerank(
             f"total_mass={total_mass} · damp_num={damp_num} overflows int64; "
             "reduce total_mass (rank resolution) or the damping numerator"
         )
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .persist()
-    )
+    if edges_distinct:
+        # caller guarantees a distinct, loop-free edge list that is
+        # ALREADY materialized (e.g. the memoized shared co-occurrence
+        # stage) — a rename projection reads its cache per action; this
+        # operator neither persists nor releases it (the memo owns it)
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        own_e = False
+    else:
+        e = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .persist()
+        )
+        own_e = True
     # one scalar to the driver — picks the execution tier by measured
     # size (the CC hybrid pattern): a graph whose edge list fits one
     # partition finishes in ONE executor task instead of ~9 Pregel jobs
@@ -418,7 +441,7 @@ def pagerank(
             e, iterations, total_mass, damp_num, damp_den,
             dangling == "redistribute",
         )
-        return tie(out, e)
+        return tie(out, e) if own_e else out
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -491,7 +514,9 @@ def pagerank(
             .cast("long")
             .alias("r"),
         ).localCheckpoint(eager=True)
-    keep = [e, eo, nodes, no_in] + ([dang] if dang is not None else [])
+    keep = ([e] if own_e else []) + [eo, nodes, no_in] + (
+        [dang] if dang is not None else []
+    )
     return tie(ranks, *keep)
 
 
@@ -516,6 +541,7 @@ def triangle_counts(
     src: str = "src",
     dst: str = "dst",
     broadcast_max_edges: int = TRIANGLE_BROADCAST_MAX_EDGES,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts via degree-ordered edge orientation
     (Schank & Wagner 2005's *forward* algorithm; the MapReduce shaping
@@ -542,15 +568,24 @@ def triangle_counts(
     (degree, node), so another engine replays the exact same oriented
     edge set bit-for-bit — no floats, no engine-specific hashing.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
+    if edges_canonical:
+        # caller guarantees distinct (u < v) edges ALREADY materialized
+        # (e.g. the memoized shared co-occurrence stage): every consumer
+        # below reads its cache through a rename projection; this
+        # operator neither persists nor releases it (the memo owns it)
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        own_e = False
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("u"),
+                F.greatest(F.col(src), F.col(dst)).alias("v"),
+            )
+            .filter(F.col("u") < F.col("v"))
+            .distinct()
+            .persist()
         )
-        .filter(F.col("u") < F.col("v"))
-        .distinct()
-        .persist()
-    )
+        own_e = True
     # consumed by deg, the orientation join, and (via deg) the final
     # degree attach — materialize once (multi-consumer invariant); the
     # count doubles as the closure-strategy gate input
@@ -610,4 +645,4 @@ def triangle_counts(
         .agg(F.count("*").alias("tri_cnt"))
     )
     out = per.join(deg, "node").select("node", "tri_cnt", F.col("d").alias("degree"))
-    return tie(out, e, deg, eor)
+    return tie(out, *([e] if own_e else []), deg, eor)

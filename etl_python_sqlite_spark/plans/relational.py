@@ -1891,14 +1891,64 @@ def _flag_cents_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist
 
 
-def release_shared_histograms() -> None:
-    """Unpersist and forget every memoized shared histogram."""
-    while _FLAG_HIST_MEMO:
-        _, old = _FLAG_HIST_MEMO.popitem()
+#: (applicationId, sf_dir) → persisted DISTINCT undirected (u < v) part
+#: co-occurrence edge frame — the shared first stage of the graph query
+#: family (part_cooccurrence_pagerank / part_triangle_stats both derive
+#: from it; pagerank's directed set is exactly the union of the two
+#: orientations of this distinct set, so ONE self-join + distinct feeds
+#: both). Unlike the cents histogram this frame is DATA-sized, so the
+#: at-100 TB policy is different: there it should be a materialized
+#: table partitioned by u (a cached common stage, written once per
+#:  lineitem snapshot), not executor memory — the memo is the local-
+#: mode rendition of that shared stage, same LRU cap + explicit
+#: release as the histogram memo.
+_COOCC_MEMO: dict = {}
+
+
+def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE distinct (u < v) part co-occurrence edge frame per session
+    and dataset, memoized and persisted; the per-order pair blocking is
+    O(rows · basket), never corpus-quadratic."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _COOCC_MEMO.pop(key, None)
+    if hit is not None:
+        _COOCC_MEMO[key] = hit  # LRU refresh
+        return hit
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().persist()
+    op.count()  # two self-join consumers — materialize first
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    e.count()
+    op.unpersist()  # consumed only by the join above — release now
+    while len(_COOCC_MEMO) >= _FLAG_HIST_MAX:
+        oldest = next(iter(_COOCC_MEMO))
+        old = _COOCC_MEMO.pop(oldest)
         try:
             old.unpersist()
         except Exception:
             pass
+    _COOCC_MEMO[key] = e
+    return e
+
+
+def release_shared_histograms() -> None:
+    """Unpersist and forget every memoized shared stage (the per-flag
+    cents histograms AND the co-occurrence edge frames)."""
+    for memo in (_FLAG_HIST_MEMO, _COOCC_MEMO):
+        while memo:
+            _, old = memo.popitem()
+            try:
+                old.unpersist()
+            except Exception:
+                pass
 
 
 def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2647,13 +2697,16 @@ def part_cooccurrence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_python_sqlite_spark.operators.cache import tie
     from etl_python_sqlite_spark.operators.graph import pagerank
 
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct().persist()
-    op.count()  # two join consumers — materialize before the self-join
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = a.join(b, "ok").filter(F.col("u") != F.col("v")).select("u", "v")
-    pr = pagerank(edges, "u", "v", iterations=5)
+    # directed edge set = both orientations of the memoized DISTINCT
+    # undirected co-occurrence frame (shared with part_triangle_stats —
+    # one self-join + distinct feeds the whole graph query family);
+    # the two halves are disjoint (u<v vs u>v), so the union is itself
+    # distinct and pagerank can skip its own dedup shuffle
+    e_und = _cooccurrence_edges(spark, sf_dir)
+    directed = e_und.union(
+        e_und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    pr = pagerank(directed, "u", "v", iterations=5, edges_distinct=True)
     out = (
         pr.orderBy(F.desc("r"), "node")
         .limit(25)
@@ -2661,7 +2714,7 @@ def part_cooccurrence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pr's own tie must stay alive as long as this result (its plan
     # reads the checkpointed rank RDD) — composition rule in cache.py
-    return tie(out, op, keepalive=[pr])
+    return tie(out, keepalive=[pr])
 
 
 def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2676,13 +2729,11 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_python_sqlite_spark.operators.cache import tie
     from etl_python_sqlite_spark.operators.graph import triangle_counts
 
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct().persist()
-    op.count()  # self-join consumer — materialize first
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v")
-    tc = triangle_counts(edges, "u", "v")
+    # the memoized shared co-occurrence stage IS this operator's
+    # canonical (u < v) distinct edge set — skip the internal dedup
+    tc = triangle_counts(
+        _cooccurrence_edges(spark, sf_dir), "u", "v", edges_canonical=True
+    )
     out = (
         tc.select(
             F.col("node").alias("part"),
@@ -2695,4 +2746,4 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tri_cnt"), "part")
         .limit(25)
     )
-    return tie(out, op, keepalive=[tc])
+    return tie(out, keepalive=[tc])
