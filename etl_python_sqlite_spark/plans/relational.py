@@ -1848,6 +1848,14 @@ def _flag_literal(picks: dict, name: str, flag_col: str = "l_returnflag"):
     ).cast("long")
 
 
+def _data_fingerprint(spark: SparkSession, sf_dir: str, name: str) -> tuple:
+    """File-listing fingerprint folded into the shared-stage memo keys
+    (stale-data guard, VERDICT r6 #3) — see sources/parquet.py."""
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+
+    return data_fingerprint(spark, sf_dir, name)
+
+
 #: (applicationId, sf_dir) → persisted per-flag cents histogram, shared
 #: by robust_price_stats and mad_outlier_scan (VERDICT r5 #3: the two
 #: queries build the IDENTICAL groupBy(l_returnflag, cents) roll-up over
@@ -1866,8 +1874,17 @@ def _flag_cents_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared first stage of the two order-statistics queries. Persisted
     and memoized; the caller's first rank-pick collect materializes it,
     every later consumer (either query, either pick, the final
-    aggregates) reads the cache instead of rescanning lineitem."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    aggregates) reads the cache instead of rescanning lineitem.
+
+    The memo key carries a file-listing fingerprint of the source table
+    (names + sizes + mtimes): rewriting the parquet under a live session
+    changes the key, so the stale cached stage is never served — it ages
+    out of the LRU as fresh keys land."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _data_fingerprint(spark, sf_dir, "lineitem"),
+    )
     hit = _FLAG_HIST_MEMO.pop(key, None)
     if hit is not None:
         _FLAG_HIST_MEMO[key] = hit  # re-insert: LRU refresh
@@ -1908,8 +1925,14 @@ _COOCC_MEMO: dict = {}
 def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE distinct (u < v) part co-occurrence edge frame per session
     and dataset, memoized and persisted; the per-order pair blocking is
-    O(rows · basket), never corpus-quadratic."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    O(rows · basket), never corpus-quadratic. Keyed on the lineitem
+    file-listing fingerprint like the cents histogram (stale-data
+    guard, VERDICT r6 #3)."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _data_fingerprint(spark, sf_dir, "lineitem"),
+    )
     hit = _COOCC_MEMO.pop(key, None)
     if hit is not None:
         _COOCC_MEMO[key] = hit  # LRU refresh

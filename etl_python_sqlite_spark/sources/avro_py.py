@@ -295,12 +295,16 @@ def avro_schema(path: str) -> StructType:
 
 
 def _list_avro_files(path: str) -> list[str]:
+    # Underscore-prefixed names are hidden (Hadoop convention): a
+    # retried/speculative task's `_tmp-*` file can survive a SUCCESSFUL
+    # job (commit renames only winning attempts), and reading it would
+    # duplicate rows or fail on a truncated container.
     if os.path.isfile(path):
         return [path]
     return sorted(
         os.path.join(path, f)
         for f in os.listdir(path)
-        if f.endswith(".avro")
+        if f.endswith(".avro") and not f.startswith(("_", "."))
     )
 
 
@@ -556,11 +560,19 @@ class AvroBatchWriter(DataSourceWriter):
     BLOCK_ROWS = 2000
 
     def __init__(self, options, schema: StructType, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("avro_py write needs a path")
         self.avro_schema = _avro_schema_of(schema)
         self.overwrite = overwrite
+        # Driver-generated once, shipped to every task: final names embed
+        # it so mode("append") genuinely appends (never clobbers a prior
+        # job's part-00000), while a REPLAYED attempt of the same job
+        # still lands on the same final name (byte-identical container —
+        # the sync marker derives from the final name).
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _AvroCommit:
         import hashlib
@@ -571,8 +583,10 @@ class AvroBatchWriter(DataSourceWriter):
         pid = ctx.partitionId() if ctx else 0
         attempt = ctx.taskAttemptId() if ctx else 0
         os.makedirs(self.path, exist_ok=True)
-        final = f"part-{pid:05d}.avro"
-        tmp = os.path.join(self.path, f"_tmp-{pid:05d}-{attempt}.avro")
+        final = f"part-{pid:05d}-{self.job_id}.avro"
+        tmp = os.path.join(
+            self.path, f"_tmp-{self.job_id}-{pid:05d}-{attempt}.avro"
+        )
         # sync marker deterministic per FINAL file name: a replayed
         # attempt produces a byte-identical container
         sync = hashlib.md5(final.encode()).digest()
@@ -637,6 +651,15 @@ class AvroBatchWriter(DataSourceWriter):
         if self.overwrite:
             for f in existing - renamed:
                 os.remove(os.path.join(self.path, f))
+        # Sweep THIS job's residual temp files: a lost/speculative
+        # attempt's `_tmp-{job}-*` survives a successful job (only the
+        # winning attempt's message reaches commit). Scoped to our job
+        # id so a concurrent writer's in-flight temps are untouched.
+        if os.path.isdir(self.path):
+            residue = f"_tmp-{self.job_id}-"
+            for f in os.listdir(self.path):
+                if f.startswith(residue):
+                    os.remove(os.path.join(self.path, f))
 
     def abort(self, messages) -> None:
         for m in messages or []:

@@ -163,6 +163,59 @@ def test_distributed_avro_write_roundtrip(spark, tmp_path):
     assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 2
 
 
+def test_avro_append_mode_accumulates(spark, tmp_path):
+    """mode('append') must genuinely append (ADVICE r6): per-job unique
+    part names mean a second write never clobbers the first job's
+    part-00000, and the reader sees the union."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_python_sqlite_spark.sources.avro_py import (
+        read_avro,
+        write_avro_dataset,
+    )
+
+    out = str(tmp_path / "ap")
+    df = spark.range(10).selectExpr("id AS k").repartition(2)
+    write_avro_dataset(df, out, mode="append")
+    write_avro_dataset(df, out, mode="append")
+    assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 4
+    back = read_avro(spark, out)
+    assert back.count() == 20
+    assert back.agg(F.sum("k")).first()[0] == 2 * sum(range(10))
+    # overwrite after appends resets the dataset
+    write_avro_dataset(df, out, mode="overwrite")
+    assert read_avro(spark, out).count() == 10
+
+
+def test_reader_skips_hidden_and_commit_sweeps_residual_tmp(spark, tmp_path):
+    """A crashed/speculative attempt's _tmp file left behind on a
+    SUCCESSFUL job must be invisible to the reader (hidden-file
+    convention) and swept by the next commit of the same job id."""
+    import os
+
+    from etl_python_sqlite_spark.sources.avro_py import (
+        _list_avro_files,
+        read_avro,
+        write_avro_dataset,
+    )
+
+    out = str(tmp_path / "sw")
+    write_avro_dataset(spark.range(7).selectExpr("id AS k"), out)
+    # fabricate a lost attempt's leftover: truncated container
+    orphan = os.path.join(out, "_tmp-deadbeef0123-00009-42.avro")
+    open(orphan, "wb").write(b"partial")
+    # reader never lists it (would otherwise raise on the bad magic)
+    assert orphan not in _list_avro_files(out)
+    assert read_avro(spark, out).count() == 7
+    # a later overwrite job sweeps ONLY ITS OWN residue; foreign temps
+    # survive (concurrent-writer safety) but stay hidden from reads
+    write_avro_dataset(spark.range(3).selectExpr("id AS k"), out)
+    assert os.path.exists(orphan)
+    assert read_avro(spark, out).count() == 3
+
+
 def test_avro_writer_abort_cleans_tmp_files(spark, tmp_path):
     """abort() removes task temp files and leaves committed data alone."""
     import os

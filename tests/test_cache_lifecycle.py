@@ -50,6 +50,17 @@ def _baseline_clean(spark):
     # every persistent RDD BLOCKING so the baseline is exactly zero.
     gc.collect()
     spark.catalog.clearCache()
+    # Release the session-scoped shared-stage memos THROUGH their API
+    # first: they are the only frames designed to stay alive across
+    # modules, and sweeping their checkpoint blocks out from under a
+    # live memo entry would leave a frame that cannot recompute
+    # (lineage truncated — ADVICE r6). After this, any persistent RDD
+    # still registered is residue: module-scoped fixtures from earlier
+    # modules are already torn down (pytest finalizes them at module
+    # end), and operators tie caches to result lifetimes.
+    from etl_python_sqlite_spark.plans import relational as R
+
+    R.release_shared_histograms()
     # py4j exposes the java.util.Map as a dict-like view
     jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
     for jrdd in jrdds:
