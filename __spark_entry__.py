@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the old r2 block) close the dict. New r6 queries go at the very
     # FRONT so they land inside the window. Expected r6 ∩ r5 overlap: 0.
     return {
+        # -- NEW in round 7 (never driver-attested) — lead the window --
+        "ext_repeated_substring_mine": E.ext_repeated_substring_mine,
         # -- NEW in round 6 (never driver-attested) — lead the window --
         "scd2_rebuild_late_events": R.scd2_rebuild_late_events,
         "ext_unicode_normalize": E.ext_unicode_normalize,
@@ -381,6 +383,45 @@ def oracle_sql() -> dict[str, str]:
         f"({s}, {a}, {b})" for s, a, b in universal_salt_constants(4)
     )
     return {
+        # -- round-7 additions ------------------------------------------
+        # ExactSubstr repeated-substring mining: the twin brute-forces
+        # EVERY 40-gram (no anchor sieve), so an exact hash match proves
+        # the Spark pipeline's completeness — one missed duplicated
+        # position and the per-doc integers diverge. Island rule (gap
+        # > 40 breaks) and 1-based positions replayed verbatim.
+        "ext_repeated_substring_mine": """
+            WITH pos AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(1,
+                           greatest(length(text) - 39, 0)))::BIGINT AS i
+                FROM documents
+            ),
+            g AS (SELECT doc_id, i, substr(text, i::INT, 40) AS gram
+                  FROM pos),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            dp AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
+            isl AS (
+                SELECT doc_id, i,
+                       SUM(CASE WHEN prev_i IS NULL OR i - prev_i > 40
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY i) AS grp
+                FROM (SELECT doc_id, i,
+                             lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                                 AS prev_i
+                      FROM dp)
+            ),
+            spans AS (
+                SELECT doc_id, grp, MIN(i) AS s, MAX(i) + 40 AS e,
+                       COUNT(*) AS npos
+                FROM isl GROUP BY doc_id, grp
+            )
+            SELECT doc_id,
+                   CAST(SUM(npos) AS BIGINT) AS n_dup_positions,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(e - s) AS BIGINT) AS covered_chars,
+                   CAST(MAX(e - s) AS BIGINT) AS max_span_len
+            FROM spans GROUP BY doc_id ORDER BY doc_id
+        """,
         # -- round-5 additions ------------------------------------------
         # Degree-ordered triangle counting (Schank–Wagner forward
         # algorithm): the oriented edge set, wedge generation and

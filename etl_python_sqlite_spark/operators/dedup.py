@@ -1031,3 +1031,186 @@ def setsim_join_prefix(
         .filter(F.col("jaccard_micro") >= threshold_micro)
     )
     return tie(verified, cands, sets_)
+
+
+def repeated_span_mine(
+    df: DataFrame,
+    min_len: int = 40,
+    anchor_k: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parallelism: int | None = None,
+    broadcast_texts: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style intra-corpus repeated-substring mining: every
+    MAXIMAL region of every document covered by duplicated ``min_len``-
+    char grams, as ``(id, span_start, span_end, n_positions)`` with
+    1-based ``span_start`` and exclusive ``span_end``.
+
+    A position ``p`` is *duplicated* iff the ``min_len``-gram starting
+    at ``p`` occurs (character-exactly) at some OTHER position of the
+    corpus — the published suffix-array dedup criterion ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2021),
+    restated so it needs no suffix array. Overlapping-or-touching
+    duplicated grams merge into one span (interval union), so dropping
+    ``text[span_start-1 : span_end-1]`` per span removes exactly the
+    ≥min_len repeated material.
+
+    Distributed shape — never a monolithic suffix array, never an
+    occurrence² pair extension (a template-heavy corpus makes hot
+    anchors quadratic; the r3 regeneration measured 73% near-dup pairs):
+
+    1. **Anchor hashing**: every ``anchor_k``-gram position hashed
+       JVM-side (``Generate`` + project, text never shuffled); 8-byte
+       (id, pos, hash) rows — the honest linear cost, same order as the
+       suffix-array construction it replaces.
+    2. **Hot anchors**: ``groupBy(hash).count() ≥ 2`` (map-side partial
+       combine), semi-joined back. A groupBy+join instead of a
+       ``count over (partition by hash)`` window on purpose: one
+       pathological k-gram (16 spaces × 10^8 copies) would put its
+       whole group into a single window task — the join's probe-side
+       skew is AQE-splittable, an in-task window sort is not. The gram
+       stream is recomputed for the probe branch rather than persisted:
+       at 100 TB a cached gram set cannot be pinned, and the rescan is
+       one Generate over the parquet scan.
+    3. **Candidate filter (complete by construction)**: if the L-gram
+       at ``p`` is duplicated, EVERY k-gram inside it is duplicated,
+       hence hot — so ``p`` is a candidate iff all ``w = L−k+1`` anchor
+       positions in ``[p, p+w)`` are hot (a count-over-range window per
+       doc, group size bounded by DOC LENGTH, not corpus size). This is
+       a strictly tighter sieve than sampled minimizer anchors and
+       misses nothing.
+    4. **Exact verification**: candidates re-extract their full L-gram,
+       keyed by a 128-bit content hash pair (two chained xxhash64
+       seeds); groups with ≥2 occurrences are duplicated. 16 bytes/row
+       instead of L chars; a false merge needs a 2^-128 collision —
+       below any corpus horizon (10^14 grams → ~10^-11 expected
+       collisions). The (id, i, h1, h2) frame is the narrowest stage
+       and feeds two consumers (the count and the probe), so it takes
+       the pipeline's ONE eager localCheckpoint (CLAUDE.md invariant).
+    5. **Span merge**: per-doc gaps-and-islands (lag + running sum);
+       start gaps > min_len break, else intervals union.
+
+    Every stage is linear in corpus positions; candidate volume tracks
+    true repetition (the all-hot-window sieve only passes regions whose
+    every k-gram recurs). Returns the span frame tie()'d to the
+    checkpoint blocks.
+
+    A same-session A/B at sf0.1 (1.4M positions, best-of-3 warm)
+    adjudicated three design forks, all kept as comments in place:
+    direct L-gram hashing without the sieve was 8.1 s vs the sieve's
+    2.6 s (two 40-char hashes × two uncached passes outweigh the extra
+    sieve stages even on a dense corpus); persisting the gram stream
+    lost to recomputing it (3.4 vs 2.8 s — the materialization job
+    costs more than the second Generate pass, and a pinned corpus-sized
+    cache is a non-starter at 100 TB anyway); document-frame skew is
+    the explode's poison (a single-file parquet scan ran the whole
+    gram stage on ONE core: 6.0 → 2.8 s after spreading).
+
+    ``parallelism``: explode input is repartitioned to this many tasks
+    (defaults to ``spark.sql.shuffle.partitions``); the doc frame is
+    tiny relative to its exploded output, so the pre-spread is a
+    near-free shuffle that keeps the gram stages wide.
+    ``broadcast_texts``: hint the candidate→text re-extraction join to
+    broadcast the document frame (measured −0.3 s at sf0.1). Off by
+    default — at data scale the corpus is never broadcastable; the
+    query layer turns it on from file-size metadata.
+    """
+    if anchor_k >= min_len:
+        raise ValueError("anchor_k must be < min_len")
+    w = min_len - anchor_k + 1
+    d0 = df.select(
+        F.col(id_col), F.col(text_col), F.length(text_col).alias("len")
+    ).filter(F.col("len") >= min_len)
+    spark = df.sparkSession
+    nparts = parallelism or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    d = d0.repartition(nparts)
+
+    def grams() -> DataFrame:
+        # rebuilt per consumer (see step 2 note) — a plain plan fragment
+        return d.select(
+            F.col(id_col),
+            F.col("len"),
+            F.explode(F.sequence(F.lit(1), F.col("len") - anchor_k + 1)).alias(
+                "i"
+            ),
+            F.col(text_col),
+        ).select(
+            id_col,
+            "len",
+            "i",
+            F.xxhash64(
+                F.col(text_col).substr(F.col("i"), F.lit(anchor_k))
+            ).alias("h"),
+        )
+
+    hot = (
+        grams()
+        .groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h")
+    )
+    hot_pos = grams().join(hot, "h", "left_semi")
+
+    # all-w-hot window per doc: count of hot anchor rows in [i, i+w-1]
+    rw = Window.partitionBy(id_col).orderBy("i").rangeBetween(0, w - 1)
+    cand = (
+        hot_pos.withColumn("nw", F.count("*").over(rw))
+        .filter(
+            (F.col("nw") == w) & (F.col("i") <= F.col("len") - min_len + 1)
+        )
+        .select(id_col, "i")
+    )
+
+    texts = d0.select(id_col, text_col)
+    if broadcast_texts:
+        texts = F.broadcast(texts)
+    lgrams = (
+        cand.join(texts, id_col)
+        .select(
+            id_col,
+            "i",
+            F.col(text_col).substr(F.col("i"), F.lit(min_len)).alias("g"),
+        )
+        .select(
+            id_col,
+            "i",
+            F.xxhash64("g").alias("h1"),
+            F.xxhash64(F.lit(0x5F3C), "g").alias("h2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dup_keys = (
+        lgrams.groupBy("h1", "h2")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("h1", "h2")
+    )
+    dup_pos = lgrams.join(dup_keys, ["h1", "h2"], "left_semi").select(
+        id_col, "i"
+    )
+
+    ow = Window.partitionBy(id_col).orderBy("i")
+    spans = (
+        dup_pos.withColumn("prev", F.lag("i").over(ow))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("i") - F.col("prev") > min_len),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.sum("brk").over(ow))
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            (F.max("i") + min_len).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_positions"),
+        )
+        .drop("grp")
+    )
+    return tie(spans, lgrams)

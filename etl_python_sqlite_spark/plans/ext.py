@@ -2116,3 +2116,48 @@ def ext_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("raw") != F.col("norm")).cast("int").alias("changed"),
         F.md5(F.col("norm")).alias("nfc_md5"),
     ).orderBy("doc_id")
+
+
+def ext_repeated_substring_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — ExactSubstr-style repeated-substring mining (VERDICT r6
+    "What's missing #1"): per document, the exact statistics of its
+    MAXIMAL regions covered by duplicated 40-char grams — positions
+    whose 40-gram recurs character-exactly anywhere else in the corpus
+    (the Lee et al. 2021 suffix-array dedup criterion, computed without
+    a suffix array — see operators/dedup.repeated_span_mine for the
+    anchor-sieve + verify pipeline and its completeness argument).
+
+    Output per doc with ≥1 duplicated position: duplicated gram-start
+    count, number of maximal spans, union-covered chars, longest span.
+    All integers — the DuckDB twin brute-forces every 40-gram and must
+    agree exactly, which makes the twin a COMPLETENESS oracle: a single
+    position missed by the anchor sieve breaks the hash match.
+    """
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # broadcast the text re-extraction join only when the corpus FILES
+    # are provably small (driver-side metadata, no job): 64 MB of
+    # parquet ≈ well under the 8 GB broadcast ceiling uncompressed
+    corpus_bytes = sum(
+        e[1] for e in data_fingerprint(spark, sf_dir, "documents")
+        if e[1] is not None
+    )
+    spans = D.repeated_span_mine(
+        docs,
+        min_len=40,
+        anchor_k=16,
+        broadcast_texts=corpus_bytes < 64 * 1024 * 1024,
+    )
+    ln = F.col("span_end") - F.col("span_start")
+    out = (
+        spans.groupBy("doc_id")
+        .agg(
+            F.sum("n_positions").cast("long").alias("n_dup_positions"),
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(ln).cast("long").alias("covered_chars"),
+            F.max(ln).cast("long").alias("max_span_len"),
+        )
+        .orderBy("doc_id")
+    )
+    return tie(out, keepalive=[spans])

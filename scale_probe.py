@@ -138,6 +138,10 @@ def main() -> None:
             # round-6: the DSIR wall was graded weak at sf0.1 — probe
             # proves the residual is fixed overhead, not a scaling term
             ("dsir_importance", E.ext_dsir_importance),
+            # round-7: ExactSubstr-style mining — candidate volume must
+            # track true repetition (the salt keeps per-shard repetition
+            # natural, so duplicated-gram volume scales exactly f×)
+            ("repeated_substring_mine", E.ext_repeated_substring_mine),
         ]
         if only is not None:
             pipelines = [(n, f) for n, f in pipelines if n in only]
@@ -228,6 +232,107 @@ def main() -> None:
             print(
                 f"x{factor} part_triangle_stats:"
                 f" {results[f'x{factor}']['part_triangle_stats']}",
+                file=sys.stderr,
+            )
+
+    # ---- semantic-dedup probe: rotated-embedding replication (r7) ----
+    # Per-shard CYCLIC DIMENSION ROTATION: within-shard cosines are
+    # preserved EXACTLY (a coordinate permutation is orthogonal), while
+    # cross-shard pairs decorrelate (a vector vs its rotation ≈ random
+    # cosine for generic data) — match density stays natural as volume
+    # scales f×, the same design goal as the documents salt.
+    if only is None or "semantic_dedup" in only:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        sem_warm = False
+        for factor in factors:
+            d = os.path.join(scratch, f"emb_x{factor}")
+            path = os.path.join(d, "embeddings.parquet")
+            if not os.path.exists(path):
+                shards = [
+                    emb.select(
+                        (F.col("vec_id") * factor + i).alias("vec_id"),
+                        F.expr(
+                            f"concat(slice(embedding, {i % dim} + 1,"
+                            f" {dim} - {i % dim}),"
+                            f" slice(embedding, 1, {i % dim}))"
+                        ).alias("embedding"),
+                        "label",
+                    )
+                    for i in range(factor)
+                ]
+                reduce(lambda a, b: a.unionAll(b), shards).repartition(
+                    int(cpus)
+                ).write.mode("overwrite").parquet(path)
+            if not sem_warm:
+                E.ext_semantic_dedup(spark, d).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                sem_warm = True
+            sw0 = shuffle_write_bytes(app_id)
+            t0 = time.perf_counter()
+            E.ext_semantic_dedup(spark, d).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            wall = time.perf_counter() - t0
+            sw1 = shuffle_write_bytes(app_id)
+            results.setdefault(f"x{factor}", {})["ext_semantic_dedup"] = {
+                "wall_sec": round(wall, 2),
+                "shuffle_write_mb": round((sw1 - sw0) / 1e6, 1)
+                if sw0 >= 0 and sw1 >= 0
+                else None,
+            }
+            print(
+                f"x{factor} ext_semantic_dedup:"
+                f" {results[f'x{factor}']['ext_semantic_dedup']}",
+                file=sys.stderr,
+            )
+
+    # ---- SCD2 late-rebuild probe: key-offset events replication (r7) --
+    # user_id·f+i / event_id·f+i:16× keys, identical per-key history
+    # depth — the rebuild's O(touched keys) claim is what's measured.
+    if only is None or "scd2_rebuild" in only:
+        from etl_python_sqlite_spark.plans import relational as R
+
+        ev = load_table(spark, sf_dir, "events")
+        ev_cols = [c for c in ev.columns if c not in ("user_id", "event_id")]
+        scd_warm = False
+        for factor in factors:
+            d = os.path.join(scratch, f"ev_x{factor}")
+            path = os.path.join(d, "events.parquet")
+            if not os.path.exists(path):
+                shards = [
+                    ev.select(
+                        (F.col("user_id") * factor + i).alias("user_id"),
+                        (F.col("event_id") * factor + i).alias("event_id"),
+                        *ev_cols,
+                    )
+                    for i in range(factor)
+                ]
+                reduce(lambda a, b: a.unionAll(b), shards).repartition(
+                    int(cpus)
+                ).write.mode("overwrite").parquet(path)
+            if not scd_warm:
+                R.scd2_rebuild_late_events(spark, d).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                scd_warm = True
+            sw0 = shuffle_write_bytes(app_id)
+            t0 = time.perf_counter()
+            R.scd2_rebuild_late_events(spark, d).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            wall = time.perf_counter() - t0
+            sw1 = shuffle_write_bytes(app_id)
+            results.setdefault(f"x{factor}", {})["scd2_rebuild_late_events"] = {
+                "wall_sec": round(wall, 2),
+                "shuffle_write_mb": round((sw1 - sw0) / 1e6, 1)
+                if sw0 >= 0 and sw1 >= 0
+                else None,
+            }
+            print(
+                f"x{factor} scd2_rebuild_late_events:"
+                f" {results[f'x{factor}']['scd2_rebuild_late_events']}",
                 file=sys.stderr,
             )
 

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_python_sqlite_spark.operators import dedup as D
+from tests.conftest import SF_SMOKE
 
 VOCAB = [
     "spark", "query", "join", "filter", "scan", "merge", "sort", "hash",
@@ -262,3 +263,98 @@ def test_setsim_prefix_empty_and_identical_docs(spark):
     assert [(r["id_a"], r["id_b"], r["jaccard_micro"]) for r in got] == [
         (0, 1, 1_000_000)
     ]
+
+
+def _brute_spans(texts: dict, L: int) -> list:
+    """Pure-Python ground truth for repeated_span_mine."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for d, t in texts.items():
+        for i in range(1, len(t) - L + 2):
+            occ[t[i - 1:i - 1 + L]].append((d, i))
+    dup = defaultdict(list)
+    for g, os_ in occ.items():
+        if len(os_) >= 2:
+            for d, i in os_:
+                dup[d].append(i)
+    out = []
+    for d, ps in sorted(dup.items()):
+        ps.sort()
+        s = e = n = prev = None
+        for p in ps:
+            if s is None:
+                s, e, n = p, p + L, 1
+            elif p - prev > L:
+                out.append((d, s, e, n))
+                s, e, n = p, p + L, 1
+            else:
+                e, n = p + L, n + 1
+            prev = p
+        out.append((d, s, e, n))
+    return sorted(out)
+
+
+def test_repeated_span_mine_equals_bruteforce_synthetic(spark):
+    """Planted repeats: cross-doc, intra-doc (overlapping self-repeat),
+    boundary-touching spans, and a short doc below min_len — the span
+    set must equal the pure-Python suffix-scan ground truth exactly."""
+    from etl_python_sqlite_spark.operators.dedup import repeated_span_mine
+
+    blk = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {
+        0: "prefix one " + blk + " suffix alpha",
+        1: "other start " + blk + " tail omega",          # cross-doc copy
+        2: "zz " + blk[:30] + " unrelated middle words here",
+        3: ("abcdefghij" * 8),                             # intra-doc repeat
+        4: "short doc",                                    # below min_len
+        5: "no repeats here at all, every word is unique today xyzw",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], ["doc_id", "text"]
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_positions"])
+        for r in repeated_span_mine(df, min_len=40, anchor_k=16).collect()
+    )
+    assert got == _brute_spans(texts, 40)
+
+
+def test_repeated_span_mine_equals_bruteforce_smoke_corpus(spark):
+    """Full corpus parity at SF_SMOKE — the anchor sieve misses nothing
+    on real (template-heavy) data."""
+    from etl_python_sqlite_spark.operators.dedup import repeated_span_mine
+    from etl_python_sqlite_spark.sources.parquet import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_positions"])
+        for r in repeated_span_mine(docs).collect()
+    )
+    exp = _brute_spans(texts, 40)
+    assert got == exp and len(exp) > 0
+
+
+def test_repeated_span_mine_releases_cache(spark):
+    from etl_python_sqlite_spark.operators.dedup import repeated_span_mine
+    from etl_python_sqlite_spark.sources.parquet import load_table
+    import gc
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    spans = repeated_span_mine(docs)
+    assert spans.count() > 0
+    del spans
+    gc.collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
+
+def test_repeated_span_mine_rejects_bad_anchor(spark):
+    from etl_python_sqlite_spark.operators.dedup import repeated_span_mine
+
+    df = spark.createDataFrame([(1, "x" * 50)], ["doc_id", "text"])
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        repeated_span_mine(df, min_len=16, anchor_k=16)
