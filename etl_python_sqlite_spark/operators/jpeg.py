@@ -33,7 +33,14 @@ Decoder (``decode_jpeg``):
   once at EOI. The encoder can emit a progressive scan script too
   (``encode_jpeg(progressive=True)``), giving real round-trip fixtures.
 * Arithmetic-coded, hierarchical and 12-bit frames raise
-  ``NotImplementedError`` — honest scope, detected by marker.
+  ``NotImplementedError``, detected by SOF marker. Scope note (r7,
+  correcting an earlier mis-claim): arithmetic coding does NOT need
+  external libraries — the QM-coder is fully specified in T.81 Annex D
+  (Tables D.3/D.4) with the DCT statistical models in Annex F.1.4/F.2,
+  the same public spec this module's Huffman/progressive paths came
+  from. It is deliberately out of scope: the JPEG arithmetic option was
+  patent-encumbered for its formative decades, so mainstream encoders
+  never emit it and real-world corpora effectively contain none.
 
 Scale notes: this codec runs INSIDE ``mapInPandas`` Arrow batches
 (operators/multimodal.py) — per-row decode, no driver involvement, and

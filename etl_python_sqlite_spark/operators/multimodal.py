@@ -22,12 +22,26 @@ container-friendly formats:
   ID3v2/v1 skipping, sample-exact duration, byte-true VBR average
   bitrate) while payload decode stays gated.
 
-Formats that genuinely need external libraries (arithmetic-coded /
-hierarchical JPEG, MP3/AAC payload codecs) still raise
-``NotImplementedError`` — progressive (SOF2) JPEG decodes for real as
-of r6 (operators/jpeg.py). Swapping in PIL/ffmpeg later only changes
-the magic-number dispatch; the batching / schema / partitioning around
-it is unchanged.
+Remaining codec gates raise ``NotImplementedError``, each for its own
+honest reason — progressive (SOF2) JPEG decodes for real as of r6
+(operators/jpeg.py):
+
+* MP3/AAC payload decode genuinely needs an external codec library
+  (polyphase filterbank + huffman tables beyond reasonable stdlib
+  reimplementation); frame-header metadata is real.
+* Arithmetic-coded JPEG (SOF9/SOF10) is fully specified in the public
+  ITU-T T.81 spec (Annex D QM-coder, Tables D.3/D.4; Annex F.1.4/F.2
+  statistical models) — the same document the Huffman and progressive
+  paths here were built from — so "needs external libs" would be
+  false; it is DELIBERATELY out of scope because arithmetic-coded
+  files are vanishingly rare in the wild (patent history kept every
+  mainstream encoder on Huffman) and the decode dispatch detects the
+  SOF marker precisely.
+* Hierarchical (SOF5-7/13-15) and lossless JPEG: same deliberate-scope
+  reasoning, rarer still.
+
+Swapping in PIL/ffmpeg later only changes the magic-number dispatch;
+the batching / schema / partitioning around it is unchanged.
 
 Scale notes:
 

