@@ -328,6 +328,7 @@ def pagerank(
     dangling: str = "evaporate",
     local_edge_limit: int = PAGERANK_LOCAL_EDGE_LIMIT,
     edges_distinct: bool = False,
+    edges_bucketed: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank in EXACT integer arithmetic
     (Brin & Page 1998; the quantized estimator is this module's spec).
@@ -462,8 +463,18 @@ def pagerank(
         # co-locate the per-iteration rank join: E⋈outdeg partitioned
         # by the probe key ONCE — each iteration then shuffles only the
         # rank/contribution rows (the node frame no longer joins at
-        # all; see the union-update note in the docstring)
-        eo = eo.repartition("u").persist()
+        # all; see the union-update note in the docstring).
+        # ``edges_bucketed``: the caller's edge frame is a catalog
+        # table bucketed by the src key (the materialized shared stage,
+        # plans/relational._cooccurrence_edges) — its scan ALREADY
+        # satisfies HashPartitioning(u), so both the outdeg aggregation
+        # above and this join are exchange-free on the E side; an
+        # explicit repartition would reintroduce the full-E shuffle the
+        # bucketing exists to eliminate (plan-asserted in
+        # tests/test_bucketed_stage.py).
+        if not edges_bucketed:
+            eo = eo.repartition("u")
+        eo = eo.persist()
 
         def rank_side(df: DataFrame) -> DataFrame:
             return df

@@ -1,0 +1,101 @@
+"""The materialized bucketed shared-stage path (VERDICT r6 #5): above
+``COOCC_BUCKETED_STAGE_MIN_EDGES`` the co-occurrence stage becomes a
+catalog table bucketed by the graph family's probe key instead of an
+executor-memory cache. These tests force the gate to 0 and assert the
+three contract properties: (1) u-keyed aggregation and joins read the
+stage with ZERO exchanges of E, (2) both tiers produce bit-identical
+query results, (3) the memo lifecycle drops the table like it drops a
+cache entry."""
+
+from __future__ import annotations
+
+import gc
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def bucketed_gate(monkeypatch):
+    from etl_python_sqlite_spark.plans import relational as R
+
+    R.release_shared_histograms()
+    monkeypatch.setattr(R, "COOCC_BUCKETED_STAGE_MIN_EDGES", 0)
+    yield R
+    R.release_shared_histograms()
+
+
+def test_stage_materializes_as_bucketed_table(spark, bucketed_gate):
+    R = bucketed_gate
+    e = R._cooccurrence_edges(spark, SF_SMOKE)
+    tbl = getattr(e, R._COOCC_TABLE_ATTR, None)
+    assert tbl is not None and spark.catalog.tableExists(tbl)
+    # canonical view = u<v filter over the directed table
+    n_canon = e.count()
+    directed, bucketed = R._cooccurrence_edges_directed(spark, SF_SMOKE)
+    assert bucketed
+    assert directed.count() == 2 * n_canon
+    # memo hit returns the same table-backed frame, no rebuild
+    assert R._cooccurrence_edges(spark, SF_SMOKE) is e
+
+
+def test_bucketed_stage_joins_without_exchanging_edges(spark, bucketed_gate):
+    """The outdeg aggregation and the rank-style u-join — the graph
+    family's per-iteration hot path — must consume the bucketed scan's
+    HashPartitioning(u) with no Exchange anywhere in the plan."""
+    R = bucketed_gate
+    R._cooccurrence_edges(spark, SF_SMOKE)
+    directed, bucketed = R._cooccurrence_edges_directed(spark, SF_SMOKE)
+    assert bucketed
+    e = directed.select(F.col("u"), F.col("v"))
+    outdeg = e.groupBy("u").agg(F.count("*").alias("d"))
+    eo = e.join(outdeg, "u")
+    # the small aggregate side may legitimately broadcast; the contract
+    # is that E itself never shuffles
+    plan = eo._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    # big-graph shape: with broadcast off, the join must consume the
+    # bucketed scan's partitioning on BOTH sides (agg derives from the
+    # same scan) — a sort-merge/shuffled-hash join with zero exchanges
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan2 = eo._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    plan2b = (
+        e.join(outdeg.hint("merge"), "u")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    target = plan2 if "MergeJoin" in plan2 or "ShuffledHashJoin" in plan2 else plan2b
+    assert "Exchange hashpartitioning" not in target, target
+    assert "Bucketed: true" in target, target
+
+
+def test_tier_equality_pagerank_and_triangles(spark, bucketed_gate):
+    """Cache tier and bucketed tier must answer the graph queries
+    bit-identically (the gate only moves WHERE the stage lives)."""
+    R = bucketed_gate
+    # bucketed tier (gate forced to 0 by the fixture)
+    got_pr = [tuple(r) for r in R.part_cooccurrence_pagerank(spark, SF_SMOKE).collect()]
+    got_tri = [tuple(r) for r in R.part_triangle_stats(spark, SF_SMOKE).collect()]
+    # cache tier
+    R.release_shared_histograms()
+    R.COOCC_BUCKETED_STAGE_MIN_EDGES = 10**18
+    exp_pr = [tuple(r) for r in R.part_cooccurrence_pagerank(spark, SF_SMOKE).collect()]
+    exp_tri = [tuple(r) for r in R.part_triangle_stats(spark, SF_SMOKE).collect()]
+    assert got_pr == exp_pr
+    assert got_tri == exp_tri
+
+
+def test_eviction_drops_stage_table(spark, bucketed_gate):
+    R = bucketed_gate
+    e = R._cooccurrence_edges(spark, SF_SMOKE)
+    tbl = getattr(e, R._COOCC_TABLE_ATTR)
+    assert spark.catalog.tableExists(tbl)
+    R.release_shared_histograms()
+    assert not spark.catalog.tableExists(tbl)
+    del e
+    gc.collect()
