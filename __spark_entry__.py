@@ -176,68 +176,17 @@ def _langid_char_sql(text: str = "text") -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records at most 50 CORRECTNESS rows,
-    # taken from the head of this dict. Round-6 rotation (VERDICT r5 #7):
-    # the 47 keys last driver-attested in ROUND 3 lead (least recently
-    # attested), the r4-attested block follows (its head fills the rest
-    # of the 50-row window), and the keys attested in round 5 (7 new +
-    # the old r2 block) close the dict. New r6 queries go at the very
-    # FRONT so they land inside the window. Expected r6 ∩ r5 overlap: 0.
+    # taken from the head of this dict. Round-7 rotation (VERDICT r6 #8):
+    # the new r7 queries lead, the 49 keys last driver-attested in ROUND
+    # 4 fill the window, and the r6- and r5-attested blocks close the
+    # dict in recency order. Union r1–r7 keeps every contract query
+    # attested within the last three rounds.
     return {
         # -- NEW in round 7 (never driver-attested) — lead the window --
         "ext_repeated_substring_mine": E.ext_repeated_substring_mine,
-        # -- NEW in round 6 (never driver-attested) — lead the window --
-        "scd2_rebuild_late_events": R.scd2_rebuild_late_events,
-        "ext_unicode_normalize": E.ext_unicode_normalize,
-        # -- last attested round 3 (47) — lead the r6 window --
-        "ext_curation_funnel": E.ext_curation_funnel,
-        "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,
-        "ext_dedup_clusters": E.ext_dedup_clusters,
-        "ext_minhash_dedup_clusters": E.ext_minhash_dedup_clusters,
-        "ext_repetition_filter": E.ext_repetition_filter,
-        "ext_contamination_scan": E.ext_contamination_scan,
-        "ext_tfidf_top_terms": E.ext_tfidf_top_terms,
-        "supplier_profit_by_nation": R.supplier_profit_by_nation,
-        "window_moving_avg": R.window_moving_avg,
-        "lag_gap_analysis": R.lag_gap_analysis,
-        "string_agg_nations": R.string_agg_nations,
-        "grouping_sets_status_year": R.grouping_sets_status_year,
-        "ext_seq_packing": E.ext_seq_packing,
-        "ext_domain_mixture": E.ext_domain_mixture,
-        "ext_word_df_histogram": E.ext_word_df_histogram,
-        "ext_incremental_dedup": E.ext_incremental_dedup,
-        "ext_quality_sample": E.ext_quality_sample,
-        "range_interval_window": R.range_interval_window,
-        "unpivot_nation_metrics": R.unpivot_nation_metrics,
-        "ntile_value_quartiles": R.ntile_value_quartiles,
-        "ship_delay_histogram": R.ship_delay_histogram,
-        "orders_above_customer_avg": R.orders_above_customer_avg,
-        "ext_pii_redact": E.ext_pii_redact,
-        "numeric_profile": R.numeric_profile,
-        "dq_referential_audit": R.dq_referential_audit,
-        "shipping_priority_topn": R.shipping_priority_topn,
-        "local_supplier_volume": R.local_supplier_volume,
-        "returned_items_by_customer": R.returned_items_by_customer,
-        "rank_tie_semantics": R.rank_tie_semantics,
-        "ext_word_rarity_score": E.ext_word_rarity_score,
-        "ext_label_centroid_quality": E.ext_label_centroid_quality,
-        "set_intersect_users": R.set_intersect_users,
-        "window_value_zoo": R.window_value_zoo,
-        "event_funnel_conversion": R.event_funnel_conversion,
-        "cohort_weekly_retention": R.cohort_weekly_retention,
-        "skew_salted_join": R.skew_salted_join,
-        "recursive_month_spine": R.recursive_month_spine,
-        "ext_minhash_near_dups": E.ext_minhash_near_dups,
-        "ext_simhash_fingerprints": E.ext_simhash_fingerprints,
-        "ext_simhash_near_dups": E.ext_simhash_near_dups,
-        "ext_winnowing_pairs": E.ext_winnowing_pairs,
-        "ext_ann_topk_lsh": E.ext_ann_topk_lsh,
-        "ext_ivf_topk": E.ext_ivf_topk,
-        "ext_embedding_near_dups": E.ext_embedding_near_dups,
-        "ext_heavy_hitters": E.ext_heavy_hitters,
-        "ext_kll_quantiles": E.ext_kll_quantiles,
-        "promo_revenue_ratio": R.promo_revenue_ratio,
-        # -- last attested round 4 (50) — head lands in the window --
-        "nation_market_share": R.nation_market_share,
+        # -- last attested ROUND 4 (49, least recently attested) — they
+        # fill the rest of the 50-row r7 window; expected r7 ∩ (r6 ∪ r5)
+        # overlap: 0 (VERDICT r6 #8) --
         "large_volume_customers": R.large_volume_customers,
         "disjunctive_revenue": R.disjunctive_revenue,
         "idle_customer_balance": R.idle_customer_balance,
@@ -287,7 +236,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,
         "ext_multimodal_decode": E.ext_multimodal_decode,
-        # -- new round 5, attested r5 --
+        # -- attested r6 (the 2 r6-new + the old r3 block + the r4 head) --
+        "scd2_rebuild_late_events": R.scd2_rebuild_late_events,
+        "ext_unicode_normalize": E.ext_unicode_normalize,
+        "ext_curation_funnel": E.ext_curation_funnel,
+        "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,
+        "ext_dedup_clusters": E.ext_dedup_clusters,
+        "ext_minhash_dedup_clusters": E.ext_minhash_dedup_clusters,
+        "ext_repetition_filter": E.ext_repetition_filter,
+        "ext_contamination_scan": E.ext_contamination_scan,
+        "ext_tfidf_top_terms": E.ext_tfidf_top_terms,
+        "supplier_profit_by_nation": R.supplier_profit_by_nation,
+        "window_moving_avg": R.window_moving_avg,
+        "lag_gap_analysis": R.lag_gap_analysis,
+        "string_agg_nations": R.string_agg_nations,
+        "grouping_sets_status_year": R.grouping_sets_status_year,
+        "ext_seq_packing": E.ext_seq_packing,
+        "ext_domain_mixture": E.ext_domain_mixture,
+        "ext_word_df_histogram": E.ext_word_df_histogram,
+        "ext_incremental_dedup": E.ext_incremental_dedup,
+        "ext_quality_sample": E.ext_quality_sample,
+        "range_interval_window": R.range_interval_window,
+        "unpivot_nation_metrics": R.unpivot_nation_metrics,
+        "ntile_value_quartiles": R.ntile_value_quartiles,
+        "ship_delay_histogram": R.ship_delay_histogram,
+        "orders_above_customer_avg": R.orders_above_customer_avg,
+        "ext_pii_redact": E.ext_pii_redact,
+        "numeric_profile": R.numeric_profile,
+        "dq_referential_audit": R.dq_referential_audit,
+        "shipping_priority_topn": R.shipping_priority_topn,
+        "local_supplier_volume": R.local_supplier_volume,
+        "returned_items_by_customer": R.returned_items_by_customer,
+        "rank_tie_semantics": R.rank_tie_semantics,
+        "ext_word_rarity_score": E.ext_word_rarity_score,
+        "ext_label_centroid_quality": E.ext_label_centroid_quality,
+        "set_intersect_users": R.set_intersect_users,
+        "window_value_zoo": R.window_value_zoo,
+        "event_funnel_conversion": R.event_funnel_conversion,
+        "cohort_weekly_retention": R.cohort_weekly_retention,
+        "skew_salted_join": R.skew_salted_join,
+        "recursive_month_spine": R.recursive_month_spine,
+        "ext_minhash_near_dups": E.ext_minhash_near_dups,
+        "ext_simhash_fingerprints": E.ext_simhash_fingerprints,
+        "ext_simhash_near_dups": E.ext_simhash_near_dups,
+        "ext_winnowing_pairs": E.ext_winnowing_pairs,
+        "ext_ann_topk_lsh": E.ext_ann_topk_lsh,
+        "ext_ivf_topk": E.ext_ivf_topk,
+        "ext_embedding_near_dups": E.ext_embedding_near_dups,
+        "ext_heavy_hitters": E.ext_heavy_hitters,
+        "ext_kll_quantiles": E.ext_kll_quantiles,
+        "promo_revenue_ratio": R.promo_revenue_ratio,
+        "nation_market_share": R.nation_market_share,
+        # -- attested r5 (7 r5-new + the old r2 block) — most recent, tail --
         "part_triangle_stats": R.part_triangle_stats,
         "ext_cms_word_counts": E.ext_cms_word_counts,
         "ext_vocab_edit_pairs": E.ext_vocab_edit_pairs,
@@ -295,7 +295,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_embedding_dim_stats": E.ext_embedding_dim_stats,
         "ext_dedup_survivor_quality": E.ext_dedup_survivor_quality,
         "ext_source_ngram_novelty": E.ext_source_ngram_novelty,
-        # -- attested r5 (the old r2 block) — most recent, tail --
         "fact_dim_join": R.fact_dim_join,
         "join_filter_by_key": R.join_filter_by_key,
         "groupby_count_avg": R.groupby_count_avg,

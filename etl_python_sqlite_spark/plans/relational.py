@@ -1908,6 +1908,64 @@ def _flag_cents_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist
 
 
+#: (applicationId, sf_dir, fingerprint) → persisted CUMULATIVE per-flag
+#: cents histogram (flag, c, cnt, cum, n, med) — the second shared
+#: stage of the order-statistics pair (r7): the ordered cumulative-sum
+#: window is the expensive half of every rank pick (0.6 s of the
+#: pair's wall at sf0.1: a 3-partition sort, parallelism bounded by
+#: the FLAG DOMAIN, not the cluster), and it is identical for
+#: robust_price_stats and mad_outlier_scan — so it is computed once,
+#: with the median (rank (n+1)/2) pre-picked since it costs one more
+#: window over the already-sorted run. Same size bound as the raw
+#: histogram (one row per distinct (flag, cents)).
+_FLAG_CUM_MEMO: dict = {}
+
+
+def _flag_cents_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (flag, c, cnt, cum, n, med) cumulative histogram."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _data_fingerprint(spark, sf_dir, "lineitem"),
+    )
+    hit = _FLAG_CUM_MEMO.pop(key, None)
+    if hit is not None:
+        _FLAG_CUM_MEMO[key] = hit  # LRU refresh
+        return hit
+    hist = _flag_cents_hist(spark, sf_dir)
+    wv = Window.partitionBy("l_returnflag").orderBy("c")
+    wall = Window.partitionBy("l_returnflag")
+    k = F.expr("(n + 1) div 2")
+    cum = (
+        hist.select(
+            "l_returnflag",
+            "c",
+            "cnt",
+            F.sum("cnt").over(wv).alias("cum"),
+            F.sum("cnt").over(wall).alias("n"),
+        )
+        .withColumn(
+            "med",
+            F.min(
+                F.when(
+                    (F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k),
+                    F.col("c"),
+                )
+            ).over(wall),
+        )
+        .persist()
+    )
+    while len(_FLAG_CUM_MEMO) >= _FLAG_HIST_MAX:
+        oldest = next(iter(_FLAG_CUM_MEMO))
+        old = _FLAG_CUM_MEMO.pop(oldest)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _FLAG_CUM_MEMO[key] = cum
+    return cum
+
+
 #: (applicationId, sf_dir) → persisted DISTINCT undirected (u < v) part
 #: co-occurrence edge frame — the shared first stage of the graph query
 #: family (part_cooccurrence_pagerank / part_triangle_stats both derive
@@ -2041,12 +2099,13 @@ def _cooccurrence_edges_directed(
 def release_shared_histograms() -> None:
     """Unpersist and forget every memoized shared stage (the per-flag
     cents histograms AND the co-occurrence edge frames/tables)."""
-    while _FLAG_HIST_MEMO:
-        _, old = _FLAG_HIST_MEMO.popitem()
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+    for memo in (_FLAG_CUM_MEMO, _FLAG_HIST_MEMO):
+        while memo:
+            _, old = memo.popitem()
+            try:
+                old.unpersist()
+            except Exception:
+                pass
     while _COOCC_MEMO:
         _, old = _COOCC_MEMO.popitem()
         _release_coocc_entry(old)
@@ -2072,33 +2131,42 @@ def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed rank (coarse band cumsum → in-band cumsum) — same
     semantics, the oracle is unchanged by plan choice.
 
-    The rank picks COLLECT to the driver (≤ one row per return flag —
-    a 3-row domain by spec, bounded by construction) and re-enter the
-    final aggregate as literal CASE expressions: two jobs total instead
-    of five, no broadcast-exchange round-trips for 3-row cut tables
-    (r5 interleaved A/B: 2.56 → ~1.9 s at sf0.1; the r4 broadcast-join
-    form had regressed 1.3× over the r3 row-sort form it replaced).
+    ONE JOB, ZERO COLLECTS (r7 — the mad_outlier_scan rewrite applied
+    to its pair): both percentile picks are per-flag WINDOW values over
+    the cumulative histogram, consumed directly by the winsorized
+    aggregate in the same plan. The collect-then-literal form this
+    replaces (two serialized jobs) remains documented in `_rank_pick`
+    for consumers whose picks must reach a DIFFERENT table's scan.
 
     The histogram itself is the memoized SHARED stage with
     ``mad_outlier_scan`` (same roll-up, same table — one scan feeds
     both queries in a session; see ``_flag_cents_hist``)."""
-    hist = _flag_cents_hist(spark, sf_dir)
+    cum = _flag_cents_cum(spark, sf_dir)
+    wall = Window.partitionBy("l_returnflag")
+
+    def pick(k) -> Column:
+        return F.min(
+            F.when(
+                (F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k),
+                F.col("c"),
+            )
+        ).over(wall)
+
     k01 = F.expr("(10000 * n + 999999) div 1000000")
     k99 = F.expr("(990000 * n + 999999) div 1000000")
-    cuts = _rank_pick(hist, "l_returnflag", "c", {"p01_c": k01, "p99_c": k99})
-    p01_c = _flag_literal(cuts, "p01_c")
-    p99_c = _flag_literal(cuts, "p99_c")
-    clamped_c = F.greatest(p01_c, F.least(p99_c, F.col("c")))
-    out = (
-        hist.groupBy("l_returnflag")
+    cut = cum.withColumn("p01_c", pick(k01)).withColumn("p99_c", pick(k99))
+    clamped_c = F.greatest(F.col("p01_c"), F.least(F.col("p99_c"), F.col("c")))
+    return (
+        cut.groupBy("l_returnflag")
         .agg(
             F.sum("cnt").cast("long").alias("n_rows"),
-            (F.max(p01_c) / F.lit(100.0)).alias("p01"),
-            (F.max(p99_c) / F.lit(100.0)).alias("p99"),
+            (F.max("p01_c") / F.lit(100.0)).alias("p01"),
+            (F.max("p99_c") / F.lit(100.0)).alias("p99"),
             F.sum(F.col("cnt") * clamped_c).cast("long").alias("wsum_cents"),
             F.sum(
                 F.when(
-                    (F.col("c") < p01_c) | (F.col("c") > p99_c),
+                    (F.col("c") < F.col("p01_c"))
+                    | (F.col("c") > F.col("p99_c")),
                     F.col("cnt"),
                 ).otherwise(0)
             )
@@ -2107,7 +2175,6 @@ def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
-    return out
 
 
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2463,8 +2530,6 @@ def mad_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     The value histogram is the memoized SHARED stage with
     ``robust_price_stats`` (identical roll-up over the same table; one
     scan feeds both queries in a session — see ``_flag_cents_hist``)."""
-    hist = _flag_cents_hist(spark, sf_dir)
-    wv = Window.partitionBy("l_returnflag").orderBy("c")
     wd = Window.partitionBy("l_returnflag").orderBy("d")
     wall = Window.partitionBy("l_returnflag")
     k = F.expr("(n + 1) div 2")
@@ -2478,13 +2543,10 @@ def mad_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).over(wall)
 
-    cum1 = hist.select(
-        "l_returnflag",
-        "c",
-        "cnt",
-        F.sum("cnt").over(wv).alias("cum"),
-        F.sum("cnt").over(wall).alias("n"),
-    ).withColumn("med", pick("c"))
+    # cumulative histogram WITH the median pre-picked — the memoized
+    # second shared stage (one 3-partition sort per session, not per
+    # query; see _flag_cents_cum)
+    cum1 = _flag_cents_cum(spark, sf_dir)
     dhist = cum1.groupBy(
         "l_returnflag", F.abs(F.col("c") - F.col("med")).alias("d")
     ).agg(
