@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- NEW in round 7 (never driver-attested) — lead the window --
         "ext_repeated_substring_mine": E.ext_repeated_substring_mine,
+        "ext_repeated_span_cut": E.ext_repeated_span_cut,
         # -- last attested ROUND 4 (49, least recently attested) — they
         # fill the rest of the 50-row r7 window; expected r7 ∩ (r6 ∪ r5)
         # overlap: 0 (VERDICT r6 #8) --
@@ -420,6 +421,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(e - s) AS BIGINT) AS covered_chars,
                    CAST(MAX(e - s) AS BIGINT) AS max_span_len
             FROM spans GROUP BY doc_id ORDER BY doc_id
+        """,
+        # The APPLY half: excise every mined span and hash the CLEANED
+        # text — string surgery replayed segment-by-segment (lag for the
+        # predecessor end, ordered string_agg of the between-span
+        # segments, the tail past the last span; md5 of UTF-8 bytes is
+        # identical lowercase hex on both engines)
+        "ext_repeated_span_cut": """
+            WITH pos AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(1,
+                           greatest(length(text) - 39, 0)))::BIGINT AS i
+                FROM documents
+            ),
+            g AS (SELECT doc_id, i, substr(text, i::INT, 40) AS gram
+                  FROM pos),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+            dp AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
+            isl AS (
+                SELECT doc_id, i,
+                       SUM(CASE WHEN prev_i IS NULL OR i - prev_i > 40
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY i) AS grp
+                FROM (SELECT doc_id, i,
+                             lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                                 AS prev_i
+                      FROM dp)
+            ),
+            spans AS (
+                SELECT doc_id, grp, MIN(i) AS s, MAX(i) + 40 AS e
+                FROM isl GROUP BY doc_id, grp
+            ),
+            marks AS (
+                SELECT doc_id, s, e,
+                       lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s)
+                           AS prev_e
+                FROM spans
+            ),
+            heads AS (
+                SELECT m.doc_id,
+                       string_agg(substr(d.text, m.prev_e::INT,
+                                         (m.s - m.prev_e)::INT),
+                                  '' ORDER BY m.s) AS head,
+                       MAX(m.e) AS last_e,
+                       COUNT(*) AS n_cuts,
+                       SUM(m.e - m.s) AS cut_chars
+                FROM marks m JOIN documents d USING (doc_id)
+                GROUP BY m.doc_id
+            ),
+            cleaned AS (
+                SELECT d.doc_id,
+                       CASE WHEN h.doc_id IS NULL THEN d.text
+                            ELSE h.head || substr(d.text, h.last_e::INT)
+                       END AS ct,
+                       COALESCE(h.n_cuts, 0) AS n_cuts,
+                       COALESCE(h.cut_chars, 0) AS cut_chars
+                FROM documents d LEFT JOIN heads h USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(length(ct) AS BIGINT) AS cleaned_len,
+                   md5(ct) AS cleaned_md5,
+                   CAST(n_cuts AS BIGINT) AS n_cuts,
+                   CAST(cut_chars AS BIGINT) AS cut_chars
+            FROM cleaned ORDER BY doc_id
         """,
         # -- round-5 additions ------------------------------------------
         # Degree-ordered triangle counting (Schank–Wagner forward

@@ -1214,3 +1214,76 @@ def repeated_span_mine(
         .drop("grp")
     )
     return tie(spans, lgrams)
+
+
+def cut_repeated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply :func:`repeated_span_mine`'s output as a corpus CUT — the
+    second half of the published ExactSubstr dedup (mine, then excise):
+    every maximal duplicated span is removed from its document and the
+    remaining segments concatenate in order. Documents with no spans
+    pass through verbatim.
+
+    Deterministic, order-free semantics (cut ALL duplicated material):
+    the conservative variant of Lee et al. 2021 — keeping one canonical
+    copy would make the result depend on a doc ordering; cutting every
+    copy is reproducible under any partitioning and is what the
+    span-mining contract defines.
+
+    Shape: spans get their per-doc predecessor end via one lag window
+    (group size = spans per doc, tiny), join their document's text once,
+    extract the BETWEEN-span segments JVM-side (substring — no UDF),
+    and reassemble with sort_array+array_join (collect_list is not
+    order-stable). One join + two per-doc-keyed shuffles, all linear.
+
+    Returns (id, cleaned_text, n_cuts, cut_chars).
+    """
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    marks = spans.select(
+        id_col,
+        "span_start",
+        "span_end",
+        F.lag("span_end", 1, 1).over(w).alias("prev_end"),
+    )
+    texts = df.select(id_col, text_col, F.length(text_col).alias("_len"))
+    segs = marks.join(texts, id_col).select(
+        id_col,
+        "span_start",
+        "span_end",
+        F.expr(
+            f"substring({text_col}, prev_end,"
+            f" span_start - prev_end)"
+        ).alias("seg"),
+    )
+    per_doc = segs.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_start", "seg"))),
+                lambda x: x["seg"],
+            ),
+            "",
+        ).alias("head"),
+        F.max("span_end").alias("last_end"),
+        F.count("*").cast("long").alias("n_cuts"),
+        F.sum(F.col("span_end") - F.col("span_start"))
+        .cast("long")
+        .alias("cut_chars"),
+    )
+    return texts.join(per_doc, id_col, "left").select(
+        id_col,
+        F.when(F.col("n_cuts").isNull(), F.col(text_col))
+        .otherwise(
+            F.concat(
+                F.col("head"), F.expr(f"substring({text_col}, last_end)")
+            )
+        )
+        .alias("cleaned_text"),
+        F.coalesce(F.col("n_cuts"), F.lit(0).cast("long")).alias("n_cuts"),
+        F.coalesce(F.col("cut_chars"), F.lit(0).cast("long")).alias(
+            "cut_chars"
+        ),
+    )

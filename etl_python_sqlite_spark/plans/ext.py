@@ -2120,6 +2120,54 @@ def ext_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: (applicationId, sf_dir, fingerprint) → the tie()'d span frame shared
+#: by ext_repeated_substring_mine and ext_repeated_span_cut — the same
+#: shared-stage policy as the cents histograms and co-occurrence edges
+#: (mining is the expensive half of both queries; the fingerprint keys
+#: out stale data after a rewrite). LRU cap 2; released via
+#: release_shared_spans() (the cache-lifecycle fixture calls it before
+#: its blanket sweep — the memoized frame is checkpoint-backed, so
+#: sweeping its blocks under a live entry would truncate lineage).
+_SPANS_MEMO: dict = {}
+_SPANS_MEMO_MAX = 2
+
+
+def _mined_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_python_sqlite_spark.operators.cache import release
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+
+    fp = data_fingerprint(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    hit = _SPANS_MEMO.pop(key, None)
+    if hit is not None:
+        _SPANS_MEMO[key] = hit  # LRU refresh
+        return hit
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_bytes = sum(e[1] for e in fp if e[1] is not None)
+    spans = D.repeated_span_mine(
+        docs, min_len=40, anchor_k=16,
+        broadcast_texts=corpus_bytes < 64 * 1024 * 1024,
+    )
+    while len(_SPANS_MEMO) >= _SPANS_MEMO_MAX:
+        # drop the reference WITHOUT an explicit release: a live query
+        # result may still keepalive the evicted frame, and its
+        # checkpoint blocks cannot be recomputed — tie()'s finalizer
+        # frees them the moment the last consumer lets go
+        oldest = next(iter(_SPANS_MEMO))
+        _SPANS_MEMO.pop(oldest)
+    _SPANS_MEMO[key] = spans
+    return spans
+
+
+def release_shared_spans() -> None:
+    """Release every memoized span frame (checkpoint blocks included)."""
+    from etl_python_sqlite_spark.operators.cache import release
+
+    while _SPANS_MEMO:
+        _, old = _SPANS_MEMO.popitem()
+        release(old)
+
+
 def ext_repeated_substring_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXT — ExactSubstr-style repeated-substring mining (VERDICT r6
     "What's missing #1"): per document, the exact statistics of its
@@ -2135,22 +2183,7 @@ def ext_repeated_substring_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree exactly, which makes the twin a COMPLETENESS oracle: a single
     position missed by the anchor sieve breaks the hash match.
     """
-    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # broadcast the text re-extraction join only when the corpus FILES
-    # are provably small (driver-side metadata, no job): 64 MB of
-    # parquet ≈ well under the 8 GB broadcast ceiling uncompressed
-    corpus_bytes = sum(
-        e[1] for e in data_fingerprint(spark, sf_dir, "documents")
-        if e[1] is not None
-    )
-    spans = D.repeated_span_mine(
-        docs,
-        min_len=40,
-        anchor_k=16,
-        broadcast_texts=corpus_bytes < 64 * 1024 * 1024,
-    )
+    spans = _mined_spans(spark, sf_dir)
     ln = F.col("span_end") - F.col("span_start")
     out = (
         spans.groupBy("doc_id")
@@ -2162,4 +2195,27 @@ def ext_repeated_substring_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    return tie(out, keepalive=[spans])
+
+
+def ext_repeated_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — the APPLY half of ExactSubstr dedup: excise every maximal
+    duplicated ≥40-char span found by ext_repeated_substring_mine and
+    value-hash the CLEANED corpus (md5 per cleaned document — both
+    engines hash the UTF-8 bytes to the same lowercase hex, so the
+    oracle checks the reconstructed text itself, not just its shape).
+    Cut-all semantics: reproducible under any partitioning (keeping
+    "the first" copy would depend on a doc order no distributed corpus
+    has). Documents with no duplicated spans pass through verbatim.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = _mined_spans(spark, sf_dir)
+    cut = D.cut_repeated_spans(docs, spans)
+    out = cut.select(
+        "doc_id",
+        F.length("cleaned_text").cast("long").alias("cleaned_len"),
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        "n_cuts",
+        "cut_chars",
+    ).orderBy("doc_id")
     return tie(out, keepalive=[spans])

@@ -58,9 +58,11 @@ def _baseline_clean(spark):
     # still registered is residue: module-scoped fixtures from earlier
     # modules are already torn down (pytest finalizes them at module
     # end), and operators tie caches to result lifetimes.
+    from etl_python_sqlite_spark.plans import ext as X
     from etl_python_sqlite_spark.plans import relational as R
 
     R.release_shared_histograms()
+    X.release_shared_spans()
     # py4j exposes the java.util.Map as a dict-like view
     jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
     for jrdd in jrdds:

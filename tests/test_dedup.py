@@ -358,3 +358,45 @@ def test_repeated_span_mine_rejects_bad_anchor(spark):
 
     with _pt.raises(ValueError):
         repeated_span_mine(df, min_len=16, anchor_k=16)
+
+
+def test_cut_repeated_spans_equals_bruteforce(spark):
+    """The cut applies the mined spans exactly: cleaned text equals the
+    pure-Python excision for planted repeats, pass-through docs, spans
+    at doc start/end, and back-to-back merged spans."""
+    from etl_python_sqlite_spark.operators.dedup import (
+        cut_repeated_spans,
+        repeated_span_mine,
+    )
+
+    blk = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {
+        0: blk + " suffix alpha",                       # span at start
+        1: "other start " + blk,                        # span at end
+        2: "zz " + blk + " mid " + blk + " yy",         # two spans
+        3: ("abcdefghij" * 8),                          # full-doc repeat
+        4: "untouched document with unique words only xyzzy",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], ["doc_id", "text"]
+    )
+    spans = repeated_span_mine(df, min_len=40, anchor_k=16)
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_cuts"], r["cut_chars"])
+        for r in cut_repeated_spans(df, spans).collect()
+    }
+    exp_spans = _brute_spans(texts, 40)
+    for d, t in texts.items():
+        ss = sorted((s, e) for dd, s, e, _ in exp_spans if dd == d)
+        out, pos = [], 1
+        for s, e in ss:
+            out.append(t[pos - 1:s - 1])
+            pos = e
+        out.append(t[pos - 1:])
+        exp_clean = "".join(out)
+        assert got[d][0] == exp_clean, (d, got[d][0], exp_clean)
+        assert got[d][1] == len(ss)
+        assert got[d][2] == sum(e - s for s, e in ss)
+    # nothing cleaned may still contain a duplicated 40-gram pair that
+    # was present before (the cut removes ALL mined material)
+    assert got[3][0] == ""  # wholly-duplicated doc vanishes
