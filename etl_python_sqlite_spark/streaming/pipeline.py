@@ -770,3 +770,116 @@ def run_trending_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+def span_contamination_stream_against_corpus(
+    stream_docs: DataFrame,
+    corpus: DataFrame,
+    sink_dir: str,
+    min_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming SPAN-level contamination scan — the continuous sibling
+    of the batch repeated-substring family (operators/dedup
+    .repeated_span_mine): every document arriving on the stream is
+    checked for verbatim ≥``min_len``-char overlap with a STATIC
+    reference corpus (the production decontamination shape: held-out
+    benchmarks / eval sets are the corpus, the training stream is
+    scanned before it lands). Emits one report row per contaminated
+    doc per micro-batch: (id, batch_id, n_spans, covered_chars,
+    max_span_len) — maximal overlap regions, the same gaps-and-islands
+    semantics as the batch miner.
+
+    Scale shape:
+
+    * the corpus L-gram index is built ONCE at stream build: DISTINCT
+      128-bit content-hash pairs of every corpus ``min_len``-gram,
+      pre-partitioned on h1 and persisted — per micro-batch only the
+      BATCH side hashes and shuffles (tiny); the index side joins with
+      no exchange (its cached partitioning satisfies the join). At
+      warehouse scale the index becomes a bucketed table, exactly like
+      the co-occurrence stage's documented upgrade path.
+    * hash-trust contract matches dedup_stream_against_corpus: a false
+      span needs a 2⁻¹²⁸ collision; batch-side reconciliation
+      (ext_substring_contamination / repeated_span_mine) remains the
+      exact backstop.
+    * replay of micro-batch N rewrites ONLY ``batch_id=N`` (dynamic
+      partition overwrite) — the exactly-once-on-plain-parquet
+      discipline shared by every sink in this module.
+
+    Returns the ready-to-start ``writeStream`` handle; the corpus
+    index rides on it as ``_corpus_index`` for deterministic release
+    by long-lived embedders.
+    """
+
+    def _lgrams(df: DataFrame) -> DataFrame:
+        d = df.select(
+            F.col(id_col), F.col(text_col), F.length(text_col).alias("_len")
+        ).filter(F.col("_len") >= min_len)
+        g = F.col(text_col).substr(F.col("_i"), F.lit(min_len))
+        return d.select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.col("_len") - min_len + 1)
+            ).alias("_i"),
+            F.col(text_col),
+        ).select(
+            id_col,
+            "_i",
+            F.xxhash64(g).alias("_h1"),
+            F.xxhash64(F.lit(0x5F3C), g).alias("_h2"),
+        )
+
+    index = (
+        _lgrams(corpus).select("_h1", "_h2").distinct()
+        .repartition("_h1", "_h2")
+        .persist()
+    )
+    index.count()  # eager: one corpus pass for ALL batches
+
+    def _handle(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        if batch.isEmpty():
+            return
+        hits = _lgrams(batch).join(index, ["_h1", "_h2"], "left_semi")
+        ow = Window.partitionBy(id_col).orderBy("_i")
+        report = (
+            hits.withColumn("_prev", F.lag("_i").over(ow))
+            .withColumn(
+                "_brk",
+                F.when(
+                    F.col("_prev").isNull()
+                    | (F.col("_i") - F.col("_prev") > min_len),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn("_grp", F.sum("_brk").over(ow))
+            .groupBy(id_col, "_grp")
+            .agg(
+                F.min("_i").alias("_s"),
+                (F.max("_i") + min_len).alias("_e"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.count("*").cast("long").alias("n_spans"),
+                F.sum(F.col("_e") - F.col("_s"))
+                .cast("long")
+                .alias("covered_chars"),
+                F.max(F.col("_e") - F.col("_s"))
+                .cast("long")
+                .alias("max_span_len"),
+            )
+        )
+        (
+            report.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_dir)
+        )
+
+    writer = stream_docs.writeStream.foreachBatch(_handle)
+    writer._corpus_index = index
+    return writer

@@ -400,3 +400,34 @@ def test_cut_repeated_spans_equals_bruteforce(spark):
     # nothing cleaned may still contain a duplicated 40-gram pair that
     # was present before (the cut removes ALL mined material)
     assert got[3][0] == ""  # wholly-duplicated doc vanishes
+
+
+def test_repeated_span_mine_fuzz_small_alphabet(spark):
+    """Seeded fuzz at aggressive parameters (L=8, k=3 over a 4-letter
+    alphabet): dense self-overlaps, runs of one character, spans
+    touching both doc boundaries, heavy hash-group collisions — the
+    span set must equal the brute force on every corpus."""
+    import random
+
+    from etl_python_sqlite_spark.operators.dedup import repeated_span_mine
+
+    rng = random.Random(42)
+    for trial in range(4):
+        texts = {}
+        for d in range(30):
+            n = rng.randrange(0, 60)
+            texts[d] = "".join(rng.choice("abcd") for _ in range(n))
+        # plant pathological shapes
+        texts[100] = "a" * 50                    # unary run
+        texts[101] = "a" * 50                    # its twin
+        texts[102] = ("abc" * 20)[:50]           # periodic
+        texts[103] = texts[0] + texts[1]         # concatenation reuse
+        df = spark.createDataFrame(
+            [(k, v) for k, v in texts.items()], ["doc_id", "text"]
+        )
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["n_positions"])
+            for r in repeated_span_mine(df, min_len=8, anchor_k=3).collect()
+        )
+        exp = _brute_spans(texts, 8)
+        assert got == exp, f"trial {trial}: {len(got)} vs {len(exp)}"

@@ -729,3 +729,89 @@ def test_read_rollup_state_corrupt_raises_not_empty(spark, tmp_path):
                 fh.write(b"CORRUPT!" * 16)
     with pytest.raises(Exception):
         read_rollup_state(spark, state).count()
+
+
+def test_span_contamination_stream_against_corpus(spark, tmp_path):
+    """Streaming span-level contamination: a doc embedding a verbatim
+    ≥40-char corpus passage is reported with the exact maximal-span
+    stats (ground truth from the pure-Python scan); clean docs emit no
+    row; a second batch lands under its own batch_id; restart replay
+    rewrites only its partitions (no duplicate report rows)."""
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        span_contamination_stream_against_corpus,
+    )
+
+    passage = "the benchmark answer is forty two and the question is unknowable"
+    corpus = spark.createDataFrame(
+        [(100, "prefix " + passage + " suffix"),
+         (101, "other corpus material entirely")],
+        "doc_id long, text string",
+    )
+    contaminated = "student reply starts " + passage + " and then rambles on"
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "span_src")
+    spark.createDataFrame(
+        [(1, contaminated), (2, "totally clean answer with original words")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(3, "batch two also clean"), (4, "echo: " + passage)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "span_sink")
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        writer = span_contamination_stream_against_corpus(
+            stream, corpus, sink
+        )
+        q = writer.option(
+            "checkpointLocation", str(tmp_path / ckpt)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        writer._corpus_index.unpersist()
+
+    run("span_ckpt")
+    rows = {r["doc_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert set(rows) == {1, 4}  # clean docs 2,3 emit nothing
+
+    # ground truth: maximal run of positions whose 40-gram is a corpus
+    # 40-gram (python scan over the corpus gram set)
+    L = 40
+    grams = set()
+    for t in ("prefix " + passage + " suffix",
+              "other corpus material entirely"):
+        for i in range(len(t) - L + 1):
+            grams.add(t[i:i + L])
+
+    def spans_of(t):
+        ps = [i + 1 for i in range(len(t) - L + 1) if t[i:i + L] in grams]
+        out, s = [], None
+        for p in ps:
+            if s is None:
+                s, e = p, p + L
+            elif p - prev > L:
+                out.append((s, e)); s, e = p, p + L
+            else:
+                e = p + L
+            prev = p
+        if s is not None:
+            out.append((s, e))
+        return out
+
+    for doc_id, text in ((1, contaminated), (4, "echo: " + passage)):
+        exp = spans_of(text)
+        r = rows[doc_id]
+        assert r["n_spans"] == len(exp)
+        assert r["covered_chars"] == sum(e - s for s, e in exp)
+        assert r["max_span_len"] == max(e - s for s, e in exp)
+
+    # replay from a fresh checkpoint: dynamic batch_id overwrite keeps
+    # the report exactly-once
+    run("span_ckpt2")
+    rows2 = spark.read.parquet(sink).collect()
+    assert len(rows2) == 2
