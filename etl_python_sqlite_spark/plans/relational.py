@@ -1802,52 +1802,6 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_interpolate(obs)
 
 
-def _rank_pick(hist, flag_col: str, val_col: str, ks: dict) -> dict:
-    """Exact per-flag order statistics from a (flag, val, cnt)
-    histogram: ordered-cumsum window over DISTINCT values, then the row
-    CONTAINING rank k holds the statistic. ``ks`` maps output name →
-    rank expression (may reference ``n``, the group total).
-
-    Returns ``{flag: {name: value}}`` via a driver-side collect of ONE
-    row per flag — bounded by construction (the return-flag domain is 3
-    values by spec; generic high-cardinality selection stays in
-    operators/selection.py). Collect-then-literal beats broadcasting
-    3-row cut tables through join exchanges: 2 jobs instead of 5
-    (r5 interleaved A/B in the module's robust/MAD queries)."""
-    wv = Window.partitionBy(flag_col).orderBy(val_col)
-    wall = Window.partitionBy(flag_col)
-    cum = hist.select(
-        flag_col,
-        val_col,
-        "cnt",
-        F.sum("cnt").over(wv).alias("cum"),
-        F.sum("cnt").over(wall).alias("n"),
-    )
-    aggs = [
-        F.min(
-            F.when(
-                (F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k),
-                F.col(val_col),
-            )
-        ).alias(name)
-        for name, k in ks.items()
-    ]
-    rows = cum.groupBy(flag_col).agg(*aggs).collect()
-    return {r[flag_col]: {name: r[name] for name in ks} for r in rows}
-
-
-def _flag_literal(picks: dict, name: str, flag_col: str = "l_returnflag"):
-    """Per-flag literal CASE column from collected rank picks."""
-    if not picks:
-        return F.lit(None).cast("long")
-    return F.coalesce(
-        *[
-            F.when(F.col(flag_col) == g, F.lit(v[name]))
-            for g, v in sorted(picks.items())
-        ]
-    ).cast("long")
-
-
 def _data_fingerprint(spark: SparkSession, sf_dir: str, name: str) -> tuple:
     """File-listing fingerprint folded into the shared-stage memo keys
     (stale-data guard, VERDICT r6 #3) — see sources/parquet.py."""
@@ -2135,8 +2089,10 @@ def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     to its pair): both percentile picks are per-flag WINDOW values over
     the cumulative histogram, consumed directly by the winsorized
     aggregate in the same plan. The collect-then-literal form this
-    replaces (two serialized jobs) remains documented in `_rank_pick`
-    for consumers whose picks must reach a DIFFERENT table's scan.
+    replaces (rank picks collected as ≤|flag-domain| rows and re-entered
+    as literal CASEs — two serialized jobs) remains the right shape
+    when a pick must reach a DIFFERENT table's scan predicate
+    (bounded-domain rule; see impute_group_median's r5 history).
 
     The histogram itself is the memoized SHARED stage with
     ``mad_outlier_scan`` (same roll-up, same table — one scan feeds
@@ -2521,11 +2477,10 @@ def mad_outlier_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     every stage moves only (flag, value, cnt) rows, partitioned by the
     3-value flag domain. Interleaved same-session A/B at sf0.1 (warm
     cached histogram): 2.3–3.7 s (three serialized collect jobs) →
-    **0.46–0.62 s**, bit-identical output — now faster than the DuckDB
-    twin (0.79 s). The collect-then-literal form stays the right call
-    where the picks feed a SECOND table's scan predicate (bounded-domain
-    rule, `_rank_pick` docstring); here every consumer lives in the same
-    plan, so windows win.
+    **0.46–0.62 s** count-measured / 1.1–1.2 s full-noop, bit-identical
+    output. The collect-then-literal form stays the right call where a
+    pick feeds a SECOND table's scan predicate (bounded-domain rule);
+    here every consumer lives in the same plan, so windows win.
 
     The value histogram is the memoized SHARED stage with
     ``robust_price_stats`` (identical roll-up over the same table; one

@@ -142,6 +142,9 @@ def main() -> None:
             # track true repetition (the salt keeps per-shard repetition
             # natural, so duplicated-gram volume scales exactly f×)
             ("repeated_substring_mine", E.ext_repeated_substring_mine),
+            # the APPLY half shares the memoized span stage — its row
+            # isolates the cut's own join + string surgery cost
+            ("repeated_span_cut", E.ext_repeated_span_cut),
         ]
         if only is not None:
             pipelines = [(n, f) for n, f in pipelines if n in only]

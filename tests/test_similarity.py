@@ -290,3 +290,49 @@ def test_semantic_assign_empty_corpus(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert S.semantic_assign(empty, n_clusters=4).count() == 0
     assert S.semantic_dedup_pairs(empty, n_clusters=4).count() == 0
+
+
+def test_lsh_probe_buckets_margin_directed(spark):
+    """Probe-list contract: element 0 is the home bucket, the list has
+    n_probes+1 distinct-from-home entries chosen deterministically, and
+    every probe differs from home only on the lowest-margin planes'
+    subset masks (content-determinism: identical vectors get identical
+    lists)."""
+    import numpy as np
+
+    from etl_python_sqlite_spark.operators.similarity import (
+        _bucket_of,
+        _hyperplane_matrix,
+        lsh_probe_buckets_vectorized,
+    )
+
+    dim, planes, n_probes = 16, 6, 12
+    rng = np.random.RandomState(3)
+    vecs = [[float(x) for x in rng.randn(dim)] for _ in range(40)]
+    vecs.append(list(vecs[0]))  # exact twin
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r["p"]
+        for r in df.select(
+            "vec_id",
+            lsh_probe_buckets_vectorized(
+                "embedding", dim, planes, n_probes
+            ).alias("p"),
+        ).collect()
+    }
+    H = _hyperplane_matrix(dim, planes)
+    for i, v in enumerate(vecs):
+        probes = out[i]
+        assert len(probes) == n_probes + 1
+        assert probes[0] == _bucket_of(v, dim, planes)  # home first
+        assert len(set(probes)) == len(probes)  # distinct buckets
+        # flips restricted to the m lowest-margin planes
+        proj = np.abs(np.asarray(v) @ H)
+        m = min(planes, max(5, int(n_probes).bit_length()))
+        allowed = set(int(j) for j in np.argsort(proj)[:m])
+        for p in probes[1:]:
+            flipped = {b for b in range(planes) if (p ^ probes[0]) >> b & 1}
+            assert flipped and flipped <= allowed
+    assert out[40] == out[0]  # identical vector -> identical probe list
