@@ -221,6 +221,31 @@ def _bucket_of(vec: list[float], dim: int, planes: int) -> int:
     return int((bits * (1 << np.arange(planes))).sum())
 
 
+def _probe_buckets_of(
+    vec: list[float], dim: int, planes: int, n_probes: int
+) -> list[int]:
+    """Driver-side margin-directed probe list for ONE query vector —
+    the same query-directed subset order as
+    :func:`lsh_probe_buckets_vectorized` (home first, then flips of the
+    lowest-|projection| plane subsets ranked by flipped-margin energy),
+    so a single-query probe never disagrees with the join's."""
+    H = _hyperplane_matrix(dim, planes)
+    proj = np.asarray(vec, dtype=float) @ H
+    bits = proj >= 0
+    home = int((bits * (1 << np.arange(planes))).sum())
+    m = min(planes, max(5, int(n_probes).bit_length()))
+    subs = np.array(
+        [[(s >> j) & 1 for j in range(m)] for s in range(1, 1 << m)],
+        dtype=np.int64,
+    )
+    order = np.argsort(np.abs(proj))[:m]
+    mg2 = np.abs(proj)[order] ** 2
+    scores = subs @ mg2
+    masks = subs @ (1 << order.astype(np.int64))
+    pick = np.argsort(scores, kind="stable")[: min(n_probes, len(subs))]
+    return [home] + [int(home ^ masks[i]) for i in pick]
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vec: list[float],
@@ -229,10 +254,13 @@ def ann_topk_lsh(
     planes: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_probes: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors whose LSH bucket is within
-    Hamming distance 1 of the query's bucket (multi-probe), then exact
-    cosine on that candidate slice.
+    """Approximate top-k: score only vectors in the query's home bucket
+    plus its ``n_probes`` (default ``planes`` — cost parity with the
+    old blind Hamming-1 ring, strictly better bucket choice) margin-
+    directed probe buckets, then exact cosine on that candidate slice
+    (r7: the same Multi-Probe-LSH upgrade as the kNN join).
 
     At 100 TB the bucket column is precomputed/persisted and the probe is
     a partition-pruned scan; here it's computed inline (vectorized UDF).
@@ -244,8 +272,9 @@ def ann_topk_lsh(
         lsh_bucket_vectorized(vec_col, dim, planes).alias("bucket"),
     )
 
-    qb = _bucket_of(query_vec, dim, planes)
-    probe = [qb] + [qb ^ (1 << i) for i in range(planes)]
+    probe = _probe_buckets_of(
+        query_vec, dim, planes, n_probes if n_probes is not None else planes
+    )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         bucketed.filter(F.col("bucket").isin(probe))
