@@ -532,19 +532,21 @@ def ann_knn_join_lsh(
     * ``planes`` defaults to :func:`adaptive_planes` from the corpus count,
       so expected bucket occupancy stays ~``target_bucket_rows`` at any
       scale — total multiply-adds grow O(n·occupancy·dim), not O(n²).
-    * Multi-probe on the *probe* side only: each vector is replicated as a
-      query into ``n_probes`` (default 2·planes) extra buckets chosen by
-      MARGIN-DIRECTED subset flipping (lsh_probe_buckets_vectorized — the
-      Multi-Probe-LSH idea, r7: blind Hamming-1 recall decayed 54%→18%
-      from 2k→32k vectors; margin-directed stays ≥60% flat); bucket
-      *candidates* are only the home rows. A (query, candidate) pair is
-      seen in exactly one group (the candidate's unique home bucket), so
-      no dedup pass is needed, and group sizes are
-      (n_probes+2)×occupancy, not occupancy².
+    * Multi-probe on the *probe* side only: each vector is replicated as
+      a query into ``n_probes`` (default ``planes²`` — polylog(n) given
+      adaptive planes; for ``planes < 5`` the enumerable subset list is
+      only ``2^planes − 1`` entries, shorter than requested, and is used
+      whole) extra buckets chosen by MARGIN-DIRECTED subset flipping
+      (lsh_probe_buckets_vectorized — the Multi-Probe-LSH idea, r7:
+      blind Hamming-1 recall decayed 54%→18% from 2k→32k vectors;
+      margin-directed stays ≥60% flat); bucket *candidates* are only the
+      home rows. A (query, candidate) pair is seen in exactly one group
+      (the candidate's unique home bucket), so no dedup pass is needed,
+      and group sizes are (n_probes+2)×occupancy, not occupancy².
     * Pairs never materialize as shuffled rows: one ``applyInPandas`` per
       bucket computes the normalized numpy matmul and emits only each
-      query's local top-k — the merge shuffle carries ≤ (planes+1)·k rows
-      per vector.
+      query's local top-k — the merge shuffle carries ≤ (n_probes+1)·k
+      rows per vector (one local list per probed bucket).
     * ``max_candidates_per_bucket`` caps adversarially skewed buckets
       (e.g. a constant embedding column); the cap keeps the lowest-id
       candidates, deterministically. At the default it only engages at
@@ -573,9 +575,9 @@ def ann_knn_join_lsh(
 
     # one exploded frame: element 0 is the HOME copy (candidate +
     # query); the rest are margin-directed probe copies (query only).
-    # Probe volume stays linear in planes (2·planes by default) while
-    # targeting the subsets a true neighbor actually falls into —
-    # see lsh_probe_buckets_vectorized.
+    # Probe volume is n_probes per query (planes² by default — polylog
+    # in n under adaptive planes), targeting the subsets a true
+    # neighbor actually falls into — see lsh_probe_buckets_vectorized.
     bucketed = df.select(
         F.col(id_col).cast("long").alias("vid"),
         _as_double_array(vec_col).alias("v"),

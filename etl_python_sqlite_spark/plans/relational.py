@@ -20,6 +20,8 @@ Scale design applied throughout:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1821,14 +1823,26 @@ def _data_fingerprint(spark: SparkSession, sf_dir: str, name: str) -> tuple:
 #: release explicitly via release_shared_histograms() (tests).
 _FLAG_HIST_MEMO: dict = {}
 _FLAG_HIST_MAX = 2
+#: One RE-ENTRANT lock guards BOTH order-statistics memos end-to-end
+#: (check → build → eager count → insert): robust_price_stats and
+#: mad_outlier_scan run as separate CONCURRENT actions in the bench, and
+#: without the lock two simultaneous misses build two persisted frames
+#: and one leaks unpersisted. Holding the lock across the eager count
+#: deliberately serializes the FIRST build — the second caller blocks
+#: briefly and then reads the warm cache instead of racing to recompute
+#: the whole lineitem scan (CLAUDE.md multi-consumer-stage invariant).
+#: RLock because _flag_cents_cum builds via _flag_cents_hist.
+_FLAG_MEMO_LOCK = threading.RLock()
 
 
 def _flag_cents_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE per-flag integer-cents histogram of l_extendedprice — the
     shared first stage of the two order-statistics queries. Persisted
-    and memoized; the caller's first rank-pick collect materializes it,
-    every later consumer (either query, either pick, the final
-    aggregates) reads the cache instead of rescanning lineitem.
+    and EAGERLY materialized (count under the memo lock) before the memo
+    entry is published: the two consumers are separate concurrent
+    actions, so a lazily-persisted frame lets them race to recompute the
+    full lineitem scan before the cache lands. Every consumer (either
+    query, either rank pick, the final aggregates) reads the cache.
 
     The memo key carries a file-listing fingerprint of the source table
     (names + sizes + mtimes): rewriting the parquet under a live session
@@ -1839,27 +1853,29 @@ def _flag_cents_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         _data_fingerprint(spark, sf_dir, "lineitem"),
     )
-    hit = _FLAG_HIST_MEMO.pop(key, None)
-    if hit is not None:
-        _FLAG_HIST_MEMO[key] = hit  # re-insert: LRU refresh
-        return hit
-    li = table(spark, sf_dir, "lineitem")
-    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
-    hist = li.groupBy("l_returnflag", cents.alias("c")).agg(
-        F.count("*").alias("cnt")
-    ).persist()
-    while len(_FLAG_HIST_MEMO) >= _FLAG_HIST_MAX:
-        # evict the LEAST recently used — dicts iterate in insertion
-        # order and hits re-insert, so the first key is the oldest
-        # (popitem() would pop the NEWEST — LIFO, not LRU)
-        oldest = next(iter(_FLAG_HIST_MEMO))
-        old = _FLAG_HIST_MEMO.pop(oldest)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    _FLAG_HIST_MEMO[key] = hist
-    return hist
+    with _FLAG_MEMO_LOCK:
+        hit = _FLAG_HIST_MEMO.pop(key, None)
+        if hit is not None:
+            _FLAG_HIST_MEMO[key] = hit  # re-insert: LRU refresh
+            return hit
+        li = table(spark, sf_dir, "lineitem")
+        cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+        hist = li.groupBy("l_returnflag", cents.alias("c")).agg(
+            F.count("*").alias("cnt")
+        ).persist()
+        hist.count()  # eager: warm the cache before any consumer action
+        while len(_FLAG_HIST_MEMO) >= _FLAG_HIST_MAX:
+            # evict the LEAST recently used — dicts iterate in insertion
+            # order and hits re-insert, so the first key is the oldest
+            # (popitem() would pop the NEWEST — LIFO, not LRU)
+            oldest = next(iter(_FLAG_HIST_MEMO))
+            old = _FLAG_HIST_MEMO.pop(oldest)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _FLAG_HIST_MEMO[key] = hist
+        return hist
 
 
 #: (applicationId, sf_dir, fingerprint) → persisted CUMULATIVE per-flag
@@ -1876,48 +1892,53 @@ _FLAG_CUM_MEMO: dict = {}
 
 
 def _flag_cents_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Memoized (flag, c, cnt, cum, n, med) cumulative histogram."""
+    """Memoized (flag, c, cnt, cum, n, med) cumulative histogram —
+    persisted AND eagerly counted under the shared memo lock before
+    publication (same concurrent-consumer race as _flag_cents_hist)."""
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
         _data_fingerprint(spark, sf_dir, "lineitem"),
     )
-    hit = _FLAG_CUM_MEMO.pop(key, None)
-    if hit is not None:
-        _FLAG_CUM_MEMO[key] = hit  # LRU refresh
-        return hit
-    hist = _flag_cents_hist(spark, sf_dir)
-    wv = Window.partitionBy("l_returnflag").orderBy("c")
-    wall = Window.partitionBy("l_returnflag")
-    k = F.expr("(n + 1) div 2")
-    cum = (
-        hist.select(
-            "l_returnflag",
-            "c",
-            "cnt",
-            F.sum("cnt").over(wv).alias("cum"),
-            F.sum("cnt").over(wall).alias("n"),
+    with _FLAG_MEMO_LOCK:
+        hit = _FLAG_CUM_MEMO.pop(key, None)
+        if hit is not None:
+            _FLAG_CUM_MEMO[key] = hit  # LRU refresh
+            return hit
+        hist = _flag_cents_hist(spark, sf_dir)
+        wv = Window.partitionBy("l_returnflag").orderBy("c")
+        wall = Window.partitionBy("l_returnflag")
+        k = F.expr("(n + 1) div 2")
+        cum = (
+            hist.select(
+                "l_returnflag",
+                "c",
+                "cnt",
+                F.sum("cnt").over(wv).alias("cum"),
+                F.sum("cnt").over(wall).alias("n"),
+            )
+            .withColumn(
+                "med",
+                F.min(
+                    F.when(
+                        (F.col("cum") >= k)
+                        & (F.col("cum") - F.col("cnt") < k),
+                        F.col("c"),
+                    )
+                ).over(wall),
+            )
+            .persist()
         )
-        .withColumn(
-            "med",
-            F.min(
-                F.when(
-                    (F.col("cum") >= k) & (F.col("cum") - F.col("cnt") < k),
-                    F.col("c"),
-                )
-            ).over(wall),
-        )
-        .persist()
-    )
-    while len(_FLAG_CUM_MEMO) >= _FLAG_HIST_MAX:
-        oldest = next(iter(_FLAG_CUM_MEMO))
-        old = _FLAG_CUM_MEMO.pop(oldest)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
-    _FLAG_CUM_MEMO[key] = cum
-    return cum
+        cum.count()  # eager: warm before any consumer action
+        while len(_FLAG_CUM_MEMO) >= _FLAG_HIST_MAX:
+            oldest = next(iter(_FLAG_CUM_MEMO))
+            old = _FLAG_CUM_MEMO.pop(oldest)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _FLAG_CUM_MEMO[key] = cum
+        return cum
 
 
 #: (applicationId, sf_dir) → persisted DISTINCT undirected (u < v) part
@@ -1950,6 +1971,36 @@ _COOCC_MEMO: dict = {}
 COOCC_BUCKETED_STAGE_MIN_EDGES = 20_000_000
 COOCC_STAGE_BUCKETS = 32
 _COOCC_TABLE_ATTR = "_spark_graft_coocc_table"
+#: Same concurrent-consumer discipline as the cents-histogram memos:
+#: triangle + pagerank run as separate concurrent bench actions, so the
+#: memo get-or-build holds one lock end-to-end — a simultaneous miss
+#: otherwise double-builds the edge stage and leaks one persisted frame
+#: (or worse, two saveAsTable writers race on the same table name).
+_COOCC_MEMO_LOCK = threading.Lock()
+#: Stage tables this SESSION created (name → applicationId); used by the
+#: stale-table sweep below to recognize its own live tables.
+_COOCC_LIVE_TABLES: set = set()
+_COOCC_SWEPT_APPS: set = set()
+
+
+def _sweep_stale_coocc_tables(spark: SparkSession) -> None:
+    """Drop orphaned ``coocc_edges_*`` stage tables left by a crashed or
+    restarted session (their memo keys embed the old applicationId, so
+    no later session will ever name them — without this sweep the
+    warehouse files accumulate forever). Runs once per application, at
+    first stage build, and only touches tables this session did NOT
+    create."""
+    app = spark.sparkContext.applicationId
+    if app in _COOCC_SWEPT_APPS:
+        return
+    _COOCC_SWEPT_APPS.add(app)
+    try:
+        for t in spark.catalog.listTables():
+            name = t.name
+            if name.startswith("coocc_edges_") and name not in _COOCC_LIVE_TABLES:
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+    except Exception:
+        pass  # catalog unavailable (stopping session) — leave for next run
 
 
 def _release_coocc_entry(old: DataFrame) -> None:
@@ -1958,6 +2009,7 @@ def _release_coocc_entry(old: DataFrame) -> None:
     tbl = getattr(old, _COOCC_TABLE_ATTR, None)
     try:
         if tbl is not None:
+            _COOCC_LIVE_TABLES.discard(tbl)
             old.sparkSession.sql(f"DROP TABLE IF EXISTS {tbl}")
         else:
             old.unpersist()
@@ -1985,49 +2037,59 @@ def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         _data_fingerprint(spark, sf_dir, "lineitem"),
     )
-    hit = _COOCC_MEMO.pop(key, None)
-    if hit is not None:
-        _COOCC_MEMO[key] = hit  # LRU refresh
-        return hit
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct().persist()
-    op.count()  # two self-join consumers — materialize first
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    e = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .persist()
-    )
-    n_edges = e.count()
-    op.unpersist()  # consumed only by the join above — release now
-    if n_edges >= COOCC_BUCKETED_STAGE_MIN_EDGES:
-        import hashlib
+    with _COOCC_MEMO_LOCK:
+        hit = _COOCC_MEMO.pop(key, None)
+        if hit is not None:
+            _COOCC_MEMO[key] = hit  # LRU refresh
+            return hit
+        _sweep_stale_coocc_tables(spark)
+        li = table(spark, sf_dir, "lineitem")
+        op = li.select("l_orderkey", "l_partkey").distinct().persist()
+        op.count()  # two self-join consumers — materialize first
+        a = op.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+        )
+        b = op.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+        )
+        e = (
+            a.join(b, "ok")
+            .filter(F.col("u") < F.col("v"))
+            .select("u", "v")
+            .distinct()
+            .persist()
+        )
+        n_edges = e.count()
+        op.unpersist()  # consumed only by the join above — release now
+        if n_edges >= COOCC_BUCKETED_STAGE_MIN_EDGES:
+            import hashlib
 
-        # materialize the DIRECTED set (both orientations — pagerank's
-        # layout; triangle's canonical u<v set is a filter over the
-        # same bucketed scan, zero extra storage). Disjoint halves, so
-        # the union is distinct by construction.
-        tbl = "coocc_edges_" + hashlib.md5(repr(key).encode()).hexdigest()[:12]
-        directed = e.union(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        (
-            directed.write.mode("overwrite")
-            .bucketBy(COOCC_STAGE_BUCKETS, "u")
-            .sortBy("u")
-            .saveAsTable(tbl)
-        )
-        e.unpersist()  # the bucketed files are the materialization now
-        e = spark.table(tbl).filter(F.col("u") < F.col("v"))
-        setattr(e, _COOCC_TABLE_ATTR, tbl)
-    while len(_COOCC_MEMO) >= _FLAG_HIST_MAX:
-        oldest = next(iter(_COOCC_MEMO))
-        _release_coocc_entry(_COOCC_MEMO.pop(oldest))
-    _COOCC_MEMO[key] = e
-    return e
+            # materialize the DIRECTED set (both orientations —
+            # pagerank's layout; triangle's canonical u<v set is a
+            # filter over the same bucketed scan, zero extra storage).
+            # Disjoint halves, so the union is distinct by construction.
+            tbl = (
+                "coocc_edges_"
+                + hashlib.md5(repr(key).encode()).hexdigest()[:12]
+            )
+            directed = e.union(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            (
+                directed.write.mode("overwrite")
+                .bucketBy(COOCC_STAGE_BUCKETS, "u")
+                .sortBy("u")
+                .saveAsTable(tbl)
+            )
+            e.unpersist()  # the bucketed files are the materialization
+            e = spark.table(tbl).filter(F.col("u") < F.col("v"))
+            setattr(e, _COOCC_TABLE_ATTR, tbl)
+            _COOCC_LIVE_TABLES.add(tbl)
+        while len(_COOCC_MEMO) >= _FLAG_HIST_MAX:
+            oldest = next(iter(_COOCC_MEMO))
+            _release_coocc_entry(_COOCC_MEMO.pop(oldest))
+        _COOCC_MEMO[key] = e
+        return e
 
 
 def _cooccurrence_edges_directed(

@@ -99,3 +99,52 @@ def test_eviction_drops_stage_table(spark, bucketed_gate):
     assert not spark.catalog.tableExists(tbl)
     del e
     gc.collect()
+
+
+def test_stage_build_sweeps_orphaned_tables(spark, bucketed_gate):
+    """A crashed session's coocc_edges_* tables embed the dead
+    applicationId in their (hashed) names, so no later session ever
+    names them — the first stage build of a fresh app must sweep them
+    (r7 ADVICE) while leaving its OWN live stage table untouched."""
+    R = bucketed_gate
+    orphan = "coocc_edges_deadbeef0000"
+    spark.sql(f"DROP TABLE IF EXISTS {orphan}")
+    spark.range(3).selectExpr("id AS u", "id + 1 AS v").write.mode(
+        "overwrite"
+    ).saveAsTable(orphan)
+    assert spark.catalog.tableExists(orphan)
+    # force the once-per-app sweep to run again for this build
+    R._COOCC_SWEPT_APPS.clear()
+    e = R._cooccurrence_edges(spark, SF_SMOKE)
+    live = getattr(e, R._COOCC_TABLE_ATTR)
+    assert not spark.catalog.tableExists(orphan)
+    assert spark.catalog.tableExists(live)
+    # the sweep is once-per-application: a second build must not drop
+    # the (now-live) stage table of a concurrent builder, and the
+    # re-armed sweep must still respect the live-table registry
+    R._COOCC_SWEPT_APPS.clear()
+    R._COOCC_MEMO.clear()  # force a rebuild path through the sweep
+    e2 = R._cooccurrence_edges(spark, SF_SMOKE)
+    assert spark.catalog.tableExists(getattr(e2, R._COOCC_TABLE_ATTR))
+    R._COOCC_LIVE_TABLES.discard(live)
+    spark.sql(f"DROP TABLE IF EXISTS {live}")
+
+
+def test_concurrent_memo_miss_builds_once(spark, bucketed_gate):
+    """Two simultaneous misses (the bench's concurrent graph queries)
+    must resolve to ONE shared stage — the lock serializes the build and
+    the loser reads the memo instead of double-building and leaking."""
+    import threading
+
+    R = bucketed_gate
+    got = []
+
+    def grab():
+        got.append(R._cooccurrence_edges(spark, SF_SMOKE))
+
+    threads = [threading.Thread(target=grab) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(got) == 2 and got[0] is got[1]
