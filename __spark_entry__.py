@@ -176,119 +176,28 @@ def _langid_char_sql(text: str = "text") -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records at most 50 CORRECTNESS rows,
-    # taken from the head of this dict. Round-7 rotation (VERDICT r6 #8):
-    # the new r7 queries lead, the 49 keys last driver-attested in ROUND
-    # 4 fill the window, and the r6- and r5-attested blocks close the
-    # dict in recency order. Union r1–r7 keeps every contract query
-    # attested within the last three rounds.
+    # taken from the head of this dict. Round-8 rotation: the 3 new r8
+    # queries lead, then ext_multimodal_decode (slipped out of the r7
+    # window as the 51st of 51 candidates — r7 ADVICE), then the 50-key
+    # block last attested in ROUND 5, of which the first 46 fit; the 4
+    # that slip (range_join_errors, ext_pii_scan, ext_stratified_split,
+    # multires_rollup) must lead the r9 window. The r6- and r7-attested blocks close the
+    # dict in recency order. Union r1-r8 keeps every contract query
+    # attested within the last three rounds (except the 4 named
+    # slippers, attested r5, due again r9).
     return {
-        # -- NEW in round 7 (never driver-attested) — lead the window --
-        "ext_repeated_substring_mine": E.ext_repeated_substring_mine,
-        "ext_repeated_span_cut": E.ext_repeated_span_cut,
-        # -- last attested ROUND 4 (49, least recently attested) — they
-        # fill the rest of the 50-row r7 window; expected r7 ∩ (r6 ∪ r5)
-        # overlap: 0 (VERDICT r6 #8) --
-        "large_volume_customers": R.large_volume_customers,
-        "disjunctive_revenue": R.disjunctive_revenue,
-        "idle_customer_balance": R.idle_customer_balance,
-        "ext_doc_chunking": E.ext_doc_chunking,
-        "ext_substring_contamination": E.ext_substring_contamination,
-        "cheapest_supplier_per_part": R.cheapest_supplier_per_part,
-        "supplier_variety_by_brand": R.supplier_variety_by_brand,
-        "daily_volume_anomaly": R.daily_volume_anomaly,
-        "ext_cross_source_dedup": E.ext_cross_source_dedup,
-        "priority_order_counts": R.priority_order_counts,
-        "shipmode_priority_split": R.shipmode_priority_split,
-        "top_supplier_revenue": R.top_supplier_revenue,
-        "ext_chunk_dedup": E.ext_chunk_dedup,
-        "ext_dataset_card": E.ext_dataset_card,
-        "ext_embedding_quantization": E.ext_embedding_quantization,
-        "ext_setsim_prefix_join": E.ext_setsim_prefix_join,
-        "ext_semantic_dedup": E.ext_semantic_dedup,
-        "ts_gap_fill_interpolate": R.ts_gap_fill_interpolate,
-        "robust_price_stats": R.robust_price_stats,
-        "snapshot_diff_orders": R.snapshot_diff_orders,
-        "forecast_revenue_change": R.forecast_revenue_change,
-        "volume_shipping_bilateral": R.volume_shipping_bilateral,
-        "important_stock_parts": R.important_stock_parts,
-        "customer_order_distribution": R.customer_order_distribution,
-        "small_quantity_order_revenue": R.small_quantity_order_revenue,
-        "supplier_part_promotion": R.supplier_part_promotion,
-        "sole_failing_supplier": R.sole_failing_supplier,
-        "json_props_rollup": R.json_props_rollup,
-        "zorder_orders_layout": R.zorder_orders_layout,
-        "ext_bpe_tokenizer": E.ext_bpe_tokenizer,
-        "ext_embedding_pooling": E.ext_embedding_pooling,
-        "impute_group_median": R.impute_group_median,
-        "mad_outlier_scan": R.mad_outlier_scan,
-        "ext_bigram_lm_score": E.ext_bigram_lm_score,
-        "ext_dsir_importance": E.ext_dsir_importance,
-        "ext_leakage_free_split": E.ext_leakage_free_split,
-        "scd2_event_intervals": R.scd2_event_intervals,
-        "incremental_rollup_merge": R.incremental_rollup_merge,
-        "part_basket_pairs": R.part_basket_pairs,
-        "scd1_latest_state": R.scd1_latest_state,
-        "ext_bm25_topk": E.ext_bm25_topk,
-        "ext_pq_topk": E.ext_pq_topk,
-        "dq_expectations_orders": R.dq_expectations_orders,
-        "regression_price_trend": R.regression_price_trend,
-        "ext_bloom_prefilter": E.ext_bloom_prefilter,
-        "part_cooccurrence_pagerank": R.part_cooccurrence_pagerank,
-        "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
-        "ext_ann_knn_join": E.ext_ann_knn_join,
+        # -- NEW in round 8 (never driver-attested) — lead the window --
+        "ext_kmeans_clusters": E.ext_kmeans_clusters,
+        "ewma_revenue_smoothing": R.ewma_revenue_smoothing,
+        "ext_containment_join": E.ext_containment_join,
+        # -- slipped from the r7 window (51st of 51 — r7 ADVICE):
+        # last attested r4, must be attested now --
         "ext_multimodal_decode": E.ext_multimodal_decode,
-        # -- attested r6 (the 2 r6-new + the old r3 block + the r4 head) --
-        "scd2_rebuild_late_events": R.scd2_rebuild_late_events,
-        "ext_unicode_normalize": E.ext_unicode_normalize,
-        "ext_curation_funnel": E.ext_curation_funnel,
-        "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,
-        "ext_dedup_clusters": E.ext_dedup_clusters,
-        "ext_minhash_dedup_clusters": E.ext_minhash_dedup_clusters,
-        "ext_repetition_filter": E.ext_repetition_filter,
-        "ext_contamination_scan": E.ext_contamination_scan,
-        "ext_tfidf_top_terms": E.ext_tfidf_top_terms,
-        "supplier_profit_by_nation": R.supplier_profit_by_nation,
-        "window_moving_avg": R.window_moving_avg,
-        "lag_gap_analysis": R.lag_gap_analysis,
-        "string_agg_nations": R.string_agg_nations,
-        "grouping_sets_status_year": R.grouping_sets_status_year,
-        "ext_seq_packing": E.ext_seq_packing,
-        "ext_domain_mixture": E.ext_domain_mixture,
-        "ext_word_df_histogram": E.ext_word_df_histogram,
-        "ext_incremental_dedup": E.ext_incremental_dedup,
-        "ext_quality_sample": E.ext_quality_sample,
-        "range_interval_window": R.range_interval_window,
-        "unpivot_nation_metrics": R.unpivot_nation_metrics,
-        "ntile_value_quartiles": R.ntile_value_quartiles,
-        "ship_delay_histogram": R.ship_delay_histogram,
-        "orders_above_customer_avg": R.orders_above_customer_avg,
-        "ext_pii_redact": E.ext_pii_redact,
-        "numeric_profile": R.numeric_profile,
-        "dq_referential_audit": R.dq_referential_audit,
-        "shipping_priority_topn": R.shipping_priority_topn,
-        "local_supplier_volume": R.local_supplier_volume,
-        "returned_items_by_customer": R.returned_items_by_customer,
-        "rank_tie_semantics": R.rank_tie_semantics,
-        "ext_word_rarity_score": E.ext_word_rarity_score,
-        "ext_label_centroid_quality": E.ext_label_centroid_quality,
-        "set_intersect_users": R.set_intersect_users,
-        "window_value_zoo": R.window_value_zoo,
-        "event_funnel_conversion": R.event_funnel_conversion,
-        "cohort_weekly_retention": R.cohort_weekly_retention,
-        "skew_salted_join": R.skew_salted_join,
-        "recursive_month_spine": R.recursive_month_spine,
-        "ext_minhash_near_dups": E.ext_minhash_near_dups,
-        "ext_simhash_fingerprints": E.ext_simhash_fingerprints,
-        "ext_simhash_near_dups": E.ext_simhash_near_dups,
-        "ext_winnowing_pairs": E.ext_winnowing_pairs,
-        "ext_ann_topk_lsh": E.ext_ann_topk_lsh,
-        "ext_ivf_topk": E.ext_ivf_topk,
-        "ext_embedding_near_dups": E.ext_embedding_near_dups,
-        "ext_heavy_hitters": E.ext_heavy_hitters,
-        "ext_kll_quantiles": E.ext_kll_quantiles,
-        "promo_revenue_ratio": R.promo_revenue_ratio,
-        "nation_market_share": R.nation_market_share,
-        # -- attested r5 (7 r5-new + the old r2 block) — most recent, tail --
+        # -- last attested ROUND 5 (50 keys, least recently attested).
+        # The 50-row window holds 3+1 keys above + the FIRST 46 of
+        # this block; its last 4 (range_join_errors, ext_pii_scan,
+        # ext_stratified_split, multires_rollup) slip to r9 and must
+        # lead its rotation. --
         "part_triangle_stats": R.part_triangle_stats,
         "ext_cms_word_counts": E.ext_cms_word_counts,
         "ext_vocab_edit_pairs": E.ext_vocab_edit_pairs,
@@ -339,6 +248,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_pii_scan": E.ext_pii_scan,
         "ext_stratified_split": E.ext_stratified_split,
         "multires_rollup": R.multires_rollup,
+        # -- attested r6 (2 r6-new + the old r3 block + the r4 head) --
+        "scd2_rebuild_late_events": R.scd2_rebuild_late_events,
+        "ext_unicode_normalize": E.ext_unicode_normalize,
+        "ext_curation_funnel": E.ext_curation_funnel,
+        "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,
+        "ext_dedup_clusters": E.ext_dedup_clusters,
+        "ext_minhash_dedup_clusters": E.ext_minhash_dedup_clusters,
+        "ext_repetition_filter": E.ext_repetition_filter,
+        "ext_contamination_scan": E.ext_contamination_scan,
+        "ext_tfidf_top_terms": E.ext_tfidf_top_terms,
+        "supplier_profit_by_nation": R.supplier_profit_by_nation,
+        "window_moving_avg": R.window_moving_avg,
+        "lag_gap_analysis": R.lag_gap_analysis,
+        "string_agg_nations": R.string_agg_nations,
+        "grouping_sets_status_year": R.grouping_sets_status_year,
+        "ext_seq_packing": E.ext_seq_packing,
+        "ext_domain_mixture": E.ext_domain_mixture,
+        "ext_word_df_histogram": E.ext_word_df_histogram,
+        "ext_incremental_dedup": E.ext_incremental_dedup,
+        "ext_quality_sample": E.ext_quality_sample,
+        "range_interval_window": R.range_interval_window,
+        "unpivot_nation_metrics": R.unpivot_nation_metrics,
+        "ntile_value_quartiles": R.ntile_value_quartiles,
+        "ship_delay_histogram": R.ship_delay_histogram,
+        "orders_above_customer_avg": R.orders_above_customer_avg,
+        "ext_pii_redact": E.ext_pii_redact,
+        "numeric_profile": R.numeric_profile,
+        "dq_referential_audit": R.dq_referential_audit,
+        "shipping_priority_topn": R.shipping_priority_topn,
+        "local_supplier_volume": R.local_supplier_volume,
+        "returned_items_by_customer": R.returned_items_by_customer,
+        "rank_tie_semantics": R.rank_tie_semantics,
+        "ext_word_rarity_score": E.ext_word_rarity_score,
+        "ext_label_centroid_quality": E.ext_label_centroid_quality,
+        "set_intersect_users": R.set_intersect_users,
+        "window_value_zoo": R.window_value_zoo,
+        "event_funnel_conversion": R.event_funnel_conversion,
+        "cohort_weekly_retention": R.cohort_weekly_retention,
+        "skew_salted_join": R.skew_salted_join,
+        "recursive_month_spine": R.recursive_month_spine,
+        "ext_minhash_near_dups": E.ext_minhash_near_dups,
+        "ext_simhash_fingerprints": E.ext_simhash_fingerprints,
+        "ext_simhash_near_dups": E.ext_simhash_near_dups,
+        "ext_winnowing_pairs": E.ext_winnowing_pairs,
+        "ext_ann_topk_lsh": E.ext_ann_topk_lsh,
+        "ext_ivf_topk": E.ext_ivf_topk,
+        "ext_embedding_near_dups": E.ext_embedding_near_dups,
+        "ext_heavy_hitters": E.ext_heavy_hitters,
+        "ext_kll_quantiles": E.ext_kll_quantiles,
+        "promo_revenue_ratio": R.promo_revenue_ratio,
+        "nation_market_share": R.nation_market_share,
+        # -- attested r7 (the 2 r7-new + the 48 r4-block keys that
+        # made the r7 window) — most recent, tail --
+        "ext_repeated_substring_mine": E.ext_repeated_substring_mine,
+        "ext_repeated_span_cut": E.ext_repeated_span_cut,
+        "large_volume_customers": R.large_volume_customers,
+        "disjunctive_revenue": R.disjunctive_revenue,
+        "idle_customer_balance": R.idle_customer_balance,
+        "ext_doc_chunking": E.ext_doc_chunking,
+        "ext_substring_contamination": E.ext_substring_contamination,
+        "cheapest_supplier_per_part": R.cheapest_supplier_per_part,
+        "supplier_variety_by_brand": R.supplier_variety_by_brand,
+        "daily_volume_anomaly": R.daily_volume_anomaly,
+        "ext_cross_source_dedup": E.ext_cross_source_dedup,
+        "priority_order_counts": R.priority_order_counts,
+        "shipmode_priority_split": R.shipmode_priority_split,
+        "top_supplier_revenue": R.top_supplier_revenue,
+        "ext_chunk_dedup": E.ext_chunk_dedup,
+        "ext_dataset_card": E.ext_dataset_card,
+        "ext_embedding_quantization": E.ext_embedding_quantization,
+        "ext_setsim_prefix_join": E.ext_setsim_prefix_join,
+        "ext_semantic_dedup": E.ext_semantic_dedup,
+        "ts_gap_fill_interpolate": R.ts_gap_fill_interpolate,
+        "robust_price_stats": R.robust_price_stats,
+        "snapshot_diff_orders": R.snapshot_diff_orders,
+        "forecast_revenue_change": R.forecast_revenue_change,
+        "volume_shipping_bilateral": R.volume_shipping_bilateral,
+        "important_stock_parts": R.important_stock_parts,
+        "customer_order_distribution": R.customer_order_distribution,
+        "small_quantity_order_revenue": R.small_quantity_order_revenue,
+        "supplier_part_promotion": R.supplier_part_promotion,
+        "sole_failing_supplier": R.sole_failing_supplier,
+        "json_props_rollup": R.json_props_rollup,
+        "zorder_orders_layout": R.zorder_orders_layout,
+        "ext_bpe_tokenizer": E.ext_bpe_tokenizer,
+        "ext_embedding_pooling": E.ext_embedding_pooling,
+        "impute_group_median": R.impute_group_median,
+        "mad_outlier_scan": R.mad_outlier_scan,
+        "ext_bigram_lm_score": E.ext_bigram_lm_score,
+        "ext_dsir_importance": E.ext_dsir_importance,
+        "ext_leakage_free_split": E.ext_leakage_free_split,
+        "scd2_event_intervals": R.scd2_event_intervals,
+        "incremental_rollup_merge": R.incremental_rollup_merge,
+        "part_basket_pairs": R.part_basket_pairs,
+        "scd1_latest_state": R.scd1_latest_state,
+        "ext_bm25_topk": E.ext_bm25_topk,
+        "ext_pq_topk": E.ext_pq_topk,
+        "dq_expectations_orders": R.dq_expectations_orders,
+        "regression_price_trend": R.regression_price_trend,
+        "ext_bloom_prefilter": E.ext_bloom_prefilter,
+        "part_cooccurrence_pagerank": R.part_cooccurrence_pagerank,
+        "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
+        "ext_ann_knn_join": E.ext_ann_knn_join,
     }
 
 
@@ -378,11 +390,124 @@ def _pagerank_sql(iters: int = 5, total_mass: int = 10**12) -> str:
     )
 
 
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled-CTE DuckDB twin of operators/clustering.kmeans_lloyd:
+    replays the ENTIRE algorithm from the parquet — phash60 seed ranks,
+    per-iteration argmin assignment (lowest-cid tie break via the
+    (dist, cid) row_number order), floor-division centroid update (all
+    quantities non-negative, so `//` replays Spark's `div`), and the
+    final per-cluster (size, inertia, centroid-L1) summary. Fixed
+    iteration count → no recursion, pure integer arithmetic → exact
+    value-hash match."""
+
+    def dist_cte(name: str, cents: str) -> str:
+        return (
+            f"{name} AS (SELECT vid, cid, dist FROM ("
+            "SELECT f.vid, c.cid, SUM((f.q - c.c) * (f.q - c.c)) AS dist,"
+            " row_number() OVER (PARTITION BY f.vid"
+            " ORDER BY SUM((f.q - c.c) * (f.q - c.c)), c.cid) AS rn"
+            f" FROM flat f JOIN {cents} c USING (d)"
+            " GROUP BY f.vid, c.cid) WHERE rn = 1)"
+        )
+
+    def upd_cte(name: str, assign: str) -> str:
+        return (
+            f"{name} AS (SELECT a.cid, f.d, SUM(f.q) // COUNT(*) AS c"
+            f" FROM flat f JOIN {assign} a USING (vid)"
+            " GROUP BY a.cid, f.d)"
+        )
+
+    ctes = [
+        "flat AS (SELECT vec_id AS vid,"
+        " unnest(generate_series(1, len(embedding))) - 1 AS d,"
+        " CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 1.0) * 1000000)"
+        " AS BIGINT) AS q FROM embeddings)",
+        "sr AS (SELECT vid, rn - 1 AS cid FROM ("
+        "SELECT vec_id AS vid, row_number() OVER (ORDER BY "
+        + PHASH60_SQL.format(c="CAST(vec_id AS VARCHAR)")
+        + f", vec_id) AS rn FROM embeddings) WHERE rn <= {k})",
+        "c0 AS (SELECT sr.cid, f.d, f.q AS c FROM flat f"
+        " JOIN sr USING (vid))",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        ctes.append(dist_cte(f"a{t}", prev))
+        ctes.append(upd_cte(f"u{t}", f"a{t}"))
+        prev = f"u{t}"
+    ctes.append(dist_cte(f"a{iters + 1}", prev))
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT a.cid AS cluster,"
+        " COUNT(*) AS n_vecs, CAST(SUM(a.dist) AS BIGINT) AS inertia,"
+        " MAX(cs.s) AS centroid_l1"
+        f" FROM a{iters + 1} a JOIN (SELECT cid,"
+        f" CAST(SUM(c) AS BIGINT) AS s FROM u{iters} GROUP BY cid) cs"
+        " USING (cid) GROUP BY a.cid ORDER BY cluster"
+    )
+
+
+def _ewma_sql() -> str:
+    """Twin of relational.ewma_revenue_smoothing — same rational
+    trailing-8 weights 3^(j-1)·4^(8-j) over integer cents, same
+    division-free 2× spike test (rev·(4^8−3^8) > 2·num)."""
+    terms = " + ".join(
+        f"{3 ** (j - 1) * 4 ** (8 - j)}"
+        f" * COALESCE(lag(rev_cents, {j}) OVER (ORDER BY day), 0)"
+        for j in range(1, 9)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   CAST(SUM(floor(o_totalprice * 100)) AS BIGINT)
+                       AS rev_cents
+            FROM orders GROUP BY 1
+        ),
+        lagd AS (
+            SELECT day, rev_cents, {terms} AS ewma_num,
+                   lag(rev_cents, 8) OVER (ORDER BY day) AS l8
+            FROM daily
+        )
+        SELECT day, rev_cents, CAST(ewma_num AS BIGINT) AS ewma_num,
+               CAST(CASE WHEN rev_cents * {4 ** 8 - 3 ** 8} > 2 * ewma_num
+                         THEN 1 ELSE 0 END AS BIGINT) AS spike
+        FROM lagd WHERE l8 IS NOT NULL ORDER BY day
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     cms_salts = ", ".join(
         f"({s}, {a}, {b})" for s, a, b in universal_salt_constants(4)
     )
     return {
+        # -- round-8 additions ------------------------------------------
+        # k-means: the twin replays the full Lloyd loop (see _kmeans_sql)
+        # — any divergence in seeding, assignment, tie break or centroid
+        # rounding flips every downstream integer.
+        "ext_kmeans_clusters": _kmeans_sql(k=8, iters=2),
+        "ewma_revenue_smoothing": _ewma_sql(),
+        # containment: brute-force all ORDERED pairs (a ≠ b) over the
+        # same bounded sample — the prefix/length filters are exact, so
+        # Spark must reproduce this set bit-for-bit
+        "ext_containment_join": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok
+                FROM (SELECT doc_id, unnest({_WORDS.format(c='text')}) AS tok
+                      FROM documents WHERE doc_id < 400)
+                WHERE length(tok) > 0
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+            ipairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(COUNT(*) AS BIGINT) AS inter
+                FROM toks a JOIN toks b ON a.tok = b.tok
+                     AND a.doc_id <> b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT i.id_a, i.id_b,
+                   (1000000 * i.inter) // sa.sz AS containment_micro
+            FROM ipairs i JOIN sizes sa ON sa.doc_id = i.id_a
+            WHERE (1000000 * i.inter) // sa.sz >= 600000
+            ORDER BY id_a, id_b
+        """,
         # -- round-7 additions ------------------------------------------
         # ExactSubstr repeated-substring mining: the twin brute-forces
         # EVERY 40-gram (no anchor sieve), so an exact hash match proves

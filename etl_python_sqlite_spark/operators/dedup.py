@@ -1033,6 +1033,107 @@ def setsim_join_prefix(
     return tie(verified, cands, sets_)
 
 
+def containment_join_prefix(
+    df: DataFrame,
+    threshold_micro: int = 600_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ASYMMETRIC containment self-join: every ORDERED pair (A, B),
+    A ≠ B, with C(A,B) = |S_A ∩ S_B| / |S_A| ≥ t — "A's content is
+    mostly inside B", the subsumption relation Jaccard resemblance
+    can't see (a paragraph quoted whole inside a long page has high
+    containment and negligible Jaccard). This is the dedup rule
+    pipelines apply to drop snippet/excerpt documents whose text lives
+    inside a larger retained page; the Jaccard twin is
+    ``setsim_join_prefix``.
+
+    Exactness argument (no false negatives): the PROBE side (A) keeps
+    only its rare-first prefix of ``|A| − ⌈t·|A|⌉ + 1`` tokens — if no
+    prefix token of A lands in B, the intersection fits inside A's
+    suffix of ⌈t·|A|⌉ − 1 tokens, contradicting |A∩B| ≥ ⌈t·|A|⌉. The
+    INDEX side (B) must carry ALL its tokens (containment is one-sided:
+    A's rare prefix token can sit anywhere in B), so the index is the
+    corpus token list itself — linear, and the candidate fan-out is
+    Σ df(tok) over PREFIX tokens only, the same rare-first collapse as
+    the Jaccard join. Length filter inside the join: |A∩B| ≤ |B| forces
+    t·|A| ≤ 10⁶·|B| in integer micro-units (no upper bound on |B| —
+    asymmetry again). Verify = exact |∩| on candidate pairs' full
+    token sets. All threshold math integer → engine-portable.
+
+    Returns (id_a, id_b, containment_micro): id_a the CONTAINED doc,
+    ``containment_micro = (10⁶·|∩|) div |S_A|``.
+    """
+    toks = doc_token_sets(df, text_col, id_col)
+    prefix = setsim_prefix_index(toks, threshold_micro, id_col).persist()
+    prefix.count()  # eager — joined against the full index below
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    index = toks.join(sizes, id_col).select(
+        F.col(id_col).alias("id_b"),
+        F.col("tok"),
+        F.col("sz").alias("sz_b"),
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "tok", F.col("sz").alias("sz_a")
+    )
+    cands = (
+        a.join(
+            index,
+            (a["tok"] == index["tok"])
+            & (F.col("id_a") != F.col("id_b"))
+            # |A∩B| ≤ |B| and ≥ ⌈t|A|⌉ ⇒ t·|A| ≤ 10⁶·|B|
+            & (
+                F.lit(threshold_micro) * F.col("sz_a")
+                <= F.lit(1_000_000) * F.col("sz_b")
+            ),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        # eager lineage cut at the narrowest point (the candidate set) —
+        # the broadcast cand-id job and the verify job are separate
+        # actions (see setsim_join_prefix for the measured hazard)
+        .localCheckpoint(eager=True)
+    )
+    prefix.unpersist()
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sets_ = (
+        toks.join(F.broadcast(cand_ids), on=id_col, how="left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("tok").alias("tokset"))
+        .persist()  # both sides of the verify join
+    )
+    sets_.count()  # eager
+    sa = sets_.select(
+        F.col(id_col).alias("id_a"), F.col("tokset").alias("ts_a")
+    )
+    sb = sets_.select(
+        F.col(id_col).alias("id_b"), F.col("tokset").alias("ts_b")
+    )
+    verified = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ts_a", "ts_b"))
+            .cast("long")
+            .alias("inter"),
+            F.size("ts_a").cast("long").alias("sz_a"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("(1000000 * inter) div sz_a").alias("containment_micro"),
+        )
+        .filter(F.col("containment_micro") >= threshold_micro)
+    )
+    return tie(verified, cands, sets_)
+
+
 def repeated_span_mine(
     df: DataFrame,
     min_len: int = 40,

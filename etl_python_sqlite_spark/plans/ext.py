@@ -15,6 +15,8 @@ ground-truth recall tests on the fast xxhash64/numpy paths).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -65,6 +67,54 @@ def ext_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tie(out, keepalive=[pairs])
 
 
+#: (applicationId, sf_dir, fingerprint) → the tie()'d verified-pairs
+#: frame shared by ext_minhash_near_dups and ext_minhash_dedup_clusters
+#: (r8): both queries ran the IDENTICAL signature → band → candidate →
+#: verify pipeline (~4-5 s each at sf0.1, concurrently in the bench) —
+#: one memoized stage feeds both, same policy as the cents histograms /
+#: co-occurrence edges / mined spans. The returned frame is lazy over
+#: its internally-checkpointed candidate set (the expensive half), so
+#: each consumer re-runs only the cheap verify join. LRU cap 2;
+#: eviction drops the reference WITHOUT an explicit release (a live
+#: result may still keepalive the frame — tie()'s finalizer frees the
+#: blocks when the last consumer lets go); release_shared_minhash() for
+#: the lifecycle fixture. The lock serializes concurrent get-or-build
+#: (the bench runs both consumers simultaneously — an unlocked double
+#: miss would double-build and leak one stage).
+_MINHASH_MEMO: dict = {}
+_EXT_MEMO_LOCK = threading.RLock()
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+
+    fp = data_fingerprint(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    with _EXT_MEMO_LOCK:
+        hit = _MINHASH_MEMO.pop(key, None)
+        if hit is not None:
+            _MINHASH_MEMO[key] = hit  # LRU refresh
+            return hit
+        pairs = D.minhash_near_dups_portable(
+            _docs(spark, sf_dir), threshold_micro=300_000
+        )
+        while len(_MINHASH_MEMO) >= 2:
+            oldest = next(iter(_MINHASH_MEMO))
+            _MINHASH_MEMO.pop(oldest)
+        _MINHASH_MEMO[key] = pairs
+        return pairs
+
+
+def release_shared_minhash() -> None:
+    """Release every memoized minhash-pairs stage (checkpoint blocks and
+    persisted shards included)."""
+    from etl_python_sqlite_spark.operators.cache import release
+
+    while _MINHASH_MEMO:
+        _, old = _MINHASH_MEMO.popitem()
+        release(old)
+
+
 def ext_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2 — MinHash+LSH near-dup pipeline on the portable 60-bit hash
     (functions/portable.py): the DuckDB oracle rebuilds the identical
@@ -73,10 +123,10 @@ def ext_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver (was rows-only under xxhash64). jaccard_micro is the exact
     Jaccard floor-quantized to micro-units (integer on both engines).
     The xxhash64 fast path remains ``operators.dedup.minhash_near_dups``
-    (pytest carries its ground-truth recall comparison)."""
-    docs = _docs(spark, sf_dir)
-    pairs = D.minhash_near_dups_portable(docs, threshold_micro=300_000)
-    return pairs
+    (pytest carries its ground-truth recall comparison). The pair
+    pipeline is the memoized stage shared with
+    ext_minhash_dedup_clusters (see ``_minhash_pairs``)."""
+    return _minhash_pairs(spark, sf_dir)
 
 
 def ext_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,7 +944,7 @@ def ext_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_python_sqlite_spark.operators.graph import dedup_cluster_assignment
 
     docs = _docs(spark, sf_dir)
-    pairs = D.minhash_near_dups_portable(docs, threshold_micro=300_000)
+    pairs = _minhash_pairs(spark, sf_dir)  # shared stage (r8)
     # eager LINEAGE CUT: CC's iterative rounds + the assignment join are
     # MANY actions — each would re-run the verify join otherwise, and
     # the within-session A/B measured the checkpoint form 1.5-2 s faster
@@ -2138,25 +2188,31 @@ def _mined_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = data_fingerprint(spark, sf_dir, "documents")
     key = (spark.sparkContext.applicationId, sf_dir, fp)
-    hit = _SPANS_MEMO.pop(key, None)
-    if hit is not None:
-        _SPANS_MEMO[key] = hit  # LRU refresh
-        return hit
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus_bytes = sum(e[1] for e in fp if e[1] is not None)
-    spans = D.repeated_span_mine(
-        docs, min_len=40, anchor_k=16,
-        broadcast_texts=corpus_bytes < 64 * 1024 * 1024,
-    )
-    while len(_SPANS_MEMO) >= _SPANS_MEMO_MAX:
-        # drop the reference WITHOUT an explicit release: a live query
-        # result may still keepalive the evicted frame, and its
-        # checkpoint blocks cannot be recomputed — tie()'s finalizer
-        # frees them the moment the last consumer lets go
-        oldest = next(iter(_SPANS_MEMO))
-        _SPANS_MEMO.pop(oldest)
-    _SPANS_MEMO[key] = spans
-    return spans
+    # same lock discipline as _minhash_pairs: the two span queries run
+    # as concurrent bench actions — an unlocked double miss would
+    # double-build the mining pass and leak one stage (r8)
+    with _EXT_MEMO_LOCK:
+        hit = _SPANS_MEMO.pop(key, None)
+        if hit is not None:
+            _SPANS_MEMO[key] = hit  # LRU refresh
+            return hit
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        corpus_bytes = sum(e[1] for e in fp if e[1] is not None)
+        spans = D.repeated_span_mine(
+            docs, min_len=40, anchor_k=16,
+            broadcast_texts=corpus_bytes < 64 * 1024 * 1024,
+        )
+        while len(_SPANS_MEMO) >= _SPANS_MEMO_MAX:
+            # drop the reference WITHOUT an explicit release: a live
+            # query result may still keepalive the evicted frame, and
+            # its checkpoint blocks cannot be recomputed — tie()'s
+            # finalizer frees them the moment the last consumer lets go
+            oldest = next(iter(_SPANS_MEMO))
+            _SPANS_MEMO.pop(oldest)
+        _SPANS_MEMO[key] = spans
+        return spans
 
 
 def release_shared_spans() -> None:
@@ -2219,3 +2275,36 @@ def ext_repeated_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cut_chars",
     ).orderBy("doc_id")
     return tie(out, keepalive=[spans])
+
+
+def ext_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — distributed k-means (2 Lloyd updates, k=8) over the
+    embeddings table: the clustering primitive the ANN family samples
+    its way around (IVF/SemDeDup assign to SAMPLED centroids once;
+    Lloyd refinement is how those centroids get good). Integer-exact by
+    construction (non-negative micro-unit quantization, BIGINT
+    distances, floor-division centroid means, phash60 seeding, lowest-id
+    tie breaks), so the DuckDB oracle replays the ENTIRE algorithm from
+    the parquet and the value hash pins every cluster's size, inertia
+    and centroid checksum. See operators/clustering.py for the 100 TB
+    shape (one vec_id-partitioned pass per iteration, k·dim literal
+    re-entry, no joins in the hot path).
+    """
+    from etl_python_sqlite_spark.operators.clustering import kmeans_lloyd
+
+    return kmeans_lloyd(_embs(spark, sf_dir), k=8, iters=2)
+
+
+def ext_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2-asymmetric — exact containment self-join with prefix filtering
+    (operators/dedup.containment_join_prefix): ordered pairs where ≥60%
+    of doc A's word set lives inside doc B — the snippet/excerpt
+    subsumption rule Jaccard resemblance can't see. The filter stack is
+    EXACT (no false negatives), so the output equals the brute-force
+    all-ordered-pairs join the DuckDB oracle computes over the same
+    bounded sample (the bound keeps the oracle's quadratic twin cheap;
+    the Spark plan is the corpus-scale shape — rare-first probe prefix,
+    full-index B side, integer length filter in the join,
+    verify-on-candidates-only)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return D.containment_join_prefix(docs, threshold_micro=600_000)

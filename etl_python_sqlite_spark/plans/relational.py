@@ -2961,3 +2961,55 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
     )
     return tie(out, keepalive=[tc])
+
+
+def ewma_revenue_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted trailing smoothing of daily order revenue
+    with a spike flag — the time-series monitor shape (EWMA band alerts)
+    the window family was missing.
+
+    Cross-engine exactness: ln()/pow() on doubles are not bit-portable,
+    so the decay (3/4)^j is cleared of fractions — trailing-8 weights
+    w_j = 3^(j-1)·4^(8-j) (j = 1..8, decay 3/4 per step) over integer
+    CENTS, giving an exact BIGINT numerator; rows are emitted only once
+    all 8 lags exist, so the weight mass is the constant Σw = 4^8 − 3^8
+    = 58975 and the 2×-band spike test clears the division entirely:
+    rev·58975 > 2·num. The window runs over the per-day rollup — a
+    frame bounded by the CALENDAR domain (like the cents histogram),
+    not data volume, so the single ordered window is scale-safe."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("day")
+    lags = [F.lag("rev_cents", j).over(w) for j in range(1, 9)]
+    weights = [3 ** (j - 1) * 4 ** (8 - j) for j in range(1, 9)]
+    num = None
+    for wt, lg in zip(weights, lags):
+        term = F.lit(wt) * F.coalesce(lg, F.lit(0))
+        num = term if num is None else num + term
+    smoothed = daily.select(
+        "day",
+        "rev_cents",
+        num.cast("long").alias("ewma_num"),
+        lags[-1].alias("_l8"),
+    ).filter(F.col("_l8").isNotNull())
+    total_w = 4**8 - 3**8
+    return (
+        smoothed.select(
+            "day",
+            "rev_cents",
+            "ewma_num",
+            F.when(
+                F.col("rev_cents") * total_w > 2 * F.col("ewma_num"), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("spike"),
+        )
+        .orderBy("day")
+    )

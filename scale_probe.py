@@ -339,6 +339,58 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # ---- k-means probe: rotated-embedding replication (r8) -----------
+    # Same scratch layout as the semantic-dedup probe. What must hold:
+    # per-iteration wall grows ~linearly in n (one window pass over the
+    # n·dim flat frame), never super-linearly — the driver-side state is
+    # k·dim integers regardless of n.
+    if only is None or "kmeans" in only:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        km_warm = False
+        for factor in factors:
+            d = os.path.join(scratch, f"emb_x{factor}")
+            path = os.path.join(d, "embeddings.parquet")
+            if not os.path.exists(path):
+                shards = [
+                    emb.select(
+                        (F.col("vec_id") * factor + i).alias("vec_id"),
+                        F.expr(
+                            f"concat(slice(embedding, {i % dim} + 1,"
+                            f" {dim} - {i % dim}),"
+                            f" slice(embedding, 1, {i % dim}))"
+                        ).alias("embedding"),
+                        "label",
+                    )
+                    for i in range(factor)
+                ]
+                reduce(lambda a, b: a.unionAll(b), shards).repartition(
+                    int(cpus)
+                ).write.mode("overwrite").parquet(path)
+            if not km_warm:
+                E.ext_kmeans_clusters(spark, d).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                km_warm = True
+            sw0 = shuffle_write_bytes(app_id)
+            t0 = time.perf_counter()
+            E.ext_kmeans_clusters(spark, d).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            wall = time.perf_counter() - t0
+            sw1 = shuffle_write_bytes(app_id)
+            results.setdefault(f"x{factor}", {})["ext_kmeans_clusters"] = {
+                "wall_sec": round(wall, 2),
+                "shuffle_write_mb": round((sw1 - sw0) / 1e6, 1)
+                if sw0 >= 0 and sw1 >= 0
+                else None,
+            }
+            print(
+                f"x{factor} ext_kmeans_clusters:"
+                f" {results[f'x{factor}']['ext_kmeans_clusters']}",
+                file=sys.stderr,
+            )
+
     print(json.dumps(results))
     shutil.rmtree(scratch, ignore_errors=True)
 

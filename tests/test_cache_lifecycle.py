@@ -63,6 +63,7 @@ def _baseline_clean(spark):
 
     R.release_shared_histograms()
     X.release_shared_spans()
+    X.release_shared_minhash()
     # py4j exposes the java.util.Map as a dict-like view
     jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
     for jrdd in jrdds:
@@ -124,6 +125,30 @@ def test_dedup_cluster_queries_release_cache(spark):
     assert _run_and_drop(E.ext_dedup_clusters(spark, SF_SMOKE)) > 0
     assert _n_persistent(spark) == before
     assert _run_and_drop(E.ext_minhash_dedup_clusters(spark, SF_SMOKE)) >= 0
+    # the pair pipeline is a session-memoized shared stage (r8) — its
+    # blocks legitimately survive the result; release through the API
+    E.release_shared_minhash()
+    gc.collect()
+    assert _n_persistent(spark) == before
+
+
+def test_shared_minhash_memo_bounded_and_releasable(spark):
+    """The minhash pair stage shared by ext_minhash_near_dups and
+    ext_minhash_dedup_clusters: same frame on a memo hit, bounded memo,
+    explicit release drops the stage's storage."""
+    from etl_python_sqlite_spark.plans import ext as E
+
+    E.release_shared_minhash()
+    gc.collect()
+    before = _n_persistent(spark)
+    p1 = E._minhash_pairs(spark, SF_SMOKE)
+    p1.count()
+    assert _n_persistent(spark) > before  # stage blocks live
+    assert E._minhash_pairs(spark, SF_SMOKE) is p1  # memo hit
+    E.release_shared_minhash()
+    del p1
+    gc.collect()
+    assert len(E._MINHASH_MEMO) == 0
     assert _n_persistent(spark) == before
 
 

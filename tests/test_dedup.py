@@ -265,6 +265,56 @@ def test_setsim_prefix_empty_and_identical_docs(spark):
     ]
 
 
+def _brute_containment(rows, threshold_micro):
+    """Driver-side ground truth: |A∩B| / |A| over all ORDERED pairs."""
+    sets = {i: {w for w in t.split() if w} for i, t in rows}
+    out = set()
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            cm = (1_000_000 * len(sa & sb)) // len(sa)
+            if cm >= threshold_micro:
+                out.add((a, b, cm))
+    return out
+
+
+def test_containment_prefix_equals_bruteforce(spark, corpus):
+    """The containment filter stack is EXACT: output must equal the
+    brute-force all-ordered-pairs join."""
+    rows = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    expected = _brute_containment(rows, 600_000)
+    got = {
+        (r["id_a"], r["id_b"], r["containment_micro"])
+        for r in D.containment_join_prefix(
+            corpus, threshold_micro=600_000
+        ).collect()
+    }
+    assert got == expected
+    assert len(expected) > 10
+
+
+def test_containment_is_asymmetric(spark):
+    """A snippet inside a long page: high containment (A ⊂ B) in one
+    direction only, and the pair is invisible to the Jaccard join at the
+    same threshold — exactly the case the operator exists for."""
+    snippet = "alpha beta gamma delta"
+    page = snippet + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, snippet), (1, page)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["containment_micro"])
+        for r in D.containment_join_prefix(df, threshold_micro=900_000).collect()
+    }
+    assert got == {(0, 1, 1_000_000)}  # snippet ⊂ page, never the reverse
+    assert (
+        D.setsim_join_prefix(df, threshold_micro=900_000).count() == 0
+    )  # Jaccard is blind to subsumption
+
+
 def _brute_spans(texts: dict, L: int) -> list:
     """Pure-Python ground truth for repeated_span_mine."""
     from collections import defaultdict
