@@ -484,15 +484,20 @@ def oracle_sql() -> dict[str, str]:
         # rounding flips every downstream integer.
         "ext_kmeans_clusters": _kmeans_sql(k=8, iters=2),
         "ewma_revenue_smoothing": _ewma_sql(),
-        # containment: brute-force all ORDERED pairs (a ≠ b) over the
-        # same bounded sample — the prefix/length filters are exact, so
-        # Spark must reproduce this set bit-for-bit
+        # containment: brute-force all ORDERED pairs (a ≠ b) of distinct
+        # 3-word SHINGLE sets (Broder containment — same shingle
+        # construction as the minhash twin) over the same bounded sample
+        # — the prefix/length filters are exact, so Spark must reproduce
+        # this set bit-for-bit
         "ext_containment_join": f"""
-            WITH toks AS (
+            WITH base AS (
+                SELECT doc_id, {_WORDS.format(c='text')} AS w
+                FROM documents WHERE doc_id < 400
+            ),
+            toks AS (
                 SELECT DISTINCT doc_id, tok
-                FROM (SELECT doc_id, unnest({_WORDS.format(c='text')}) AS tok
-                      FROM documents WHERE doc_id < 400)
-                WHERE length(tok) > 0
+                FROM (SELECT doc_id, unnest({_SHINGLES_SQL}) AS tok
+                      FROM base)
             ),
             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
             ipairs AS (
@@ -505,7 +510,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT i.id_a, i.id_b,
                    (1000000 * i.inter) // sa.sz AS containment_micro
             FROM ipairs i JOIN sizes sa ON sa.doc_id = i.id_a
-            WHERE (1000000 * i.inter) // sa.sz >= 600000
+            WHERE (1000000 * i.inter) // sa.sz >= 800000
             ORDER BY id_a, id_b
         """,
         # -- round-7 additions ------------------------------------------

@@ -1,5 +1,5 @@
 """Distributed k-means (Lloyd's algorithm) over an embedding column —
-integer-exact, iteration-unrolled, literal-centroid re-entry.
+integer-exact, iteration-unrolled, single-action dataflow.
 
 The reference engine has no vector operators at all (SURVEY §2.5 —
 ``scr/etl_basic.py:20-22`` is its entire scalar surface), so this is EXT
@@ -11,47 +11,48 @@ re-estimate → repeat, each round one distributed pass.
 
 Scale design (the 100 TB shape, not a driver loop over rows):
 
-* The corpus never leaves the cluster. Each iteration is ONE job over a
-  flat (vec_id, dim, q) frame hash-partitioned by vec_id ONCE at build
-  time — the per-iteration window (partitionBy vec_id) reuses that
-  distribution with zero exchanges; only the k×dim centroid update
-  aggregate (map-side combined: ≤ k·dim rows per input partition)
-  crosses the wire.
-* Centroids are the only driver-side state: k·dim integers per round
-  (bounded collect, the sanctioned literal re-entry pattern — same
-  discipline as the BPE vocab loop and the ≤3-row rank picks). They
-  re-enter the next round as ≤256-element array literals
-  (``bloom.MAX_LITERAL_WORDS`` discipline: 64 < 256), so the distance
-  expressions are pure whole-stage-codegen long arithmetic — no join, no
-  broadcast, no Python in the hot path.
+* The corpus never leaves the cluster, and NOTHING is collected: the
+  whole unrolled iteration chain — seeding, per-iteration assignment,
+  centroid update, final summary — is ONE lazy plan executed by ONE
+  action (an earlier literal-re-entry variant collected k·dim centroids
+  per round; 4 sequential driver jobs of pure fixed overhead, measured
+  3.7-4.5 s at sf0.1 vs ~1.5 s single-action for identical results).
+* The flat (vec_id, dim, q) frame is hash-partitioned by vec_id ONCE
+  and persisted; every structure that must be co-located by vec_id (the
+  per-vector argmin, the update join) reuses that distribution. The
+  corpus is never re-shuffled: centroid frames are k·dim rows and ride
+  BROADCAST joins on the dim index; only vector-count-sized aggregates
+  (n·k assignment rows) and k·dim-sized updates cross the wire, both
+  map-side combined.
+* Seeding: the k vectors with the smallest portable 60-bit hash of
+  their id (``phash60``, ties by id) — a distributed
+  TakeOrderedAndProject top-k, never a global sort; cluster ids are the
+  seed ranks (0..k−1), assigned by a row_number window over k rows.
 * Integer-exact cross-engine parity: elements are floor-quantized to
   NON-NEGATIVE micro-units ``q = floor((x + 1) · 10⁶)`` (|x| < 1 for
   the embeddings contract), distances are Σ(q−c)² in BIGINT (≤ 64 ·
-  (2·10⁶)² ≈ 2.6·10¹⁴ — no overflow), and the centroid mean is the
-  FLOOR integer division ``Σq // n``, identical on Spark (``div``) and
-  DuckDB (``//``) *because* the shift keeps every operand non-negative
-  (the two engines disagree on negative integer division: truncation vs
-  floor). Argmin ties break to the lowest cluster id. Every step is
-  deterministic, so the DuckDB twin replays the whole algorithm
-  bit-exactly from the parquet — no fixture, no tolerance.
-* Seeding: the k vectors with the smallest portable 60-bit hash of
-  their id (``phash60``, ties by id) — deterministic, uniformly spread,
-  replayable in SQL. Cluster ids are the seed ranks (0..k−1).
+  (2·10⁶)² ≈ 2.6·10¹⁴ — dim-bounded, no overflow at any corpus size),
+  and the centroid mean is the FLOOR integer division ``Σq div n``
+  with a DECIMAL(38,0) sum accumulator (corpus-sized, so the long-sum
+  overflow ceiling is cleared; the CLAUDE.md rule — exact decimal for
+  AGGREGATE accumulators, longs for per-row math), identical to DuckDB
+  ``//`` *because* the shift keeps every operand non-negative (the two
+  engines disagree on negative integer division: truncation vs floor).
+  Argmin ties break to the lowest cluster id (row_number over
+  (dist, cid)). Every step is deterministic, so the DuckDB twin replays
+  the whole algorithm bit-exactly from the parquet — no fixture, no
+  tolerance.
 * Empty clusters drop out (receive no update row) on both engines —
   the standard "dead centroid" rule, stated rather than patched.
-
-Overflow discipline at real scale: per-vector distances are ≤ ~3·10¹⁴,
-so a BIGINT inertia sum holds to ~30k vectors per cluster per 10¹⁸ —
-the final inertia aggregates through a DECIMAL(38,0) accumulator (the
-CLAUDE.md rule: exact decimal for AGGREGATE accumulators, longs for
-per-row math) and casts back to BIGINT for the contract schema.
+* Inertia aggregates through DECIMAL(38,0) and casts back to BIGINT
+  for the contract schema.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_python_sqlite_spark.functions.portable import phash60
@@ -70,27 +71,26 @@ def _quantize_py(x: float) -> int:
     return math.floor((float(x) + _SHIFT) * _SCALE)
 
 
-def _dist_expr(centroid: list[int]) -> Column:
-    """Σ(q − c_d)² over one vec_id window partition, BIGINT throughout."""
-    diff = F.col("q") - F.element_at(
-        F.lit(centroid).cast("array<long>"), F.col("d") + 1
+def _assign(flat: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd assignment: per vector, the (cid, dist) of the nearest
+    centroid. The k·dim centroid frame broadcasts onto the dim index —
+    the corpus side never exchanges; the (vid, cid) distance aggregate
+    is map-side combined (all dims of a vid are co-located), and the
+    argmin window reuses hash(vid) after one n·k-row exchange. Ties
+    break to the lowest cid (row_number over (dist, cid) — the exact
+    order the DuckDB twin replays)."""
+    diff = F.col("q") - F.col("c")
+    dist = (
+        flat.join(F.broadcast(cents), "d")
+        .groupBy("vid", "cid")
+        .agg(F.sum(diff * diff).alias("dist"))
     )
-    return F.sum(diff * diff).over(Window.partitionBy("vid"))
-
-
-def _least(cols: list[Column]) -> Column:
-    """F.least that tolerates a single operand (one surviving cluster)."""
-    return cols[0] if len(cols) == 1 else F.least(*cols)
-
-
-def _argmin_expr(dist_cols: list[tuple[int, Column]]) -> Column:
-    """Lowest-cid argmin over the per-centroid window sums (first WHEN
-    match wins, and the list is in ascending cid order)."""
-    m = _least([c for _, c in dist_cols])
-    expr = F.when(dist_cols[0][1] == m, F.lit(dist_cols[0][0]).cast("long"))
-    for cid, c in dist_cols[1:]:
-        expr = expr.when(c == m, F.lit(cid).cast("long"))
-    return expr
+    w = Window.partitionBy("vid").orderBy("dist", "cid")
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
 
 
 def kmeans_lloyd(
@@ -121,77 +121,75 @@ def kmeans_lloyd(
         .cast("long")
         .alias("q"),
     )
-    # hash-partition by vec_id ONCE; every iteration's window reuses the
-    # distribution (zero per-iteration exchanges of the corpus)
+    # hash-partition by vec_id ONCE; the assignment windows and update
+    # joins reuse the distribution. No eager count: every consumer runs
+    # inside the ONE final action (broadcast sub-jobs execute
+    # sequentially within it), so there is no concurrent-recompute race
+    # for the cache to guard against.
     flat = (
         flat.repartition(n_partitions, "vid")
         if n_partitions
         else flat.repartition("vid")
     ).persist()
-    flat.count()  # eager: 2+iters actions consume this frame
 
-    # --- seeding: k smallest phash60(id), quantized driver-side -------
-    seed_rows = (
+    # --- seeding: k smallest phash60(id), ranked in-plan -------------
+    seed_ids = (
         embs.select(
             F.col(id_col).cast("long").alias("vid"),
-            F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("v"),
+            phash60(F.col(id_col).cast("string")).alias("ph"),
         )
-        .orderBy(phash60(F.col("vid").cast("string")), "vid")
-        .limit(k)
-        .collect()
+        .orderBy("ph", "vid")
+        .limit(k)  # distributed TakeOrderedAndProject, never a collect
     )
-    centroids: dict[int, list[int]] = {
-        cid: [_quantize_py(x) for x in row["v"]]
-        for cid, row in enumerate(seed_rows)
-    }
-
-    def _assign(cents: dict[int, list[int]]) -> tuple[DataFrame, Column]:
-        dist_cols = [(cid, _dist_expr(c)) for cid, c in sorted(cents.items())]
-        assigned = flat.select(
-            "vid",
-            "d",
-            "q",
-            _argmin_expr(dist_cols).alias("cid"),
-            _least([c for _, c in dist_cols]).alias("dmin"),
-        )
-        return assigned, dist_cols
+    # row_number over the k-row frame only (single tiny task)
+    sr = seed_ids.select(
+        "vid",
+        (F.row_number().over(Window.orderBy("ph", "vid")) - 1)
+        .cast("long")
+        .alias("cid"),
+    )
+    cents = flat.join(F.broadcast(sr), "vid").select(
+        "cid", "d", F.col("q").alias("c")
+    )
 
     for _ in range(iters):
-        assigned, _ = _assign(centroids)
-        upd = (
-            assigned.groupBy("cid", "d")
-            .agg(F.sum("q").alias("sq"), F.count("*").alias("cnt"))
-            .collect()
+        a_t = _assign(flat, cents)
+        cents = (
+            flat.join(a_t.select("vid", "cid"), "vid")  # both hash(vid)
+            .groupBy("cid", "d")
+            .agg(
+                F.expr(
+                    "CAST(sum(CAST(q AS DECIMAL(38,0))) div count(*)"
+                    " AS BIGINT)"
+                ).alias("c")
+            )
         )
-        # k·dim bounded collect — build dense per-cid vectors
-        dim = 1 + max(int(r["d"]) for r in upd)
-        nxt: dict[int, list[int]] = {
-            cid: [0] * dim for cid in {int(r["cid"]) for r in upd}
-        }
-        for r in upd:
-            nxt[int(r["cid"])][int(r["d"])] = int(r["sq"]) // int(r["cnt"])
-        centroids = nxt  # empty clusters drop out here, on both engines
+        # empty clusters simply produce no (cid, d) rows — dropped here,
+        # identically on both engines
 
-    final, _ = _assign(centroids)
-    l1 = {cid: sum(c) for cid, c in centroids.items()}
-    l1_expr = F.when(F.col("cid") == -1, F.lit(None).cast("long"))
-    for cid, s in sorted(l1.items()):
-        l1_expr = l1_expr.when(F.col("cid") == cid, F.lit(s))
+    # the FINAL centroid frame has two consumers in the one result plan
+    # (the assignment broadcast and the l1 checksum aggregate) with
+    # different exchange types — without a persist each would re-execute
+    # the entire iteration chain. k·dim rows; the broadcast sub-job
+    # populates the cache, the l1 scan reads it (persist works across
+    # sub-jobs within one action; consumers are sequential, no race).
+    cents = cents.persist()
+    final = _assign(flat, cents)
+    l1 = cents.groupBy("cid").agg(
+        F.sum("c").cast("long").alias("centroid_l1")
+    )
     result = (
-        final.filter(F.col("d") == 0)  # one row per vector
-        .groupBy("cid")
+        final.groupBy("cid")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.sum(F.col("dmin").cast("decimal(38,0)"))
+            F.sum(F.col("dist").cast("decimal(38,0)"))
             .cast("long")
             .alias("inertia"),
         )
+        .join(l1, "cid")
         .select(
-            F.col("cid").alias("cluster"),
-            "n_vecs",
-            "inertia",
-            l1_expr.alias("centroid_l1"),
+            F.col("cid").alias("cluster"), "n_vecs", "inertia", "centroid_l1"
         )
         .orderBy("cluster")
     )
-    return tie(result, flat)
+    return tie(result, flat, cents)

@@ -1036,17 +1036,28 @@ def setsim_join_prefix(
 def containment_join_prefix(
     df: DataFrame,
     threshold_micro: int = 600_000,
+    k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """ASYMMETRIC containment self-join: every ORDERED pair (A, B),
-    A ≠ B, with C(A,B) = |S_A ∩ S_B| / |S_A| ≥ t — "A's content is
-    mostly inside B", the subsumption relation Jaccard resemblance
-    can't see (a paragraph quoted whole inside a long page has high
-    containment and negligible Jaccard). This is the dedup rule
-    pipelines apply to drop snippet/excerpt documents whose text lives
-    inside a larger retained page; the Jaccard twin is
-    ``setsim_join_prefix``.
+    A ≠ B, with C(A,B) = |S_A ∩ S_B| / |S_A| ≥ t over the documents'
+    distinct k-word SHINGLE sets — "A's content is mostly inside B",
+    the subsumption relation Jaccard resemblance can't see (a paragraph
+    quoted whole inside a long page has high containment and negligible
+    Jaccard). This is the dedup rule pipelines apply to drop
+    snippet/excerpt documents whose text lives inside a larger retained
+    page; the Jaccard twin is ``setsim_join_prefix``.
+
+    Shingles, not word tokens, deliberately (Broder's original
+    containment is defined on shingle sets): single-word sets are far
+    too coarse for subsumption — on a template-heavy corpus most docs
+    share most WORDS, so token-level containment at any threshold has
+    near-quadratic true output (measured: the 16× salt-sharded probe
+    ran 95× slower on tokens purely because the true result was ~256×
+    larger — word order never distinguished the templates). k-word
+    shingles encode order and locality, so containment means "A's
+    actual passages appear in B".
 
     Exactness argument (no false negatives): the PROBE side (A) keeps
     only its rare-first prefix of ``|A| − ⌈t·|A|⌉ + 1`` tokens — if no
@@ -1064,7 +1075,11 @@ def containment_join_prefix(
     Returns (id_a, id_b, containment_micro): id_a the CONTAINED doc,
     ``containment_micro = (10⁶·|∩|) div |S_A|``.
     """
-    toks = doc_token_sets(df, text_col, id_col)
+    toks = (
+        exploded_shingles(df, k, text_col, id_col)
+        .withColumnRenamed("shingle", "tok")
+        .distinct()  # SET semantics (exploded_shingles keeps duplicates)
+    )
     prefix = setsim_prefix_index(toks, threshold_micro, id_col).persist()
     prefix.count()  # eager — joined against the full index below
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))

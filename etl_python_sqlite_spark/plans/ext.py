@@ -2292,12 +2292,17 @@ def ext_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_python_sqlite_spark.operators.clustering import kmeans_lloyd
 
-    return kmeans_lloyd(_embs(spark, sf_dir), k=8, iters=2)
+    # n_partitions: the embeddings table is vector-count-bounded (2k
+    # rows × 64 dims = 128k flat rows at sf0.1 — 32 shuffle partitions
+    # would be ~4k rows each, pure task-scheduling overhead across the
+    # iteration jobs). 8 right-sizes every test SF; at data scale the
+    # caller sizes it to cluster width like any shuffle-partition knob.
+    return kmeans_lloyd(_embs(spark, sf_dir), k=8, iters=2, n_partitions=8)
 
 
 def ext_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2-asymmetric — exact containment self-join with prefix filtering
-    (operators/dedup.containment_join_prefix): ordered pairs where ≥60%
+    (operators/dedup.containment_join_prefix): ordered pairs where ≥80%
     of doc A's word set lives inside doc B — the snippet/excerpt
     subsumption rule Jaccard resemblance can't see. The filter stack is
     EXACT (no false negatives), so the output equals the brute-force
@@ -2307,4 +2312,4 @@ def ext_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-index B side, integer length filter in the join,
     verify-on-candidates-only)."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
-    return D.containment_join_prefix(docs, threshold_micro=600_000)
+    return D.containment_join_prefix(docs, threshold_micro=800_000)

@@ -339,6 +339,46 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # ---- containment-join probe: salt-sharded documents (r8) ---------
+    # The contract query bounds its sample at doc_id < 400 (to keep the
+    # oracle's quadratic twin cheap); the probe scales the SAMPLE with
+    # the factor (doc_id < 400·f over the salt-sharded corpus) so the
+    # operator's own growth is measured: per-shard containment pairs
+    # replicate f×, cross-shard pairs decorrelate via the salt tokens.
+    if only is None or "containment" in only:
+        from etl_python_sqlite_spark.operators import dedup as DD
+
+        cont_warm = False
+        for factor in factors:
+            d = shard_dir(factor)
+            sample = (
+                spark.read.parquet(f"{d}/documents.parquet")
+                .filter(F.col("doc_id") < 400 * factor)
+                .select("doc_id", "text")
+            )
+            if not cont_warm:
+                DD.containment_join_prefix(
+                    sample, threshold_micro=800_000
+                ).write.mode("overwrite").format("noop").save()
+                cont_warm = True
+            sw0 = shuffle_write_bytes(app_id)
+            t0 = time.perf_counter()
+            out = DD.containment_join_prefix(sample, threshold_micro=800_000)
+            out.write.mode("overwrite").format("noop").save()
+            wall = time.perf_counter() - t0
+            sw1 = shuffle_write_bytes(app_id)
+            results.setdefault(f"x{factor}", {})["ext_containment_join"] = {
+                "wall_sec": round(wall, 2),
+                "shuffle_write_mb": round((sw1 - sw0) / 1e6, 1)
+                if sw0 >= 0 and sw1 >= 0
+                else None,
+            }
+            print(
+                f"x{factor} ext_containment_join:"
+                f" {results[f'x{factor}']['ext_containment_join']}",
+                file=sys.stderr,
+            )
+
     # ---- k-means probe: rotated-embedding replication (r8) -----------
     # Same scratch layout as the semantic-dedup probe. What must hold:
     # per-iteration wall grows ~linearly in n (one window pass over the

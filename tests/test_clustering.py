@@ -106,15 +106,38 @@ def test_dead_centroids_drop_out(spark):
     assert rows[0]["inertia"] == 0
 
 
-def test_no_per_iteration_exchange_of_corpus(spark, embs):
-    """The flat frame is hash-partitioned by vec_id once at build; the
-    final plan (window + summary) must not re-exchange it by vid — only
-    the k-sized cid aggregation and the output sort may shuffle."""
+def test_corpus_rides_broadcast_joins_single_action(spark, embs):
+    """The whole unrolled chain is ONE plan: centroid frames ride
+    broadcast joins (the corpus side never shuffles for the distance
+    computation), nothing collects, and no cartesian appears. The only
+    exchanges of vector-count-sized data are the assignment aggregates."""
     res = kmeans_lloyd(embs, k=4, iters=1)
     plan = res._jdf.queryExecution().executedPlan().toString()
-    # the one vid exchange lives INSIDE the cached relation's build plan
-    # (REPARTITION_BY_COL below InMemoryRelation); the live plan above it
-    # must consume InMemoryTableScan with no new vid exchange
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the corpus (InMemoryTableScan of the flat frame) must never sit
+    # directly under an Exchange — its distribution is reused as built
     live = plan.split("InMemoryRelation")[0]
-    assert "InMemoryTableScan" in live, plan
-    assert "Exchange hashpartitioning(vid" not in live, plan
+    for a, b in zip(live.splitlines(), live.splitlines()[1:]):
+        if "InMemoryTableScan" in b:
+            assert "Exchange" not in a, plan
+
+
+def test_single_action_job_count(spark, embs):
+    """The literal-re-entry ancestor spent 4 sequential DRIVER actions
+    on collects (each a full job with scheduling overhead); the
+    single-plan form is one action whose AQE stage materializations
+    surface as ~20 cheap sub-jobs (measured 23 at k=8/iters=2 — wall
+    3.7 s → 1.5 s at sf0.1). This is a runaway backstop, not a tight
+    bound: a regression back to per-iteration collect-loops over MANY
+    iterations would blow past it."""
+    sc = spark.sparkContext
+    sc.setJobGroup("km_probe", "kmeans job count")
+    try:
+        kmeans_lloyd(embs, k=8, iters=2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    finally:
+        sc.setJobGroup(None, None)
+    ids = sc.statusTracker().getJobIdsForGroup("km_probe")
+    assert 0 < len(ids) <= 40, ids

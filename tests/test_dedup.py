@@ -265,9 +265,19 @@ def test_setsim_prefix_empty_and_identical_docs(spark):
     ]
 
 
+def _shingle_set(t, k=3):
+    ws = [w for w in t.split() if w]
+    if not ws:
+        return set()
+    if len(ws) < k:
+        return {" ".join(ws)}  # truncated whole-doc shingle
+    return {" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)}
+
+
 def _brute_containment(rows, threshold_micro):
-    """Driver-side ground truth: |A∩B| / |A| over all ORDERED pairs."""
-    sets = {i: {w for w in t.split() if w} for i, t in rows}
+    """Driver-side ground truth: |A∩B| / |A| over all ORDERED pairs of
+    distinct 3-word shingle sets (Broder containment)."""
+    sets = {i: _shingle_set(t) for i, t in rows}
     out = set()
     for a, sa in sets.items():
         if not sa:
