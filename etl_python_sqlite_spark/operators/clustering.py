@@ -71,6 +71,47 @@ def _quantize_py(x: float) -> int:
     return math.floor((float(x) + _SHIFT) * _SCALE)
 
 
+def flatten_quantized(
+    embs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(vid, d, q) rows — the quantized flat form every k-means path
+    (batch and streaming) computes distances on."""
+    return embs.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.posexplode(F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)")).alias(
+            "d", "x"
+        ),
+    ).select(
+        "vid",
+        "d",
+        F.floor((F.col("x") + F.lit(_SHIFT)) * F.lit(float(_SCALE)))
+        .cast("long")
+        .alias("q"),
+    )
+
+
+def seed_rank_frame(
+    embs: DataFrame, k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """(vid, cid) for the k seed vectors — smallest phash60(id), ties by
+    id; cid = seed rank 0..k−1. Distributed top-k (TakeOrdered), then a
+    row_number window over the k-row result only."""
+    seed_ids = (
+        embs.select(
+            F.col(id_col).cast("long").alias("vid"),
+            phash60(F.col(id_col).cast("string")).alias("ph"),
+        )
+        .orderBy("ph", "vid")
+        .limit(k)
+    )
+    return seed_ids.select(
+        "vid",
+        (F.row_number().over(Window.orderBy("ph", "vid")) - 1)
+        .cast("long")
+        .alias("cid"),
+    )
+
+
 def _assign(flat: DataFrame, cents: DataFrame) -> DataFrame:
     """One Lloyd assignment: per vector, the (cid, dist) of the nearest
     centroid. The k·dim centroid frame broadcasts onto the dim index —
@@ -109,18 +150,7 @@ def kmeans_lloyd(
     accumulator), centroid_l1 = Σ_d of the final centroid (an exact
     integer checksum of the centroid the cluster converged to).
     """
-    flat = embs.select(
-        F.col(id_col).cast("long").alias("vid"),
-        F.posexplode(F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)")).alias(
-            "d", "x"
-        ),
-    ).select(
-        "vid",
-        "d",
-        F.floor((F.col("x") + F.lit(_SHIFT)) * F.lit(float(_SCALE)))
-        .cast("long")
-        .alias("q"),
-    )
+    flat = flatten_quantized(embs, vec_col, id_col)
     # hash-partition by vec_id ONCE; the assignment windows and update
     # joins reuse the distribution. No eager count: every consumer runs
     # inside the ONE final action (broadcast sub-jobs execute
@@ -133,21 +163,7 @@ def kmeans_lloyd(
     ).persist()
 
     # --- seeding: k smallest phash60(id), ranked in-plan -------------
-    seed_ids = (
-        embs.select(
-            F.col(id_col).cast("long").alias("vid"),
-            phash60(F.col(id_col).cast("string")).alias("ph"),
-        )
-        .orderBy("ph", "vid")
-        .limit(k)  # distributed TakeOrderedAndProject, never a collect
-    )
-    # row_number over the k-row frame only (single tiny task)
-    sr = seed_ids.select(
-        "vid",
-        (F.row_number().over(Window.orderBy("ph", "vid")) - 1)
-        .cast("long")
-        .alias("cid"),
-    )
+    sr = seed_rank_frame(embs, k, id_col)
     cents = flat.join(F.broadcast(sr), "vid").select(
         "cid", "d", F.col("q").alias("c")
     )

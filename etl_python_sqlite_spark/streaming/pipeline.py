@@ -883,3 +883,155 @@ def span_contamination_stream_against_corpus(
     writer = stream_docs.writeStream.foreachBatch(_handle)
     writer._corpus_index = index
     return writer
+
+
+def read_kmeans_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Current state of a ``maintain_kmeans_stream`` run: the highest
+    ``v=`` partition, rows (cid, d, sum_q DECIMAL(38,0), n BIGINT).
+    Returns None before the first commit; read errors PROPAGATE (the
+    read_rollup_state contract — "no state" ≠ "state read failed")."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return None
+    best = None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            v = int(name[2:])
+            if best is None or v > best:
+                best = v
+    if best is None:
+        return None
+    return spark.read.parquet(f"{state_path}/v={best}")
+
+
+def kmeans_state_centroids(state: DataFrame) -> DataFrame:
+    """(cid, d, c) centroid frame from accumulated (sum_q, n) state —
+    the same portable floor division as the batch operator (all
+    quantities non-negative)."""
+    return state.select(
+        "cid", "d", F.expr("CAST(sum_q div n AS BIGINT)").alias("c")
+    )
+
+
+def maintain_kmeans_stream(
+    stream: DataFrame,
+    state_path: str,
+    k: int = 8,
+    retain_versions: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming MINI-BATCH k-means (the sequential/online Lloyd variant
+    of Bottou & Bengio, NIPS 1995 — public literature): centroids are
+    maintained continuously as embedding micro-batches arrive, without
+    ever rescanning history.
+
+    Per micro-batch: vectors are assigned to the centroids implied by
+    the CURRENT state (floor-division means of accumulated per-dimension
+    sums — ``operators/clustering`` integer discipline end-to-end), the
+    batch's (Σq, n) contributions merge into the per-(cid, d) state, and
+    the new state lands as version ``v=batch_id``. The first batch seeds
+    itself (k smallest phash60 ids in the batch — deterministic under
+    replay, because a replayed batch has identical content).
+
+    Exactly-once on plain parquet by the ``maintain_rollup_stream``
+    pattern: batch N reads the newest version < N and dynamically
+    overwrites only ``v=N``; a replayed batch recomputes from the intact
+    predecessor and rewrites an identical result. State is O(k·dim)
+    rows per version — constant in stream length, the whole point of
+    the (sum, count) sufficient statistic. Missing-state reads propagate
+    (never treated as "no state yet" — the r4-ADVICE hazard class).
+    """
+    from etl_python_sqlite_spark.operators.clustering import (
+        _assign,
+        flatten_quantized,
+        seed_rank_frame,
+    )
+
+    def _prune_versions(spark: SparkSession) -> None:
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return
+        versions = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("v="):
+                versions.append((int(name[2:]), st.getPath()))
+        versions.sort()
+        for _, p in versions[:-retain_versions]:
+            fs.delete(p, True)
+
+    def _latest_version(spark: SparkSession, below: int):
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return None
+        best = None
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("v="):
+                v = int(name[2:])
+                if v < below and (best is None or v > best):
+                    best = v
+        return best
+
+    def _handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        flat = flatten_quantized(batch, vec_col, id_col).persist()
+        try:
+            prev_v = _latest_version(spark, batch_id)
+            prev = None
+            if prev_v is not None:
+                # read errors are REAL failures — propagate, retry
+                prev = spark.read.parquet(f"{state_path}/v={prev_v}")
+                cents = kmeans_state_centroids(prev)
+            else:
+                sr = seed_rank_frame(batch, k, id_col)
+                cents = flat.join(F.broadcast(sr), "vid").select(
+                    "cid", "d", F.col("q").alias("c")
+                )
+            a = _assign(flat, cents).select("vid", "cid")
+            delta = (
+                flat.join(a, "vid")
+                .groupBy("cid", "d")
+                .agg(
+                    F.sum(F.expr("CAST(q AS DECIMAL(38,0))")).alias(
+                        "sum_q"
+                    ),
+                    F.count("*").alias("n"),
+                )
+            )
+            if prev is not None:
+                merged = (
+                    prev.select("cid", "d", "sum_q", "n")
+                    .unionByName(delta)
+                    .groupBy("cid", "d")
+                    .agg(
+                        F.sum("sum_q")
+                        .cast("decimal(38,0)")
+                        .alias("sum_q"),
+                        F.sum("n").alias("n"),
+                    )
+                )
+            else:
+                merged = delta
+            (
+                merged.withColumn("v", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("v")
+                .parquet(state_path)
+            )
+            _prune_versions(spark)
+        finally:
+            flat.unpersist()
+
+    return stream.writeStream.foreachBatch(_handle)
