@@ -176,28 +176,29 @@ def _langid_char_sql(text: str = "text") -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records at most 50 CORRECTNESS rows,
-    # taken from the head of this dict. Round-8 rotation: the 3 new r8
+    # taken from the head of this dict. Round-8 rotation: the 4 new r8
     # queries lead, then ext_multimodal_decode (slipped out of the r7
     # window as the 51st of 51 candidates — r7 ADVICE), then the 50-key
-    # block last attested in ROUND 5, of which the first 46 fit; the 4
-    # that slip (range_join_errors, ext_pii_scan, ext_stratified_split,
-    # multires_rollup) must lead the r9 window. The r6- and r7-attested blocks close the
+    # block last attested in ROUND 5, of which the first 45 fit; the 5
+    # that slip (asof_purchase_click, range_join_errors, ext_pii_scan,
+    # ext_stratified_split, multires_rollup) must lead the r9 window. The r6- and r7-attested blocks close the
     # dict in recency order. Union r1-r8 keeps every contract query
-    # attested within the last three rounds (except the 4 named
+    # attested within the last three rounds (except the 5 named
     # slippers, attested r5, due again r9).
     return {
         # -- NEW in round 8 (never driver-attested) — lead the window --
         "ext_kmeans_clusters": E.ext_kmeans_clusters,
         "ewma_revenue_smoothing": R.ewma_revenue_smoothing,
         "ext_containment_join": E.ext_containment_join,
+        "ext_kmeans_label_purity": E.ext_kmeans_label_purity,
         # -- slipped from the r7 window (51st of 51 — r7 ADVICE):
         # last attested r4, must be attested now --
         "ext_multimodal_decode": E.ext_multimodal_decode,
         # -- last attested ROUND 5 (50 keys, least recently attested).
-        # The 50-row window holds 3+1 keys above + the FIRST 46 of
-        # this block; its last 4 (range_join_errors, ext_pii_scan,
-        # ext_stratified_split, multires_rollup) slip to r9 and must
-        # lead its rotation. --
+        # The 50-row window holds 4+1 keys above + the FIRST 45 of
+        # this block; its last 5 (asof_purchase_click, range_join_errors,
+        # ext_pii_scan, ext_stratified_split, multires_rollup) slip to
+        # r9 and must lead its rotation. --
         "part_triangle_stats": R.part_triangle_stats,
         "ext_cms_word_counts": E.ext_cms_word_counts,
         "ext_vocab_edit_pairs": E.ext_vocab_edit_pairs,
@@ -390,33 +391,33 @@ def _pagerank_sql(iters: int = 5, total_mass: int = 10**12) -> str:
     )
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
-    """Unrolled-CTE DuckDB twin of operators/clustering.kmeans_lloyd:
-    replays the ENTIRE algorithm from the parquet — phash60 seed ranks,
-    per-iteration argmin assignment (lowest-cid tie break via the
-    (dist, cid) row_number order), floor-division centroid update (all
-    quantities non-negative, so `//` replays Spark's `div`), and the
-    final per-cluster (size, inertia, centroid-L1) summary. Fixed
-    iteration count → no recursion, pure integer arithmetic → exact
-    value-hash match."""
+def _km_dist_cte(name: str, cents: str) -> str:
+    """One Lloyd assignment CTE: per vid, the (cid, dist) of the nearest
+    centroid in `cents`; ties to the lowest cid via the (dist, cid)
+    row_number order — the exact rule the Spark operator uses."""
+    return (
+        f"{name} AS (SELECT vid, cid, dist FROM ("
+        "SELECT f.vid, c.cid, SUM((f.q - c.c) * (f.q - c.c)) AS dist,"
+        " row_number() OVER (PARTITION BY f.vid"
+        " ORDER BY SUM((f.q - c.c) * (f.q - c.c)), c.cid) AS rn"
+        f" FROM flat f JOIN {cents} c USING (d)"
+        " GROUP BY f.vid, c.cid) WHERE rn = 1)"
+    )
 
-    def dist_cte(name: str, cents: str) -> str:
-        return (
-            f"{name} AS (SELECT vid, cid, dist FROM ("
-            "SELECT f.vid, c.cid, SUM((f.q - c.c) * (f.q - c.c)) AS dist,"
-            " row_number() OVER (PARTITION BY f.vid"
-            " ORDER BY SUM((f.q - c.c) * (f.q - c.c)), c.cid) AS rn"
-            f" FROM flat f JOIN {cents} c USING (d)"
-            " GROUP BY f.vid, c.cid) WHERE rn = 1)"
-        )
 
-    def upd_cte(name: str, assign: str) -> str:
-        return (
-            f"{name} AS (SELECT a.cid, f.d, SUM(f.q) // COUNT(*) AS c"
-            f" FROM flat f JOIN {assign} a USING (vid)"
-            " GROUP BY a.cid, f.d)"
-        )
+def _km_upd_cte(name: str, assign: str) -> str:
+    """Centroid update CTE: floor-division means (all quantities
+    non-negative, so `//` replays Spark's `div`)."""
+    return (
+        f"{name} AS (SELECT a.cid, f.d, SUM(f.q) // COUNT(*) AS c"
+        f" FROM flat f JOIN {assign} a USING (vid)"
+        " GROUP BY a.cid, f.d)"
+    )
 
+
+def _kmeans_chain_ctes(k: int, iters: int):
+    """The unrolled Lloyd CTE chain shared by the summary and purity
+    twins; returns (cte_list, final_assignment_name, last_update_name)."""
     ctes = [
         "flat AS (SELECT vec_id AS vid,"
         " unnest(generate_series(1, len(embedding))) - 1 AS d,"
@@ -431,17 +432,57 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
     ]
     prev = "c0"
     for t in range(1, iters + 1):
-        ctes.append(dist_cte(f"a{t}", prev))
-        ctes.append(upd_cte(f"u{t}", f"a{t}"))
+        ctes.append(_km_dist_cte(f"a{t}", prev))
+        ctes.append(_km_upd_cte(f"u{t}", f"a{t}"))
         prev = f"u{t}"
-    ctes.append(dist_cte(f"a{iters + 1}", prev))
+    ctes.append(_km_dist_cte(f"a{iters + 1}", prev))
+    return ctes, f"a{iters + 1}", f"u{iters}"
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled-CTE DuckDB twin of operators/clustering.kmeans_lloyd:
+    replays the ENTIRE algorithm from the parquet — phash60 seed ranks,
+    per-iteration argmin assignment (lowest-cid tie break via the
+    (dist, cid) row_number order), floor-division centroid update (all
+    quantities non-negative, so `//` replays Spark's `div`), and the
+    final per-cluster (size, inertia, centroid-L1) summary. Fixed
+    iteration count → no recursion, pure integer arithmetic → exact
+    value-hash match."""
+    ctes, final_a, last_u = _kmeans_chain_ctes(k, iters)
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT a.cid AS cluster,"
         " COUNT(*) AS n_vecs, CAST(SUM(a.dist) AS BIGINT) AS inertia,"
         " MAX(cs.s) AS centroid_l1"
-        f" FROM a{iters + 1} a JOIN (SELECT cid,"
-        f" CAST(SUM(c) AS BIGINT) AS s FROM u{iters} GROUP BY cid) cs"
+        f" FROM {final_a} a JOIN (SELECT cid,"
+        f" CAST(SUM(c) AS BIGINT) AS s FROM {last_u} GROUP BY cid) cs"
         " USING (cid) GROUP BY a.cid ORDER BY cluster"
+    )
+
+
+def _kmeans_purity_sql(k: int = 8, iters: int = 2) -> str:
+    """Twin of ext_kmeans_label_purity: the same full Lloyd replay, then
+    the label join + majority pick (count desc, label asc — lowest label
+    wins ties) and the integer purity ratio."""
+    ctes, final_a, _ = _kmeans_chain_ctes(k, iters)
+    ctes.append(
+        f"lab AS (SELECT a.cid, CAST(e.label AS BIGINT) AS label,"
+        f" CAST(COUNT(*) AS BIGINT) AS c FROM {final_a} a"
+        " JOIN embeddings e ON e.vec_id = a.vid GROUP BY a.cid, e.label)"
+    )
+    ctes.append(
+        "tot AS (SELECT cid, CAST(SUM(c) AS BIGINT) AS n_vecs"
+        " FROM lab GROUP BY cid)"
+    )
+    ctes.append(
+        "best AS (SELECT cid, label, c FROM ("
+        "SELECT cid, label, c, row_number() OVER (PARTITION BY cid"
+        " ORDER BY c DESC, label) AS rn FROM lab) WHERE rn = 1)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT b.cid AS cluster,"
+        " t.n_vecs, b.label AS top_label, b.c AS top_count,"
+        " (1000000 * b.c) // t.n_vecs AS purity_micro"
+        " FROM best b JOIN tot t USING (cid) ORDER BY cluster"
     )
 
 
@@ -483,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
         # — any divergence in seeding, assignment, tie break or centroid
         # rounding flips every downstream integer.
         "ext_kmeans_clusters": _kmeans_sql(k=8, iters=2),
+        "ext_kmeans_label_purity": _kmeans_purity_sql(k=8, iters=2),
         "ewma_revenue_smoothing": _ewma_sql(),
         # containment: brute-force all ORDERED pairs (a ≠ b) of distinct
         # 3-word SHINGLE sets (Broder containment — same shingle

@@ -134,22 +134,18 @@ def _assign(flat: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_lloyd(
+def _lloyd_chain(
     embs: DataFrame,
-    k: int = 8,
-    iters: int = 2,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    n_partitions: int | None = None,
-) -> DataFrame:
-    """Run ``iters`` Lloyd updates from phash60-seeded centroids and
-    return the final per-cluster summary:
-
-    ``(cluster, n_vecs, inertia, centroid_l1)`` — cluster = seed rank,
-    inertia = Σ min-distance (micro-unit², BIGINT via a decimal
-    accumulator), centroid_l1 = Σ_d of the final centroid (an exact
-    integer checksum of the centroid the cluster converged to).
-    """
+    k: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    n_partitions: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared chain builder: returns ``(flat, cents, final)`` — the
+    persisted flat frame, the persisted FINAL centroid frame, and the
+    final per-vector assignment (vid, cid, dist). Callers wrap their
+    result with ``tie(result, flat, cents)``."""
     flat = flatten_quantized(embs, vec_col, id_col)
     # hash-partition by vec_id ONCE; the assignment windows and update
     # joins reuse the distribution. No eager count: every consumer runs
@@ -191,6 +187,28 @@ def kmeans_lloyd(
     # sub-jobs within one action; consumers are sequential, no race).
     cents = cents.persist()
     final = _assign(flat, cents)
+    return flat, cents, final
+
+
+def kmeans_lloyd(
+    embs: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Run ``iters`` Lloyd updates from phash60-seeded centroids and
+    return the final per-cluster summary:
+
+    ``(cluster, n_vecs, inertia, centroid_l1)`` — cluster = seed rank,
+    inertia = Σ min-distance (micro-unit², BIGINT via a decimal
+    accumulator), centroid_l1 = Σ_d of the final centroid (an exact
+    integer checksum of the centroid the cluster converged to).
+    """
+    flat, cents, final = _lloyd_chain(
+        embs, k, iters, vec_col, id_col, n_partitions
+    )
     l1 = cents.groupBy("cid").agg(
         F.sum("c").cast("long").alias("centroid_l1")
     )
@@ -209,3 +227,20 @@ def kmeans_lloyd(
         .orderBy("cluster")
     )
     return tie(result, flat, cents)
+
+
+def kmeans_assignments(
+    embs: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """The final per-vector assignment of the same Lloyd run:
+    ``(vid, cid, dist)`` — for evaluation joins (label purity, routing
+    tables, SemDeDup-style per-cluster passes)."""
+    flat, cents, final = _lloyd_chain(
+        embs, k, iters, vec_col, id_col, n_partitions
+    )
+    return tie(final, flat, cents)

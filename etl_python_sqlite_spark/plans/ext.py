@@ -2313,3 +2313,47 @@ def ext_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify-on-candidates-only)."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
     return D.containment_join_prefix(docs, threshold_micro=800_000)
+
+
+def ext_kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — cluster-quality evaluation of the SAME Lloyd run as
+    ext_kmeans_clusters: per cluster, the majority ``label`` and the
+    integer purity ratio (the standard external-validation readout for
+    an unsupervised clustering when a labeled column exists). Majority
+    ties break to the LOWEST label (row_number over (count desc,
+    label)); purity_micro = (10⁶·top_count) div n_vecs. The DuckDB twin
+    replays the full algorithm plus the label join, so the value hash
+    re-attests the whole clustering chain through a second independent
+    readout."""
+    from etl_python_sqlite_spark.operators.clustering import (
+        kmeans_assignments,
+    )
+
+    embs = _embs(spark, sf_dir)
+    assign = kmeans_assignments(embs, k=8, iters=2, n_partitions=8)
+    lab = assign.join(
+        embs.select(
+            F.col("vec_id").cast("long").alias("vid"),
+            F.col("label").cast("long").alias("label"),
+        ),
+        "vid",
+    )
+    per = lab.groupBy("cid", "label").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("cid").orderBy(F.desc("c"), "label")
+    tot = per.groupBy("cid").agg(F.sum("c").alias("n_vecs"))
+    best = (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(tot, "cid")
+        .select(
+            F.col("cid").alias("cluster"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("label").alias("top_label"),
+            F.col("c").cast("long").alias("top_count"),
+            F.expr("(1000000 * c) div n_vecs").alias("purity_micro"),
+        )
+        .orderBy("cluster")
+    )
