@@ -64,6 +64,7 @@ def _baseline_clean(spark):
     R.release_shared_histograms()
     X.release_shared_spans()
     X.release_shared_minhash()
+    X.release_shared_kmeans()
     # py4j exposes the java.util.Map as a dict-like view
     jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
     for jrdd in jrdds:
