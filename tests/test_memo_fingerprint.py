@@ -82,3 +82,77 @@ def test_cooccurrence_edges_rebuild_on_rewrite(spark, tmp_path):
     assert e2 is not e1
     assert e2.count() == 3
     R.release_shared_histograms()
+
+
+def _write_documents(spark, sf_dir: str, texts: list[str]) -> None:
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source="web")
+        for i, t in enumerate(texts)
+    ]
+    (
+        spark.createDataFrame(rows)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def test_minhash_stage_rebuilds_on_rewrite(spark, tmp_path):
+    """The r8 shared minhash-pairs stage must never serve pairs mined
+    from rewritten-away data (the same wrong-answer class as the cents
+    histogram memo)."""
+    from etl_python_sqlite_spark.plans import ext as X
+
+    X.release_shared_minhash()
+    d = str(tmp_path)
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    _write_documents(spark, d, [dup, dup, "totally different words here now"])
+    p1 = X._minhash_pairs(spark, d)
+    assert {(r["id_a"], r["id_b"]) for r in p1.collect()} == {(0, 1)}
+    assert X._minhash_pairs(spark, d) is p1  # stable data -> memo hit
+
+    _write_documents(
+        spark,
+        d,
+        ["one two three four five six", "seven eight nine ten eleven zzz"],
+    )
+    p2 = X._minhash_pairs(spark, d)
+    assert p2 is not p1
+    assert p2.count() == 0
+    X.release_shared_minhash()
+
+
+def test_kmeans_stage_rebuilds_on_rewrite(spark, tmp_path):
+    """The r8 shared Lloyd stage: rewritten embeddings must rebuild the
+    checkpointed assignment and the centroid checksums."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from etl_python_sqlite_spark.plans import ext as X
+
+    X.release_shared_kmeans()
+    d = str(tmp_path)
+
+    def write(vals):
+        rows = [
+            (i, [float(v), float(-v), float(v / 2), float(1 - v)])
+            for i, v in enumerate(vals)
+        ]
+        (
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/embeddings.parquet")
+        )
+
+    write([i / 40 for i in range(20)])
+    a1, l1 = X._kmeans_stage(spark, d)
+    n1 = a1.count()
+    assert n1 == 20
+    assert X._kmeans_stage(spark, d)[0] is a1  # memo hit
+
+    write([i / 80 for i in range(30)])
+    a2, l2 = X._kmeans_stage(spark, d)
+    assert a2 is not a1
+    assert a2.count() == 30
+    assert l2 != l1  # different data -> different centroid checksums
+    X.release_shared_kmeans()
