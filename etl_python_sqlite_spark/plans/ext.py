@@ -82,7 +82,13 @@ def ext_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (the bench runs both consumers simultaneously — an unlocked double
 #: miss would double-build and leak one stage).
 _MINHASH_MEMO: dict = {}
-_EXT_MEMO_LOCK = threading.RLock()
+#: One lock PER memo (not one global): the lock exists to stop a
+#: same-stage double-build; a shared lock would also SERIALIZE builds
+#: of unrelated stages (spans + minhash + kmeans all build inside the
+#: concurrent bench — several seconds of avoidable wall).
+_MINHASH_LOCK = threading.RLock()
+_SPANS_LOCK = threading.RLock()
+_KMEANS_LOCK = threading.RLock()
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,7 +96,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = data_fingerprint(spark, sf_dir, "documents")
     key = (spark.sparkContext.applicationId, sf_dir, fp)
-    with _EXT_MEMO_LOCK:
+    with _MINHASH_LOCK:
         hit = _MINHASH_MEMO.pop(key, None)
         if hit is not None:
             _MINHASH_MEMO[key] = hit  # LRU refresh
@@ -2188,10 +2194,10 @@ def _mined_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = data_fingerprint(spark, sf_dir, "documents")
     key = (spark.sparkContext.applicationId, sf_dir, fp)
-    # same lock discipline as _minhash_pairs: the two span queries run
-    # as concurrent bench actions — an unlocked double miss would
+    # same per-memo lock discipline as _minhash_pairs: the two span
+    # queries run as concurrent bench actions — an unlocked double miss would
     # double-build the mining pass and leak one stage (r8)
-    with _EXT_MEMO_LOCK:
+    with _SPANS_LOCK:
         hit = _SPANS_MEMO.pop(key, None)
         if hit is not None:
             _SPANS_MEMO[key] = hit  # LRU refresh
@@ -2294,7 +2300,7 @@ def _kmeans_stage(spark: SparkSession, sf_dir: str):
 
     fp = data_fingerprint(spark, sf_dir, "embeddings")
     key = (spark.sparkContext.applicationId, sf_dir, fp)
-    with _EXT_MEMO_LOCK:
+    with _KMEANS_LOCK:
         hit = _KMEANS_MEMO.pop(key, None)
         if hit is not None:
             _KMEANS_MEMO[key] = hit  # LRU refresh
