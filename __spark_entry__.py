@@ -51,10 +51,16 @@ _TOKEN_RE_SQL = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]"
 
 # distinct 3-word shingles from a word list `w` (truncated whole-doc
 # shingle for <3-word docs) — mirrors operators/dedup.exploded_shingles
+# Empty-doc guard (ADVICE r8): for len(w)=0 the range(1, greatest(..,1)+1)
+# branch would still yield i=1 and array_to_string([]) = '' — one phantom
+# empty shingle Spark's exploded_shingles (posexplode of zero words → no
+# rows) never emits. CASE returns [] so both engines agree on empty/
+# whitespace-only documents, which corpus regeneration can introduce.
 _SHINGLES_SQL = (
-    "list_distinct(list_transform("
+    "CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_distinct(list_transform("
     "range(1, greatest(len(w) - 2, 1) + 1), "
-    "i -> array_to_string(w[i:i+2], ' ')))"
+    "i -> array_to_string(w[i:i+2], ' '))) END"
 )
 
 # Portable MinHash+LSH near-dup pipeline (mirrors

@@ -1080,8 +1080,11 @@ def containment_join_prefix(
         .withColumnRenamed("shingle", "tok")
         .distinct()  # SET semantics (exploded_shingles keeps duplicates)
     )
-    prefix = setsim_prefix_index(toks, threshold_micro, id_col).persist()
-    prefix.count()  # eager — joined against the full index below
+    # prefix has exactly ONE consumer (the cands join inside the single
+    # eager-localCheckpoint action below) — no persist/eager-count (the
+    # r8 invariant: only CONCURRENT actions need the cache; a spare
+    # count() is one whole driver job of pure overhead, ADVICE r8)
+    prefix = setsim_prefix_index(toks, threshold_micro, id_col)
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
     index = toks.join(sizes, id_col).select(
         F.col(id_col).alias("id_b"),
@@ -1109,7 +1112,6 @@ def containment_join_prefix(
         # actions (see setsim_join_prefix for the measured hazard)
         .localCheckpoint(eager=True)
     )
-    prefix.unpersist()
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .union(cands.select(F.col("id_b").alias(id_col)))

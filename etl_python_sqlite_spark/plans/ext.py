@@ -2351,8 +2351,10 @@ def ext_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie breaks), so the DuckDB oracle replays the ENTIRE algorithm from
     the parquet and the value hash pins every cluster's size, inertia
     and centroid checksum. See operators/clustering.py for the 100 TB
-    shape (one vec_id-partitioned pass per iteration, k·dim literal
-    re-entry, no joins in the hot path).
+    shape: ONE unrolled lazy action — the corpus is hash-partitioned
+    once and never exchanged for distances; per-iteration k·dim
+    centroid state rides tiny BROADCAST-joined frames (zero driver
+    collects in the chain).
     """
     from etl_python_sqlite_spark.operators.cache import tie
 
@@ -2389,7 +2391,9 @@ def ext_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2-asymmetric — exact containment self-join with prefix filtering
     (operators/dedup.containment_join_prefix): ordered pairs where ≥80%
-    of doc A's word set lives inside doc B — the snippet/excerpt
+    of doc A's 3-word SHINGLE set lives inside doc B (shingles, not word
+    tokens — token containment is output-quadratic on template corpora;
+    see the operator docstring) — the snippet/excerpt
     subsumption rule Jaccard resemblance can't see. The filter stack is
     EXACT (no false negatives), so the output equals the brute-force
     all-ordered-pairs join the DuckDB oracle computes over the same

@@ -1981,6 +1981,10 @@ _COOCC_MEMO_LOCK = threading.Lock()
 #: stale-table sweep below to recognize its own live tables.
 _COOCC_LIVE_TABLES: set = set()
 _COOCC_SWEPT_APPS: set = set()
+#: A coocc stage table is built and consumed within one bench/probe run
+#: (minutes); an ORPHAN survives across rounds. 1 h is far above any
+#: live table's lifetime and far below an orphan's.
+_COOCC_ORPHAN_AGE_MS = 60 * 60 * 1000
 
 
 def _sweep_stale_coocc_tables(spark: SparkSession) -> None:
@@ -1989,16 +1993,44 @@ def _sweep_stale_coocc_tables(spark: SparkSession) -> None:
     no later session will ever name them — without this sweep the
     warehouse files accumulate forever). Runs once per application, at
     first stage build, and only touches tables this session did NOT
-    create."""
+    create AND whose backing files predate this application's start:
+    a CONCURRENT Spark app sharing the warehouse (bench + probe/pytest
+    co-running from /root/repo) has live stage tables whose md5 names
+    embed the other app's id — name-wise indistinguishable from
+    orphans. Guard: drop only tables whose directory mtime BOTH
+    predates this app's start AND is older than an absolute age floor
+    (covers the peer that started before us — stage tables live for
+    minutes, orphans for rounds), so a live peer table is never swept
+    while true orphans still age out (ADVICE r8)."""
+    import time as _time
+
     app = spark.sparkContext.applicationId
     if app in _COOCC_SWEPT_APPS:
         return
     _COOCC_SWEPT_APPS.add(app)
+    cutoff_ms = min(
+        spark.sparkContext.startTime,
+        int(_time.time() * 1000) - _COOCC_ORPHAN_AGE_MS,
+    )
     try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
         for t in spark.catalog.listTables():
             name = t.name
-            if name.startswith("coocc_edges_") and name not in _COOCC_LIVE_TABLES:
-                spark.sql(f"DROP TABLE IF EXISTS {name}")
+            if not name.startswith("coocc_edges_") or name in _COOCC_LIVE_TABLES:
+                continue
+            try:
+                p = jvm.org.apache.hadoop.fs.Path(warehouse, name)
+                fs = p.getFileSystem(hconf)
+                if (
+                    fs.exists(p)
+                    and fs.getFileStatus(p).getModificationTime() >= cutoff_ms
+                ):
+                    continue  # plausibly a concurrent app's live table
+            except Exception:
+                continue  # can't date it — leave it rather than break a peer
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
     except Exception:
         pass  # catalog unavailable (stopping session) — leave for next run
 

@@ -52,17 +52,15 @@ def write_orc(
     w.orc(str(path))
 
 
-_AVRO_GATE = (
-    "Distributed Avro WRITING needs the external spark-avro jar "
-    "(org.apache.spark:spark-avro); this environment is offline with no "
-    "package installs. With the jar it is df.write.format('avro'); for "
-    "bounded fixture/dimension writes use sources/avro_py.write_avro. "
-    "READING needs no jar: sources/avro_py.read_avro."
-)
-
-
 def write_avro(df: DataFrame, path: str | Path) -> None:
-    raise NotImplementedError(_AVRO_GATE)
+    """Jar-free distributed Avro write via the pure-stdlib writer
+    (``avro_py.write_avro_dataset``: per-task container files, temp-name
+    + driver-commit rename). With the external spark-avro jar this would
+    be ``df.write.format('avro')`` — same on-disk format, so swapping in
+    the jar later changes nothing for readers."""
+    from etl_python_sqlite_spark.sources.avro_py import write_avro_dataset
+
+    write_avro_dataset(df, str(path))
 
 
 def read_avro(spark: SparkSession, path: str | Path) -> DataFrame:

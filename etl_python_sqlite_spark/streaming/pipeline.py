@@ -612,6 +612,15 @@ def maintain_rollup_stream(
     lineage a replay can reach is bounded by the checkpoint's committed
     offset, which is always ≥ the latest version minus one run).
     """
+    # replay ALWAYS needs the predecessor version intact: with
+    # retain_versions=1, after batch N prunes only v=N survives, so a
+    # replayed batch N finds no version < N, takes the first-batch path
+    # and silently resets all accumulated state (ADVICE r8)
+    if retain_versions < 2:
+        raise ValueError(
+            "retain_versions must be >= 2: exactly-once replay reads the "
+            f"predecessor version, which {retain_versions} would prune"
+        )
     from etl_python_sqlite_spark.operators.incremental import (
         build_agg_state,
         merge_agg_states,
@@ -945,6 +954,14 @@ def maintain_kmeans_stream(
     the (sum, count) sufficient statistic. Missing-state reads propagate
     (never treated as "no state yet" — the r4-ADVICE hazard class).
     """
+    # same replay contract as maintain_rollup_stream: retain_versions=1
+    # would prune the predecessor a replayed batch must read, silently
+    # RESEEDING from batch content and discarding all state (ADVICE r8)
+    if retain_versions < 2:
+        raise ValueError(
+            "retain_versions must be >= 2: exactly-once replay reads the "
+            f"predecessor version, which {retain_versions} would prune"
+        )
     from etl_python_sqlite_spark.operators.clustering import (
         _assign,
         flatten_quantized,

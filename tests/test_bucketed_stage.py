@@ -105,20 +105,37 @@ def test_stage_build_sweeps_orphaned_tables(spark, bucketed_gate):
     """A crashed session's coocc_edges_* tables embed the dead
     applicationId in their (hashed) names, so no later session ever
     names them — the first stage build of a fresh app must sweep them
-    (r7 ADVICE) while leaving its OWN live stage table untouched."""
+    (r7 ADVICE) while leaving its OWN live stage table untouched.
+    r8 ADVICE refinement: only tables whose files are OLD (predate app
+    start AND the absolute age floor) are orphans — a fresh table with
+    a foreign name is plausibly a CONCURRENT app's live stage and must
+    survive the sweep."""
+    import os
+    import time
+
     R = bucketed_gate
     orphan = "coocc_edges_deadbeef0000"
-    spark.sql(f"DROP TABLE IF EXISTS {orphan}")
-    spark.range(3).selectExpr("id AS u", "id + 1 AS v").write.mode(
-        "overwrite"
-    ).saveAsTable(orphan)
-    assert spark.catalog.tableExists(orphan)
+    fresh_peer = "coocc_edges_peer00000000"
+    for t in (orphan, fresh_peer):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.range(3).selectExpr("id AS u", "id + 1 AS v").write.mode(
+            "overwrite"
+        ).saveAsTable(t)
+        assert spark.catalog.tableExists(t)
+    # age the orphan's backing dir past both guards (app start + floor);
+    # the peer table keeps its just-written mtime
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    odir = os.path.join(warehouse.removeprefix("file:"), orphan)
+    old = time.time() - (R._COOCC_ORPHAN_AGE_MS / 1000 + 3600)
+    os.utime(odir, (old, old))
     # force the once-per-app sweep to run again for this build
     R._COOCC_SWEPT_APPS.clear()
     e = R._cooccurrence_edges(spark, SF_SMOKE)
     live = getattr(e, R._COOCC_TABLE_ATTR)
     assert not spark.catalog.tableExists(orphan)
+    assert spark.catalog.tableExists(fresh_peer)  # concurrent peer kept
     assert spark.catalog.tableExists(live)
+    spark.sql(f"DROP TABLE IF EXISTS {fresh_peer}")
     # the sweep is once-per-application: a second build must not drop
     # the (now-live) stage table of a concurrent builder, and the
     # re-armed sweep must still respect the live-table registry

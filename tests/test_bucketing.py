@@ -94,16 +94,20 @@ def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tmp_path):
     assert "bucket" in seg
 
 
-def test_avro_gate_documented(spark, tmp_path):
-    """Distributed WRITE keeps the documented jar gate; READ now routes
-    to the jar-free stdlib DataSource (sources/avro_py, r5)."""
-    import pytest as _pytest
-
+def test_avro_round_trip_via_orc_api(spark, tmp_path):
+    """Both Avro directions route jar-free through the stdlib DataSource
+    (sources/avro_py): orc.write_avro delegates to the distributed
+    write_avro_dataset (r9 — the stale NotImplementedError gate removed),
+    and orc.read_avro reads it back."""
     from etl_python_sqlite_spark.sources.avro_py import write_avro as fixture_write
     from etl_python_sqlite_spark.sources.orc import read_avro, write_avro
 
-    with _pytest.raises(NotImplementedError, match="spark-avro"):
-        write_avro(spark.range(1), "/tmp/never")
+    ds = str(tmp_path / "avrodir")
+    write_avro(spark.range(5).selectExpr("id", "id * 2 AS dbl"), ds)
+    got = read_avro(spark, ds)
+    assert {(r["id"], r["dbl"]) for r in got.collect()} == {
+        (i, 2 * i) for i in range(5)
+    }
     schema = {"type": "record", "name": "r",
               "fields": [{"name": "id", "type": "long"}]}
     p = str(tmp_path / "one.avro")

@@ -170,3 +170,32 @@ def test_streaming_kmeans_centroids_follow_state(spark, tmp_path):
     got = {r["vid"]: r["cid"] for r in assigned.select("vid", "cid").collect()}
     assert len(got) == len(batches[2])
     assert set(got.values()) <= set(range(K))
+
+
+def test_retain_versions_guard(spark, tmp_path):
+    """retain_versions=1 would prune the predecessor version a replayed
+    batch must read — the maintainer then silently RESEEDS from batch
+    content, discarding all accumulated state. Both streaming
+    maintainers reject it up front (ADVICE r8)."""
+    import pytest
+
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        maintain_kmeans_stream,
+        maintain_rollup_stream,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(_batches()[0], SCHEMA).coalesce(1).write.parquet(src)
+    s = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="retain_versions"):
+        maintain_kmeans_stream(s, str(tmp_path / "st"), retain_versions=1)
+    with pytest.raises(ValueError, match="retain_versions"):
+        maintain_rollup_stream(
+            s, ["vec_id"], "vec_id", str(tmp_path / "st2"), retain_versions=0
+        )
+    # the default (3) still constructs a writer without starting it
+    assert maintain_kmeans_stream(s, str(tmp_path / "st3")) is not None
