@@ -181,81 +181,26 @@ def _langid_char_sql(text: str = "text") -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+
     # ORDERING CONTRACT: the driver records at most 50 CORRECTNESS rows,
-    # taken from the head of this dict. Round-8 rotation: the 4 new r8
-    # queries lead, then ext_multimodal_decode (slipped out of the r7
-    # window as the 51st of 51 candidates — r7 ADVICE), then the 50-key
-    # block last attested in ROUND 5, of which the first 45 fit; the 5
-    # that slip (asof_purchase_click, range_join_errors, ext_pii_scan,
-    # ext_stratified_split, multires_rollup) must lead the r9 window. The r6- and r7-attested blocks close the
-    # dict in recency order. Union r1-r8 keeps every contract query
-    # attested within the last three rounds (except the 5 named
-    # slippers, attested r5, due again r9).
+    # taken from the head of this dict. Round-9 rotation: the 5 keys
+    # that slipped out of the r8 window (last attested ROUND 5, three
+    # corpus regenerations ago — r8 VERDICT item 1) lead, followed by
+    # queries NEW in r9, then the 50-key block last attested ROUND 6,
+    # of which the first 50 - 5 - |new| fit; whatever slips must lead
+    # the r10 window. The r7- and r8-attested blocks close the dict in
+    # recency order.
     return {
-        # -- NEW in round 8 (never driver-attested) — lead the window --
-        "ext_kmeans_clusters": E.ext_kmeans_clusters,
-        "ewma_revenue_smoothing": R.ewma_revenue_smoothing,
-        "ext_containment_join": E.ext_containment_join,
-        "ext_kmeans_label_purity": E.ext_kmeans_label_purity,
-        # -- slipped from the r7 window (51st of 51 — r7 ADVICE):
-        # last attested r4, must be attested now --
-        "ext_multimodal_decode": E.ext_multimodal_decode,
-        # -- last attested ROUND 5 (50 keys, least recently attested).
-        # The 50-row window holds 4+1 keys above + the FIRST 45 of
-        # this block; its last 5 (asof_purchase_click, range_join_errors,
-        # ext_pii_scan, ext_stratified_split, multires_rollup) slip to
-        # r9 and must lead its rotation. --
-        "part_triangle_stats": R.part_triangle_stats,
-        "ext_cms_word_counts": E.ext_cms_word_counts,
-        "ext_vocab_edit_pairs": E.ext_vocab_edit_pairs,
-        "scd2_apply_changes_events": R.scd2_apply_changes_events,
-        "ext_embedding_dim_stats": E.ext_embedding_dim_stats,
-        "ext_dedup_survivor_quality": E.ext_dedup_survivor_quality,
-        "ext_source_ngram_novelty": E.ext_source_ngram_novelty,
-        "fact_dim_join": R.fact_dim_join,
-        "join_filter_by_key": R.join_filter_by_key,
-        "groupby_count_avg": R.groupby_count_avg,
-        "filter_projection": R.filter_projection,
-        "distinct_dim": R.distinct_dim,
-        "anti_join_new_rows": R.anti_join_new_rows,
-        "semi_join_existing": R.semi_join_existing,
-        "agg_pricing_summary": R.agg_pricing_summary,
-        "agg_minmax_distinct": R.agg_minmax_distinct,
-        "topk_per_group": R.topk_per_group,
-        "case_cascade_classify": R.case_cascade_classify,
-        "strict_cast_json": R.strict_cast_json,
-        "normalize_names": R.normalize_names,
-        "hourly_event_rollup": R.hourly_event_rollup,
-        "set_except_users": R.set_except_users,
-        "rollup_region_nation": R.rollup_region_nation,
-        "inline_cascade_annotated": R.inline_cascade_annotated,
-        "cube_status_priority": R.cube_status_priority,
-        "string_funcs": R.string_funcs,
-        "date_parts_agg": R.date_parts_agg,
-        "sql_exists_subquery": R.sql_exists_subquery,
-        "percentiles_by_group": R.percentiles_by_group,
-        "pivot_event_types": R.pivot_event_types,
-        "union_all_tagged": R.union_all_tagged,
-        "having_filter": R.having_filter,
-        "sessionize_events": R.sessionize_events,
-        "top_orders_limit": R.top_orders_limit,
-        "null_handling_outer_join": R.null_handling_outer_join,
-        "ext_exact_dedup": E.ext_exact_dedup,
-        "ext_normalized_dedup": E.ext_normalized_dedup,
-        "ext_ngram_jaccard_pairs": E.ext_ngram_jaccard_pairs,
-        "ext_cosine_topk": E.ext_cosine_topk,
-        "ext_cosine_pairs_sample": E.ext_cosine_pairs_sample,
-        "ext_text_stats": E.ext_text_stats,
-        "ext_langid": E.ext_langid,
-        "ext_quality_scores": E.ext_quality_scores,
-        "ext_token_count_by_source": E.ext_token_count_by_source,
-        "skew_salted_agg": R.skew_salted_agg,
+        # -- slipped from the r8 window (last attested r5) — lead --
         "asof_purchase_click": R.asof_purchase_click,
         "range_join_errors": R.range_join_errors,
         "ext_pii_scan": E.ext_pii_scan,
         "ext_stratified_split": E.ext_stratified_split,
         "multires_rollup": R.multires_rollup,
-        # -- attested r6 (2 r6-new + the old r3 block + the r4 head) --
+        # -- NEW in round 9 (never driver-attested) --
+        # (inserted here as they land)
+        # -- last attested ROUND 6 (50 keys; the tail past the
+        # 50-row window slips to r10 and must lead its rotation) --
         "scd2_rebuild_late_events": R.scd2_rebuild_late_events,
         "ext_unicode_normalize": E.ext_unicode_normalize,
         "ext_curation_funnel": E.ext_curation_funnel,
@@ -306,8 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_kll_quantiles": E.ext_kll_quantiles,
         "promo_revenue_ratio": R.promo_revenue_ratio,
         "nation_market_share": R.nation_market_share,
-        # -- attested r7 (the 2 r7-new + the 48 r4-block keys that
-        # made the r7 window) — most recent, tail --
+        # -- attested r7 --
         "ext_repeated_substring_mine": E.ext_repeated_substring_mine,
         "ext_repeated_span_cut": E.ext_repeated_span_cut,
         "large_volume_customers": R.large_volume_customers,
@@ -358,6 +302,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_cooccurrence_pagerank": R.part_cooccurrence_pagerank,
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,
+        # -- attested r8 (4 r8-new + ext_multimodal_decode + the
+        # first 45 of the old r5 block) — most recent, tail --
+        "ext_kmeans_clusters": E.ext_kmeans_clusters,
+        "ewma_revenue_smoothing": R.ewma_revenue_smoothing,
+        "ext_containment_join": E.ext_containment_join,
+        "ext_kmeans_label_purity": E.ext_kmeans_label_purity,
+        "ext_multimodal_decode": E.ext_multimodal_decode,
+        "part_triangle_stats": R.part_triangle_stats,
+        "ext_cms_word_counts": E.ext_cms_word_counts,
+        "ext_vocab_edit_pairs": E.ext_vocab_edit_pairs,
+        "scd2_apply_changes_events": R.scd2_apply_changes_events,
+        "ext_embedding_dim_stats": E.ext_embedding_dim_stats,
+        "ext_dedup_survivor_quality": E.ext_dedup_survivor_quality,
+        "ext_source_ngram_novelty": E.ext_source_ngram_novelty,
+        "fact_dim_join": R.fact_dim_join,
+        "join_filter_by_key": R.join_filter_by_key,
+        "groupby_count_avg": R.groupby_count_avg,
+        "filter_projection": R.filter_projection,
+        "distinct_dim": R.distinct_dim,
+        "anti_join_new_rows": R.anti_join_new_rows,
+        "semi_join_existing": R.semi_join_existing,
+        "agg_pricing_summary": R.agg_pricing_summary,
+        "agg_minmax_distinct": R.agg_minmax_distinct,
+        "topk_per_group": R.topk_per_group,
+        "case_cascade_classify": R.case_cascade_classify,
+        "strict_cast_json": R.strict_cast_json,
+        "normalize_names": R.normalize_names,
+        "hourly_event_rollup": R.hourly_event_rollup,
+        "set_except_users": R.set_except_users,
+        "rollup_region_nation": R.rollup_region_nation,
+        "inline_cascade_annotated": R.inline_cascade_annotated,
+        "cube_status_priority": R.cube_status_priority,
+        "string_funcs": R.string_funcs,
+        "date_parts_agg": R.date_parts_agg,
+        "sql_exists_subquery": R.sql_exists_subquery,
+        "percentiles_by_group": R.percentiles_by_group,
+        "pivot_event_types": R.pivot_event_types,
+        "union_all_tagged": R.union_all_tagged,
+        "having_filter": R.having_filter,
+        "sessionize_events": R.sessionize_events,
+        "top_orders_limit": R.top_orders_limit,
+        "null_handling_outer_join": R.null_handling_outer_join,
+        "ext_exact_dedup": E.ext_exact_dedup,
+        "ext_normalized_dedup": E.ext_normalized_dedup,
+        "ext_ngram_jaccard_pairs": E.ext_ngram_jaccard_pairs,
+        "ext_cosine_topk": E.ext_cosine_topk,
+        "ext_cosine_pairs_sample": E.ext_cosine_pairs_sample,
+        "ext_text_stats": E.ext_text_stats,
+        "ext_langid": E.ext_langid,
+        "ext_quality_scores": E.ext_quality_scores,
+        "ext_token_count_by_source": E.ext_token_count_by_source,
+        "skew_salted_agg": R.skew_salted_agg,
     }
 
 
