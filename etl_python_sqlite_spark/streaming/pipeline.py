@@ -1015,7 +1015,7 @@ def maintain_kmeans_stream(
                 cents = flat.join(F.broadcast(sr), "vid").select(
                     "cid", "d", F.col("q").alias("c")
                 )
-            a = _assign(flat, cents).select("vid", "cid")
+            a = _assign(flat, cents, k).select("vid", "cid")
             delta = (
                 flat.join(a, "vid")
                 .groupBy("cid", "d")

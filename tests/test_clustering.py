@@ -115,6 +115,12 @@ def test_corpus_rides_broadcast_joins_single_action(spark, embs):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # r9 fused argmin: the per-iteration assignment is two back-to-back
+    # HashAggregates on the flat frame's hash(vid) distribution — the
+    # encoded min(dist·ENC + cid) must never fall back to SortAggregate
+    # (struct-min would) nor re-sort/re-exchange n·k assignment rows
+    assert "SortAggregate" not in plan, plan
+    assert "Sort [vid" not in plan, plan
     # the corpus (InMemoryTableScan of the flat frame) must never sit
     # directly under an Exchange — its distribution is reused as built
     live = plan.split("InMemoryRelation")[0]
