@@ -198,7 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_stratified_split": E.ext_stratified_split,
         "multires_rollup": R.multires_rollup,
         # -- NEW in round 9 (never driver-attested) --
-        # (inserted here as they land)
+        "ext_kmeans_par_seeded": E.ext_kmeans_par_seeded,
         # -- last attested ROUND 6 (50 keys; the tail past the
         # 50-row window slips to r10 and must lead its rotation) --
         "scd2_rebuild_late_events": R.scd2_rebuild_late_events,
@@ -488,6 +488,81 @@ def _kmeans_purity_sql(k: int = 8, iters: int = 2) -> str:
     )
 
 
+def _kmeans_par_sql(k: int = 8, iters: int = 2, oversample: int = 8) -> str:
+    """Unrolled-CTE DuckDB twin of ext_kmeans_par_seeded: replays the
+    ENTIRE deterministic k-means‖ pipeline — candidate ranks (smallest
+    phash60, ties by vid), nearest-candidate weights (the same
+    (dist, cid) argmin rule as Lloyd assignment), all k greedy weighted
+    farthest-point picks (first = heaviest candidate ties-lowest-vid;
+    then argmax w·min-dist²-to-chosen ties-lowest-vid, scored in
+    HUGEINT because w·dist² can exceed BIGINT at corpus scale), then
+    every Lloyd iteration from the picked seeds (cid = pick order).
+    Pure integer arithmetic end-to-end → exact value-hash match.
+
+    The greedy CTEs are MATERIALIZED: DuckDB inlines plain CTEs, and
+    ``ch(t)`` references ``ch(t-1)`` three times — un-materialized
+    that's a 3^k-fold expansion of the whole candidate pipeline (the
+    observed failure mode is thousands of parquet re-opens: 'Too many
+    open files')."""
+    ell = max(k, oversample * k)
+    ctes = [
+        "flat AS MATERIALIZED (SELECT vec_id AS vid,"
+        " unnest(generate_series(1, len(embedding))) - 1 AS d,"
+        " CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 1.0) * 1000000)"
+        " AS BIGINT) AS q FROM embeddings)",
+        "cand AS MATERIALIZED (SELECT vid, rn - 1 AS cid FROM ("
+        "SELECT vec_id AS vid, row_number() OVER (ORDER BY "
+        + PHASH60_SQL.format(c="CAST(vec_id AS VARCHAR)")
+        + f", vec_id) AS rn FROM embeddings) WHERE rn <= {ell})",
+        "cc AS MATERIALIZED (SELECT c.cid, f.d, f.q AS c FROM flat f"
+        " JOIN cand c USING (vid))",
+        _km_dist_cte("aw", "cc"),
+        "wts AS MATERIALIZED (SELECT c.cid, c.vid, COALESCE(x.w, 0) AS w"
+        " FROM cand c"
+        " LEFT JOIN (SELECT cid, COUNT(*) AS w FROM aw GROUP BY cid) x"
+        " USING (cid))",
+        "cd AS MATERIALIZED (SELECT a.cid AS ca, b.cid AS cb,"
+        " SUM((a.c - b.c) * (a.c - b.c)) AS dd FROM cc a"
+        " JOIN cc b USING (d) GROUP BY a.cid, b.cid)",
+        "p0 AS (SELECT cid, vid FROM wts ORDER BY w DESC, vid LIMIT 1)",
+        "ch0 AS (SELECT cid FROM p0)",
+    ]
+    for t in range(1, k):
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT wts.cid, wts.vid FROM wts"
+            " JOIN (SELECT ca AS cid, MIN(dd) AS md FROM cd"
+            f" WHERE cb IN (SELECT cid FROM ch{t - 1}) GROUP BY ca) m"
+            " USING (cid)"
+            f" WHERE wts.cid NOT IN (SELECT cid FROM ch{t - 1})"
+            " ORDER BY CAST(wts.w AS HUGEINT) * m.md DESC, wts.vid"
+            " LIMIT 1)"
+        )
+        ctes.append(
+            f"ch{t} AS MATERIALIZED (SELECT cid FROM ch{t - 1}"
+            f" UNION ALL SELECT cid FROM p{t})"
+        )
+    seed_union = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS cid, cc.d, cc.c FROM cc"
+        f" JOIN p{t} ON cc.cid = p{t}.cid"
+        for t in range(k)
+    )
+    ctes.append(f"c0p AS ({seed_union})")
+    prev = "c0p"
+    for t in range(1, iters + 1):
+        ctes.append(_km_dist_cte(f"la{t}", prev))
+        ctes.append(_km_upd_cte(f"lu{t}", f"la{t}"))
+        prev = f"lu{t}"
+    ctes.append(_km_dist_cte(f"la{iters + 1}", prev))
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT a.cid AS cluster,"
+        " COUNT(*) AS n_vecs, CAST(SUM(a.dist) AS BIGINT) AS inertia,"
+        " MAX(cs.s) AS centroid_l1"
+        f" FROM la{iters + 1} a JOIN (SELECT cid,"
+        f" CAST(SUM(c) AS BIGINT) AS s FROM lu{iters} GROUP BY cid) cs"
+        " USING (cid) GROUP BY a.cid ORDER BY cluster"
+    )
+
+
 def _ewma_sql() -> str:
     """Twin of relational.ewma_revenue_smoothing — same rational
     trailing-8 weights 3^(j-1)·4^(8-j) over integer cents, same
@@ -527,6 +602,7 @@ def oracle_sql() -> dict[str, str]:
         # rounding flips every downstream integer.
         "ext_kmeans_clusters": _kmeans_sql(k=8, iters=2),
         "ext_kmeans_label_purity": _kmeans_purity_sql(k=8, iters=2),
+        "ext_kmeans_par_seeded": _kmeans_par_sql(k=8, iters=2),
         "ewma_revenue_smoothing": _ewma_sql(),
         # containment: brute-force all ORDERED pairs (a ≠ b) of distinct
         # 3-word SHINGLE sets (Broder containment — same shingle

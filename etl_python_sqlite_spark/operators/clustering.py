@@ -153,6 +153,117 @@ def _assign(flat: DataFrame, cents: DataFrame, k: int = 64) -> DataFrame:
     )
 
 
+def kmeans_parallel_seeds(
+    embs: DataFrame,
+    k: int,
+    oversample: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    _flat: DataFrame | None = None,
+) -> list[tuple[int, int, list[int]]]:
+    """Deterministic k-means‖ seeding (Bahmani et al., VLDB 2012, made
+    RNG-free): OVERSAMPLE ℓ = oversample·k candidates in one
+    distributed top-k (smallest phash60(id) — uniform over the corpus,
+    no random state to ship), WEIGHT each candidate by the number of
+    corpus vectors it is nearest to (one distributed assignment pass —
+    the paper's re-clustering weights), then RE-CLUSTER the tiny
+    weighted candidate set driver-side with greedy weighted
+    farthest-point (pick argmax w · min-dist²-to-chosen; the
+    deterministic stand-in for the paper's weighted k-means++ draw —
+    same machinery as ``similarity.farthest_point_seeds``, in this
+    module's integer micro-unit discipline instead of float cosine).
+
+    Exact pinned rules (the CPython/DuckDB replays depend on them):
+    candidate cids are ranks 0..ℓ−1 in (phash60, vid) order; weights
+    come from :func:`_assign` (ties to the lowest cid); the first pick
+    is the heaviest candidate (ties to the lowest vid); every later
+    pick maximizes ``w · min_{s∈chosen} Σ_d (q_d − s_d)²`` with ties to
+    the lowest vid (w and dist² are exact ints — in SQL replays the
+    product needs a 128-bit cast). Seed cluster ids are PICK ORDER
+    0..k−1. Candidates with weight 0 or distance 0 score 0 and are
+    picked last — duplicate seeds then die by the dead-centroid rule,
+    stated rather than patched, same as the Lloyd chain.
+
+    Cost: two bounded driver actions (ℓ·dim candidate ints + ℓ weight
+    longs collected — both O(k·dim), corpus-independent) before the
+    single-action Lloyd chain. Returns ``[(cid, vid, qvec)]``.
+    """
+    ell = max(k, oversample * k)
+    cand_rows = (
+        embs.select(
+            F.col(id_col).cast("long").alias("vid"),
+            phash60(F.col(id_col).cast("string")).alias("ph"),
+            F.expr(
+                f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
+                f" x -> CAST(floor((x + {_SHIFT}D) * {_SCALE}.0D)"
+                " AS BIGINT))"
+            ).alias("qv"),
+        )
+        .orderBy("ph", "vid")
+        .limit(ell)
+        .collect()
+    )
+    if not cand_rows:
+        return []
+    cands = [(int(r["vid"]), [int(q) for q in r["qv"]]) for r in cand_rows]
+    spark = embs.sparkSession
+    cand_flat = spark.createDataFrame(
+        [
+            (cid, d, q)
+            for cid, (_, qv) in enumerate(cands)
+            for d, q in enumerate(qv)
+        ],
+        "cid long, d int, c long",
+    )
+    # _flat: the caller's already-persisted flat frame, so this action
+    # WARMS the cache the Lloyd chain then reuses (one corpus pass,
+    # not two)
+    flat = (
+        _flat
+        if _flat is not None
+        else flatten_quantized(embs, vec_col, id_col)
+    )
+    w_rows = (
+        _assign(flat, cand_flat, ell)
+        .groupBy("cid")
+        .agg(F.count("*").alias("w"))
+        .collect()
+    )
+    w = {int(r["cid"]): int(r["w"]) for r in w_rows}
+    return _greedy_weighted_fp(cands, [w.get(i, 0) for i in range(len(cands))], k)
+
+
+def _greedy_weighted_fp(
+    cands: list[tuple[int, list[int]]], w: list[int], k: int
+) -> list[tuple[int, int, list[int]]]:
+    """Driver-side weighted farthest-point over ≤ ℓ candidates — pure
+    CPython integer arithmetic (arbitrary precision, so w·dist² never
+    overflows here; replays must widen)."""
+    n = len(cands)
+    first = max(range(n), key=lambda i: (w[i], -cands[i][0]))
+    chosen = [first]
+    # min dist² to the chosen set, per candidate
+    mind = [_sqdist(cands[i][1], cands[first][1]) for i in range(n)]
+    while len(chosen) < min(k, n):
+        nxt = max(
+            (i for i in range(n) if i not in chosen),
+            key=lambda i: (w[i] * mind[i], -cands[i][0]),
+        )
+        chosen.append(nxt)
+        for i in range(n):
+            d2 = _sqdist(cands[i][1], cands[nxt][1])
+            if d2 < mind[i]:
+                mind[i] = d2
+    return [
+        (rank, cands[j][0], list(cands[j][1]))
+        for rank, j in enumerate(chosen)
+    ]
+
+
+def _sqdist(a: list[int], b: list[int]) -> int:
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
 def _lloyd_chain(
     embs: DataFrame,
     k: int,
@@ -160,6 +271,7 @@ def _lloyd_chain(
     vec_col: str,
     id_col: str,
     n_partitions: int | None,
+    seeding: str = "phash",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared chain builder: returns ``(flat, cents, final)`` — the
     persisted flat frame, the persisted FINAL centroid frame, and the
@@ -177,11 +289,26 @@ def _lloyd_chain(
         else flat.repartition("vid")
     ).persist()
 
-    # --- seeding: k smallest phash60(id), ranked in-plan -------------
-    sr = seed_rank_frame(embs, k, id_col)
-    cents = flat.join(F.broadcast(sr), "vid").select(
-        "cid", "d", F.col("q").alias("c")
-    )
+    if seeding == "parallel":
+        # --- k-means‖: bounded collects up front, then literal k·dim
+        # seed centroids ride the same broadcast path ----------------
+        seeds = kmeans_parallel_seeds(
+            embs, k, vec_col=vec_col, id_col=id_col, _flat=flat
+        )
+        cents = embs.sparkSession.createDataFrame(
+            [
+                (cid, d, q)
+                for cid, _, qv in seeds
+                for d, q in enumerate(qv)
+            ],
+            "cid long, d int, c long",
+        )
+    else:
+        # --- seeding: k smallest phash60(id), ranked in-plan ---------
+        sr = seed_rank_frame(embs, k, id_col)
+        cents = flat.join(F.broadcast(sr), "vid").select(
+            "cid", "d", F.col("q").alias("c")
+        )
 
     for _ in range(iters):
         a_t = _assign(flat, cents, k)
@@ -216,17 +343,24 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_partitions: int | None = None,
+    seeding: str = "phash",
 ) -> DataFrame:
-    """Run ``iters`` Lloyd updates from phash60-seeded centroids and
-    return the final per-cluster summary:
+    """Run ``iters`` Lloyd updates and return the final per-cluster
+    summary:
 
     ``(cluster, n_vecs, inertia, centroid_l1)`` — cluster = seed rank,
     inertia = Σ min-distance (micro-unit², BIGINT via a decimal
     accumulator), centroid_l1 = Σ_d of the final centroid (an exact
     integer checksum of the centroid the cluster converged to).
+
+    ``seeding``: ``"phash"`` (k smallest phash60 ids — effectively
+    uniform-random, zero extra jobs) or ``"parallel"`` (deterministic
+    k-means‖, :func:`kmeans_parallel_seeds` — two bounded extra driver
+    jobs; well-spread seeds that avoid the collapsed-seed/dead-cluster
+    failure mode on skewed corpora).
     """
     flat, cents, final = _lloyd_chain(
-        embs, k, iters, vec_col, id_col, n_partitions
+        embs, k, iters, vec_col, id_col, n_partitions, seeding
     )
     l1 = cents.groupBy("cid").agg(
         F.sum("c").cast("long").alias("centroid_l1")
@@ -255,11 +389,12 @@ def kmeans_assignments(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_partitions: int | None = None,
+    seeding: str = "phash",
 ) -> DataFrame:
     """The final per-vector assignment of the same Lloyd run:
     ``(vid, cid, dist)`` — for evaluation joins (label purity, routing
     tables, SemDeDup-style per-cluster passes)."""
     flat, cents, final = _lloyd_chain(
-        embs, k, iters, vec_col, id_col, n_partitions
+        embs, k, iters, vec_col, id_col, n_partitions, seeding
     )
     return tie(final, flat, cents)

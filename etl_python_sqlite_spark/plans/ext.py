@@ -2446,3 +2446,24 @@ def ext_kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cluster")
     )
     return tie(out, keepalive=[assign])
+
+
+def ext_kmeans_par_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r9) — the same 2-iteration Lloyd summary as
+    ext_kmeans_clusters, seeded by DETERMINISTIC k-means‖ instead of
+    phash60 (operators/clustering.kmeans_parallel_seeds: oversampled
+    candidates → nearest-candidate weights → driver-side weighted
+    farthest-point re-cluster, Bahmani et al. VLDB 2012). Everything is
+    integer-exact and rule-pinned, so the DuckDB twin replays the WHOLE
+    pipeline — candidate ranks, weight assignment, all k greedy picks
+    (HUGEINT w·dist² scores), then every Lloyd iteration — and the
+    value hash pins sizes, inertias and centroid checksums. The two
+    extra driver jobs collect O(k·dim) ints (bounded by construction);
+    the Lloyd chain itself is the unchanged single-action broadcast
+    plan."""
+    from etl_python_sqlite_spark.operators.clustering import kmeans_lloyd
+
+    return kmeans_lloyd(
+        _embs(spark, sf_dir), k=8, iters=2, seeding="parallel",
+        n_partitions=8,
+    )

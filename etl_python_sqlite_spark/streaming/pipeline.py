@@ -953,6 +953,20 @@ def maintain_kmeans_stream(
     rows per version — constant in stream length, the whole point of
     the (sum, count) sufficient statistic. Missing-state reads propagate
     (never treated as "no state yet" — the r4-ADVICE hazard class).
+
+    Dead-centroid POLICY (differs from the batch twin, deliberately):
+    in batch Lloyd an empty cluster receives no update row and drops
+    out per-run; here the accumulated (Σq, n) state keeps a centroid
+    alive FOREVER even if no later batch assigns to it — its mean
+    simply stops moving. This is the correct contract for a continuous
+    stream: a centroid's history is evidence (the cluster existed),
+    starvation in recent batches is not proof it won't recur, and
+    re-seeding on starvation would make the state depend on BATCH
+    BOUNDARIES (the same history split into different micro-batches
+    would yield different centroids), breaking the replay determinism
+    the batch_id-versioned state is built on. Callers wanting decay
+    should window the input, not mutate the state rule. Pinned by
+    ``tests/test_streaming_kmeans.py::test_starved_centroid_state_persists``.
     """
     # same replay contract as maintain_rollup_stream: retain_versions=1
     # would prune the predecessor a replayed batch must read, silently

@@ -147,3 +147,91 @@ def test_single_action_job_count(spark, embs):
         sc.setJobGroup(None, None)
     ids = sc.statusTracker().getJobIdsForGroup("km_probe")
     assert 0 < len(ids) <= 40, ids
+
+
+def _replay_par_seeds(Q: dict[int, list[int]], k: int, oversample: int = 8):
+    """Independent CPython transcription of the documented k-means||
+    seeding rules (candidate ranks by (phash60, vid); weights by
+    nearest-candidate counts with lowest-cid ties; greedy weighted
+    farthest-point with (w·mind², lowest-vid) picks)."""
+    ell = max(k, oversample * k)
+    cand_ids = sorted(Q, key=lambda v: (_ph(str(v)), v))[:ell]
+    # weights: nearest candidate per corpus vector, ties lowest cid
+    w = [0] * len(cand_ids)
+    for v, q in Q.items():
+        best = None
+        for cid, cv in enumerate(cand_ids):
+            dd = sum((a - b) * (a - b) for a, b in zip(q, Q[cv]))
+            if best is None or dd < best[1]:
+                best = (cid, dd)
+        w[best[0]] += 1
+    first = max(range(len(cand_ids)), key=lambda i: (w[i], -cand_ids[i]))
+    chosen = [first]
+
+    def d2(i, j):
+        return sum(
+            (a - b) * (a - b)
+            for a, b in zip(Q[cand_ids[i]], Q[cand_ids[j]])
+        )
+
+    mind = [d2(i, first) for i in range(len(cand_ids))]
+    while len(chosen) < min(k, len(cand_ids)):
+        nxt = max(
+            (i for i in range(len(cand_ids)) if i not in chosen),
+            key=lambda i: (w[i] * mind[i], -cand_ids[i]),
+        )
+        chosen.append(nxt)
+        mind = [min(mind[i], d2(i, nxt)) for i in range(len(cand_ids))]
+    return [
+        (rank, cand_ids[j], Q[cand_ids[j]])
+        for rank, j in enumerate(chosen)
+    ]
+
+
+def test_parallel_seeds_match_python_replay(spark, embs):
+    from etl_python_sqlite_spark.operators.clustering import (
+        kmeans_parallel_seeds,
+    )
+
+    got = kmeans_parallel_seeds(embs, k=8)
+    data = embs.select("vec_id", "embedding").collect()
+    Q = {
+        int(r["vec_id"]): [_quantize_py(x) for x in r["embedding"]]
+        for r in data
+    }
+    assert [(c, v, list(q)) for c, v, q in got] == _replay_par_seeds(Q, k=8)
+
+
+def test_parallel_seeding_beats_phash_on_skewed_planted(spark):
+    """The known Lloyd weak point phash seeding inherits: on a corpus
+    with one dominant cluster, ~uniform-random seeds all land in the
+    big cluster and two iterations cannot migrate them out. k-means||
+    spreads seeds by weighted farthest-point, so every planted cluster
+    gets one — strictly lower final inertia. Data is constructed and
+    both runs are deterministic, so this is a pinned comparison, not a
+    statistical claim."""
+    from etl_python_sqlite_spark.operators.clustering import kmeans_lloyd
+
+    rows = []
+    # dominant planted cluster near the origin: 90 vectors
+    for i in range(90):
+        eps = (i % 9 - 4) / 1000.0
+        rows.append((i, [0.0 + eps, 0.01 - eps, 0.0, 0.01]))
+    # two far-away small clusters: 5 vectors each
+    for i in range(5):
+        eps = i / 1000.0
+        rows.append((100 + i, [0.9 - eps, -0.9 + eps, 0.9, -0.9]))
+        rows.append((200 + i, [-0.9 + eps, 0.9 - eps, -0.9, 0.9]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def inertia(seeding):
+        res = kmeans_lloyd(df, k=3, iters=2, seeding=seeding).collect()
+        return sum(int(r["inertia"]) for r in res)
+
+    i_par, i_ph = inertia("parallel"), inertia("phash")
+    assert i_par < i_ph, (i_par, i_ph)
+    # with one seed per planted cluster the residual is only the
+    # in-cluster eps jitter (≤ 100 pts · 2 dims · 4000² ≈ 3.2e9) —
+    # two orders of magnitude below ONE cross-cluster misassignment
+    # (~0.9² · 4 dims · 1e12 ≈ 3.2e12 micro-units²)
+    assert i_par < 10**10, i_par

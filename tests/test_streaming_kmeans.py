@@ -199,3 +199,41 @@ def test_retain_versions_guard(spark, tmp_path):
         )
     # the default (3) still constructs a writer without starting it
     assert maintain_kmeans_stream(s, str(tmp_path / "st3")) is not None
+
+
+def test_starved_centroid_state_persists(spark, tmp_path):
+    """Dead-centroid policy (pinned contract, r8 VERDICT item 8): a
+    centroid no later batch assigns to keeps its accumulated (Σq, n)
+    state verbatim — the stream never re-seeds on starvation (that
+    would make state depend on batch boundaries and break replay
+    determinism). Batch 2's vectors all sit at one anchor, so the other
+    centroids' state rows must come through unchanged."""
+    batches = _batches()
+    src = str(tmp_path / "sv_src")
+    state = str(tmp_path / "sv_state")
+    # batch 1: the normal mixed batch seeds K centroids
+    spark.createDataFrame(batches[0], SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run(spark, tmp_path, src, "sv_ck", state)
+    before = _snap(spark, state)
+    cids_before = {cid for (cid, _) in before}
+    assert len(cids_before) == K
+    # batch 2: every vector is a near-duplicate of ONE anchor — it
+    # assigns to a single centroid; all others are starved
+    ax, ay = 0.8, -0.8
+    rows = [
+        (1000 + i, [ax + i / 1e4, ay - i / 1e4, ax / 2, ay / 2])
+        for i in range(10)
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run(spark, tmp_path, src, "sv_ck", state)
+    after = _snap(spark, state)
+    assert {cid for (cid, _) in after} == cids_before  # nobody re-seeded
+    changed = {cid for (cid, d), v in after.items() if before[(cid, d)] != v}
+    assert len(changed) == 1, changed  # exactly the one fed centroid
+    for key, v in before.items():
+        if key[0] not in changed:
+            assert after[key] == v  # starved state is verbatim
