@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multires_rollup": R.multires_rollup,
         # -- NEW in round 9 (never driver-attested) --
         "ext_kmeans_par_seeded": E.ext_kmeans_par_seeded,
+        "ext_unigram_tokenizer": E.ext_unigram_tokenizer,
         # -- last attested ROUND 6 (50 keys; the tail past the
         # 50-row window slips to r10 and must lead its rotation) --
         "scd2_rebuild_late_events": R.scd2_rebuild_late_events,
@@ -2080,6 +2081,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM({_N_WORDS.format(c='text')}) AS BIGINT)
                        AS total_words,
                    true AS merges_complete_ok,
+                   true AS bounds_ok,
+                   true AS compression_ok
+            FROM documents
+        """,
+        "ext_unigram_tokenizer": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM({_N_WORDS.format(c='text')}) AS BIGINT)
+                       AS total_words,
+                   CAST(SUM(length(regexp_replace(text,
+                       '[ \\t\\n\\x0B\\f\\r]', '', 'g'))) AS BIGINT)
+                       AS total_word_chars,
+                   true AS vocab_ok,
                    true AS bounds_ok,
                    true AS compression_ok
             FROM documents

@@ -1680,7 +1680,11 @@ def ext_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_python_sqlite_spark.operators import bpe as B
 
     docs = _docs(spark, sf_dir)
-    merges = B.train_bpe_merges(docs, n_merges=64, max_vocab=8192)
+    # r9: the histogram pass is the memoized stage shared with
+    # ext_unigram_tokenizer (both trainers consume the same counts)
+    merges = B.merges_from_histogram(
+        _word_histogram_stage(spark, sf_dir, max_vocab=8192), 64
+    )
     counts = B.bpe_token_counts(docs, merges).persist()
     counts.count()  # eager: consumed by two aggregates below
     totals = counts.agg(
@@ -2467,3 +2471,101 @@ def ext_kmeans_par_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         _embs(spark, sf_dir), k=8, iters=2, seeding="parallel",
         n_partitions=8,
     )
+
+
+#: (applicationId, sf_dir, fingerprint, max_vocab) → collected (word,
+#: count) histogram: the ONE distributed pass both tokenizer trainers
+#: (BPE and unigram-LM) start from — the bench runs both queries
+#: concurrently, and without the memo each would re-run the same
+#: explode→groupBy corpus shuffle. Plain Python tuples (≤ max_vocab
+#: rows) — no Spark resources, so no finalizer; lock held end-to-end
+#: across the get-or-build (the CLAUDE.md double-miss rule).
+_WORDHIST_MEMO: dict = {}
+_WORDHIST_LOCK = threading.Lock()
+
+
+def _word_histogram_stage(
+    spark: SparkSession, sf_dir: str, max_vocab: int = 8192
+) -> list[tuple[str, int]]:
+    from etl_python_sqlite_spark.operators.bpe import word_histogram
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+
+    fp = data_fingerprint(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, fp, max_vocab)
+    with _WORDHIST_LOCK:
+        hit = _WORDHIST_MEMO.get(key)
+        if hit is None:
+            hit = word_histogram(_docs(spark, sf_dir), max_vocab=max_vocab)
+            while len(_WORDHIST_MEMO) >= 2:
+                _WORDHIST_MEMO.pop(next(iter(_WORDHIST_MEMO)))
+            _WORDHIST_MEMO[key] = hit
+        return hit
+
+
+def ext_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-T2 (r9) — unigram-LM (SentencePiece-style) tokenizer training
+    + application (operators/unigram.py, Kudo ACL 2018): the shared
+    word-histogram stage (one corpus shuffle, memoized with the BPE
+    trainer's) feeds the driver-side integer-exact Viterbi-EM trainer;
+    an Arrow-batched encoder then segments every document. The EM loop
+    has no SQL twin, so the audit row anchors on SQL-exact counts and
+    pins the encoder against arithmetic invariants (the
+    ext_bpe_tokenizer pattern):
+
+    * ``n_docs``, ``total_words`` — SQL-exact;
+    * ``total_word_chars`` — SQL-exact (Σ length of whitespace-stripped
+      text: the per-char segmentation ceiling);
+    * ``vocab_ok`` — the trainer respected its budget (≤ vocab_size
+      pieces beyond the single-char coverage floor — the final EM
+      round deliberately DROPS pruned-in but unused pieces, so the
+      size is ≤ budget, not ==) and learned ≥ 1 multi-char piece;
+    * ``bounds_ok`` — Σpieces ∈ [Σwords, Σword_chars]: every word is
+      ≥ 1 piece and ≤ its character count;
+    * ``compression_ok`` — the learned multi-char pieces strictly beat
+      the character-level ceiling.
+
+    Trainer ground truth (vs an independent transcription, optimality,
+    losslessness, planted corpora) lives in tests/test_unigram.py."""
+    from etl_python_sqlite_spark.operators.unigram import (
+        unigram_from_histogram,
+        unigram_token_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vocab = unigram_from_histogram(
+        _word_histogram_stage(spark, sf_dir), vocab_size=192
+    )
+    n_singles = sum(1 for p, _ in vocab if len(p) == 1)
+    n_multi = len(vocab) - n_singles
+    counts = unigram_token_counts(docs, vocab).persist()
+    counts.count()  # eager: consumed by two aggregates below
+    totals = counts.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_pieces").cast("long").alias("_pieces"),
+    )
+    char_ceiling = docs.agg(
+        F.sum(
+            F.length(
+                F.regexp_replace(F.col("text"), "[ \\t\\n\\x0B\\f\\r]", "")
+            )
+        )
+        .cast("long")
+        .alias("total_word_chars")
+    )
+    out = totals.crossJoin(char_ceiling).select(
+        "n_docs",
+        "total_words",
+        "total_word_chars",
+        F.lit(
+            n_multi >= 1 and len(vocab) <= max(192, n_singles)
+        ).alias("vocab_ok"),
+        (
+            (F.col("_pieces") >= F.col("total_words"))
+            & (F.col("_pieces") <= F.col("total_word_chars"))
+        ).alias("bounds_ok"),
+        (F.col("_pieces") < F.col("total_word_chars")).alias(
+            "compression_ok"
+        ),
+    )
+    return tie(out, counts)
