@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 9 (never driver-attested) --
         "ext_kmeans_par_seeded": E.ext_kmeans_par_seeded,
         "ext_unigram_tokenizer": E.ext_unigram_tokenizer,
+        "ext_quality_classifier": E.ext_quality_classifier,
         # -- last attested ROUND 6 (50 keys; the tail past the
         # 50-row window slips to r10 and must lead its rotation) --
         "scd2_rebuild_late_events": R.scd2_rebuild_late_events,
@@ -3513,6 +3514,71 @@ def oracle_sql() -> dict[str, str]:
             FROM doc_counts d JOIN ratio r ON d.bucket = r.bucket
             GROUP BY d.doc_id
             ORDER BY d.doc_id
+        """,
+        "ext_quality_classifier": """
+            WITH wt AS (
+                SELECT doc_id,
+                       string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS w
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM wt
+            ),
+            bg AS (
+                SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM pos
+            ),
+            feats AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(w1 || ' ' || w2), 1, 15) AS BIGINT) % 1024 AS bucket
+                FROM bg
+            ),
+            doc_counts AS (
+                SELECT doc_id, bucket, COUNT(*) AS cnt
+                FROM feats GROUP BY doc_id, bucket
+            ),
+            pos_b AS (
+                SELECT bucket, COUNT(*) AS cp FROM feats
+                WHERE doc_id IN (SELECT doc_id FROM documents
+                                 WHERE lang = 'en')
+                GROUP BY bucket
+            ),
+            raw_b AS (
+                SELECT bucket, COUNT(*) AS cr FROM feats GROUP BY bucket
+            ),
+            buckets AS (
+                SELECT r.bucket, COALESCE(p.cp, 0) AS cp,
+                       r.cr - COALESCE(p.cp, 0) AS cn,
+                       SUM(COALESCE(p.cp, 0)) OVER () AS np,
+                       SUM(r.cr - COALESCE(p.cp, 0)) OVER () AS nn
+                FROM raw_b r LEFT JOIN pos_b p ON r.bucket = p.bucket
+            ),
+            wts AS (
+                SELECT bucket,
+                       LEAST(GREATEST(
+                           CAST((CAST(1000000 AS HUGEINT) * (cp + 1) * (nn + 1024))
+                                // (CAST(cn + 1 AS HUGEINT) * (np + 1024)) AS BIGINT),
+                           1), 1000000000000) AS w
+                FROM buckets
+            ),
+            scored AS (
+                SELECT d.doc_id,
+                       CAST(SUM(d.cnt) AS BIGINT) AS n_feat,
+                       CAST(SUM(d.cnt * wts.w) AS BIGINT) AS score_micro
+                FROM doc_counts d JOIN wts ON d.bucket = wts.bucket
+                GROUP BY d.doc_id
+            )
+            SELECT doc.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN COALESCE(s.score_micro, 0)
+                                      > COALESCE(s.n_feat, 0) * 1000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pred_pos,
+                   CAST(SUM(COALESCE(s.n_feat, 0)) AS BIGINT) AS sum_feat,
+                   CAST(SUM(COALESCE(s.score_micro, 0)) AS BIGINT)
+                       AS sum_score_micro
+            FROM documents doc LEFT JOIN scored s ON doc.doc_id = s.doc_id
+            GROUP BY doc.source
+            ORDER BY doc.source
         """,
         "ext_leakage_free_split": """
             WITH grouped AS (

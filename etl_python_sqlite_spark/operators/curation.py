@@ -276,3 +276,123 @@ def leakage_free_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def nb_quality_classifier(
+    df: DataFrame,
+    pos: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learned quality classifier, fastText-shape (Joulin et al., "Bag
+    of tricks for efficient text classification", EACL 2017 — hashed
+    n-gram features, linear scorer), trained CLOSED-FORM as multinomial
+    Naive Bayes instead of SGD so the whole pipeline — feature counts,
+    weights, every document's score — is exactly replayable by a SQL
+    twin (no RNG, no epochs, no float accumulation).
+
+    Features: word bigrams hashed into ``n_buckets`` buckets with the
+    portable 60-bit hash (the DSIR machinery, :func:`dsir_importance`).
+    Training: ``pos`` holds the positive-class ids; everything else in
+    ``df`` is the negative class. Per bucket, with add-one smoothing,
+    the weight is the QUANTIZED LIKELIHOOD RATIO in micro-units::
+
+        w(b) = clamp( (10^6·(cp+1)·(nn+B)) div ((cn+1)·(np+B)), 1, 10^12 )
+
+    (cp/cn = bucket counts in pos/neg, np/nn = class totals). This is
+    the log-free rational surrogate this repo uses wherever ln() isn't
+    bit-portable (the BM25-idf rule): per-feature NB evidence enters as
+    a summed quantized ratio rather than a summed log-ratio — the same
+    monotone per-feature ordering, engine-exact arithmetic. The clamp
+    bounds any single bucket's pull (standard NB weight clipping) AND
+    caps the per-doc score at n_feat·10^12, clearing BIGINT overflow at
+    any corpus size. Decision by integer cross-multiplication — predict
+    positive iff ``score > n_feat·10^6`` (mean ratio > 1), never divide
+    first (the Q22 rule).
+
+    Returns one row per input document (docs with <2 words carry
+    n_feat = 0, score 0, pred false): ``(id, n_feat, score_micro,
+    pred_pos)``.
+
+    Scale: identical to DSIR — the bucket table is B rows whatever the
+    corpus (broadcast), doc-side work is two uniform-key groupBys, and
+    the training counts come out of ONE conditional aggregation over
+    the checkpointed (id, bucket) roll-up.
+    """
+    from etl_python_sqlite_spark.operators.cache import tie
+
+    feats = doc_bigrams(df, text_col, id_col).select(
+        F.col(id_col),
+        F.pmod(
+            phash60(F.concat_ws(" ", "w1", "w2")), F.lit(n_buckets)
+        ).alias("bucket"),
+    )
+    pos_flag = pos.select(id_col).withColumn("is_p", F.lit(1))
+    doc_counts = (
+        feats.groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(pos_flag), id_col, "left")
+        .localCheckpoint(eager=True)
+    )
+    whole = Window.partitionBy()  # B rows — driver-safe total window
+    buckets = (
+        doc_counts.groupBy("bucket")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_p") == 1, F.col("cnt"))), F.lit(0)
+            ).alias("cp"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_p").isNull(), F.col("cnt"))),
+                F.lit(0),
+            ).alias("cn"),
+        )
+        .select(
+            "bucket",
+            "cp",
+            "cn",
+            F.sum("cp").over(whole).alias("np"),
+            F.sum("cn").over(whole).alias("nn"),
+        )
+        .select(
+            "bucket",
+            F.least(
+                F.greatest(
+                    F.expr(
+                        f"CAST((CAST(1000000 AS DECIMAL(38,0)) * (cp + 1)"
+                        f" * (nn + {n_buckets}))"
+                        f" div (CAST(cn + 1 AS DECIMAL(38,0))"
+                        f" * (np + {n_buckets})) AS BIGINT)"
+                    ),
+                    F.lit(1).cast("long"),
+                ),
+                F.lit(10**12).cast("long"),
+            ).alias("w"),
+        )
+    )
+    scored = (
+        doc_counts.join(F.broadcast(buckets), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feat"),
+            F.sum(F.col("cnt") * F.col("w")).cast("long").alias(
+                "score_micro"
+            ),
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feat", F.lit(0)).cast("long").alias("n_feat"),
+            F.coalesce("score_micro", F.lit(0))
+            .cast("long")
+            .alias("score_micro"),
+            (
+                F.coalesce("score_micro", F.lit(0))
+                > F.coalesce("n_feat", F.lit(0)) * F.lit(1_000_000)
+            ).alias("pred_pos"),
+        )
+    )
+    return tie(out, doc_counts)

@@ -2569,3 +2569,40 @@ def ext_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return tie(out, counts)
+
+
+def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r9) — learned quality classifier, fastText-shape with a
+    closed-form multinomial-NB trainer
+    (operators/curation.nb_quality_classifier): hashed-bigram features,
+    quantized-likelihood-ratio weights (the log-free rational
+    surrogate), integer cross-multiplied decisions. Trained here with
+    lang='en' as the weak positive label (the CCNet construction:
+    label by a known-good slice, score everything); the per-source
+    roll-up pins every document's exact score through the value hash.
+    The DuckDB twin replays the ENTIRE pipeline — bigram hashing,
+    class-conditional counts, HUGEINT weight arithmetic, per-doc
+    scores, predictions — from the parquet. Docs with <2 words count
+    with n_feat = 0 and pred false (left-join contract), so n_docs is
+    the full per-source census. Planted-label precision ground truth
+    lives in tests/test_curation.py."""
+    from etl_python_sqlite_spark.operators import curation as Cur
+
+    docs = _docs(spark, sf_dir)
+    scored = Cur.nb_quality_classifier(
+        docs, docs.filter(F.col("lang") == "en")
+    )
+    out = (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("pred_pos").cast("long"))
+            .cast("long")
+            .alias("n_pred_pos"),
+            F.sum("n_feat").cast("long").alias("sum_feat"),
+            F.sum("score_micro").cast("long").alias("sum_score_micro"),
+        )
+        .orderBy("source")
+    )
+    return tie(out, keepalive=[scored])

@@ -565,3 +565,39 @@ def test_scd2_rebuild_keys_fuzz_against_python_reference(spark):
             want += [(u, s, vf, vt, cur)
                      for s, vf, vt, cur in ref_intervals(ref_change_points(uni))]
         assert got == sorted(want), f"trial {trial}"
+
+
+def test_nb_quality_classifier_planted_precision(spark):
+    """Planted two-class corpus: positive docs share telltale bigrams,
+    junk docs share different ones. The closed-form NB trainer must
+    classify every labeled AND held-out positive correctly (held-out
+    positives train as negatives, but the labeled majority keeps their
+    buckets' likelihood ratio > 1), and the degenerate docs follow the
+    n_feat = 0 contract."""
+    from etl_python_sqlite_spark.operators.curation import (
+        nb_quality_classifier,
+    )
+
+    good = "excellent thoughtful prose with careful measured analysis"
+    junk = "buy now click here spam spam free offer"
+    rows = (
+        [(i, good + f" variant {i}") for i in range(8)]          # labeled pos
+        + [(100 + i, good + f" extra {i}") for i in range(4)]    # held-out pos
+        + [(200 + i, junk + f" blast {i}") for i in range(8)]    # neg
+        + [(300, ""), (301, None), (302, "single")]              # degenerate
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = df.filter(F.col("doc_id") < 100)
+    got = {
+        r["doc_id"]: (r["n_feat"], r["score_micro"], r["pred_pos"])
+        for r in nb_quality_classifier(df, pos).collect()
+    }
+    assert len(got) == len(rows)
+    for i in range(8):
+        assert got[i][2] is True, (i, got[i])
+    for i in range(4):
+        assert got[100 + i][2] is True, (i, got[100 + i])  # held-out
+    for i in range(8):
+        assert got[200 + i][2] is False, (i, got[200 + i])
+    for d in (300, 301, 302):
+        assert got[d] == (0, 0, False), (d, got[d])
