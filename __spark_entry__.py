@@ -185,11 +185,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records at most 50 CORRECTNESS rows,
     # taken from the head of this dict. Round-9 rotation: the 5 keys
     # that slipped out of the r8 window (last attested ROUND 5, three
-    # corpus regenerations ago — r8 VERDICT item 1) lead, followed by
+    # corpus regenerations ago — r8 VERDICT item 1) lead, then the 3
     # queries NEW in r9, then the 50-key block last attested ROUND 6,
-    # of which the first 50 - 5 - |new| fit; whatever slips must lead
-    # the r10 window. The r7- and r8-attested blocks close the dict in
-    # recency order.
+    # of which the first 42 fit the 50-row window; the last 8 of that
+    # block (promo_revenue_ratio, nation_market_share and the 6 before
+    # them — see the marker comment inside the block) slip to r10 and
+    # must lead its rotation. The r7- and r8-attested blocks close the
+    # dict in recency order.
     return {
         # -- slipped from the r8 window (last attested r5) — lead --
         "asof_purchase_click": R.asof_purchase_click,
@@ -245,6 +247,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_minhash_near_dups": E.ext_minhash_near_dups,
         "ext_simhash_fingerprints": E.ext_simhash_fingerprints,
         "ext_simhash_near_dups": E.ext_simhash_near_dups,
+        # -- r9 window boundary: the 8 keys from here to
+        # nation_market_share are positions 51-58 — they slip out of
+        # the 50-row r9 window (last attested r6) and MUST lead the
+        # r10 rotation --
         "ext_winnowing_pairs": E.ext_winnowing_pairs,
         "ext_ann_topk_lsh": E.ext_ann_topk_lsh,
         "ext_ivf_topk": E.ext_ivf_topk,

@@ -80,6 +80,7 @@ def test_no_query_uses_cartesian_or_bnlj(spark):
         "idle_customer_balance",     # one-row (Σ, n) stats broadcast
         "important_stock_parts",     # one-row global-total broadcast (Q11)
         "ext_bpe_tokenizer",         # one-row (totals × char-ceiling) audit
+        "ext_unigram_tokenizer",     # same one-row audit shape as BPE
         "ext_semantic_dedup",        # one-row audit crossJoins + bounded
         # (vec_id<150) brute-force ground-truth pair scans, as the ANN audits
         "ext_bigram_lm_score",       # one-row vocab-size (V) broadcast
