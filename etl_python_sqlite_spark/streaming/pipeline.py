@@ -1066,3 +1066,187 @@ def maintain_kmeans_stream(
             flat.unpersist()
 
     return stream.writeStream.foreachBatch(_handle)
+
+
+def maintain_nb_stream(
+    stream: DataFrame,
+    state_path: str,
+    n_buckets: int = 1024,
+    retain_versions: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pos_col: str = "is_pos",
+):
+    """Streaming (online) training of the fastText-shape NB quality
+    classifier (``operators/curation.nb_quality_classifier``): the
+    model's sufficient statistic is the per-bucket class-conditional
+    count table — MERGEABLE by plain addition — so training needs no
+    rescan of history: each micro-batch's (bucket, cp, cn) delta folds
+    into the accumulated table, exactly the
+    :func:`maintain_rollup_stream` shape. The state is O(n_buckets)
+    rows per version, constant in stream length, and the final table is
+    ORDER-INVARIANT (sums commute) — the streamed model is identical to
+    batch-training on the union of all batches, pinned by
+    ``tests/test_streaming_nb.py``.
+
+    Rows need ``(id, text, is_pos)``: labels ride the stream (weak
+    labels in practice — a lang-id or source flag, the CCNet
+    construction). Exactly-once on plain parquet by the batch_id-
+    versioned pattern: batch N merges the newest version < N and
+    dynamically overwrites only ``v=N``; replays recompute the same
+    deterministic result from the intact predecessor. Missing-state
+    reads propagate (never treated as "no state yet").
+
+    Derive live classifier weights with :func:`nb_state_weights`.
+    """
+    from etl_python_sqlite_spark.functions.portable import phash60
+    from etl_python_sqlite_spark.operators.curation import doc_bigrams
+
+    if retain_versions < 2:
+        raise ValueError(
+            "retain_versions must be >= 2: exactly-once replay reads the "
+            f"predecessor version, which {retain_versions} would prune"
+        )
+
+    def _fs(spark: SparkSession):
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(state_path)
+        return root, root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _latest_version(spark: SparkSession, below: int):
+        root, fs = _fs(spark)
+        if not fs.exists(root):
+            return None
+        best = None
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("v="):
+                v = int(name[2:])
+                if v < below and (best is None or v > best):
+                    best = v
+        return best
+
+    def _prune_versions(spark: SparkSession) -> None:
+        root, fs = _fs(spark)
+        if not fs.exists(root):
+            return
+        versions = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("v="):
+                versions.append((int(name[2:]), st.getPath()))
+        versions.sort()
+        for _, p in versions[:-retain_versions]:
+            fs.delete(p, True)
+
+    def _handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        feats = doc_bigrams(batch, text_col, id_col).select(
+            F.col(id_col),
+            F.pmod(
+                phash60(F.concat_ws(" ", "w1", "w2")), F.lit(n_buckets)
+            ).alias("bucket"),
+        )
+        delta = (
+            feats.join(batch.select(id_col, pos_col), id_col)
+            .groupBy("bucket")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col(pos_col), F.lit(1))), F.lit(0)
+                )
+                .cast("long")
+                .alias("cp"),
+                F.coalesce(
+                    F.sum(F.when(~F.col(pos_col), F.lit(1))), F.lit(0)
+                )
+                .cast("long")
+                .alias("cn"),
+            )
+        )
+        prev_v = _latest_version(spark, batch_id)
+        if prev_v is not None:
+            # read errors here are REAL failures — let them propagate
+            prev = spark.read.parquet(f"{state_path}/v={prev_v}").select(
+                "bucket", "cp", "cn"
+            )
+            new_state = (
+                prev.unionByName(delta)
+                .groupBy("bucket")
+                .agg(
+                    F.sum("cp").cast("long").alias("cp"),
+                    F.sum("cn").cast("long").alias("cn"),
+                )
+            )
+        else:
+            new_state = delta
+        (
+            new_state.withColumn("v", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("v")
+            .parquet(state_path)
+        )
+        _prune_versions(spark)
+
+    return stream.writeStream.foreachBatch(_handle)
+
+
+def read_nb_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Current (bucket, cp, cn) table of a ``maintain_nb_stream`` run:
+    the highest ``v=`` partition. None before the first commit; read
+    errors PROPAGATE (the read_rollup_state contract)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return None
+    best = None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            v = int(name[2:])
+            if best is None or v > best:
+                best = v
+    if best is None:
+        return None
+    return spark.read.parquet(f"{state_path}/v={best}")
+
+
+def nb_state_weights(state: DataFrame, n_buckets: int = 1024) -> DataFrame:
+    """(bucket, w) classifier weights from accumulated class counts —
+    the identical clamped quantized-likelihood-ratio formula as the
+    batch trainer (``curation.nb_quality_classifier``), so a stream
+    that saw the same documents yields the same weights bit-for-bit.
+    Buckets never observed carry the smoothed prior ratio implicitly —
+    score joins treat missing buckets as weightless, matching the
+    batch operator's doc_counts⋈buckets inner join over observed
+    buckets only."""
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy()  # B rows — driver-safe total window
+    return (
+        state.select(
+            "bucket",
+            "cp",
+            "cn",
+            F.sum("cp").over(whole).alias("np"),
+            F.sum("cn").over(whole).alias("nn"),
+        )
+        .select(
+            "bucket",
+            F.least(
+                F.greatest(
+                    F.expr(
+                        f"CAST((CAST(1000000 AS DECIMAL(38,0)) * (cp + 1)"
+                        f" * (nn + {n_buckets}))"
+                        f" div (CAST(cn + 1 AS DECIMAL(38,0))"
+                        f" * (np + {n_buckets})) AS BIGINT)"
+                    ),
+                    F.lit(1).cast("long"),
+                ),
+                F.lit(10**12).cast("long"),
+            ).alias("w"),
+        )
+    )
