@@ -185,13 +185,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records at most 50 CORRECTNESS rows,
     # taken from the head of this dict. Round-9 rotation: the 5 keys
     # that slipped out of the r8 window (last attested ROUND 5, three
-    # corpus regenerations ago — r8 VERDICT item 1) lead, then the 3
+    # corpus regenerations ago — r8 VERDICT item 1) lead, then the 4
     # queries NEW in r9, then the 50-key block last attested ROUND 6,
-    # of which the first 42 fit the 50-row window; the last 8 of that
-    # block (promo_revenue_ratio, nation_market_share and the 6 before
-    # them — see the marker comment inside the block) slip to r10 and
-    # must lead its rotation. The r7- and r8-attested blocks close the
-    # dict in recency order.
+    # of which the first 41 fit the 50-row window; the last 9 of that
+    # block (ext_simhash_near_dups through nation_market_share — see
+    # the marker comment inside the block) slip to r10 and must lead
+    # its rotation. The r7- and r8-attested blocks close the dict in
+    # recency order.
     return {
         # -- slipped from the r8 window (last attested r5) — lead --
         "asof_purchase_click": R.asof_purchase_click,
@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_kmeans_par_seeded": E.ext_kmeans_par_seeded,
         "ext_unigram_tokenizer": E.ext_unigram_tokenizer,
         "ext_quality_classifier": E.ext_quality_classifier,
+        "ext_kmv_source_overlap": E.ext_kmv_source_overlap,
         # -- last attested ROUND 6 (50 keys; the tail past the
         # 50-row window slips to r10 and must lead its rotation) --
         "scd2_rebuild_late_events": R.scd2_rebuild_late_events,
@@ -246,11 +247,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_month_spine": R.recursive_month_spine,
         "ext_minhash_near_dups": E.ext_minhash_near_dups,
         "ext_simhash_fingerprints": E.ext_simhash_fingerprints,
-        "ext_simhash_near_dups": E.ext_simhash_near_dups,
-        # -- r9 window boundary: the 8 keys from here to
-        # nation_market_share are positions 51-58 — they slip out of
+        # -- r9 window boundary: the 9 keys from here to
+        # nation_market_share are positions 51-59 — they slip out of
         # the 50-row r9 window (last attested r6) and MUST lead the
         # r10 rotation --
+        "ext_simhash_near_dups": E.ext_simhash_near_dups,
         "ext_winnowing_pairs": E.ext_winnowing_pairs,
         "ext_ann_topk_lsh": E.ext_ann_topk_lsh,
         "ext_ivf_topk": E.ext_ivf_topk,
@@ -3585,6 +3586,87 @@ def oracle_sql() -> dict[str, str]:
             FROM documents doc LEFT JOIN scored s ON doc.doc_id = s.doc_id
             GROUP BY doc.source
             ORDER BY doc.source
+        """,
+        "ext_kmv_source_overlap": f"""
+            WITH wt AS (
+                SELECT source, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS w
+                FROM documents
+            ),
+            wrd AS (SELECT source, unnest(w) AS wd FROM wt),
+            hs AS (
+                SELECT DISTINCT source,
+                       {PHASH60_SQL.format(c='wd')} AS h
+                FROM wrd WHERE wd <> ''
+            ),
+            sk AS MATERIALIZED (
+                SELECT source, h FROM (
+                    SELECT source, h,
+                           row_number() OVER (PARTITION BY source
+                                              ORDER BY h) AS rn
+                    FROM hs) WHERE rn <= 256
+            ),
+            gst AS (
+                SELECT source AS g, COUNT(*) AS n, MAX(h) AS tf
+                FROM sk GROUP BY source
+            ),
+            gs AS (
+                SELECT g,
+                       CASE WHEN n >= 256 THEN tf
+                            ELSE {1 << 60} END AS theta,
+                       CASE WHEN n >= 256 THEN CAST(
+                           (255 * CAST({1 << 60} AS HUGEINT)) // tf
+                           AS BIGINT)
+                            ELSE n END AS dist_est
+                FROM gst
+            ),
+            pairs AS MATERIALIZED (
+                SELECT a.g AS ga, b.g AS gb, a.theta AS ta, b.theta AS tb,
+                       a.dist_est AS da, b.dist_est AS db
+                FROM gs a JOIN gs b ON a.g < b.g
+            ),
+            inter AS (
+                SELECT sa.source AS ga, sb.source AS gb,
+                       COUNT(*) AS kin
+                FROM sk sa JOIN sk sb ON sa.h = sb.h
+                     AND sa.source < sb.source
+                JOIN pairs p ON p.ga = sa.source AND p.gb = sb.source
+                WHERE sa.h < LEAST(p.ta, p.tb)
+                GROUP BY 1, 2
+            ),
+            urows AS (
+                SELECT p.ga, p.gb, s.h FROM pairs p
+                JOIN sk s ON s.source = p.ga
+                UNION
+                SELECT p.ga, p.gb, s.h FROM pairs p
+                JOIN sk s ON s.source = p.gb
+            ),
+            ust AS (
+                SELECT ga, gb, COUNT(*) AS un,
+                       MAX(h) AS utf
+                FROM (SELECT ga, gb, h,
+                             row_number() OVER (PARTITION BY ga, gb
+                                                ORDER BY h) AS urn
+                      FROM urows) WHERE urn <= 256
+                GROUP BY ga, gb
+            ),
+            uest AS (
+                SELECT ga, gb,
+                       CASE WHEN un >= 256 THEN CAST(
+                           (255 * CAST({1 << 60} AS HUGEINT)) // utf
+                           AS BIGINT)
+                            ELSE un END AS union_est
+                FROM ust
+            )
+            SELECT p.ga AS group_a, p.gb AS group_b,
+                   CAST(p.da AS BIGINT) AS distinct_a,
+                   CAST(p.db AS BIGINT) AS distinct_b,
+                   CAST(u.union_est AS BIGINT) AS union_est,
+                   CAST((COALESCE(i.kin, 0) * CAST({1 << 60} AS HUGEINT))
+                        // LEAST(p.ta, p.tb) AS BIGINT) AS inter_est
+            FROM pairs p
+            JOIN uest u ON u.ga = p.ga AND u.gb = p.gb
+            LEFT JOIN inter i ON i.ga = p.ga AND i.gb = p.gb
+            ORDER BY group_a, group_b
         """,
         "ext_leakage_free_split": """
             WITH grouped AS (

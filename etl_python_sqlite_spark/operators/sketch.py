@@ -236,3 +236,178 @@ def cms_estimate(
         .groupBy(*others)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta) sketches — r9
+# ---------------------------------------------------------------------------
+
+#: KMV hash domain: phash60 is uniform on [0, 2^60).
+_KMV_DOMAIN = 1 << 60
+
+
+def kmv_sketches(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """One KMV (k-minimum-values) sketch per group: the ``k`` smallest
+    DISTINCT portable-60-bit hashes of ``value_col`` (Bar-Yossef et al.,
+    "Counting distinct elements in a data stream", RANDOM 2002; the
+    theta-sketch family). Unlike HLL this sketch supports set
+    INTERSECTION estimates (:func:`kmv_pair_overlap`) — the capability
+    gap that motivates keeping both.
+
+    Rows out: ``(group, h, rn)`` with rn = 1..k in hash order — plain
+    BIGINTs built on the portable hash, so a DuckDB twin replays the
+    sketch BIT-FOR-BIT (full hash-match gate, unlike the engine-internal
+    HLL bytes). Mergeable: the union sketch of two groups is the k
+    smallest of their sketches' union (pinned by the merge-law test).
+
+    Scale shape: the distinct pass compresses to |distinct| rows with
+    map-side combine; the per-group top-k is a window over DISTINCT
+    hashes — the repo's documented naive selection form, correct until
+    one group's distinct count outgrows a task (operators/selection.py
+    is the measured upgrade path, same adjudication as the percentile
+    queries)."""
+    from pyspark.sql import Window
+
+    from etl_python_sqlite_spark.functions.portable import phash60
+
+    hashes = df.select(
+        F.col(group_col),
+        phash60(F.col(value_col).cast("string")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(group_col, "h", "rn")
+    )
+
+
+def kmv_pair_overlap(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Distinct / union / intersection estimates for every ORDERED group
+    pair (a < b) from stored KMV sketches — no rescan of raw data.
+
+    Exact integer estimator contract (engine-portable, replayed by the
+    DuckDB twin):
+
+    * θ(g) = the k-th smallest hash when the sketch is FULL, else the
+      domain bound 2^60 (a non-full sketch contains every distinct
+      value of its group);
+    * distinct(g) = (k−1)·2^60 div θ(g) when full, else |sketch|
+      exactly — the classic KMV estimator with floor division;
+    * pair intersection: θ = min(θ_a, θ_b); K∩ = |{h in both sketches,
+      h < θ}|; inter_est = K∩·2^60 div θ (θ = 2^60 degenerates to the
+      exact common count);
+    * pair union: the k smallest of the two sketches\' union is itself
+      a valid KMV sketch of A∪B — same estimator.
+
+    All products route through DECIMAL(38,0) (k·2^60 overflows BIGINT);
+    every comparison and division is integer, so both engines agree
+    bit-for-bit. Sketch frames are k·groups rows — tiny; every pair
+    join broadcasts. Output: (group_a, group_b, distinct_a, distinct_b,
+    union_est, inter_est).
+    """
+    from pyspark.sql import Window
+
+    def est(theta_col: str, n_col: str):
+        return F.when(
+            F.col(n_col) >= k,
+            F.expr(
+                f"CAST(({k - 1} * CAST({_KMV_DOMAIN} AS DECIMAL(38,0)))"
+                f" div {theta_col} AS BIGINT)"
+            ),
+        ).otherwise(F.col(n_col).cast("long"))
+
+    gstats = (
+        sketches.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("tf"),
+        )
+        .select(
+            F.col(group_col).alias("g"),
+            F.when(F.col("n") >= k, F.col("tf"))
+            .otherwise(F.lit(_KMV_DOMAIN))
+            .alias("theta"),
+            est("tf", "n").alias("distinct_est"),
+        )
+    )
+    pairs = (
+        gstats.select(
+            F.col("g").alias("ga"),
+            F.col("theta").alias("ta"),
+            F.col("distinct_est").alias("distinct_a"),
+        )
+        .join(
+            F.broadcast(
+                gstats.select(
+                    F.col("g").alias("gb"),
+                    F.col("theta").alias("tb"),
+                    F.col("distinct_est").alias("distinct_b"),
+                )
+            ),
+            F.col("ga") < F.col("gb"),
+        )
+    )
+    sa = sketches.select(F.col(group_col).alias("ga"), "h")
+    sb = sketches.select(F.col(group_col).alias("gb"), "h")
+
+    # intersection: common hashes below the pair θ
+    inter_cnt = (
+        sa.join(sb, "h")
+        .filter(F.col("ga") < F.col("gb"))
+        .join(
+            F.broadcast(pairs.select("ga", "gb", "ta", "tb")),
+            ["ga", "gb"],
+        )
+        .filter(F.col("h") < F.least("ta", "tb"))
+        .groupBy("ga", "gb")
+        .agg(F.count("*").alias("k_inter"))
+    )
+
+    # union sketch per pair: k smallest of the merged distinct hashes
+    pair_keys = pairs.select("ga", "gb")
+    u_rows = (
+        pair_keys.join(sa, "ga")
+        .select("ga", "gb", "h")
+        .unionByName(pair_keys.join(sb, "gb").select("ga", "gb", "h"))
+        .distinct()
+    )
+    wu = Window.partitionBy("ga", "gb").orderBy("h")
+    u_stats = (
+        u_rows.withColumn("urn", F.row_number().over(wu))
+        .filter(F.col("urn") <= k)
+        .groupBy("ga", "gb")
+        .agg(
+            F.count("*").alias("un"),
+            F.max(F.when(F.col("urn") == k, F.col("h"))).alias("utf"),
+        )
+        .select("ga", "gb", "un", "utf", est("utf", "un").alias("union_est"))
+    )
+
+    return (
+        pairs.join(F.broadcast(u_stats.select("ga", "gb", "union_est")), ["ga", "gb"])
+        .join(F.broadcast(inter_cnt), ["ga", "gb"], "left")
+        .select(
+            "ga",
+            "gb",
+            "distinct_a",
+            "distinct_b",
+            "union_est",
+            F.expr(
+                f"CAST((COALESCE(k_inter, 0)"
+                f" * CAST({_KMV_DOMAIN} AS DECIMAL(38,0)))"
+                " div least(ta, tb) AS BIGINT)"
+            ).alias("inter_est"),
+        )
+        .withColumnRenamed("ga", "group_a")
+        .withColumnRenamed("gb", "group_b")
+    )

@@ -2606,3 +2606,33 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
     return tie(out, keepalive=[scored])
+
+
+def ext_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r9) — KMV/theta-sketch set-overlap audit
+    (operators/sketch.kmv_sketches + kmv_pair_overlap): per-source
+    256-minimum-value sketches of the DISTINCT lowercased word sets,
+    then distinct/union/INTERSECTION estimates for every source pair —
+    the cross-slice vocabulary-overlap readout HLL cannot produce
+    (union-only). Built entirely on the portable 60-bit hash with
+    integer floor-division estimators, so the DuckDB twin replays the
+    sketches and every pair estimate BIT-FOR-BIT — the full hash-match
+    gate, unlike the engine-internal HLL bytes (rows-only). Sketch
+    frames are k·|sources| rows; every pair join broadcasts."""
+    from etl_python_sqlite_spark.operators.sketch import (
+        kmv_pair_overlap,
+        kmv_sketches,
+    )
+
+    wrows = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(X.words(F.lower(F.col("text")))).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+    )
+    sk = kmv_sketches(wrows, "source", "w", k=256)
+    return kmv_pair_overlap(sk, "source", k=256).orderBy(
+        "group_a", "group_b"
+    )

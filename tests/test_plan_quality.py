@@ -81,6 +81,8 @@ def test_no_query_uses_cartesian_or_bnlj(spark):
         "important_stock_parts",     # one-row global-total broadcast (Q11)
         "ext_bpe_tokenizer",         # one-row (totals × char-ceiling) audit
         "ext_unigram_tokenizer",     # same one-row audit shape as BPE
+        "ext_kmv_source_overlap",    # |groups|-row sketch-stat pair joins
+        # (bounded by construction: k·|sources| sketch rows total)
         "ext_semantic_dedup",        # one-row audit crossJoins + bounded
         # (vec_id<150) brute-force ground-truth pair scans, as the ANN audits
         "ext_bigram_lm_score",       # one-row vocab-size (V) broadcast

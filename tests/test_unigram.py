@@ -199,3 +199,25 @@ def test_degenerate_words(word):
     counts = {"a": 1}
     seg = viterbi_segment(word, counts, 1)
     assert seg == ((() if word == "" else ("a",)))
+
+
+def test_trainer_fuzz_vs_transcription():
+    """Property pin: on random small histograms (short words so the
+    transcription's exponential brute-force segmentation stays cheap)
+    the trainer and the independent transcription agree exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=7)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.dictionaries(word, st.integers(1, 50), min_size=1, max_size=6),
+        st.integers(4, 12),
+    )
+    def _case(hist_map, vocab_size):
+        hist = sorted(hist_map.items(), key=lambda kv: (-kv[1], kv[0]))
+        got = unigram_from_histogram(hist, vocab_size=vocab_size)
+        assert got == _replay(hist, vocab_size=vocab_size)
+
+    _case()
