@@ -431,6 +431,72 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # ---- NB quality-classifier probe: salt-sharded documents (r9) ----
+    # Training + scoring cost is (bigram pass + B-row bucket table +
+    # per-doc weighted sums): must scale ~linearly in corpus size — the
+    # bucket table is B rows at ANY factor (the broadcast side), so the
+    # only growing stages are the two uniform-key doc-side groupBys.
+    if only is None or "nb" in only:
+        nb_warm = False
+        for factor in factors:
+            d = shard_dir(factor)
+            if not nb_warm:
+                E.ext_quality_classifier(spark, d).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                nb_warm = True
+            sw0 = shuffle_write_bytes(app_id)
+            t0 = time.perf_counter()
+            E.ext_quality_classifier(spark, d).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            wall = time.perf_counter() - t0
+            sw1 = shuffle_write_bytes(app_id)
+            results.setdefault(f"x{factor}", {})["ext_quality_classifier"] = {
+                "wall_sec": round(wall, 2),
+                "shuffle_write_mb": round((sw1 - sw0) / 1e6, 1)
+                if sw0 >= 0 and sw1 >= 0
+                else None,
+            }
+            print(
+                f"x{factor} ext_quality_classifier:"
+                f" {results[f'x{factor}']['ext_quality_classifier']}",
+                file=sys.stderr,
+            )
+
+    # ---- KMV source-overlap probe: salt-sharded documents (r9) -------
+    # Sketch size is k rows per source at ANY corpus size; the growing
+    # stage is the distinct (source, word-hash) pass. The per-shard salt
+    # token adds ONE distinct word per source per shard — sketch content
+    # drifts but volume math is unchanged.
+    if only is None or "kmv" in only:
+        kmv_warm = False
+        for factor in factors:
+            d = shard_dir(factor)
+            if not kmv_warm:
+                E.ext_kmv_source_overlap(spark, d).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                kmv_warm = True
+            sw0 = shuffle_write_bytes(app_id)
+            t0 = time.perf_counter()
+            E.ext_kmv_source_overlap(spark, d).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            wall = time.perf_counter() - t0
+            sw1 = shuffle_write_bytes(app_id)
+            results.setdefault(f"x{factor}", {})["ext_kmv_source_overlap"] = {
+                "wall_sec": round(wall, 2),
+                "shuffle_write_mb": round((sw1 - sw0) / 1e6, 1)
+                if sw0 >= 0 and sw1 >= 0
+                else None,
+            }
+            print(
+                f"x{factor} ext_kmv_source_overlap:"
+                f" {results[f'x{factor}']['ext_kmv_source_overlap']}",
+                file=sys.stderr,
+            )
+
     print(json.dumps(results))
     shutil.rmtree(scratch, ignore_errors=True)
 
