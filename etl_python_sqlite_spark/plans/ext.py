@@ -2632,7 +2632,14 @@ def ext_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.length("w") > 0)
     )
-    sk = kmv_sketches(wrows, "source", "w", k=256)
-    return kmv_pair_overlap(sk, "source", k=256).orderBy(
+    # the pair-overlap plan consumes the sketch frame ~5× (group stats,
+    # both intersection sides, both union sides) with no exchange reuse
+    # between them (measured: 12 FileScans un-persisted) — persist so
+    # the distinct+window pass runs ONCE; consumers are sequential
+    # sub-jobs of the one action, so no eager count (r8 invariant), and
+    # tie() releases the cache when the result is dropped
+    sk = kmv_sketches(wrows, "source", "w", k=256).persist()
+    out = kmv_pair_overlap(sk, "source", k=256).orderBy(
         "group_a", "group_b"
     )
+    return tie(out, sk)
