@@ -1091,7 +1091,10 @@ def maintain_nb_stream(
 
     Rows need ``(id, text, is_pos)``: labels ride the stream (weak
     labels in practice — a lang-id or source flag, the CCNet
-    construction). Exactly-once on plain parquet by the batch_id-
+    construction). A NULL label excludes the row's features from BOTH
+    classes (deliberate: unlabeled ≠ negative in a stream, unlike the
+    batch trainer whose ``pos`` frame makes everything else negative
+    by construction). Exactly-once on plain parquet by the batch_id-
     versioned pattern: batch N merges the newest version < N and
     dynamically overwrites only ``v=N``; replays recompute the same
     deterministic result from the intact predecessor. Missing-state
