@@ -146,12 +146,36 @@ def bigram_lm_score(
     return tie(out, bg)
 
 
+def bucketed_bigram_counts(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, bucket, cnt) — the raw hashed-bigram roll-up both DSIR and
+    the NB quality classifier aggregate from (identical hash, identical
+    buckets): the stage worth materializing ONCE when several consumers
+    run over the same corpus (plans/ext memoizes it per fingerprint)."""
+    return (
+        doc_bigrams(df, text_col, id_col)
+        .select(
+            F.col(id_col),
+            F.pmod(
+                phash60(F.concat_ws(" ", "w1", "w2")), F.lit(n_buckets)
+            ).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     target: DataFrame,
     n_buckets: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _counts: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_feat, weight_micro) — DSIR importance weight of every
     document in ``df`` toward the ``target`` slice (target must be a
@@ -176,12 +200,6 @@ def dsir_importance(
     """
     from etl_python_sqlite_spark.operators.cache import tie
 
-    feats = doc_bigrams(df, text_col, id_col).select(
-        F.col(id_col),
-        F.pmod(
-            phash60(F.concat_ws(" ", "w1", "w2")), F.lit(n_buckets)
-        ).alias("bucket"),
-    )
     # Every downstream count derives from the (id, bucket) roll-up —
     # the narrowest stage of the whole query — so it is materialized
     # ONCE via eager localCheckpoint (the repo's multi-consumer rule:
@@ -191,14 +209,20 @@ def dsir_importance(
     # ONCE with a broadcast left join so BOTH per-bucket totals come
     # out of a SINGLE conditional aggregation — the r5 two-join /
     # two-agg shape serialized an extra shuffle and an extra action
-    # for no information gain (VERDICT r5 #2).
+    # for no information gain (VERDICT r5 #2). With a caller-provided
+    # ALREADY-MATERIALIZED roll-up (`_counts` — the plans/ext shared
+    # stage this operator splits with the NB classifier, r9) the flag
+    # join is a cheap per-consumer broadcast re-derivation and no
+    # second checkpoint is spent.
     tgt_flag = target.select(id_col).withColumn("is_t", F.lit(1))
-    doc_counts = (
-        feats.groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("cnt"))
-        .join(F.broadcast(tgt_flag), id_col, "left")
-        .localCheckpoint(eager=True)
-    )
+    if _counts is not None:
+        doc_counts = _counts.join(F.broadcast(tgt_flag), id_col, "left")
+    else:
+        doc_counts = (
+            bucketed_bigram_counts(df, n_buckets, text_col, id_col)
+            .join(F.broadcast(tgt_flag), id_col, "left")
+            .localCheckpoint(eager=True)
+        )
     whole = Window.partitionBy()  # B rows — a driver-safe total window
     buckets = (
         doc_counts.groupBy("bucket")
@@ -233,6 +257,8 @@ def dsir_importance(
             .alias("weight_micro"),
         )
     )
+    if _counts is not None:
+        return tie(out, keepalive=[_counts])
     return tie(out, doc_counts)
 
 
@@ -284,6 +310,7 @@ def nb_quality_classifier(
     n_buckets: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _counts: DataFrame | None = None,
 ) -> DataFrame:
     """Learned quality classifier, fastText-shape (Joulin et al., "Bag
     of tricks for efficient text classification", EACL 2017 — hashed
@@ -322,19 +349,18 @@ def nb_quality_classifier(
     """
     from etl_python_sqlite_spark.operators.cache import tie
 
-    feats = doc_bigrams(df, text_col, id_col).select(
-        F.col(id_col),
-        F.pmod(
-            phash60(F.concat_ws(" ", "w1", "w2")), F.lit(n_buckets)
-        ).alias("bucket"),
-    )
+    # same materialization rule as dsir_importance: own eager
+    # checkpoint of the roll-up, unless the caller hands in the shared
+    # already-materialized stage (`_counts`)
     pos_flag = pos.select(id_col).withColumn("is_p", F.lit(1))
-    doc_counts = (
-        feats.groupBy(id_col, "bucket")
-        .agg(F.count("*").alias("cnt"))
-        .join(F.broadcast(pos_flag), id_col, "left")
-        .localCheckpoint(eager=True)
-    )
+    if _counts is not None:
+        doc_counts = _counts.join(F.broadcast(pos_flag), id_col, "left")
+    else:
+        doc_counts = (
+            bucketed_bigram_counts(df, n_buckets, text_col, id_col)
+            .join(F.broadcast(pos_flag), id_col, "left")
+            .localCheckpoint(eager=True)
+        )
     whole = Window.partitionBy()  # B rows — driver-safe total window
     buckets = (
         doc_counts.groupBy("bucket")
@@ -395,4 +421,6 @@ def nb_quality_classifier(
             ).alias("pred_pos"),
         )
     )
+    if _counts is not None:
+        return tie(out, keepalive=[_counts])
     return tie(out, doc_counts)

@@ -1774,9 +1774,11 @@ def ext_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "left_semi",
     )
-    # the weight frame is checkpoint-backed — keep it alive for as long
-    # as the ordered derivation lives (cache.py composition rule)
-    w = dsir_importance(docs, tgt)
+    # r9: the raw (doc_id, bucket, cnt) roll-up is the memoized stage
+    # shared with ext_quality_classifier (identical hash + buckets);
+    # the weight frame keepalives it, and the ordered derivation
+    # keepalives the weight frame (cache.py composition rule)
+    w = dsir_importance(docs, tgt, _counts=_bigram_bucket_stage(spark, sf_dir))
     return tie(w.orderBy("doc_id"), keepalive=[w])
 
 
@@ -2590,7 +2592,9 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     scored = Cur.nb_quality_classifier(
-        docs, docs.filter(F.col("lang") == "en")
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        _counts=_bigram_bucket_stage(spark, sf_dir),
     )
     out = (
         scored.join(docs.select("doc_id", "source"), "doc_id")
@@ -2643,3 +2647,48 @@ def ext_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_a", "group_b"
     )
     return tie(out, sk)
+
+
+#: (applicationId, sf_dir, fingerprint, n_buckets) → checkpointed raw
+#: (doc_id, bucket, cnt) hashed-bigram roll-up — the stage
+#: ext_dsir_importance and ext_quality_classifier share (identical
+#: hash, identical buckets; each joins its own class/target flag onto
+#: the materialized rows per consumer). Same lock/LRU/finalizer policy
+#: as the other ext-side stages.
+_BIGRAM_MEMO: dict = {}
+_BIGRAM_LOCK = threading.Lock()
+
+
+def _bigram_bucket_stage(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 1024
+) -> DataFrame:
+    from etl_python_sqlite_spark.operators.cache import tie
+    from etl_python_sqlite_spark.operators.curation import (
+        bucketed_bigram_counts,
+    )
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+
+    fp = data_fingerprint(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, fp, n_buckets)
+    with _BIGRAM_LOCK:
+        hit = _BIGRAM_MEMO.pop(key, None)
+        if hit is not None:
+            _BIGRAM_MEMO[key] = hit  # LRU refresh
+            return hit
+        ck = bucketed_bigram_counts(
+            _docs(spark, sf_dir), n_buckets
+        ).localCheckpoint(eager=True)
+        stage = tie(ck.select("doc_id", "bucket", "cnt"), ck)
+        while len(_BIGRAM_MEMO) >= 2:
+            _BIGRAM_MEMO.pop(next(iter(_BIGRAM_MEMO)))
+        _BIGRAM_MEMO[key] = stage
+        return stage
+
+
+def release_shared_bigrams() -> None:
+    """Release every memoized bigram-bucket stage (checkpoint blocks)."""
+    from etl_python_sqlite_spark.operators.cache import release
+
+    while _BIGRAM_MEMO:
+        _, old = _BIGRAM_MEMO.popitem()
+        release(old)

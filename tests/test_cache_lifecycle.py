@@ -65,6 +65,7 @@ def _baseline_clean(spark):
     X.release_shared_spans()
     X.release_shared_minhash()
     X.release_shared_kmeans()
+    X.release_shared_bigrams()
     # py4j exposes the java.util.Map as a dict-like view
     jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
     for jrdd in jrdds:
