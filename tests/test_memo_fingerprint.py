@@ -156,3 +156,52 @@ def test_kmeans_stage_rebuilds_on_rewrite(spark, tmp_path):
     assert a2.count() == 30
     assert l2 != l1  # different data -> different centroid checksums
     X.release_shared_kmeans()
+
+
+def _write_documents(spark, sf_dir: str, texts: list[str]) -> None:
+    rows = [
+        Row(doc_id=i, text=t, lang="en", source=f"src{i % 2}")
+        for i, t in enumerate(texts)
+    ]
+    (
+        spark.createDataFrame(rows)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def test_word_histogram_stage_rebuilds_on_rewrite(spark, tmp_path):
+    from etl_python_sqlite_spark.plans import ext as X
+
+    X._WORDHIST_MEMO.clear()
+    d = str(tmp_path)
+    _write_documents(spark, d, ["alpha beta", "alpha"])
+    h1 = X._word_histogram_stage(spark, d, max_vocab=16)
+    assert dict(h1) == {"alpha": 2, "beta": 1}
+    assert X._word_histogram_stage(spark, d, max_vocab=16) is h1
+
+    _write_documents(spark, d, ["gamma gamma gamma"])
+    h2 = X._word_histogram_stage(spark, d, max_vocab=16)
+    assert h2 is not h1
+    assert dict(h2) == {"gamma": 3}
+    X._WORDHIST_MEMO.clear()
+
+
+def test_bigram_bucket_stage_rebuilds_on_rewrite(spark, tmp_path):
+    from etl_python_sqlite_spark.plans import ext as X
+
+    X.release_shared_bigrams()
+    d = str(tmp_path)
+    _write_documents(spark, d, ["a b c", "a b"])
+    s1 = X._bigram_bucket_stage(spark, d)
+    # 3 bigram occurrences total: (a,b) x2, (b,c) x1
+    assert s1.agg({"cnt": "sum"}).first()[0] == 3
+    assert X._bigram_bucket_stage(spark, d) is s1  # memo hit
+
+    _write_documents(spark, d, ["x y z w"])
+    s2 = X._bigram_bucket_stage(spark, d)
+    assert s2 is not s1
+    assert s2.agg({"cnt": "sum"}).first()[0] == 3  # (x,y)(y,z)(z,w)
+    assert s2.select("doc_id").distinct().count() == 1
+    X.release_shared_bigrams()
