@@ -44,3 +44,93 @@ def write_training_shards(
         .option("maxRecordsPerFile", max_records_per_file)
     )
     writer.format(fmt).save(str(path))
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str | Path,
+    key_col: str,
+    members: dict[str, str],
+    num_shards: int,
+) -> None:
+    """WebDataset-style tar shards — the standard packaging for
+    multimodal training loaders (one POSIX tar per shard; members named
+    ``{key}.{ext}``, consecutive same-key members form one sample;
+    format per the public webdataset spec, github.com/webdataset).
+
+    ``members`` maps member EXTENSION → source column (``bytes``
+    columns land verbatim, strings UTF-8-encoded); ``key_col`` must be
+    unique per row. Shards are range-partitioned and sorted by key, so
+    shard i's contents are a deterministic function of the DATA —
+    reshuffling the cluster cannot reshuffle the curriculum (the same
+    rationale as :func:`write_training_shards`). Tar metadata is pinned
+    (mtime 0, uid/gid 0, mode 0644, USTAR) so a rewrite of identical
+    data is BYTE-identical — diffable shards.
+
+    Two-phase commit on a non-transactional filesystem (the
+    ``avro_py.write_avro_dataset`` pattern): each task streams its tar
+    to a ``.inprogress-<uuid>`` temp name and the DRIVER renames the
+    winning attempts into place — a lost speculative attempt leaves
+    only a temp file, which the commit sweep deletes. Per-row work is
+    plain streaming IO; nothing is ever collected.
+    """
+    import tarfile
+    import uuid
+
+    out_dir = Path(path)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    exts = sorted(members)
+    cols = [key_col] + [members[e] for e in exts]
+
+    def _write_partition(it):
+        import io as _io
+        import os
+
+        pid = None
+        tmp = None
+        tf = None
+        n = 0
+        for row in it:
+            if tf is None:
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+                tmp = str(
+                    out_dir / f".shard-{pid:05d}.inprogress-{uuid.uuid4().hex}"
+                )
+                tf = tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT)
+            key = str(row[0])
+            for ext, val in zip(exts, row[1:]):
+                if val is None:
+                    continue
+                data = val if isinstance(val, (bytes, bytearray)) else str(
+                    val
+                ).encode("utf-8")
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(data)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.mode = 0o644
+                tf.addfile(info, _io.BytesIO(bytes(data)))
+                n += 1
+        if tf is not None:
+            tf.close()
+            yield (pid, os.path.basename(tmp), n)
+
+    results = (
+        df.select(*cols)
+        .repartitionByRange(num_shards, key_col)
+        .sortWithinPartitions(key_col)
+        .rdd.mapPartitions(_write_partition)
+        .collect()  # bounded: one 3-tuple per non-empty shard
+    )
+    import os
+
+    winners = {}
+    for pid, tmpname, _ in results:
+        winners[pid] = tmpname  # last winning attempt per partition
+    for pid, tmpname in winners.items():
+        os.replace(out_dir / tmpname, out_dir / f"shard-{pid:05d}.tar")
+    # sweep lost speculative attempts' temp files
+    for p in out_dir.glob(".shard-*.inprogress-*"):
+        p.unlink(missing_ok=True)
