@@ -24,10 +24,15 @@ Scale design (the 100 TB shape, not a driver loop over rows):
   BROADCAST joins on the dim index; only vector-count-sized aggregates
   (n·k assignment rows) and k·dim-sized updates cross the wire, both
   map-side combined.
-* Seeding: the k vectors with the smallest portable 60-bit hash of
-  their id (``phash60``, ties by id) — a distributed
+* Seeding, two modes (``seeding=`` on both public entry points):
+  ``"phash"`` (default) — the k vectors with the smallest portable
+  60-bit hash of their id (``phash60``, ties by id), a distributed
   TakeOrderedAndProject top-k, never a global sort; cluster ids are the
   seed ranks (0..k−1), assigned by a row_number window over k rows.
+  ``"parallel"`` (r9) — deterministic k-means‖
+  (:func:`kmeans_parallel_seeds`): oversampled candidates, one
+  corpus-wide weight pass, driver-side weighted farthest-point; ONE
+  bounded extra driver action, well-spread seeds on skewed corpora.
 * Integer-exact cross-engine parity: elements are floor-quantized to
   NON-NEGATIVE micro-units ``q = floor((x + 1) · 10⁶)`` (|x| < 1 for
   the embeddings contract), distances are Σ(q−c)² in BIGINT (≤ 64 ·
