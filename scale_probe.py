@@ -497,6 +497,90 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    # ---- unigram tokenizer probe: salt-sharded documents (r9) --------
+    # Trainer driver work is max_vocab-bounded (corpus-independent);
+    # the growing stages are the ONE histogram shuffle and the
+    # Arrow-batched Viterbi encoder (linear in docs, distinct-word
+    # cache per batch).
+    if only is None or "unigram" in only:
+        ug_warm = False
+        for factor in factors:
+            d = shard_dir(factor)
+            if not ug_warm:
+                E.ext_unigram_tokenizer(spark, d).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                ug_warm = True
+            sw0 = shuffle_write_bytes(app_id)
+            t0 = time.perf_counter()
+            E.ext_unigram_tokenizer(spark, d).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            wall = time.perf_counter() - t0
+            sw1 = shuffle_write_bytes(app_id)
+            results.setdefault(f"x{factor}", {})["ext_unigram_tokenizer"] = {
+                "wall_sec": round(wall, 2),
+                "shuffle_write_mb": round((sw1 - sw0) / 1e6, 1)
+                if sw0 >= 0 and sw1 >= 0
+                else None,
+            }
+            print(
+                f"x{factor} ext_unigram_tokenizer:"
+                f" {results[f'x{factor}']['ext_unigram_tokenizer']}",
+                file=sys.stderr,
+            )
+
+    # ---- k-means|| probe: rotated-embedding replication (r9) ---------
+    # Same scratch layout as the kmeans probe; adds the bounded
+    # seeding collect + corpus-wide weight pass before the unchanged
+    # single-action Lloyd chain.
+    if only is None or "kmeanspar" in only:
+        emb2 = load_table(spark, sf_dir, "embeddings")
+        dim2 = len(emb2.select("embedding").first()[0])
+        kp_warm = False
+        for factor in factors:
+            d = os.path.join(scratch, f"emb_x{factor}")
+            path = os.path.join(d, "embeddings.parquet")
+            if not os.path.exists(path):
+                shards = [
+                    emb2.select(
+                        (F.col("vec_id") * factor + i).alias("vec_id"),
+                        F.expr(
+                            f"concat(slice(embedding, {i % dim2} + 1,"
+                            f" {dim2} - {i % dim2}),"
+                            f" slice(embedding, 1, {i % dim2}))"
+                        ).alias("embedding"),
+                        "label",
+                    )
+                    for i in range(factor)
+                ]
+                reduce(lambda a, b: a.unionAll(b), shards).repartition(
+                    int(cpus)
+                ).write.mode("overwrite").parquet(path)
+            if not kp_warm:
+                E.ext_kmeans_par_seeded(spark, d).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                kp_warm = True
+            sw0 = shuffle_write_bytes(app_id)
+            t0 = time.perf_counter()
+            E.ext_kmeans_par_seeded(spark, d).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            wall = time.perf_counter() - t0
+            sw1 = shuffle_write_bytes(app_id)
+            results.setdefault(f"x{factor}", {})["ext_kmeans_par_seeded"] = {
+                "wall_sec": round(wall, 2),
+                "shuffle_write_mb": round((sw1 - sw0) / 1e6, 1)
+                if sw0 >= 0 and sw1 >= 0
+                else None,
+            }
+            print(
+                f"x{factor} ext_kmeans_par_seeded:"
+                f" {results[f'x{factor}']['ext_kmeans_par_seeded']}",
+                file=sys.stderr,
+            )
+
     print(json.dumps(results))
     shutil.rmtree(scratch, ignore_errors=True)
 
