@@ -215,3 +215,25 @@ def unigram_token_counts(
             )
 
     return df.select(id_col, text_col).mapInPandas(_encode, schema=schema)
+
+
+def save_vocab(
+    spark, vocab: list[tuple[str, int]], path: str
+) -> None:
+    """Persist a trained vocabulary as a tiny parquet table
+    ``(piece, count)`` — the train-once / encode-anywhere split every
+    tokenizer deployment needs. Counts are the model (Viterbi scores
+    derive from them), so the round trip is lossless."""
+    spark.createDataFrame(vocab, "piece string, count long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_vocab(spark, path: str) -> list[tuple[str, int]]:
+    """Inverse of :func:`save_vocab`, restoring the canonical
+    (count DESC, piece ASC) order the trainer emits."""
+    rows = spark.read.parquet(path).collect()
+    return sorted(
+        ((r["piece"], int(r["count"])) for r in rows),
+        key=lambda kv: (-kv[1], kv[0]),
+    )

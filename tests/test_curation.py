@@ -601,3 +601,53 @@ def test_nb_quality_classifier_planted_precision(spark):
         assert got[200 + i][2] is False, (i, got[200 + i])
     for d in (300, 301, 302):
         assert got[d] == (0, 0, False), (d, got[d])
+
+
+def test_nb_score_with_weights_matches_trainer(spark):
+    """The serve-path scorer fed the trainer's own weight table must
+    reproduce the trainer's scores exactly — train-once/score-anywhere
+    with one weight contract (batch + streaming share it)."""
+    from etl_python_sqlite_spark.operators.curation import (
+        bucketed_bigram_counts,
+        nb_quality_classifier,
+        nb_score_with_weights,
+    )
+    from etl_python_sqlite_spark.streaming.pipeline import nb_state_weights
+
+    good = "excellent thoughtful prose with careful measured analysis"
+    junk = "buy now click here spam spam free offer"
+    rows = (
+        [(i, good + f" v{i}", True) for i in range(6)]
+        + [(100 + i, junk + f" b{i}", False) for i in range(6)]
+        + [(200, "", None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_pos boolean")
+    docs = df.select("doc_id", "text")
+    trained = {
+        r["doc_id"]: (r["n_feat"], r["score_micro"], r["pred_pos"])
+        for r in nb_quality_classifier(
+            docs, df.filter("is_pos").select("doc_id")
+        ).collect()
+    }
+    # rebuild the SAME weight table through the streaming contract:
+    # class counts -> nb_state_weights (identical clamped-ratio formula)
+    feats = bucketed_bigram_counts(docs)
+    state = (
+        feats.join(df.select("doc_id", "is_pos"), "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_pos"), F.col("cnt"))), F.lit(0)
+            ).alias("cp"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_pos"), F.col("cnt"))), F.lit(0)
+            ).alias("cn"),
+        )
+    )
+    served = {
+        r["doc_id"]: (r["n_feat"], r["score_micro"], r["pred_pos"])
+        for r in nb_score_with_weights(
+            docs, nb_state_weights(state)
+        ).collect()
+    }
+    assert served == trained

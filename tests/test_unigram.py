@@ -221,3 +221,15 @@ def test_trainer_fuzz_vs_transcription():
         assert got == _replay(hist, vocab_size=vocab_size)
 
     _case()
+
+
+def test_vocab_save_load_round_trip(spark, tmp_path):
+    from etl_python_sqlite_spark.operators.unigram import (
+        load_vocab,
+        save_vocab,
+    )
+
+    vocab = unigram_from_histogram(HIST, vocab_size=24)
+    p = str(tmp_path / "vocab")
+    save_vocab(spark, vocab, p)
+    assert load_vocab(spark, p) == vocab
