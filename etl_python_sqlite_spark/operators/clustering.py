@@ -189,13 +189,14 @@ def kmeans_parallel_seeds(
     picked last — duplicate seeds then die by the dead-centroid rule,
     stated rather than patched, same as the Lloyd chain.
 
-    Cost: ONE bounded driver action before the single-action Lloyd
-    chain — candidates, their quantized vectors AND their weights come
-    back in a single ℓ-row collect (candidate ranking, the candidate
-    centroid frame and the corpus-wide weight assignment are all one
-    lazy plan; an earlier two-action form paid ~0.9 s of pure driver
-    scheduling for the same answer). O(k·dim) bytes collected,
-    corpus-independent. Returns ``[(cid, vid, qvec)]``.
+    Cost: TWO bounded driver actions before the single-action Lloyd
+    chain, each running its corpus pass exactly once — the ℓ-row
+    candidate checkpoint (one top-ℓ scan; the cut matters because the
+    candidate frame feeds two subtrees of the next plan, which would
+    otherwise each re-inline the scan) and one ℓ-row collect carrying
+    candidates, quantized vectors AND weights together (the corpus-wide
+    assignment pass). O(k·dim) bytes collected, corpus-independent.
+    Returns ``[(cid, vid, qvec)]``.
     """
     ell = max(k, oversample * k)
     cand = (
@@ -217,6 +218,12 @@ def kmeans_parallel_seeds(
             .cast("long")
             .alias("cid"),
         )
+        # cand feeds TWO subtrees of the collect plan (the weight
+        # pass's centroid frame and the final rows join) — without a
+        # cut each re-inlines the full corpus top-ℓ scan (code-review
+        # r9). ℓ rows: the checkpoint job is one cheap scan; blocks are
+        # freed deterministically below.
+        .localCheckpoint(eager=True)
     )
     cand_flat = cand.select(
         "cid", F.posexplode("qv").alias("d", "c")
@@ -239,6 +246,11 @@ def kmeans_parallel_seeds(
         .select("cid", "vid", "qv", F.coalesce("w", F.lit(0)).alias("w"))
         .collect()
     )
+    # free the ℓ-row checkpoint blocks deterministically (never leave a
+    # bare localCheckpoint to the async ContextCleaner — CLAUDE.md)
+    from etl_python_sqlite_spark.operators.cache import release, tie
+
+    release(tie(cand, cand))
     if not rows:
         return []
     by_cid = sorted(rows, key=lambda r: int(r["cid"]))

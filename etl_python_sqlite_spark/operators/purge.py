@@ -45,13 +45,23 @@ def purge_keys(
     keys: DataFrame,
     key_cols: list[str],
     partition_col: str,
+    verify_complete: bool = True,
 ) -> dict:
     """Delete every row of the dataset at ``path`` whose ``key_cols``
     match a row of ``keys``. The dataset must be directory-partitioned
     by ``partition_col``; ``keys`` must carry ``partition_col`` too
     (the compliance request always knows the subject's partition — by
     construction of the ingest layout, or from an index lookup the
-    caller does first). Returns the audit dict."""
+    caller does first). Returns the audit dict.
+
+    ``verify_complete`` (DEFAULT ON — a compliance delete that silently
+    misses rows is the worst failure mode): after the rewrite, scan the
+    COMPLEMENT partitions for any row matching the doomed keys and
+    raise if found (a stale index / late re-ingest put a subject's rows
+    in a partition the request didn't list). This is one extra pass
+    over the untouched data — callers at extreme scale who maintain a
+    trustworthy key→partition index can opt out, and then own that
+    guarantee themselves (the trade-off is explicit, never silent)."""
     path = str(path)
     key_cols = list(key_cols)
     # bounded collect: DISTINCT partition values of the doomed keys —
@@ -120,6 +130,21 @@ def purge_keys(
             )
             if fs.exists(d):
                 fs.delete(d, True)
+    if verify_complete:
+        stray = (
+            spark.read.parquet(path)
+            .filter(~F.col(partition_col).isin(parts))
+            .join(F.broadcast(doomed), key_cols, "left_semi")
+            .count()
+        )
+        if stray:
+            raise RuntimeError(
+                f"purge incomplete: {stray} row(s) matching the doomed "
+                "keys exist OUTSIDE the partitions the keys frame "
+                "listed — the key->partition mapping is stale; re-run "
+                "with the correct partitions (affected rows were NOT "
+                "touched by this job)"
+            )
     return {
         "partitions_rewritten": len(parts),
         "rows_deleted": sum(d for d, _ in per_part.values()),

@@ -60,25 +60,31 @@ def write_webdataset_shards(
 
     ``members`` maps member EXTENSION → source column (``bytes``
     columns land verbatim, strings UTF-8-encoded); ``key_col`` must be
-    unique per row. Shards are range-partitioned and sorted by key, so
-    shard i's contents are a deterministic function of the DATA —
-    reshuffling the cluster cannot reshuffle the curriculum (the same
-    rationale as :func:`write_training_shards`). Tar metadata is pinned
-    (mtime 0, uid/gid 0, mode 0644, USTAR) so a rewrite of identical
-    data is BYTE-identical — diffable shards.
+    unique per row. Shards are range-partitioned and sorted by key:
+    keys are globally ordered across shards, and a rewrite of the same
+    data READ THE SAME WAY is BYTE-identical (tar metadata pinned:
+    mtime 0, uid/gid 0, mode 0644, USTAR) — diffable shards. Caveat,
+    stated rather than overclaimed: ``repartitionByRange`` samples its
+    bounds per input partition, so a DIFFERENT upstream layout
+    (changed file splits / parallelism) can move boundary keys between
+    adjacent shards; exact layout-independence would need
+    rank-computed cuts (the operators/selection.py machinery).
 
     Two-phase commit on a non-transactional filesystem (the
     ``avro_py.write_avro_dataset`` pattern): each task streams its tar
-    to a ``.inprogress-<uuid>`` temp name and the DRIVER renames the
+    to a temp name carrying THIS JOB's id and the DRIVER renames the
     winning attempts into place — a lost speculative attempt leaves
-    only a temp file, which the commit sweep deletes. Per-row work is
-    plain streaming IO; nothing is ever collected.
+    only a temp file, which the commit sweep deletes. The sweep is
+    scoped to this job's id (avro_py's rule): a CONCURRENT writer's
+    in-progress temp files are never touched. Per-row work is plain
+    streaming IO; nothing is ever collected.
     """
     import tarfile
     import uuid
 
     out_dir = Path(path)
     out_dir.mkdir(parents=True, exist_ok=True)
+    job_id = uuid.uuid4().hex
     exts = sorted(members)
     cols = [key_col] + [members[e] for e in exts]
 
@@ -96,7 +102,8 @@ def write_webdataset_shards(
 
                 pid = TaskContext.get().partitionId()
                 tmp = str(
-                    out_dir / f".shard-{pid:05d}.inprogress-{uuid.uuid4().hex}"
+                    out_dir
+                    / f".shard-{pid:05d}.inprogress-{job_id}-{uuid.uuid4().hex}"
                 )
                 tf = tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT)
             key = str(row[0])
@@ -131,6 +138,7 @@ def write_webdataset_shards(
         winners[pid] = tmpname  # last winning attempt per partition
     for pid, tmpname in winners.items():
         os.replace(out_dir / tmpname, out_dir / f"shard-{pid:05d}.tar")
-    # sweep lost speculative attempts' temp files
-    for p in out_dir.glob(".shard-*.inprogress-*"):
+    # sweep THIS JOB's lost speculative attempts only — an unscoped
+    # glob would unlink a concurrent writer's in-progress files
+    for p in out_dir.glob(f".shard-*.inprogress-{job_id}-*"):
         p.unlink(missing_ok=True)

@@ -1685,8 +1685,11 @@ def ext_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = B.merges_from_histogram(
         _word_histogram_stage(spark, sf_dir, max_vocab=8192), 64
     )
-    counts = B.bpe_token_counts(docs, merges).persist()
-    counts.count()  # eager: consumed by two aggregates below
+    # counts has exactly ONE consumer (the totals aggregate —
+    # char_ceiling reads `docs`): no persist/eager-count (the r8
+    # single-consumer rule; the earlier comment claiming two consumers
+    # was wrong — code-review r9)
+    counts = B.bpe_token_counts(docs, merges)
     totals = counts.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_words"),
@@ -1711,7 +1714,7 @@ def ext_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bounds_ok"),
         (F.col("_tok") < F.col("_ceil")).alias("compression_ok"),
     )
-    return tie(out, counts)
+    return out
 
 
 def ext_embedding_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2495,12 +2498,14 @@ def _word_histogram_stage(
     fp = data_fingerprint(spark, sf_dir, "documents")
     key = (spark.sparkContext.applicationId, sf_dir, fp, max_vocab)
     with _WORDHIST_LOCK:
-        hit = _WORDHIST_MEMO.get(key)
-        if hit is None:
-            hit = word_histogram(_docs(spark, sf_dir), max_vocab=max_vocab)
-            while len(_WORDHIST_MEMO) >= 2:
-                _WORDHIST_MEMO.pop(next(iter(_WORDHIST_MEMO)))
-            _WORDHIST_MEMO[key] = hit
+        hit = _WORDHIST_MEMO.pop(key, None)
+        if hit is not None:
+            _WORDHIST_MEMO[key] = hit  # LRU refresh (dict = insert order)
+            return hit
+        hit = word_histogram(_docs(spark, sf_dir), max_vocab=max_vocab)
+        while len(_WORDHIST_MEMO) >= 2:
+            _WORDHIST_MEMO.pop(next(iter(_WORDHIST_MEMO)))
+        _WORDHIST_MEMO[key] = hit
         return hit
 
 
@@ -2539,8 +2544,11 @@ def ext_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_singles = sum(1 for p, _ in vocab if len(p) == 1)
     n_multi = len(vocab) - n_singles
-    counts = unigram_token_counts(docs, vocab).persist()
-    counts.count()  # eager: consumed by two aggregates below
+    # counts has exactly ONE consumer (the totals aggregate —
+    # char_ceiling reads `docs`), so no persist/eager-count (the r8
+    # single-consumer rule; a spare count() is one driver job of pure
+    # overhead — code-review r9)
+    counts = unigram_token_counts(docs, vocab)
     totals = counts.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_words"),
@@ -2570,7 +2578,7 @@ def ext_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compression_ok"
         ),
     )
-    return tie(out, counts)
+    return out
 
 
 def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2638,11 +2646,16 @@ def ext_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the pair-overlap plan consumes the sketch frame ~5× (group stats,
     # both intersection sides, both union sides) with no exchange reuse
-    # between them (measured: 12 FileScans un-persisted) — persist so
-    # the distinct+window pass runs ONCE; consumers are sequential
-    # sub-jobs of the one action, so no eager count (r8 invariant), and
-    # tie() releases the cache when the result is dropped
-    sk = kmv_sketches(wrows, "source", "w", k=256).persist()
+    # between them (measured: 12 FileScans un-persisted) — and those
+    # consumers are CONCURRENT AQE stage materializations with no data
+    # dependency on each other, exactly the lazy-cache recompute race
+    # CLAUDE.md pins (the r8 sequential-consumer relaxation does NOT
+    # apply — code-review r9). Eager localCheckpoint: the distinct +
+    # window sketch pass runs ONCE, downstream plans scan the
+    # materialized RDD, tie() frees the blocks on result drop.
+    sk = kmv_sketches(wrows, "source", "w", k=256).localCheckpoint(
+        eager=True
+    )
     out = kmv_pair_overlap(sk, "source", k=256).orderBy(
         "group_a", "group_b"
     )

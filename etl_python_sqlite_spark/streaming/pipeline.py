@@ -553,28 +553,68 @@ def inject_outer_join_heartbeats(
             ).parquet(path)
 
 
+def _vstore_versions(spark: SparkSession, state_path: str):
+    """(fs, sorted [(version, hadoop Path)]) of a batch_id-versioned
+    state store — THE shared primitive of every versioned-state
+    maintainer/reader in this module (rollup, k-means, NB; they carried
+    three verbatim copies until code-review r9). Scheme-aware listing
+    via the FileSystem API (never Path.glob — the compact_files
+    lesson); a missing root is ([], not an error) but any OTHER store
+    failure PROPAGATES — "no state yet" must stay distinguishable from
+    "state read failed" (the r4/r5 hazard class)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return fs, []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            out.append((int(name[2:]), st.getPath()))
+    out.sort()
+    return fs, out
+
+
+def _vstore_latest(
+    spark: SparkSession, state_path: str, below: int | None = None
+):
+    """Newest version (optionally strictly below ``below`` — the
+    replay-safe predecessor lookup), or None."""
+    _, versions = _vstore_versions(spark, state_path)
+    cands = [v for v, _ in versions if below is None or v < below]
+    return max(cands) if cands else None
+
+
+def _vstore_prune(spark: SparkSession, state_path: str, retain: int) -> None:
+    """Delete all but the newest ``retain`` versions."""
+    fs, versions = _vstore_versions(spark, state_path)
+    for _, p in versions[:-retain]:
+        fs.delete(p, True)
+
+
+def _vstore_read_latest(
+    spark: SparkSession, state_path: str
+) -> DataFrame | None:
+    """Newest version's rows, or None before the first commit; read
+    errors past the existence probe PROPAGATE."""
+    best = _vstore_latest(spark, state_path)
+    if best is None:
+        return None
+    return spark.read.parquet(f"{state_path}/v={best}")
+
+
 def read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     """Current state of a ``maintain_rollup_stream`` materialized view:
     the highest-version partition. Returns None before the first commit.
 
     "No state yet" is probed via the FileSystem API, exactly like
-    ``_latest_version`` inside the maintenance loop — a transient store
+    ``_vstore_latest`` inside the maintenance loop — a transient store
     error or corrupt parquet footer PROPAGATES to the caller instead of
     silently reading as "view empty" (VERDICT r5 "What's wrong #2"):
     a consumer acting on a falsely-empty view is a correctness bug.
     """
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(state_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return None
-    best = None
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("v="):
-            v = int(name[2:])
-            if best is None or v > best:
-                best = v
+    best = _vstore_latest(spark, state_path)
     if best is None:
         return None
     # read errors from here on are REAL failures — let them propagate
@@ -626,51 +666,16 @@ def maintain_rollup_stream(
         merge_agg_states,
     )
 
-    def _prune_versions(spark: SparkSession) -> None:
-        # scheme-aware listing/deletion via the Hadoop FileSystem API —
-        # a local-only Path.glob would silently never prune on s3a://
-        # or hdfs:// (the compact_files lesson, ADVICE r3)
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(state_path)
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(root):
-            return
-        versions = []
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("v="):
-                versions.append((int(name[2:]), st.getPath()))
-        versions.sort()
-        for _, p in versions[:-retain_versions]:
-            fs.delete(p, True)
-
-    def _latest_version(spark: SparkSession, below: int):
-        # Existence is probed through the FileSystem API so "no state
-        # yet" is DISTINGUISHED from "state read failed": a transient
-        # object-store error or corrupt footer must propagate (the
-        # micro-batch retries against intact state), never be swallowed
-        # into a silent view reset that drops all accumulated history
-        # from every later merge (ADVICE r4).
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(state_path)
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(root):
-            return None
-        best = None
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("v="):
-                v = int(name[2:])
-                if v < below and (best is None or v > best):
-                    best = v
-        return best
-
+    # version-store primitives shared with the k-means/NB maintainers:
+    # _vstore_latest distinguishes "no state yet" from "state read
+    # failed" (ADVICE r4), _vstore_prune lists/deletes via the Hadoop
+    # FileSystem API (the compact_files lesson, ADVICE r3)
     def _handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
         delta = build_agg_state(batch, keys, value_col)
-        prev_v = _latest_version(spark, batch_id)
+        prev_v = _vstore_latest(spark, state_path, below=batch_id)
         if prev_v is not None:
             # read errors here are REAL failures — let them propagate
             prev = spark.read.parquet(f"{state_path}/v={prev_v}")
@@ -687,7 +692,7 @@ def maintain_rollup_stream(
         # prune versions older than the retained window (replay of the
         # CURRENT run can only need the immediate predecessor; keep a
         # margin for a previous run's trailing replays)
-        _prune_versions(spark)
+        _vstore_prune(spark, state_path, retain_versions)
 
     return stream.writeStream.foreachBatch(_handle)
 
@@ -899,21 +904,7 @@ def read_kmeans_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     ``v=`` partition, rows (cid, d, sum_q DECIMAL(38,0), n BIGINT).
     Returns None before the first commit; read errors PROPAGATE (the
     read_rollup_state contract — "no state" ≠ "state read failed")."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(state_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return None
-    best = None
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("v="):
-            v = int(name[2:])
-            if best is None or v > best:
-                best = v
-    if best is None:
-        return None
-    return spark.read.parquet(f"{state_path}/v={best}")
+    return _vstore_read_latest(spark, state_path)
 
 
 def kmeans_state_centroids(state: DataFrame) -> DataFrame:
@@ -982,43 +973,13 @@ def maintain_kmeans_stream(
         seed_rank_frame,
     )
 
-    def _prune_versions(spark: SparkSession) -> None:
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(state_path)
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(root):
-            return
-        versions = []
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("v="):
-                versions.append((int(name[2:]), st.getPath()))
-        versions.sort()
-        for _, p in versions[:-retain_versions]:
-            fs.delete(p, True)
-
-    def _latest_version(spark: SparkSession, below: int):
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(state_path)
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(root):
-            return None
-        best = None
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("v="):
-                v = int(name[2:])
-                if v < below and (best is None or v > best):
-                    best = v
-        return best
-
     def _handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
         flat = flatten_quantized(batch, vec_col, id_col).persist()
         try:
-            prev_v = _latest_version(spark, batch_id)
+            prev_v = _vstore_latest(spark, state_path, below=batch_id)
             prev = None
             if prev_v is not None:
                 # read errors are REAL failures — propagate, retry
@@ -1061,7 +1022,7 @@ def maintain_kmeans_stream(
                 .partitionBy("v")
                 .parquet(state_path)
             )
-            _prune_versions(spark)
+            _vstore_prune(spark, state_path, retain_versions)
         finally:
             flat.unpersist()
 
@@ -1111,37 +1072,6 @@ def maintain_nb_stream(
             f"predecessor version, which {retain_versions} would prune"
         )
 
-    def _fs(spark: SparkSession):
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(state_path)
-        return root, root.getFileSystem(spark._jsc.hadoopConfiguration())
-
-    def _latest_version(spark: SparkSession, below: int):
-        root, fs = _fs(spark)
-        if not fs.exists(root):
-            return None
-        best = None
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("v="):
-                v = int(name[2:])
-                if v < below and (best is None or v > best):
-                    best = v
-        return best
-
-    def _prune_versions(spark: SparkSession) -> None:
-        root, fs = _fs(spark)
-        if not fs.exists(root):
-            return
-        versions = []
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("v="):
-                versions.append((int(name[2:]), st.getPath()))
-        versions.sort()
-        for _, p in versions[:-retain_versions]:
-            fs.delete(p, True)
-
     def _handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -1168,7 +1098,7 @@ def maintain_nb_stream(
                 .alias("cn"),
             )
         )
-        prev_v = _latest_version(spark, batch_id)
+        prev_v = _vstore_latest(spark, state_path, below=batch_id)
         if prev_v is not None:
             # read errors here are REAL failures — let them propagate
             prev = spark.read.parquet(f"{state_path}/v={prev_v}").select(
@@ -1191,7 +1121,7 @@ def maintain_nb_stream(
             .partitionBy("v")
             .parquet(state_path)
         )
-        _prune_versions(spark)
+        _vstore_prune(spark, state_path, retain_versions)
 
     return stream.writeStream.foreachBatch(_handle)
 
@@ -1200,21 +1130,7 @@ def read_nb_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     """Current (bucket, cp, cn) table of a ``maintain_nb_stream`` run:
     the highest ``v=`` partition. None before the first commit; read
     errors PROPAGATE (the read_rollup_state contract)."""
-    jvm = spark._jvm
-    root = jvm.org.apache.hadoop.fs.Path(state_path)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(root):
-        return None
-    best = None
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("v="):
-            v = int(name[2:])
-            if best is None or v > best:
-                best = v
-    if best is None:
-        return None
-    return spark.read.parquet(f"{state_path}/v={best}")
+    return _vstore_read_latest(spark, state_path)
 
 
 def nb_state_weights(state: DataFrame, n_buckets: int = 1024) -> DataFrame:

@@ -109,3 +109,22 @@ def test_purge_is_idempotent(spark, tmp_path):
     a2 = purge_keys(spark, path, keys, ["user_id"], "part")
     assert (a2["rows_deleted"], a2["rows_kept"]) == (0, 6)
     assert spark.read.parquet(path).count() == 33
+
+
+def test_verify_catches_stale_partition_mapping(spark, tmp_path):
+    """A subject with rows in a partition the keys frame did NOT list
+    must fail loudly (default verify_complete=True) — a compliance
+    delete that silently misses rows is the worst failure mode."""
+    import pytest
+
+    path = str(tmp_path / "ds5")
+    _write(spark, path)
+    # user 1 lives in part=1; claim (wrongly) they are only in part=0
+    keys = spark.createDataFrame([(1, 0)], "user_id long, part int")
+    with pytest.raises(RuntimeError, match="purge incomplete"):
+        purge_keys(spark, path, keys, ["user_id"], "part")
+    # opting out skips the complement scan and trusts the caller
+    audit = purge_keys(
+        spark, path, keys, ["user_id"], "part", verify_complete=False
+    )
+    assert audit["rows_deleted"] == 0  # nothing matched inside part=0
