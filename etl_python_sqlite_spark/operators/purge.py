@@ -146,7 +146,10 @@ def purge_keys(
                 "touched by this job)"
             )
     return {
-        "partitions_rewritten": len(parts),
+        # partitions that actually held rows and were rewritten (or
+        # removed) — a listed-but-nonexistent partition value is not
+        # counted as work done
+        "partitions_rewritten": len(per_part),
         "rows_deleted": sum(d for d, _ in per_part.values()),
         "rows_kept": sum(k for _, k in per_part.values()),
     }

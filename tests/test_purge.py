@@ -128,3 +128,17 @@ def test_verify_catches_stale_partition_mapping(spark, tmp_path):
         spark, path, keys, ["user_id"], "part", verify_complete=False
     )
     assert audit["rows_deleted"] == 0  # nothing matched inside part=0
+
+
+def test_nonexistent_partition_value_not_counted_as_work(spark, tmp_path):
+    path = str(tmp_path / "ds6")
+    _write(spark, path)
+    # part=99 does not exist; part=1 does and holds user 1
+    keys = spark.createDataFrame(
+        [(1, 1), (777, 99)], "user_id long, part int"
+    )
+    audit = purge_keys(
+        spark, path, keys, ["user_id"], "part", verify_complete=False
+    )
+    assert audit["partitions_rewritten"] == 1  # only part=1 held rows
+    assert audit["rows_deleted"] == 3
