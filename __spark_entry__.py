@@ -183,74 +183,16 @@ def _langid_char_sql(text: str = "text") -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ORDERING CONTRACT: the driver records at most 50 CORRECTNESS rows,
-    # taken from the head of this dict. Round-9 rotation: the 5 keys
-    # that slipped out of the r8 window (last attested ROUND 5, three
-    # corpus regenerations ago — r8 VERDICT item 1) lead, then the 4
-    # queries NEW in r9, then the 50-key block last attested ROUND 6,
-    # of which the first 41 fit the 50-row window; the last 9 of that
-    # block (ext_simhash_near_dups through nation_market_share — see
-    # the marker comment inside the block) slip to r10 and must lead
-    # its rotation. The r7- and r8-attested blocks close the dict in
-    # recency order.
+    # taken from the head of this dict. Round-10 rotation: the 9 keys
+    # that slipped out of the r9 window (last attested ROUND 6, three
+    # corpus regenerations ago -- r9 VERDICT item 1) lead, then the 3
+    # queries NEW in r10, then the 50-key block last attested ROUND 7,
+    # of which the first 38 fit the 50-row window; the last 12 of that
+    # block (scd2_event_intervals through ext_ann_knn_join -- see the marker
+    # comment inside the block) slip to r11 and must lead its rotation.
+    # The r8- and r9-attested blocks close the dict in recency order.
     return {
-        # -- slipped from the r8 window (last attested r5) — lead --
-        "asof_purchase_click": R.asof_purchase_click,
-        "range_join_errors": R.range_join_errors,
-        "ext_pii_scan": E.ext_pii_scan,
-        "ext_stratified_split": E.ext_stratified_split,
-        "multires_rollup": R.multires_rollup,
-        # -- NEW in round 9 (never driver-attested) --
-        "ext_kmeans_par_seeded": E.ext_kmeans_par_seeded,
-        "ext_unigram_tokenizer": E.ext_unigram_tokenizer,
-        "ext_quality_classifier": E.ext_quality_classifier,
-        "ext_kmv_source_overlap": E.ext_kmv_source_overlap,
-        # -- last attested ROUND 6 (50 keys; the tail past the
-        # 50-row window slips to r10 and must lead its rotation) --
-        "scd2_rebuild_late_events": R.scd2_rebuild_late_events,
-        "ext_unicode_normalize": E.ext_unicode_normalize,
-        "ext_curation_funnel": E.ext_curation_funnel,
-        "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,
-        "ext_dedup_clusters": E.ext_dedup_clusters,
-        "ext_minhash_dedup_clusters": E.ext_minhash_dedup_clusters,
-        "ext_repetition_filter": E.ext_repetition_filter,
-        "ext_contamination_scan": E.ext_contamination_scan,
-        "ext_tfidf_top_terms": E.ext_tfidf_top_terms,
-        "supplier_profit_by_nation": R.supplier_profit_by_nation,
-        "window_moving_avg": R.window_moving_avg,
-        "lag_gap_analysis": R.lag_gap_analysis,
-        "string_agg_nations": R.string_agg_nations,
-        "grouping_sets_status_year": R.grouping_sets_status_year,
-        "ext_seq_packing": E.ext_seq_packing,
-        "ext_domain_mixture": E.ext_domain_mixture,
-        "ext_word_df_histogram": E.ext_word_df_histogram,
-        "ext_incremental_dedup": E.ext_incremental_dedup,
-        "ext_quality_sample": E.ext_quality_sample,
-        "range_interval_window": R.range_interval_window,
-        "unpivot_nation_metrics": R.unpivot_nation_metrics,
-        "ntile_value_quartiles": R.ntile_value_quartiles,
-        "ship_delay_histogram": R.ship_delay_histogram,
-        "orders_above_customer_avg": R.orders_above_customer_avg,
-        "ext_pii_redact": E.ext_pii_redact,
-        "numeric_profile": R.numeric_profile,
-        "dq_referential_audit": R.dq_referential_audit,
-        "shipping_priority_topn": R.shipping_priority_topn,
-        "local_supplier_volume": R.local_supplier_volume,
-        "returned_items_by_customer": R.returned_items_by_customer,
-        "rank_tie_semantics": R.rank_tie_semantics,
-        "ext_word_rarity_score": E.ext_word_rarity_score,
-        "ext_label_centroid_quality": E.ext_label_centroid_quality,
-        "set_intersect_users": R.set_intersect_users,
-        "window_value_zoo": R.window_value_zoo,
-        "event_funnel_conversion": R.event_funnel_conversion,
-        "cohort_weekly_retention": R.cohort_weekly_retention,
-        "skew_salted_join": R.skew_salted_join,
-        "recursive_month_spine": R.recursive_month_spine,
-        "ext_minhash_near_dups": E.ext_minhash_near_dups,
-        "ext_simhash_fingerprints": E.ext_simhash_fingerprints,
-        # -- r9 window boundary: the 9 keys from here to
-        # nation_market_share are positions 51-59 — they slip out of
-        # the 50-row r9 window (last attested r6) and MUST lead the
-        # r10 rotation --
+        # -- slipped from the r9 window (last attested r6) -- lead --
         "ext_simhash_near_dups": E.ext_simhash_near_dups,
         "ext_winnowing_pairs": E.ext_winnowing_pairs,
         "ext_ann_topk_lsh": E.ext_ann_topk_lsh,
@@ -260,7 +202,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_kll_quantiles": E.ext_kll_quantiles,
         "promo_revenue_ratio": R.promo_revenue_ratio,
         "nation_market_share": R.nation_market_share,
-        # -- attested r7 --
+        # -- NEW in round 10 (never driver-attested) --
+        "ext_image_near_dups": E.ext_image_near_dups,
+        "ext_trigram_lm_score": E.ext_trigram_lm_score,
+        "ext_semantic_contamination": E.ext_semantic_contamination,
+        # -- last attested ROUND 7 (50 keys; the tail past the
+        # 50-row window slips to r11 and must lead its rotation) --
         "ext_repeated_substring_mine": E.ext_repeated_substring_mine,
         "ext_repeated_span_cut": E.ext_repeated_span_cut,
         "large_volume_customers": R.large_volume_customers,
@@ -299,6 +246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_bigram_lm_score": E.ext_bigram_lm_score,
         "ext_dsir_importance": E.ext_dsir_importance,
         "ext_leakage_free_split": E.ext_leakage_free_split,
+        # -- r10 window boundary: the 12 keys from here to
+        # ext_ann_knn_join are positions 51-62 -- they slip out of
+        # the 50-row r10 window (last attested r7) and MUST lead
+        # the r11 rotation --
         "scd2_event_intervals": R.scd2_event_intervals,
         "incremental_rollup_merge": R.incremental_rollup_merge,
         "part_basket_pairs": R.part_basket_pairs,
@@ -311,8 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_cooccurrence_pagerank": R.part_cooccurrence_pagerank,
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,
-        # -- attested r8 (4 r8-new + ext_multimodal_decode + the
-        # first 45 of the old r5 block) — most recent, tail --
+        # -- attested r8 --
         "ext_kmeans_clusters": E.ext_kmeans_clusters,
         "ewma_revenue_smoothing": R.ewma_revenue_smoothing,
         "ext_containment_join": E.ext_containment_join,
@@ -363,6 +313,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_quality_scores": E.ext_quality_scores,
         "ext_token_count_by_source": E.ext_token_count_by_source,
         "skew_salted_agg": R.skew_salted_agg,
+        # -- attested r9 (most recent, tail) --
+        "asof_purchase_click": R.asof_purchase_click,
+        "range_join_errors": R.range_join_errors,
+        "ext_pii_scan": E.ext_pii_scan,
+        "ext_stratified_split": E.ext_stratified_split,
+        "multires_rollup": R.multires_rollup,
+        "ext_kmeans_par_seeded": E.ext_kmeans_par_seeded,
+        "ext_unigram_tokenizer": E.ext_unigram_tokenizer,
+        "ext_quality_classifier": E.ext_quality_classifier,
+        "ext_kmv_source_overlap": E.ext_kmv_source_overlap,
+        "scd2_rebuild_late_events": R.scd2_rebuild_late_events,
+        "ext_unicode_normalize": E.ext_unicode_normalize,
+        "ext_curation_funnel": E.ext_curation_funnel,
+        "ext_sketch_distinct_rollup": E.ext_sketch_distinct_rollup,
+        "ext_dedup_clusters": E.ext_dedup_clusters,
+        "ext_minhash_dedup_clusters": E.ext_minhash_dedup_clusters,
+        "ext_repetition_filter": E.ext_repetition_filter,
+        "ext_contamination_scan": E.ext_contamination_scan,
+        "ext_tfidf_top_terms": E.ext_tfidf_top_terms,
+        "supplier_profit_by_nation": R.supplier_profit_by_nation,
+        "window_moving_avg": R.window_moving_avg,
+        "lag_gap_analysis": R.lag_gap_analysis,
+        "string_agg_nations": R.string_agg_nations,
+        "grouping_sets_status_year": R.grouping_sets_status_year,
+        "ext_seq_packing": E.ext_seq_packing,
+        "ext_domain_mixture": E.ext_domain_mixture,
+        "ext_word_df_histogram": E.ext_word_df_histogram,
+        "ext_incremental_dedup": E.ext_incremental_dedup,
+        "ext_quality_sample": E.ext_quality_sample,
+        "range_interval_window": R.range_interval_window,
+        "unpivot_nation_metrics": R.unpivot_nation_metrics,
+        "ntile_value_quartiles": R.ntile_value_quartiles,
+        "ship_delay_histogram": R.ship_delay_histogram,
+        "orders_above_customer_avg": R.orders_above_customer_avg,
+        "ext_pii_redact": E.ext_pii_redact,
+        "numeric_profile": R.numeric_profile,
+        "dq_referential_audit": R.dq_referential_audit,
+        "shipping_priority_topn": R.shipping_priority_topn,
+        "local_supplier_volume": R.local_supplier_volume,
+        "returned_items_by_customer": R.returned_items_by_customer,
+        "rank_tie_semantics": R.rank_tie_semantics,
+        "ext_word_rarity_score": E.ext_word_rarity_score,
+        "ext_label_centroid_quality": E.ext_label_centroid_quality,
+        "set_intersect_users": R.set_intersect_users,
+        "window_value_zoo": R.window_value_zoo,
+        "event_funnel_conversion": R.event_funnel_conversion,
+        "cohort_weekly_retention": R.cohort_weekly_retention,
+        "skew_salted_join": R.skew_salted_join,
+        "recursive_month_spine": R.recursive_month_spine,
+        "ext_minhash_near_dups": E.ext_minhash_near_dups,
+        "ext_simhash_fingerprints": E.ext_simhash_fingerprints,
     }
 
 
@@ -605,6 +606,164 @@ def oracle_sql() -> dict[str, str]:
         f"({s}, {a}, {b})" for s, a, b in universal_salt_constants(4)
     )
     return {
+        # -- round-10 additions -----------------------------------------
+        # image near-dups: the twin replays the ENTIRE pipeline from
+        # md5(doc_id:block) payload bytes -- grayscale sums, 2x2 grid
+        # cells, 60 dHash bits, 4x15-bit band keys, candidate join,
+        # XOR-popcount verify -- so a value-hash match also proves the
+        # PNG/BMP/PPM encode->decode round trips are bit-faithful.
+        "ext_image_near_dups": """
+            WITH imgs AS (
+                SELECT doc_id AS mid, doc_id AS src, FALSE AS noisy
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000000, doc_id, (doc_id % 14 = 7)
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            byt AS (
+                SELECT mid, t, noisy,
+                       CAST('0x' || substr(
+                           md5(src::VARCHAR || ':' || (t // 16)::VARCHAR),
+                           (t % 16) * 2 + 1, 2) AS BIGINT) AS v0
+                FROM imgs, generate_series(0, 863) g(t)
+            ),
+            pix AS (
+                SELECT mid, t,
+                       CASE WHEN noisy AND t = 5 THEN (v0 + 128) % 256
+                            WHEN noisy AND t = 200 THEN (v0 + 64) % 256
+                            WHEN noisy AND t = 431 THEN (v0 + 200) % 256
+                            ELSE v0 END AS v
+                FROM byt
+            ),
+            cells AS (
+                SELECT mid, ((t // 3) // 18) // 2 AS i,
+                       ((t // 3) % 18) // 2 AS j,
+                       CAST(SUM(v) AS BIGINT) AS s
+                FROM pix GROUP BY 1, 2, 3
+            ),
+            bits AS (
+                SELECT l.mid, (l.i * 8 + l.j) AS k,
+                       CASE WHEN l.s > r.s THEN 1::BIGINT
+                            ELSE 0::BIGINT END AS bit
+                FROM cells l JOIN cells r
+                  ON l.mid = r.mid AND l.i = r.i AND r.j = l.j + 1
+                WHERE l.j < 8
+            ),
+            hashes AS (
+                SELECT mid,
+                       CAST(SUM(CASE WHEN k < 60 THEN bit << k
+                                     ELSE 0 END) AS BIGINT) AS h
+                FROM bits GROUP BY mid
+            ),
+            banded AS (
+                SELECT mid, bn, (h >> (15 * bn)) & 32767 AS band_key
+                FROM hashes, generate_series(0, 3) g(bn)
+            ),
+            cand AS (
+                SELECT DISTINCT a.mid AS id_a, b.mid AS id_b
+                FROM banded a JOIN banded b
+                  ON a.bn = b.bn AND a.band_key = b.band_key
+                 AND a.mid < b.mid
+            ),
+            pairs AS (
+                SELECT id_a, id_b,
+                       CAST(bit_count(xor(ha.h, hb.h)) AS INT) AS hamming
+                FROM cand
+                JOIN hashes ha ON ha.mid = cand.id_a
+                JOIN hashes hb ON hb.mid = cand.id_b
+            )
+            SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+            ORDER BY id_a, id_b
+        """,
+        "ext_trigram_lm_score": """
+            WITH wt AS (
+                SELECT doc_id,
+                       string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS w
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM wt
+            ),
+            tg AS (
+                SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+                FROM pos
+            ),
+            ct AS (
+                SELECT w1, w2, w3, COUNT(*) AS cnt3 FROM tg
+                GROUP BY w1, w2, w3
+            ),
+            cc AS (
+                SELECT w1, w2, CAST(SUM(cnt3) AS BIGINT) AS cnt12 FROM ct
+                GROUP BY w1, w2
+            ),
+            vocab AS (
+                SELECT COUNT(DISTINCT w3) AS v FROM ct
+            ),
+            scored AS (
+                SELECT t.doc_id,
+                       (1000000 * (ct.cnt3 + 1)) // (cc.cnt12 + vocab.v)
+                           AS p_micro
+                FROM tg t
+                JOIN ct ON t.w1 = ct.w1 AND t.w2 = ct.w2 AND t.w3 = ct.w3
+                JOIN cc ON t.w1 = cc.w1 AND t.w2 = cc.w2
+                CROSS JOIN vocab
+            ),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n_trigrams,
+                       CAST(SUM(p_micro) AS BIGINT) AS sum_p_micro
+                FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, n_trigrams, sum_p_micro,
+                   ((2 * sum_p_micro + n_trigrams) // (2 * n_trigrams))
+                       / 1000000.0 AS mean_p
+            FROM agg
+            ORDER BY doc_id
+        """,
+        # semantic contamination: counts + the cross-side fold-cosine
+        # sample are SQL-exact; the booleans replay deterministic
+        # arithmetic (cosine scale-invariance) or pin Spark against its
+        # own exact ground truth -- see the query docstring.
+        "ext_semantic_contamination": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            bench AS (SELECT * FROM e WHERE vec_id % 40 = 7),
+            nat AS (SELECT * FROM e WHERE vec_id % 40 <> 7),
+            planted AS (
+                SELECT vec_id FROM bench
+                WHERE vec_id % 80 = 7
+                  AND list_reduce(list_transform(v, x -> abs(x)),
+                                  (a, b) -> a + b) <> 0
+            ),
+            sp AS (
+                SELECT a.vec_id AS corpus_id, b.vec_id AS bench_id,
+                       ROUND(
+                           list_reduce(list_transform(range(1, len(a.v)+1),
+                                                      i -> a.v[i] * b.v[i]),
+                                       (x, y) -> x + y)
+                           / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1),
+                                                              i -> a.v[i] * a.v[i]),
+                                               (x, y) -> x + y))
+                              * sqrt(list_reduce(list_transform(range(1, len(b.v)+1),
+                                                                i -> b.v[i] * b.v[i]),
+                                                 (x, y) -> x + y))), 6) AS c
+                FROM nat a JOIN bench b
+                  ON a.vec_id < 150 AND b.vec_id < 150
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bench)
+                       AS n_benchmark,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM nat)
+                       + (SELECT CAST(COUNT(*) AS BIGINT) FROM planted)
+                       AS n_corpus,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM planted)
+                       AS n_planted,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM sp WHERE c >= 0.9)
+                       AS n_sample_pairs,
+                   true AS planted_recovered_ok,
+                   true AS containment_ok,
+                   true AS cocluster_exhaustive_ok
+        """,
         # -- round-8 additions ------------------------------------------
         # k-means: the twin replays the full Lloyd loop (see _kmeans_sql)
         # — any divergence in seeding, assignment, tie break or centroid

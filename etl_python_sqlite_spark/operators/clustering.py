@@ -251,8 +251,17 @@ def kmeans_parallel_seeds(
     from etl_python_sqlite_spark.operators.cache import release, tie
 
     release(tie(cand, cand))
-    if not rows:
-        return []
+    if len(rows) < k:
+        # PRECONDITION (raise, don't degrade): the SQL/CPython replays
+        # unroll exactly k greedy picks — a corpus with fewer than k
+        # vectors would make them select from empty sets and silently
+        # diverge from a min(k, n)-seed Spark run (ADVICE r9). Real
+        # callers clustering < k points don't need k-means at all.
+        raise ValueError(
+            f"kmeans_parallel_seeds: corpus has only {len(rows)} "
+            f"vectors but k={k}; the seeding (and its exact replays) "
+            "require at least k vectors"
+        )
     by_cid = sorted(rows, key=lambda r: int(r["cid"]))
     cands = [(int(r["vid"]), [int(q) for q in r["qv"]]) for r in by_cid]
     weights = [int(r["w"]) for r in by_cid]

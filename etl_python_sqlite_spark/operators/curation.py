@@ -146,6 +146,90 @@ def bigram_lm_score(
     return tie(out, bg)
 
 
+def doc_trigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, w1, w2, w3) — one row per ADJACENT word triple, multiset
+    semantics; the same zero-exchange in-row pairing as
+    :func:`doc_bigrams`, zipping the word array with its 1- and
+    2-shifted tails (arrays_zip NULL-pads, the filter drops the two
+    ragged tail rows; <3-word docs yield no rows)."""
+    ws = words(F.lower(F.col(text_col)))
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    ws.alias("w1"),
+                    F.slice(ws, 2, F.size(ws)).alias("w2"),
+                    F.slice(ws, 3, F.size(ws)).alias("w3"),
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p.w3").isNotNull())
+        .select(
+            id_col,
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+            F.col("p.w3").alias("w3"),
+        )
+    )
+
+
+def trigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_trigrams, sum_p_micro, mean_p) — the higher-order sibling
+    of :func:`bigram_lm_score` (VERDICT r9 missing #2: real CCNet
+    filters on 5-gram KenLM perplexity; each added order sharpens the
+    quality axis on template corpora where all BIGRAM transitions are
+    corpus-frequent but longer contexts separate boilerplate from
+    fluent text).
+
+        P(w3|w1,w2) = (c(w1,w2,w3) + 1) / (c(w1,w2,·) + V),
+        V = |distinct w3|
+
+    Identical exactness discipline: ``p_micro = (10^6·(c3+1)) div
+    (c12+V)``, mean by the ``_avg_expr`` integer-rounding law — no
+    floats until display. Plan shape is the bigram scorer's with one
+    more join column: ONE trigram explode (persisted — count tables +
+    scoring join are multiple consumers), context counts ROLLED UP from
+    the trigram counts (never a second corpus pass), the data-sized
+    (w1,w2,w3) count joined back on its uniform key, the
+    vocabulary-bounded context table and the 1-row V scalar broadcast."""
+    from etl_python_sqlite_spark.operators.cache import tie
+    from etl_python_sqlite_spark.plans.relational import _avg_expr
+
+    tg = doc_trigrams(df, text_col, id_col).persist()
+    tg.count()
+    c3 = tg.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    c12 = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c12"))
+    vocab = c3.agg(F.countDistinct("w3").alias("v"))
+    scored = (
+        tg.join(c3, ["w1", "w2", "w3"])
+        .join(c12, ["w1", "w2"])
+        .join(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.expr("(1000000 * (c3 + 1)) div (c12 + v)").alias("p_micro"),
+        )
+    )
+    out = (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum("p_micro").cast("long").alias("sum_p_micro"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            "sum_p_micro",
+            _avg_expr("sum_p_micro", "n_trigrams", 6, 6).alias("mean_p"),
+        )
+    )
+    return tie(out, tg)
+
+
 def bucketed_bigram_counts(
     df: DataFrame,
     n_buckets: int = 1024,

@@ -38,6 +38,8 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .cache import _release_frame
+
 
 def purge_keys(
     spark: SparkSession,
@@ -79,11 +81,18 @@ def purge_keys(
         F.col(partition_col).isin(parts)  # partition-pruned scan
     )
     doomed = keys.select(*key_cols).distinct()
+    # localCheckpoint, NOT persist: the survivors are written over the
+    # SAME path they were read from. A plain cache keeps lineage to the
+    # source files live — if cached blocks are lost mid-write (executor
+    # loss / eviction at cluster scale) Spark would recompute from the
+    # parquet being overwritten: silent corruption in a compliance
+    # delete. The eager checkpoint severs that lineage before the first
+    # byte of the rewrite; blocks are released explicitly below.
     flagged = affected.join(
         F.broadcast(doomed.withColumn("_doomed", F.lit(1))),
         key_cols,
         "left",
-    ).persist()
+    ).localCheckpoint(eager=True)
     # ONE pass for the PER-PARTITION audit counts (bounded: |parts|
     # rows collected); the cache then feeds the rewrite. Per-partition,
     # not global, because a FULLY-purged partition is a correctness
@@ -111,16 +120,16 @@ def purge_keys(
         .partitionBy(partition_col)
         .parquet(path)
     )
-    flagged.unpersist()
+    _release_frame(flagged)  # checkpoint blocks: free now, not on GC
     # emptied partitions: scheme-aware directory delete via the Hadoop
     # FileSystem API (never Path.glob — the compact_files lesson)
     emptied = [
         p for p, (_, kept) in per_part.items() if kept == 0
     ]
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if emptied:
-        jvm = spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(path)
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
         for p in emptied:
             # simple scalar partition values only (str/int — the ingest
             # layout's contract); exotic values need the caller to
@@ -131,12 +140,28 @@ def purge_keys(
             if fs.exists(d):
                 fs.delete(d, True)
     if verify_complete:
-        stray = (
-            spark.read.parquet(path)
-            .filter(~F.col(partition_col).isin(parts))
-            .join(F.broadcast(doomed), key_cols, "left_semi")
-            .count()
-        )
+        # A purge that emptied EVERY partition leaves no parquet under
+        # the root (dynamic overwrite wrote nothing; the emptied dirs
+        # were just deleted) — reading it would throw "unable to infer
+        # schema". No remaining partition dirs ⇒ no complement rows ⇒
+        # stray is 0 by construction: short-circuit instead of reading.
+        # The empty-dataset end state is a bare root directory (plus
+        # Spark's _SUCCESS marker); later readers must treat it as an
+        # empty dataset or re-create it.
+        remaining_dirs = [
+            s
+            for s in fs.listStatus(root)
+            if s.isDirectory()
+            and s.getPath().getName().startswith(f"{partition_col}=")
+        ]
+        stray = 0
+        if remaining_dirs:
+            stray = (
+                spark.read.parquet(path)
+                .filter(~F.col(partition_col).isin(parts))
+                .join(F.broadcast(doomed), key_cols, "left_semi")
+                .count()
+            )
         if stray:
             raise RuntimeError(
                 f"purge incomplete: {stray} row(s) matching the doomed "

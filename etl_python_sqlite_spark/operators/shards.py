@@ -17,6 +17,26 @@ from pathlib import Path
 from typing import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.portable import phash60
+
+_SHUF = "_spark_graft_shuffle_key"
+
+
+def _with_shuffle_key(
+    df: DataFrame, cols: Sequence[str], salt: str
+) -> DataFrame:
+    """Seeded decorrelated permutation key: ``phash60(salt ⊕ key)``.
+
+    Deterministic across reruns for the same (data, salt) — reshuffling
+    the cluster does not reshuffle the curriculum — while destroying
+    any correlation with the natural key order (training loaders want
+    i.i.d.-looking shards, not curriculum order). A different ``salt``
+    yields an independent permutation. ``\\x1f`` separates the salt and
+    key parts so adjacent fields can never alias each other."""
+    parts = [F.lit(salt)] + [F.col(c).cast("string") for c in cols]
+    return df.withColumn(_SHUF, phash60(F.concat_ws("\x1f", *parts)))
 
 
 def write_training_shards(
@@ -26,6 +46,7 @@ def write_training_shards(
     num_shards: int,
     max_records_per_file: int = 1_000_000,
     fmt: str = "parquet",
+    shuffle_salt: str | None = None,
 ) -> None:
     """Write ``df`` as ``num_shards`` range-ordered shards at ``path``.
 
@@ -36,11 +57,28 @@ def write_training_shards(
     total_rows / records_per_shard at the caller (a count you usually
     already have from the packing audit; never computed here to keep
     this a single-job write).
+
+    ``shuffle_salt`` switches the global order from curriculum order to
+    a SEEDED PSEUDO-RANDOM permutation: rows are range-partitioned and
+    sorted by ``phash60(salt || order_cols)`` instead of the raw keys
+    (``order_cols`` stays the tiebreak so the layout is total). Same
+    data + same salt ⇒ byte-stable shard assignment across reruns and
+    cluster layouts; a new salt ⇒ an independent permutation. This is
+    what a training run usually wants — decorrelated shards without a
+    nondeterministic ``rand()`` that would break replay.
     """
+    if shuffle_salt is not None:
+        df = _with_shuffle_key(df, order_cols, shuffle_salt)
+        sort_cols = [_SHUF, *order_cols]
+    else:
+        sort_cols = list(order_cols)
+    out = df.repartitionByRange(num_shards, *sort_cols).sortWithinPartitions(
+        *sort_cols
+    )
+    if shuffle_salt is not None:
+        out = out.drop(_SHUF)
     writer = (
-        df.repartitionByRange(num_shards, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
     )
     writer.format(fmt).save(str(path))
@@ -52,6 +90,7 @@ def write_webdataset_shards(
     key_col: str,
     members: dict[str, str],
     num_shards: int,
+    shuffle_salt: str | None = None,
 ) -> None:
     """WebDataset-style tar shards — the standard packaging for
     multimodal training loaders (one POSIX tar per shard; members named
@@ -78,6 +117,21 @@ def write_webdataset_shards(
     scoped to this job's id (avro_py's rule): a CONCURRENT writer's
     in-progress temp files are never touched. Per-row work is plain
     streaming IO; nothing is ever collected.
+
+    FILESYSTEM CONTRACT (same as ``avro_py``): tasks open ``path`` with
+    plain ``tarfile`` — every executor AND the driver must see the same
+    directory at the same POSIX path (local mode, NFS/Lustre mounts, a
+    FUSE-mounted object store). On a deployment without a shared mount
+    (raw HDFS/S3 URIs) this writer does not apply — pack with
+    :func:`write_training_shards` (parquet shards go through Spark's
+    own committers) and materialize tars at the loader. The driver-side
+    rename + sweep go through the Hadoop FileSystem API (scheme-aware,
+    the repo rule), so any mounted scheme the driver resolves works.
+
+    ``shuffle_salt``: as in :func:`write_training_shards` — shard
+    assignment and member order become a seeded pseudo-random
+    permutation (``phash60(salt || key)``; key tiebreak) instead of key
+    order. Byte-identical replays still hold for the same salt.
     """
     import tarfile
     import uuid
@@ -124,21 +178,39 @@ def write_webdataset_shards(
             tf.close()
             yield (pid, os.path.basename(tmp), n)
 
+    base = df.select(*cols)
+    if shuffle_salt is not None:
+        base = _with_shuffle_key(base, [key_col], shuffle_salt)
+        sort_cols = [_SHUF, key_col]
+    else:
+        sort_cols = [key_col]
     results = (
-        df.select(*cols)
-        .repartitionByRange(num_shards, key_col)
-        .sortWithinPartitions(key_col)
+        base.repartitionByRange(num_shards, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .select(*cols)  # drop the shuffle key; row[0] stays key_col
         .rdd.mapPartitions(_write_partition)
         .collect()  # bounded: one 3-tuple per non-empty shard
     )
-    import os
 
     winners = {}
     for pid, tmpname, _ in results:
         winners[pid] = tmpname  # last winning attempt per partition
+    # driver-side commit via the Hadoop FileSystem API (scheme-aware —
+    # works for file:// and any mounted scheme the driver resolves)
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = hpath(str(out_dir))
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     for pid, tmpname in winners.items():
-        os.replace(out_dir / tmpname, out_dir / f"shard-{pid:05d}.tar")
+        dest = hpath(str(out_dir), f"shard-{pid:05d}.tar")
+        if fs.exists(dest):
+            fs.delete(dest, False)  # HDFS rename won't overwrite
+        fs.rename(hpath(str(out_dir), tmpname), dest)
     # sweep THIS JOB's lost speculative attempts only — an unscoped
-    # glob would unlink a concurrent writer's in-progress files
-    for p in out_dir.glob(f".shard-*.inprogress-{job_id}-*"):
-        p.unlink(missing_ok=True)
+    # sweep would unlink a concurrent writer's in-progress files
+    marker = f".inprogress-{job_id}-"
+    for s in fs.listStatus(root):
+        name = s.getPath().getName()
+        if name.startswith(".shard-") and marker in name:
+            fs.delete(s.getPath(), False)

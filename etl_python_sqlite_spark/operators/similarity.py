@@ -942,3 +942,96 @@ def semantic_dedup_pairs_from_assignment(
 def semantic_dedup_drops(pairs: DataFrame) -> DataFrame:
     """Drop set under keep-lowest-id: every id that appears as ``id_b``."""
     return pairs.select(F.col("id_b").alias("drop_id")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-space) benchmark-contamination scan (r10)
+# ---------------------------------------------------------------------------
+
+def semantic_contamination_pairs_from_assignment(
+    assigned: DataFrame, threshold: float = 0.9, id_col: str = "vec_id"
+) -> DataFrame:
+    """Cross-side within-cluster exhaustive similarity search over a
+    precomputed cluster assignment carrying a ``side`` column
+    (0 = corpus, 1 = benchmark). Returns every (corpus, benchmark)
+    pair with rounded cosine ≥ ``threshold`` —
+    (corpus_id, bench_id, cos_sim).
+
+    The SemDeDup blocking argument applies unchanged: clustering makes
+    the search corpus·benchmark-subquadratic (only co-clustered
+    cross-side pairs are examined) and can only MISS pairs whose two
+    vectors straddle clusters, never invent them — the audit booleans
+    in plans/ext.ext_semantic_contamination pin both directions on a
+    bounded sample."""
+    thr = float(threshold)
+
+    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if not len(c) or not len(b):
+            return pd.DataFrame(
+                {"corpus_id": [], "bench_id": [], "cos_sim": []}
+            ).astype({"corpus_id": "int64", "bench_id": "int64",
+                      "cos_sim": "float64"})
+        C = np.vstack(c["v"].to_numpy())
+        B = np.vstack(b["v"].to_numpy())
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        sims = np.round(Cn @ Bn.T, 6)
+        ci, bj = np.nonzero(sims >= thr)
+        return pd.DataFrame(
+            {
+                "corpus_id": c["vid"].to_numpy()[ci],
+                "bench_id": b["vid"].to_numpy()[bj],
+                "cos_sim": sims[ci, bj],
+            }
+        )
+
+    return (
+        assigned.select(
+            F.col(id_col).cast("long").alias("vid"),
+            "v",
+            "side",
+            "centroid_id",
+        )
+        .groupBy("centroid_id")
+        .applyInPandas(
+            _cluster_pairs,
+            schema="corpus_id long, bench_id long, cos_sim double",
+        )
+    )
+
+
+def semantic_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    refine_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Benchmark-vs-corpus embedding contamination scan: ONE
+    ``semantic_assign`` clustering over the tagged union (ids must be
+    disjoint across the two frames — the caller's contract), then the
+    cross-side within-cluster search. Convenience wrapper over
+    :func:`semantic_contamination_pairs_from_assignment` for callers
+    that don't need the assignment for their own audits."""
+    union = corpus.select(
+        F.col(id_col), _as_double_array(vec_col).alias("v"),
+        F.lit(0).alias("side"),
+    ).unionByName(
+        benchmark.select(
+            F.col(id_col), _as_double_array(vec_col).alias("v"),
+            F.lit(1).alias("side"),
+        )
+    )
+    assigned = semantic_assign(
+        union, n_clusters=n_clusters, refine_iters=refine_iters,
+        vec_col="v", id_col=id_col,
+    )
+    sides = union.select(id_col, "side")
+    tagged = assigned.join(sides, id_col)
+    return semantic_contamination_pairs_from_assignment(
+        tagged, threshold, id_col
+    )

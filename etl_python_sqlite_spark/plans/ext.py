@@ -2539,9 +2539,17 @@ def ext_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    vocab = unigram_from_histogram(
-        _word_histogram_stage(spark, sf_dir), vocab_size=192
-    )
+    hist = _word_histogram_stage(spark, sf_dir)
+    # Budget DERIVED from the data (the audit-threshold invariant): a
+    # fixed vocab_size can be swallowed whole by the single-char
+    # coverage floor on a regenerated corpus with a wide alphabet,
+    # leaving zero room for multi-char pieces and flipping vocab_ok /
+    # compression_ok false. alphabet + 64 guarantees ≥64 slots for
+    # multi-char pieces by construction, so the booleans are invariants
+    # of the trainer, not of this round's corpus geometry.
+    n_alphabet = len({ch for w, _ in hist for ch in w})
+    budget = n_alphabet + 64
+    vocab = unigram_from_histogram(hist, vocab_size=budget)
     n_singles = sum(1 for p, _ in vocab if len(p) == 1)
     n_multi = len(vocab) - n_singles
     # counts has exactly ONE consumer (the totals aggregate —
@@ -2568,7 +2576,7 @@ def ext_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_words",
         "total_word_chars",
         F.lit(
-            n_multi >= 1 and len(vocab) <= max(192, n_singles)
+            n_multi >= 1 and len(vocab) <= max(budget, n_singles)
         ).alias("vocab_ok"),
         (
             (F.col("_pieces") >= F.col("total_words"))
@@ -2705,3 +2713,284 @@ def release_shared_bigrams() -> None:
     while _BIGRAM_MEMO:
         _, old = _BIGRAM_MEMO.popitem()
         release(old)
+
+
+# ---------------------------------------------------------------------------
+# r10: image perceptual-hash near-dup dedup (VERDICT r9 missing #1)
+# ---------------------------------------------------------------------------
+
+#: contract-query image geometry: 18x16 RGB = 864 payload bytes — the
+#: dHash grid (8 rows x 9 cols) then lands on exact 2x2 pixel cells, so
+#: every cell count is 4 and the DuckDB twin's comparisons reduce to
+#: plain integer sum comparisons (the cross-multiplied counts cancel)
+_IMG_W, _IMG_H = 18, 16
+#: planted-twin id offset (disjoint from every doc_id at any SF)
+_IMG_TWIN_OFFSET = 1_000_000_000
+#: noisy-twin byte perturbations {byte_index: additive delta mod 256} —
+#: chosen to land in three different dHash cells (bits 0, 13/14, 31)
+_IMG_NOISE = {5: 128, 200: 64, 431: 200}
+
+
+def _img_payload(doc_id: int) -> bytes:
+    """864 deterministic pseudo-random bytes for a document's synthetic
+    image: the md5 chain ``md5(f"{doc_id}:{block}")`` (16 bytes per
+    block, 54 blocks) — the same construction the DuckDB twin rebuilds
+    with ``CAST('0x' || substr(md5(...), 2t+1, 2) AS INT)``."""
+    import hashlib
+
+    n = _IMG_W * _IMG_H * 3
+    out = bytearray()
+    for block in range((n + 15) // 16):
+        out += hashlib.md5(f"{doc_id}:{block}".encode()).digest()
+    return bytes(out[:n])
+
+
+def ext_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2-image (r10) — perceptual-hash near-duplicate detection over a
+    REAL encode→decode→dHash→LSH pipeline (operators/imagehash.py):
+
+    * every document becomes one synthetic 18x16 RGB image (md5-chain
+      pixels, ``_img_payload``) encoded with a REAL lossless stdlib
+      codec — PNG / BMP / PPM by ``doc_id % 3``;
+    * every ``doc_id % 7 == 0`` document plants a TWIN image
+      (id + 10^9) of the same pixels re-encoded in a DIFFERENT format —
+      and the odd half of those (``doc_id % 14 == 7``) additionally
+      perturbs three payload bytes (``_IMG_NOISE``), flipping up to 4
+      dHash bits: genuine near-duplicates at Hamming > 0;
+    * the pipeline decodes with the real decoders, hashes
+      (:func:`~etl_python_sqlite_spark.operators.imagehash.dhash60`),
+      generates candidates by 4x15-bit Hamming bands and verifies with
+      exact ``bit_count(XOR)`` ≤ 6.
+
+    The ENTIRE pair list is value-hash-checked: because every stage
+    after the codec round-trip is exact integer arithmetic on the
+    payload bytes, the DuckDB twin replays payload → grayscale → grid
+    cells → hash bits → band keys → candidate join → Hamming verify
+    from ``md5(doc_id||':'||block)`` alone — a hash match therefore
+    ALSO proves the PNG/BMP/PPM encode→decode round trips are
+    bit-faithful. Recall ground truth on planted resized/re-encoded
+    twins lives in tests/test_imagehash.py."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_python_sqlite_spark.operators import multimodal as M
+    from etl_python_sqlite_spark.operators.imagehash import (
+        dhash_near_dups,
+        image_dhash,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    encoders = [M.encode_png, M.encode_bmp, M.encode_ppm]
+
+    def _gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payload = _img_payload(did)
+                px = np.frombuffer(payload, np.uint8).reshape(
+                    _IMG_H, _IMG_W, 3
+                )
+                out.append((did, encoders[did % 3](px)))
+                if did % 7 == 0:
+                    if did % 14 == 7:  # noisy twin
+                        b2 = bytearray(payload)
+                        for t, delta in _IMG_NOISE.items():
+                            b2[t] = (b2[t] + delta) % 256
+                        px2 = np.frombuffer(
+                            bytes(b2), np.uint8
+                        ).reshape(_IMG_H, _IMG_W, 3)
+                    else:  # pristine re-encode twin
+                        px2 = px
+                    out.append(
+                        (
+                            did + _IMG_TWIN_OFFSET,
+                            encoders[(did + 1) % 3](px2),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(_gen, schema="media_id long, content binary")
+    pairs = dhash_near_dups(
+        image_dhash(media), max_hamming=6, n_bands=4
+    )
+    # keepalive: the ordered frame derives from the tie()'d result —
+    # dropping `pairs` here would free its checkpoint mid-action
+    # (cache.py composition rule)
+    return tie(pairs.orderBy("id_a", "id_b"), keepalive=[pairs])
+
+
+# ---------------------------------------------------------------------------
+# r10: trigram LM quality score (VERDICT r9 missing #2)
+# ---------------------------------------------------------------------------
+
+def ext_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT-C1b (r10) — higher-order LM quality scoring: the CCNet-shape
+    statistic sharpened from bigram to TRIGRAM conditionals
+    (operators/curation.trigram_lm_score — real CCNet filters on 5-gram
+    KenLM perplexity; each added order materially tightens the quality
+    signal on template corpora where bigram transitions are all
+    corpus-frequent). Same Laplace integer micro-unit discipline as
+    ext_bigram_lm_score: ``p_micro = (10^6·(c3+1)) div (c12+V)`` with
+    V = distinct third words, mean by the _avg_expr law — the full
+    per-document score frame is value-hash-checked."""
+    from etl_python_sqlite_spark.operators.curation import trigram_lm_score
+
+    return trigram_lm_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# r10: semantic (embedding-space) contamination scan (VERDICT r9 missing #4)
+# ---------------------------------------------------------------------------
+
+#: planted-contamination id offset (disjoint from every vec_id)
+_SEMCON_OFFSET = 1_000_000
+
+
+def ext_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r10) — benchmark-vs-corpus EMBEDDING-similarity
+    contamination scan (operators/similarity.semantic_contamination_pairs):
+    catches the paraphrased leakage that verbatim/n-gram/span scans
+    (ext_substring_contamination, ext_contamination_scan) cannot.
+    Benchmark = the ``vec_id % 40 == 7`` slice; corpus = the rest PLUS
+    planted paraphrase twins: for every benchmark vector with
+    ``vec_id % 80 == 7`` and a nonzero embedding, a corpus vector
+    (id + 10^6) equal to 2·v — scalar multiples are the one paraphrase
+    surrogate whose recovery is MATHEMATICALLY deterministic, because
+    cosine is exactly scale-invariant in IEEE arithmetic (×2 shifts
+    exponents only: normalization, dot products and the final division
+    are bit-identical, so cos(v, 2v) rounds to exactly 1.0 and both
+    vectors land in the SAME cluster under any cosine argmax).
+
+    One-row audit in the established ANN style — every non-boolean is
+    SQL-exact and every boolean either replays deterministic arithmetic
+    or pins Spark against its own exact ground truth:
+
+    * ``n_benchmark``, ``n_corpus``, ``n_planted`` — SQL-exact counts
+      (the nonzero guard is the exact predicate Σ|x| ≠ 0);
+    * ``n_sample_pairs`` — exact cross-side fold-cosine ≥ 0.9 count
+      among vec_id < 150 (sequential fold + ROUND 6: bit-identical on
+      both engines);
+    * ``planted_recovered_ok`` — every planted twin pair is reported
+      (deterministic by scale invariance, see above — an invariant of
+      the arithmetic, not of this round's corpus geometry);
+    * ``containment_ok`` / ``cocluster_exhaustive_ok`` — the SemDeDup
+      audit booleans on the sample: reported ⊆ exact@θ−ε, and exact@θ+ε
+      co-clustered ⇒ reported (ε = 2·10⁻⁶ absorbs the numpy-matmul vs
+      fold last-ulp gap)."""
+    from etl_python_sqlite_spark.operators.similarity import (
+        _as_double_array,
+        cosine,
+        semantic_assign,
+        semantic_contamination_pairs_from_assignment,
+    )
+
+    embs = _embs(spark, sf_dir)
+    ev = embs.select(
+        F.col("vec_id"), _as_double_array("embedding").alias("v")
+    )
+    bench = ev.filter(F.col("vec_id") % 40 == 7)
+    natural = ev.filter(F.col("vec_id") % 40 != 7)
+    nonzero = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda a, x: a + F.abs(x)
+    ) != F.lit(0.0)
+    planted = bench.filter((F.col("vec_id") % 80 == 7) & nonzero).select(
+        (F.col("vec_id") + _SEMCON_OFFSET).alias("vec_id"),
+        F.transform(F.col("v"), lambda x: x * F.lit(2.0)).alias("v"),
+    )
+    corpus = natural.unionByName(planted)
+    union = corpus.withColumn("side", F.lit(0)).unionByName(
+        bench.withColumn("side", F.lit(1))
+    )
+    assigned = semantic_assign(
+        union, n_clusters=16, refine_iters=1, vec_col="v"
+    ).join(union.select("vec_id", "side"), "vec_id").persist()
+    assigned.count()  # eager: pair search + the two co-cluster joins
+    pairs = semantic_contamination_pairs_from_assignment(
+        assigned, threshold=0.9
+    ).persist()
+    pairs.count()  # eager: four independent audit consumers below
+
+    n_bench = bench.agg(F.count("*").cast("long").alias("n_benchmark"))
+    n_corp = corpus.agg(F.count("*").cast("long").alias("n_corpus"))
+    planted_keys = planted.select(
+        F.col("vec_id").alias("corpus_id"),
+        (F.col("vec_id") - _SEMCON_OFFSET).alias("bench_id"),
+    ).persist()
+    n_planted = planted_keys.agg(
+        F.count("*").cast("long").alias("n_planted")
+    )
+    recovered = planted_keys.join(
+        pairs.select("corpus_id", "bench_id"),
+        ["corpus_id", "bench_id"],
+        "left_anti",
+    ).agg((F.count("*") == 0).alias("planted_recovered_ok"))
+
+    # exact cross-side fold-cosine ground truth on the bounded sample
+    sa = natural.filter(F.col("vec_id") < 150).select(
+        F.col("vec_id").alias("corpus_id"), F.col("v").alias("va")
+    )
+    sb = bench.filter(F.col("vec_id") < 150).select(
+        F.col("vec_id").alias("bench_id"), F.col("v").alias("vb")
+    )
+    def _sample_pairs(thr):
+        return (
+            sa.join(sb, F.col("corpus_id") != F.col("bench_id"))
+            .select(
+                "corpus_id",
+                "bench_id",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("c"),
+            )
+            .filter(F.col("c") >= thr)
+        )
+
+    exact = _sample_pairs(0.9)
+    exact_relaxed = _sample_pairs(0.899998)
+    exact_strict = _sample_pairs(0.900002)
+    n_sample = exact.agg(F.count("*").cast("long").alias("n_sample_pairs"))
+
+    sample_found = pairs.filter(
+        (F.col("corpus_id") < 150) & (F.col("bench_id") < 150)
+    )
+    containment = sample_found.join(
+        exact_relaxed.select("corpus_id", "bench_id"),
+        ["corpus_id", "bench_id"],
+        "left_anti",
+    ).agg((F.count("*") == 0).alias("containment_ok"))
+
+    ca = assigned.select(
+        F.col("vec_id").alias("corpus_id"), F.col("centroid_id").alias("c_a")
+    )
+    cb = assigned.select(
+        F.col("vec_id").alias("bench_id"), F.col("centroid_id").alias("c_b")
+    )
+    coclustered = (
+        exact_strict.select("corpus_id", "bench_id")
+        .join(ca, "corpus_id")
+        .join(cb, "bench_id")
+        .filter(F.col("c_a") == F.col("c_b"))
+    )
+    exhaustive = coclustered.join(
+        pairs.select("corpus_id", "bench_id"),
+        ["corpus_id", "bench_id"],
+        "left_anti",
+    ).agg((F.count("*") == 0).alias("cocluster_exhaustive_ok"))
+
+    out = (
+        n_bench.crossJoin(n_corp)
+        .crossJoin(n_planted)
+        .crossJoin(n_sample)
+        .crossJoin(recovered)
+        .crossJoin(containment)
+        .crossJoin(exhaustive)
+        .select(
+            "n_benchmark",
+            "n_corpus",
+            "n_planted",
+            "n_sample_pairs",
+            "planted_recovered_ok",
+            "containment_ok",
+            "cocluster_exhaustive_ok",
+        )
+    )
+    return tie(out, assigned, pairs, planted_keys)

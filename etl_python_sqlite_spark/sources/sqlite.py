@@ -108,6 +108,8 @@ def write_sqlite(
     table: str,
     mode: str = "append",
     if_exists_unique_keys: list[str] | None = None,
+    max_rows: int = 5_000_000,
+    force: bool = False,
 ) -> int:
     """Write a DataFrame into a SQLite table.
 
@@ -116,7 +118,25 @@ def write_sqlite(
     Driver-side by design — SQLite is a single-writer embedded store, so a
     distributed write would serialize on the file lock anyway. Returns the
     number of rows actually inserted.
+
+    Because the write MATERIALIZES the frame on the driver
+    (``toPandas``), a frame bigger than driver memory would OOM the JVM
+    instead of failing cleanly — so the size is checked first and the
+    write refuses above ``max_rows`` unless ``force=True`` (the count
+    is one cheap action; callers shipping genuinely huge frames to a
+    single-writer SQLite file are making a scale mistake this guard is
+    meant to surface, not hide).
     """
+    if not force:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"write_sqlite: frame has {n} rows > max_rows="
+                f"{max_rows}; a driver-side SQLite write would "
+                "materialize all of it in driver memory. Pass "
+                "force=True if you really mean it, or write parquet "
+                "and bulk-load instead."
+            )
     pdf = df.toPandas()
     con = sqlite3.connect(str(db_path))
     try:
