@@ -235,3 +235,20 @@ def test_parallel_seeding_beats_phash_on_skewed_planted(spark):
     # two orders of magnitude below ONE cross-cluster misassignment
     # (~0.9² · 4 dims · 1e12 ≈ 3.2e12 micro-units²)
     assert i_par < 10**10, i_par
+
+
+def test_kmeans_parallel_seeds_requires_k_vectors(spark):
+    """ADVICE r9: fewer than k vectors must raise (the SQL/CPython
+    replays unroll exactly k greedy picks and would silently diverge)."""
+    import pytest
+
+    from etl_python_sqlite_spark.operators.clustering import (
+        kmeans_parallel_seeds,
+    )
+
+    embs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_parallel_seeds(embs, k=8)

@@ -651,3 +651,54 @@ def test_nb_score_with_weights_matches_trainer(spark):
         ).collect()
     }
     assert served == trained
+
+
+# ---------------------------------------------------------------------------
+# trigram LM (r10)
+# ---------------------------------------------------------------------------
+
+def _py_trigrams(text: str) -> list[tuple[str, str, str]]:
+    w = text.strip().lower().split()
+    return list(zip(w, w[1:], w[2:]))
+
+
+def test_doc_trigrams_matches_python(spark, docs):
+    from etl_python_sqlite_spark.operators.curation import doc_trigrams
+
+    got = sorted(
+        (r["doc_id"], r["w1"], r["w2"], r["w3"])
+        for r in doc_trigrams(docs).collect()
+    )
+    want = sorted(
+        (i, a, b, c) for i, t, _ in CORPUS for a, b, c in _py_trigrams(t)
+    )
+    assert got == want
+
+
+def test_trigram_lm_score_exact(spark, docs):
+    from collections import Counter
+
+    from etl_python_sqlite_spark.operators.curation import trigram_lm_score
+
+    c3 = Counter(tg for _, t, _ in CORPUS for tg in _py_trigrams(t))
+    c12 = Counter()
+    for (w1, w2, _), n in c3.items():
+        c12[w1, w2] += n
+    v = len({w3 for _, _, w3 in c3})
+    rows = {r["doc_id"]: r for r in trigram_lm_score(docs).collect()}
+    for i, t, _ in CORPUS:
+        tgs = _py_trigrams(t)
+        if not tgs:
+            assert i not in rows  # <3 words yields no score row
+            continue
+        sum_p = sum(
+            (1_000_000 * (c3[tg] + 1)) // (c12[tg[:2]] + v) for tg in tgs
+        )
+        assert rows[i]["n_trigrams"] == len(tgs)
+        assert rows[i]["sum_p_micro"] == sum_p
+        n = len(tgs)
+        assert rows[i]["mean_p"] == ((2 * sum_p + n) // (2 * n)) / 1e6
+    # doc 5 has exactly 2 words -> trigram-less even though bigram-scored
+    assert 5 not in rows
+    # the template trio (docs 1/2/4 share contexts) outscores the one-off
+    assert rows[1]["mean_p"] > rows[3]["mean_p"]

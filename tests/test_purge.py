@@ -142,3 +142,23 @@ def test_nonexistent_partition_value_not_counted_as_work(spark, tmp_path):
     )
     assert audit["partitions_rewritten"] == 1  # only part=1 held rows
     assert audit["rows_deleted"] == 3
+
+
+def test_purge_that_empties_every_partition(spark, tmp_path):
+    """ADVICE r9: a purge that dooms EVERY row must not crash the
+    verify pass on the then-empty root, and must leave an empty-dataset
+    end state (no partition dirs)."""
+    path = str(tmp_path / "ds_all")
+    _write(spark, path)
+    keys = spark.createDataFrame(
+        [(uid, uid % 4) for uid in range(12)], "user_id long, part int"
+    )
+    audit = purge_keys(
+        spark, path, keys, ["user_id"], "part", verify_complete=True
+    )
+    assert audit["rows_deleted"] == 36 and audit["rows_kept"] == 0
+    assert audit["partitions_rewritten"] == 4
+    # no partition dirs remain
+    assert not [
+        d for d in os.listdir(path) if d.startswith("part=")
+    ]

@@ -336,3 +336,80 @@ def test_lsh_probe_buckets_margin_directed(spark):
             flipped = {b for b in range(planes) if (p ^ probes[0]) >> b & 1}
             assert flipped and flipped <= allowed
     assert out[40] == out[0]  # identical vector -> identical probe list
+
+
+# ---------------------------------------------------------------------------
+# semantic benchmark-contamination scan (r10)
+# ---------------------------------------------------------------------------
+
+def test_semantic_contamination_exhaustive_single_cluster(spark):
+    """n_clusters=1 makes the scan exhaustive: the reported pair set
+    must EQUAL the exact cross-side cosine>=0.9 ground truth."""
+    import numpy as np
+
+    from etl_python_sqlite_spark.operators.similarity import (
+        semantic_contamination_pairs,
+    )
+
+    dim = 8
+    def e(i, scale=1.0):
+        v = [0.0] * dim
+        v[i] = scale
+        return v
+
+    bench = [(100 + i, e(i)) for i in range(5)]
+    corpus = []
+    for i in range(5):
+        corpus.append((200 + i, e(i, 2.0)))        # exact scaled twin
+        para = e(i)
+        para[5] = 0.1                               # cos ~ 0.995
+        corpus.append((300 + i, para))
+    corpus += [(400, e(6)), (401, e(7))]            # unrelated
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    bdf = spark.createDataFrame(bench, "vec_id long, embedding array<double>")
+    pairs = semantic_contamination_pairs(
+        cdf, bdf, threshold=0.9, n_clusters=1
+    )
+    got = {(r["corpus_id"], r["bench_id"]): r["cos_sim"]
+           for r in pairs.collect()}
+    want = {}
+    for cid, cv in corpus:
+        for bid, bv in bench:
+            cn = np.asarray(cv) / np.linalg.norm(cv)
+            bn = np.asarray(bv) / np.linalg.norm(bv)
+            s = round(float(cn @ bn), 6)
+            if s >= 0.9:
+                want[(cid, bid)] = s
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 2e-6
+    assert got[(200, 100)] == 1.0  # scalar twin: exactly 1.0 after round
+
+
+def test_semantic_contamination_scaled_twins_always_recovered(spark):
+    """Scale invariance: 2x-scaled corpus twins land in the SAME
+    cluster as their benchmark vector under cosine argmax and are
+    always reported with cos 1.0, for any cluster count."""
+    import numpy as np
+
+    from etl_python_sqlite_spark.operators.similarity import (
+        semantic_contamination_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    bench = [
+        (1000 + i, (rng.normal(size=12)).tolist()) for i in range(30)
+    ]
+    corpus = [(2000 + i, [2.0 * x for x in v]) for i, (bid, v) in enumerate(bench)]
+    noise = [(3000 + i, rng.normal(size=12).tolist()) for i in range(50)]
+    cdf = spark.createDataFrame(
+        corpus + noise, "vec_id long, embedding array<double>"
+    )
+    bdf = spark.createDataFrame(bench, "vec_id long, embedding array<double>")
+    pairs = semantic_contamination_pairs(
+        cdf, bdf, threshold=0.999, n_clusters=6
+    )
+    got = {(r["corpus_id"], r["bench_id"]): r["cos_sim"]
+           for r in pairs.collect()}
+    for i in range(30):
+        assert got.get((2000 + i, 1000 + i)) == 1.0

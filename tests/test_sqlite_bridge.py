@@ -87,3 +87,18 @@ def test_jdbc_parity_when_jar_present(spark, tmp_path):
         }
     assert jdbc_rows == bridge
     assert jdbc_part_rows == bridge
+
+
+def test_write_sqlite_refuses_oversized_frames(spark, tmp_path):
+    """VERDICT r9 nit: the driver-side materialization must fail loudly
+    above the bound instead of OOMing the JVM; force=True overrides."""
+    import pytest
+
+    from etl_python_sqlite_spark.sources.sqlite import write_sqlite
+
+    db = str(tmp_path / "guard.db")
+    df = spark.range(100).selectExpr("id AS n")
+    with pytest.raises(ValueError, match="max_rows"):
+        write_sqlite(df, db, "t", max_rows=99)
+    assert write_sqlite(df, db, "t", max_rows=99, force=True) == 100
+    assert write_sqlite(df, db, "t2", max_rows=100) == 100
