@@ -91,8 +91,49 @@ _SPANS_LOCK = threading.RLock()
 _KMEANS_LOCK = threading.RLock()
 
 
+#: Corpus document count above which the shared minhash-pairs stage
+#: materializes as a BUCKETED CATALOG TABLE (bucketBy id_a — the key
+#: the CC clustering and any id-keyed audit probe first) instead of a
+#: session checkpoint (VERDICT r9 #7: the other DATA-sized shared
+#: stage gets the same at-scale tier as the co-occurrence edges). The
+#: gate input is the document count — a metadata-only parquet count —
+#: because the stage's output size is Θ(docs) on a dedup-bearing
+#: corpus and the decision must not itself cost a pipeline run (the
+#: co-occurrence stage could gate on its measured edge count only
+#: because that frame was already persisted+counted for its own
+#: lifecycle; here the verified pairs are deliberately LAZY over the
+#: checkpointed candidate set; the count here comes from parquet
+#: footer metadata — zero Spark jobs). Below the gate the checkpoint tier is
+#: strictly faster (the table write adds a full verify + write pass);
+#: above it executor storage can't hold the stage and the bucketed
+#: files give id_a-keyed consumers a zero-exchange probe side —
+#: tier equality is pinned in tests/test_bucketed_stage.py.
+MINHASH_BUCKETED_STAGE_MIN_DOCS = 2_000_000
+MINHASH_STAGE_BUCKETS = 32
+_MINHASH_TABLE_ATTR = "_spark_graft_minhash_table"
+_MINHASH_LIVE_TABLES: set = set()
+
+
+def _release_minhash_entry(old: DataFrame) -> None:
+    """Free one memo entry: DROP a bucketed stage table (files +
+    catalog entry); cache-tier entries just drop the reference (tie()'s
+    finalizer frees the checkpoint blocks when the last consumer lets
+    go)."""
+    tbl = getattr(old, _MINHASH_TABLE_ATTR, None)
+    if tbl is None:
+        return
+    try:
+        _MINHASH_LIVE_TABLES.discard(tbl)
+        old.sparkSession.sql(f"DROP TABLE IF EXISTS {tbl}")
+    except Exception:
+        pass  # session already stopped
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+    from etl_python_sqlite_spark.sources.parquet import (
+        data_fingerprint,
+        table_row_count_from_metadata,
+    )
 
     fp = data_fingerprint(spark, sf_dir, "documents")
     key = (spark.sparkContext.applicationId, sf_dir, fp)
@@ -104,20 +145,47 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = D.minhash_near_dups_portable(
             _docs(spark, sf_dir), threshold_micro=300_000
         )
+        n_docs = table_row_count_from_metadata(sf_dir, "documents")
+        if n_docs >= MINHASH_BUCKETED_STAGE_MIN_DOCS:
+            import hashlib
+
+            from etl_python_sqlite_spark.operators.cache import release
+            from etl_python_sqlite_spark.plans.relational import (
+                sweep_stale_stage_tables,
+            )
+
+            sweep_stale_stage_tables(
+                spark, "minhash_pairs_", _MINHASH_LIVE_TABLES
+            )
+            tbl = (
+                "minhash_pairs_"
+                + hashlib.md5(repr(key).encode()).hexdigest()[:12]
+            )
+            (
+                pairs.write.mode("overwrite")
+                .bucketBy(MINHASH_STAGE_BUCKETS, "id_a")
+                .sortBy("id_a", "id_b")
+                .saveAsTable(tbl)
+            )
+            release(pairs)  # the bucketed files are the materialization
+            pairs = spark.table(tbl)
+            setattr(pairs, _MINHASH_TABLE_ATTR, tbl)
+            _MINHASH_LIVE_TABLES.add(tbl)
         while len(_MINHASH_MEMO) >= 2:
             oldest = next(iter(_MINHASH_MEMO))
-            _MINHASH_MEMO.pop(oldest)
+            _release_minhash_entry(_MINHASH_MEMO.pop(oldest))
         _MINHASH_MEMO[key] = pairs
         return pairs
 
 
 def release_shared_minhash() -> None:
-    """Release every memoized minhash-pairs stage (checkpoint blocks and
-    persisted shards included)."""
+    """Release every memoized minhash-pairs stage (checkpoint blocks /
+    bucketed stage tables included)."""
     from etl_python_sqlite_spark.operators.cache import release
 
     while _MINHASH_MEMO:
         _, old = _MINHASH_MEMO.popitem()
+        _release_minhash_entry(old)
         release(old)
 
 

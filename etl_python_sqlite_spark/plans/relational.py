@@ -1988,26 +1988,35 @@ _COOCC_ORPHAN_AGE_MS = 60 * 60 * 1000
 
 
 def _sweep_stale_coocc_tables(spark: SparkSession) -> None:
-    """Drop orphaned ``coocc_edges_*`` stage tables left by a crashed or
+    sweep_stale_stage_tables(spark, "coocc_edges_", _COOCC_LIVE_TABLES)
+
+
+def sweep_stale_stage_tables(
+    spark: SparkSession, prefix: str, live_tables: set
+) -> None:
+    """Drop orphaned ``{prefix}*`` stage tables left by a crashed or
     restarted session (their memo keys embed the old applicationId, so
     no later session will ever name them — without this sweep the
-    warehouse files accumulate forever). Runs once per application, at
-    first stage build, and only touches tables this session did NOT
-    create AND whose backing files predate this application's start:
-    a CONCURRENT Spark app sharing the warehouse (bench + probe/pytest
-    co-running from /root/repo) has live stage tables whose md5 names
-    embed the other app's id — name-wise indistinguishable from
-    orphans. Guard: drop only tables whose directory mtime BOTH
-    predates this app's start AND is older than an absolute age floor
-    (covers the peer that started before us — stage tables live for
-    minutes, orphans for rounds), so a live peer table is never swept
-    while true orphans still age out (ADVICE r8)."""
+    warehouse files accumulate forever). Runs once per (application,
+    prefix), at first stage build, and only touches tables this session
+    did NOT create AND whose backing files predate this application's
+    start: a CONCURRENT Spark app sharing the warehouse (bench +
+    probe/pytest co-running from /root/repo) has live stage tables
+    whose md5 names embed the other app's id — name-wise
+    indistinguishable from orphans. Guard: drop only tables whose
+    directory mtime BOTH predates this app's start AND is older than an
+    absolute age floor (covers the peer that started before us — stage
+    tables live for minutes, orphans for rounds), so a live peer table
+    is never swept while true orphans still age out (ADVICE r8).
+
+    Shared by every bucketed-tier shared stage (co-occurrence edges,
+    minhash pairs) — same lifecycle, one implementation."""
     import time as _time
 
     app = spark.sparkContext.applicationId
-    if app in _COOCC_SWEPT_APPS:
+    if (app, prefix) in _COOCC_SWEPT_APPS:
         return
-    _COOCC_SWEPT_APPS.add(app)
+    _COOCC_SWEPT_APPS.add((app, prefix))
     cutoff_ms = min(
         spark.sparkContext.startTime,
         int(_time.time() * 1000) - _COOCC_ORPHAN_AGE_MS,
@@ -2018,7 +2027,7 @@ def _sweep_stale_coocc_tables(spark: SparkSession) -> None:
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
         for t in spark.catalog.listTables():
             name = t.name
-            if not name.startswith("coocc_edges_") or name in _COOCC_LIVE_TABLES:
+            if not name.startswith(prefix) or name in live_tables:
                 continue
             try:
                 p = jvm.org.apache.hadoop.fs.Path(warehouse, name)

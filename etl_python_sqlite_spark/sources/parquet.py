@@ -114,3 +114,26 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
         return df
     finally:
         spark.conf.set(_NANOS_CONF, prev)
+
+
+def table_row_count_from_metadata(sf_dir: str, name: str) -> int:
+    """Row count of ``{sf_dir}/{name}.parquet`` from parquet FOOTER
+    metadata only — zero Spark jobs (a ``df.count()`` is a distributed
+    action with ~1 s of fixed scheduling overhead on this box; scale
+    gates that only need an order-of-magnitude input must not pay it).
+    Handles both a single file and a directory of part files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
