@@ -145,6 +145,12 @@ def main() -> None:
             # the APPLY half shares the memoized span stage — its row
             # isolates the cut's own join + string surgery cost
             ("repeated_span_cut", E.ext_repeated_span_cut),
+            # round-10: image dedup — replicated doc_ids make distinct
+            # md5 payloads, so the image count (and planted-twin count)
+            # scales exactly f× while cross-base hash collisions stay
+            # band-rare: the honest linear probe for decode+hash+LSH
+            ("image_near_dups", E.ext_image_near_dups),
+            ("trigram_lm_score", E.ext_trigram_lm_score),
         ]
         if only is not None:
             pipelines = [(n, f) for n, f in pipelines if n in only]
