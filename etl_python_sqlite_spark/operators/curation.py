@@ -196,7 +196,18 @@ def trigram_lm_score(
     scoring join are multiple consumers), context counts ROLLED UP from
     the trigram counts (never a second corpus pass), the data-sized
     (w1,w2,w3) count joined back on its uniform key, the
-    vocabulary-bounded context table and the 1-row V scalar broadcast."""
+    vocabulary-bounded context table and the 1-row V scalar broadcast.
+
+    Negative result, measured (r10 interleaved A/B at sf0.1, best-of-4
+    warm): collapsing instances to (doc, tri-string, multiplicity)
+    first — one map-side-combined shuffle, substring_index-derived
+    context, single-key scoring join — ran 3.42 s vs 2.47 s for this
+    form; a conditional input repartition for the 1-split testdata
+    scan also lost (stage-scheduling overhead outweighs 32× map
+    parallelism at 0.6 MB input, the repo's extra-stages lesson). The
+    multiplicity form remains the documented upgrade path for corpora
+    where the raw instance frame outgrows executor storage — its
+    instance shuffle carries distinct (doc, trigram) rows only."""
     from etl_python_sqlite_spark.operators.cache import tie
     from etl_python_sqlite_spark.plans.relational import _avg_expr
 
