@@ -185,10 +185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records at most 50 CORRECTNESS rows,
     # taken from the head of this dict. Round-10 rotation: the 9 keys
     # that slipped out of the r9 window (last attested ROUND 6, three
-    # corpus regenerations ago -- r9 VERDICT item 1) lead, then the 3
+    # corpus regenerations ago -- r9 VERDICT item 1) lead, then the 4
     # queries NEW in r10, then the 50-key block last attested ROUND 7,
-    # of which the first 38 fit the 50-row window; the last 12 of that
-    # block (scd2_event_intervals through ext_ann_knn_join -- see the marker
+    # of which the first 37 fit the 50-row window; the last 13 of that
+    # block (ext_leakage_free_split through ext_ann_knn_join -- see the marker
     # comment inside the block) slip to r11 and must lead its rotation.
     # The r8- and r9-attested blocks close the dict in recency order.
     return {
@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_image_near_dups": E.ext_image_near_dups,
         "ext_trigram_lm_score": E.ext_trigram_lm_score,
         "ext_semantic_contamination": E.ext_semantic_contamination,
+        "ext_image_dedup_clusters": E.ext_image_dedup_clusters,
         # -- last attested ROUND 7 (50 keys; the tail past the
         # 50-row window slips to r11 and must lead its rotation) --
         "ext_repeated_substring_mine": E.ext_repeated_substring_mine,
@@ -245,11 +246,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outlier_scan": R.mad_outlier_scan,
         "ext_bigram_lm_score": E.ext_bigram_lm_score,
         "ext_dsir_importance": E.ext_dsir_importance,
-        "ext_leakage_free_split": E.ext_leakage_free_split,
-        # -- r10 window boundary: the 12 keys from here to
-        # ext_ann_knn_join are positions 51-62 -- they slip out of
+        # -- r10 window boundary: the 13 keys from here to
+        # ext_ann_knn_join are positions 51-63 -- they slip out of
         # the 50-row r10 window (last attested r7) and MUST lead
         # the r11 rotation --
+        "ext_leakage_free_split": E.ext_leakage_free_split,
         "scd2_event_intervals": R.scd2_event_intervals,
         "incremental_rollup_merge": R.incremental_rollup_merge,
         "part_basket_pairs": R.part_basket_pairs,
@@ -601,19 +602,10 @@ def _ewma_sql() -> str:
     """
 
 
-def oracle_sql() -> dict[str, str]:
-    cms_salts = ", ".join(
-        f"({s}, {a}, {b})" for s, a, b in universal_salt_constants(4)
-    )
-    return {
-        # -- round-10 additions -----------------------------------------
-        # image near-dups: the twin replays the ENTIRE pipeline from
-        # md5(doc_id:block) payload bytes -- grayscale sums, 2x2 grid
-        # cells, 60 dHash bits, 4x15-bit band keys, candidate join,
-        # XOR-popcount verify -- so a value-hash match also proves the
-        # PNG/BMP/PPM encode->decode round trips are bit-faithful.
-        "ext_image_near_dups": """
-            WITH imgs AS (
+#: the E12 image pipeline CTE chain (payload bytes -> grayscale cells
+#: -> dHash bits -> band keys -> candidate join -> Hamming verify),
+#: shared by the ext_image_near_dups and ext_image_dedup_clusters twins
+_IMAGE_PIPELINE_SQL = """imgs AS (
                 SELECT doc_id AS mid, doc_id AS src, FALSE AS noisy
                 FROM documents
                 UNION ALL
@@ -671,9 +663,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM cand
                 JOIN hashes ha ON ha.mid = cand.id_a
                 JOIN hashes hb ON hb.mid = cand.id_b
-            )
+            )"""
+
+
+def oracle_sql() -> dict[str, str]:
+    cms_salts = ", ".join(
+        f"({s}, {a}, {b})" for s, a, b in universal_salt_constants(4)
+    )
+    return {
+        # -- round-10 additions -----------------------------------------
+        # image near-dups: the twin replays the ENTIRE pipeline from
+        # md5(doc_id:block) payload bytes -- grayscale sums, 2x2 grid
+        # cells, 60 dHash bits, 4x15-bit band keys, candidate join,
+        # XOR-popcount verify -- so a value-hash match also proves the
+        # PNG/BMP/PPM encode->decode round trips are bit-faithful.
+        "ext_image_near_dups": f"""
+            WITH {_IMAGE_PIPELINE_SQL}
             SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
             ORDER BY id_a, id_b
+        """,
+        "ext_image_dedup_clusters": f"""
+            WITH RECURSIVE {_IMAGE_PIPELINE_SQL},
+            vp AS (
+                SELECT id_a, id_b FROM pairs WHERE hamming <= 6
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM vp
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM vp
+            ),
+            reach(id, root) AS (
+                SELECT mid, mid FROM imgs
+                UNION
+                SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (
+                SELECT id AS media_id, MIN(root) AS cluster_id
+                FROM reach GROUP BY id
+            ),
+            sized AS (
+                SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM comp GROUP BY cluster_id
+            )
+            SELECT cluster_id, cluster_size, cluster_size AS n_members
+            FROM sized WHERE cluster_size > 1
+            ORDER BY cluster_id
         """,
         "ext_trigram_lm_score": """
             WITH wt AS (

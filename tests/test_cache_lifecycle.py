@@ -66,6 +66,7 @@ def _baseline_clean(spark):
     X.release_shared_minhash()
     X.release_shared_kmeans()
     X.release_shared_bigrams()
+    X.release_shared_image_pairs()
     # py4j exposes the java.util.Map as a dict-like view
     jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
     for jrdd in jrdds:
@@ -236,4 +237,17 @@ def test_shared_flag_histogram_memo_bounded_and_releasable(spark):
     # explicit release drops every entry and its storage
     R.release_shared_histograms()
     assert len(R._FLAG_HIST_MEMO) == 0
+    assert _n_persistent(spark) == before
+
+
+def test_dhash_near_dups_releases_checkpoint(spark):
+    """The r10 image pipeline's hash checkpoint must free on result
+    drop (tie + _release_frame), like every other candidate stage."""
+    from etl_python_sqlite_spark.operators.imagehash import dhash_near_dups
+
+    before = _n_persistent(spark)
+    hashes = spark.createDataFrame(
+        [(i, i * 37) for i in range(50)], "media_id long, dhash long"
+    )
+    assert _run_and_drop(dhash_near_dups(hashes)) >= 0
     assert _n_persistent(spark) == before

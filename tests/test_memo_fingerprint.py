@@ -205,3 +205,27 @@ def test_bigram_bucket_stage_rebuilds_on_rewrite(spark, tmp_path):
     assert s2.agg({"cnt": "sum"}).first()[0] == 3  # (x,y)(y,z)(z,w)
     assert s2.select("doc_id").distinct().count() == 1
     X.release_shared_bigrams()
+
+
+def test_image_pairs_stage_rebuilds_on_rewrite(spark, tmp_path):
+    """The r10 shared image-pairs stage keys on the documents
+    fingerprint like the minhash stage: rewriting the corpus must
+    rebuild the pair frame (twin counts follow the new doc_ids)."""
+    from etl_python_sqlite_spark.plans import ext as X
+
+    X.release_shared_image_pairs()
+    d = str(tmp_path)
+    # doc_ids 0..2: twin planted only for doc_id 0 (0 % 7 == 0)
+    _write_documents(spark, d, ["a", "b", "c"])
+    p1 = X._image_pairs(spark, d)
+    got1 = {(r["id_a"], r["id_b"]) for r in p1.collect()}
+    assert got1 == {(0, 1_000_000_000)}
+    assert X._image_pairs(spark, d) is p1  # stable data -> memo hit
+
+    _write_documents(spark, d, ["a", "b", "c", "d", "e", "f", "g", "h"])
+    p2 = X._image_pairs(spark, d)
+    assert p2 is not p1
+    # doc_ids 0..7: twins for 0 and 7 (noisy, hamming <= 4)
+    got2 = {(r["id_a"], r["id_b"]) for r in p2.collect()}
+    assert got2 == {(0, 1_000_000_000), (7, 1_000_000_007)}
+    X.release_shared_image_pairs()
