@@ -1169,3 +1169,124 @@ def nb_state_weights(state: DataFrame, n_buckets: int = 1024) -> DataFrame:
             ).alias("w"),
         )
     )
+
+
+def image_dedup_stream_against_corpus(
+    stream_media: DataFrame,
+    corpus_media: DataFrame,
+    out_path: str,
+    max_hamming: int = 6,
+    n_bands: int = 4,
+    id_col: str = "media_id",
+    content_col: str = "content",
+):
+    """Streaming ingest dedup for IMAGE payloads — the multimodal
+    sibling of :func:`near_dedup_stream_against_corpus`: an arriving
+    image is dropped when its 60-bit perceptual dHash
+    (operators/imagehash — real stdlib decode, exact integer hash)
+    lands within ``max_hamming`` bits of any corpus image. Candidate
+    generation is the same Hamming-band equi-join as the batch
+    operator (complete for distances < ``n_bands``); verification is
+    the exact ``bit_count(XOR)`` on candidate pairs only. Returns a
+    ready-to-start ``foreachBatch`` writer; survivors land in
+    ``out_path`` parquet via the idempotent first-writer-wins append
+    (micro-batch replay inserts zero duplicates).
+
+    Scale shape mirrors the text pipeline: the corpus is decoded and
+    hashed ONCE at stream build (the expensive Arrow pass) into a
+    persisted (id, dhash) frame; the banded index derives from that
+    cache per batch as pure column math. Per micro-batch, only the
+    batch's own images are decoded; every join is id- or band-keyed.
+
+    Per-row reject contract (the multimodal rule): a stream row whose
+    blob does not decode gets a NULL hash, can never verify as a
+    duplicate, and passes through to the sink — one corrupt blob must
+    never abort (or silently drop from) an ingest stream; surfacing
+    failures is the metadata path's job (decode_media_metadata).
+
+    The corpus hash cache lives for the lifetime of the returned
+    query (embedders in long-lived sessions: stop the query, then
+    unpersist via the handle's ``_corpus_hashes``)."""
+    from etl_python_sqlite_spark.operators.cache import _release_frame
+    from etl_python_sqlite_spark.operators.idempotent import idempotent_append
+    from etl_python_sqlite_spark.operators.imagehash import (
+        DHASH_BITS,
+        image_dhash,
+    )
+
+    if DHASH_BITS % n_bands:
+        raise ValueError(f"n_bands must divide {DHASH_BITS}")
+    band_bits = DHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+
+    def _banded(hashes: DataFrame, out_id: str) -> DataFrame:
+        return hashes.select(
+            F.col("_hid").alias(out_id),
+            "_h",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            (
+                                F.shiftright(F.col("_h"), b * band_bits)
+                                .bitwiseAND(F.lit(mask))
+                            ).alias("band_key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(out_id, "_h", "bb.band", "bb.band_key")
+
+    corpus_hashes = (
+        image_dhash(corpus_media, id_col, content_col)
+        .filter(F.col("dhash").isNotNull())
+        .select(F.col(id_col).alias("_hid"), F.col("dhash").alias("_h"))
+        .persist()
+    )
+    corpus_hashes.count()  # eager: ONE corpus decode pass for ALL batches
+
+    def _handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        batch = batch.persist()
+        bh = None
+        try:
+            bh = (
+                image_dhash(batch, id_col, content_col)
+                .filter(F.col("dhash").isNotNull())
+                .select(
+                    F.col(id_col).alias("_hid"), F.col("dhash").alias("_h")
+                )
+                .localCheckpoint(eager=True)  # 2 consumers: band + verify
+            )
+            dup_ids = (
+                _banded(bh, "_batch_id")
+                .withColumnRenamed("_h", "_h_b")
+                .join(
+                    _banded(corpus_hashes, "_corpus_id")
+                    .withColumnRenamed("_h", "_h_c"),
+                    ["band", "band_key"],
+                )
+                .filter(
+                    F.bit_count(
+                        F.col("_h_b").bitwiseXOR(F.col("_h_c"))
+                    )
+                    <= max_hamming
+                )
+                .select(F.col("_batch_id").alias(id_col))
+                .distinct()
+            )
+            survivors = batch.join(dup_ids, id_col, "left_anti")
+            idempotent_append(spark, survivors, out_path, keys=[id_col])
+        finally:
+            batch.unpersist()
+            if bh is not None:
+                # deterministic checkpoint-block release per micro-batch
+                _release_frame(bh)
+
+    writer = stream_media.writeStream.foreachBatch(_handle)
+    writer._corpus_hashes = corpus_hashes  # release handle for embedders
+    return writer

@@ -815,3 +815,67 @@ def test_span_contamination_stream_against_corpus(spark, tmp_path):
     run("span_ckpt2")
     rows2 = spark.read.parquet(sink).collect()
     assert len(rows2) == 2
+
+
+def test_image_dedup_stream_against_corpus(spark, tmp_path):
+    """Streaming image ingest dedup (r10): re-encoded and noisy twins
+    of corpus images drop (dHash bands + exact Hamming verify), fresh
+    images and undecodable blobs pass through; replay from a fresh
+    checkpoint inserts zero duplicates."""
+    import numpy as np
+
+    from etl_python_sqlite_spark.operators import multimodal as M
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        image_dedup_stream_against_corpus,
+    )
+
+    rng = np.random.default_rng(9)
+    px_a = rng.integers(0, 256, size=(16, 18, 3), dtype=np.uint8)
+    px_b = rng.integers(0, 256, size=(16, 18, 3), dtype=np.uint8)
+    fresh = rng.integers(0, 256, size=(16, 18, 3), dtype=np.uint8)
+    corpus = spark.createDataFrame(
+        [
+            (100, bytearray(M.encode_png(px_a))),
+            (101, bytearray(M.encode_bmp(px_b))),
+        ],
+        "media_id long, content binary",
+    )
+    # noisy twin of px_a: flip one byte in one dHash cell (hamming <= 2)
+    noisy = px_a.copy()
+    noisy[0, 0, 0] = (int(noisy[0, 0, 0]) + 128) % 256
+    src = str(tmp_path / "img_src")
+    schema = "media_id long, content binary"
+    spark.createDataFrame(
+        [
+            (1, bytearray(M.encode_ppm(px_a))),   # re-encode -> drop
+            (2, bytearray(M.encode_png(noisy))),  # noisy twin -> drop
+            (3, bytearray(M.encode_png(fresh))),  # novel -> keep
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(4, bytearray(b"\xffJUNK"))], schema  # undecodable -> keep
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "img_out")
+
+    def run_once(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        writer = image_dedup_stream_against_corpus(stream, corpus, out)
+        q = writer.option(
+            "checkpointLocation", str(tmp_path / ckpt)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        writer._corpus_hashes.unpersist()
+
+    run_once("img_ckpt")
+    kept = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [3, 4]
+
+    run_once("img_ckpt2")  # fresh-checkpoint replay: idempotent sink
+    kept2 = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
+    assert kept2 == [3, 4]
