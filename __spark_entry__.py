@@ -185,10 +185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records at most 50 CORRECTNESS rows,
     # taken from the head of this dict. Round-10 rotation: the 9 keys
     # that slipped out of the r9 window (last attested ROUND 6, three
-    # corpus regenerations ago -- r9 VERDICT item 1) lead, then the 4
+    # corpus regenerations ago -- r9 VERDICT item 1) lead, then the 5
     # queries NEW in r10, then the 50-key block last attested ROUND 7,
-    # of which the first 37 fit the 50-row window; the last 13 of that
-    # block (ext_leakage_free_split through ext_ann_knn_join -- see the marker
+    # of which the first 36 fit the 50-row window; the last 14 of that
+    # block (ext_dsir_importance through ext_ann_knn_join -- see the marker
     # comment inside the block) slip to r11 and must lead its rotation.
     # The r8- and r9-attested blocks close the dict in recency order.
     return {
@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_trigram_lm_score": E.ext_trigram_lm_score,
         "ext_semantic_contamination": E.ext_semantic_contamination,
         "ext_image_dedup_clusters": E.ext_image_dedup_clusters,
+        "ext_audio_near_dups": E.ext_audio_near_dups,
         # -- last attested ROUND 7 (50 keys; the tail past the
         # 50-row window slips to r11 and must lead its rotation) --
         "ext_repeated_substring_mine": E.ext_repeated_substring_mine,
@@ -245,11 +246,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impute_group_median": R.impute_group_median,
         "mad_outlier_scan": R.mad_outlier_scan,
         "ext_bigram_lm_score": E.ext_bigram_lm_score,
-        "ext_dsir_importance": E.ext_dsir_importance,
-        # -- r10 window boundary: the 13 keys from here to
-        # ext_ann_knn_join are positions 51-63 -- they slip out of
+        # -- r10 window boundary: the 14 keys from here to
+        # ext_ann_knn_join are positions 51-64 -- they slip out of
         # the 50-row r10 window (last attested r7) and MUST lead
         # the r11 rotation --
+        "ext_dsir_importance": E.ext_dsir_importance,
         "ext_leakage_free_split": E.ext_leakage_free_split,
         "scd2_event_intervals": R.scd2_event_intervals,
         "incremental_rollup_merge": R.incremental_rollup_merge,
@@ -708,6 +709,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, cluster_size, cluster_size AS n_members
             FROM sized WHERE cluster_size > 1
             ORDER BY cluster_id
+        """,
+        # audio near-dups: same full-replay discipline as the image twin
+        # -- samples -> |energy| segment sums -> bits -> bands -> verify
+        # from md5 arithmetic alone (488 frames = 61 segments x 8, so
+        # the cross-multiplied mean comparisons are plain sum compares)
+        "ext_audio_near_dups": """
+            WITH auds AS (
+                SELECT doc_id AS mid, doc_id AS src, FALSE AS noisy
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000000, doc_id, (doc_id % 10 = 5)
+                FROM documents WHERE doc_id % 5 = 0
+            ),
+            byt AS (
+                SELECT mid, t, noisy,
+                       (mid >= 1000000000) AS twin,
+                       CAST('0x' || substr(
+                           md5(src::VARCHAR || ':' || (t // 16)::VARCHAR),
+                           (t % 16) * 2 + 1, 2) AS BIGINT) AS v0
+                FROM auds, generate_series(0, 487) g(t)
+            ),
+            smp AS (
+                SELECT mid, t,
+                       CASE WHEN twin AND noisy AND t = 255
+                                THEN ((v0 + 96) % 256) - 128
+                            WHEN twin AND NOT noisy THEN 2 * (v0 - 128)
+                            ELSE v0 - 128 END AS s
+                FROM byt
+            ),
+            segs AS (
+                SELECT mid, t // 8 AS g, CAST(SUM(abs(s)) AS BIGINT) AS e
+                FROM smp GROUP BY 1, 2
+            ),
+            bits AS (
+                SELECT l.mid, l.g AS k,
+                       CASE WHEN l.e > r.e THEN 1::BIGINT
+                            ELSE 0::BIGINT END AS bit
+                FROM segs l JOIN segs r
+                  ON l.mid = r.mid AND r.g = l.g + 1
+                WHERE l.g < 60
+            ),
+            hashes AS (
+                SELECT mid, CAST(SUM(bit << k) AS BIGINT) AS h
+                FROM bits GROUP BY mid
+            ),
+            banded AS (
+                SELECT mid, bn, (h >> (15 * bn)) & 32767 AS band_key
+                FROM hashes, generate_series(0, 3) g(bn)
+            ),
+            cand AS (
+                SELECT DISTINCT a.mid AS id_a, b.mid AS id_b
+                FROM banded a JOIN banded b
+                  ON a.bn = b.bn AND a.band_key = b.band_key
+                 AND a.mid < b.mid
+            ),
+            pairs AS (
+                SELECT id_a, id_b,
+                       CAST(bit_count(xor(ha.h, hb.h)) AS INT) AS hamming
+                FROM cand
+                JOIN hashes ha ON ha.mid = cand.id_a
+                JOIN hashes hb ON hb.mid = cand.id_b
+            )
+            SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+            ORDER BY id_a, id_b
         """,
         "ext_trigram_lm_score": """
             WITH wt AS (

@@ -3140,3 +3140,101 @@ def ext_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tie(out, assigned, pairs, planted_keys)
+
+
+# ---------------------------------------------------------------------------
+# r10: audio perceptual-hash near-dup dedup (E15 — the audio sibling of E12)
+# ---------------------------------------------------------------------------
+
+#: contract-query audio geometry: 488 frames = 61 segments x 8 frames,
+#: so every segment count is 8 and the DuckDB twin's cross-multiplied
+#: mean comparisons reduce to plain energy-sum comparisons
+_AUD_FRAMES = 488
+#: planted-twin id offset (disjoint from every doc_id at any SF)
+_AUD_TWIN_OFFSET = 1_000_000_000
+#: noisy-twin sample perturbation {frame_index: additive byte delta}
+#: — ONE touched segment => at most 2 flipped bits, inside the banding
+#: completeness guarantee (Hamming < 4 always caught)
+_AUD_NOISE = {255: 96}
+
+
+def _aud_samples(doc_id: int) -> "list[int]":
+    """488 deterministic int16 samples for a document's synthetic
+    audio: byte t of the md5 chain ``md5(f"{doc_id}:{block}")`` minus
+    128 — the construction the DuckDB twin rebuilds arithmetically."""
+    import hashlib
+
+    out = bytearray()
+    for block in range((_AUD_FRAMES + 15) // 16):
+        out += hashlib.md5(f"{doc_id}:{block}".encode()).digest()
+    return [b - 128 for b in out[:_AUD_FRAMES]]
+
+
+def ext_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 (r10) — perceptual near-duplicate detection for AUDIO over a
+    real encode→decode→hash→LSH pipeline (operators/audiohash.py):
+
+    * every document becomes one synthetic 488-frame int16 WAV
+      (md5-chain samples, ``_aud_samples``) through the REAL stdlib
+      ``wave`` writer;
+    * every ``doc_id % 5 == 0`` document plants a TWIN (id + 10^9):
+      the even half (``% 10 == 0``) VOLUME-DOUBLED — the energy hash
+      is exactly invariant under amplitude scaling (every
+      cross-multiplied segment comparison is unchanged), so these
+      verify at Hamming 0 deterministically; the odd half
+      (``% 10 == 5``) perturbs ONE sample (``_AUD_NOISE``), flipping
+      ≤2 bits — inside the 4-band completeness guarantee, so noisy
+      twins are ALWAYS candidates too;
+    * the pipeline decodes with the real WAV parser, hashes the energy
+      envelope (61 segments × 8 frames), bands 4×15 bits, verifies
+      ``bit_count(XOR)`` ≤ 6.
+
+    The ENTIRE pair list is value-hash-checked — the DuckDB twin
+    replays samples → |energy| segment sums → 60 comparison bits →
+    band keys → candidate join → Hamming verify from
+    ``md5(doc_id||':'||block)`` arithmetic alone, which ALSO certifies
+    the WAV write→read round trip bit-faithful. Operator ground truth
+    (volume/edit invariances, reject routing) lives in
+    tests/test_audiohash.py."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_python_sqlite_spark.operators import multimodal as M
+    from etl_python_sqlite_spark.operators.audiohash import (
+        audio_energy_hash,
+        audio_near_dups,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s = _aud_samples(did)
+                out.append(
+                    (did, M.encode_wav(np.array(s, np.int16), 8000))
+                )
+                if did % 5 == 0:
+                    if did % 10 == 5:  # noisy twin: one-sample edit
+                        s2 = list(s)
+                        for t, delta in _AUD_NOISE.items():
+                            s2[t] = (s2[t] + 128 + delta) % 256 - 128
+                    else:  # volume-doubled twin: hash-invariant
+                        s2 = [2 * x for x in s]
+                    out.append(
+                        (
+                            did + _AUD_TWIN_OFFSET,
+                            M.encode_wav(np.array(s2, np.int16), 8000),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(_gen, schema="media_id long, content binary")
+    pairs = audio_near_dups(
+        audio_energy_hash(media), max_hamming=6, n_bands=4
+    )
+    # keepalive: ordered frame derives from the tie()'d result
+    # (cache.py composition rule)
+    return tie(pairs.orderBy("id_a", "id_b"), keepalive=[pairs])
