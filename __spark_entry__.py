@@ -185,10 +185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver records at most 50 CORRECTNESS rows,
     # taken from the head of this dict. Round-10 rotation: the 9 keys
     # that slipped out of the r9 window (last attested ROUND 6, three
-    # corpus regenerations ago -- r9 VERDICT item 1) lead, then the 5
+    # corpus regenerations ago -- r9 VERDICT item 1) lead, then the 6
     # queries NEW in r10, then the 50-key block last attested ROUND 7,
-    # of which the first 36 fit the 50-row window; the last 14 of that
-    # block (ext_dsir_importance through ext_ann_knn_join -- see the marker
+    # of which the first 35 fit the 50-row window; the last 15 of that
+    # block (ext_bigram_lm_score through ext_ann_knn_join -- see the marker
     # comment inside the block) slip to r11 and must lead its rotation.
     # The r8- and r9-attested blocks close the dict in recency order.
     return {
@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_semantic_contamination": E.ext_semantic_contamination,
         "ext_image_dedup_clusters": E.ext_image_dedup_clusters,
         "ext_audio_near_dups": E.ext_audio_near_dups,
+        "ext_video_near_dups": E.ext_video_near_dups,
         # -- last attested ROUND 7 (50 keys; the tail past the
         # 50-row window slips to r11 and must lead its rotation) --
         "ext_repeated_substring_mine": E.ext_repeated_substring_mine,
@@ -245,11 +246,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_embedding_pooling": E.ext_embedding_pooling,
         "impute_group_median": R.impute_group_median,
         "mad_outlier_scan": R.mad_outlier_scan,
-        "ext_bigram_lm_score": E.ext_bigram_lm_score,
-        # -- r10 window boundary: the 14 keys from here to
-        # ext_ann_knn_join are positions 51-64 -- they slip out of
+        # -- r10 window boundary: the 15 keys from here to
+        # ext_ann_knn_join are positions 51-65 -- they slip out of
         # the 50-row r10 window (last attested r7) and MUST lead
         # the r11 rotation --
+        "ext_bigram_lm_score": E.ext_bigram_lm_score,
         "ext_dsir_importance": E.ext_dsir_importance,
         "ext_leakage_free_split": E.ext_leakage_free_split,
         "scd2_event_intervals": R.scd2_event_intervals,
@@ -772,6 +773,60 @@ def oracle_sql() -> dict[str, str]:
                 JOIN hashes hb ON hb.mid = cand.id_b
             )
             SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+            ORDER BY id_a, id_b
+        """,
+        # video near-dups: frame fingerprints from md5 arithmetic (the
+        # image cell/bit replay with a per-frame namespace), distinct
+        # fingerprint sets, shared-count pair join
+        "ext_video_near_dups": """
+            WITH vids AS (
+                SELECT doc_id AS mid, doc_id AS src, -1 AS kind
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000000, doc_id,
+                       CASE WHEN doc_id % 12 = 6 THEN 1 ELSE 0 END
+                FROM documents WHERE doc_id % 6 = 0
+            ),
+            vframes AS (
+                -- kind 1 (truncated twin) keeps frames 0..2; others 0..3
+                SELECT mid, src, f FROM vids, generate_series(0, 3) g(f)
+                WHERE kind < 1 OR f < 3
+            ),
+            byt AS (
+                SELECT mid, f, t,
+                       CAST('0x' || substr(
+                           md5(src::VARCHAR || ':f' || f::VARCHAR || ':'
+                               || (t // 16)::VARCHAR),
+                           (t % 16) * 2 + 1, 2) AS BIGINT) AS v
+                FROM vframes, generate_series(0, 863) g(t)
+            ),
+            cells AS (
+                SELECT mid, f, ((t // 3) // 18) // 2 AS i,
+                       ((t // 3) % 18) // 2 AS j,
+                       CAST(SUM(v) AS BIGINT) AS s
+                FROM byt GROUP BY 1, 2, 3, 4
+            ),
+            bits AS (
+                SELECT l.mid, l.f, (l.i * 8 + l.j) AS k,
+                       CASE WHEN l.s > r.s THEN 1::BIGINT
+                            ELSE 0::BIGINT END AS bit
+                FROM cells l JOIN cells r
+                  ON l.mid = r.mid AND l.f = r.f AND l.i = r.i
+                 AND r.j = l.j + 1
+                WHERE l.j < 8
+            ),
+            fps AS (
+                SELECT DISTINCT mid,
+                       CAST(SUM(CASE WHEN k < 60 THEN bit << k
+                                     ELSE 0 END) AS BIGINT) AS h
+                FROM (SELECT mid, f, k, bit FROM bits) GROUP BY mid, f
+            )
+            SELECT a.mid AS id_a, b.mid AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM fps a JOIN fps b
+              ON a.h = b.h AND a.mid < b.mid
+            GROUP BY a.mid, b.mid
+            HAVING COUNT(*) >= 2
             ORDER BY id_a, id_b
         """,
         "ext_trigram_lm_score": """

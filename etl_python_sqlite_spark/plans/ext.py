@@ -3238,3 +3238,80 @@ def ext_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keepalive: ordered frame derives from the tie()'d result
     # (cache.py composition rule)
     return tie(pairs.orderBy("id_a", "id_b"), keepalive=[pairs])
+
+
+# ---------------------------------------------------------------------------
+# r10: video near-dup dedup (E16 — frame-fingerprint overlap)
+# ---------------------------------------------------------------------------
+
+#: frames per synthetic video (twin kinds below keep >=3 shared)
+_VID_FRAMES = 4
+_VID_TWIN_OFFSET = 1_000_000_000
+
+
+def _vid_frame_payload(doc_id: int, f: int) -> bytes:
+    """864 deterministic bytes for frame ``f`` of a document's
+    synthetic video — the md5 chain keyed ``{doc_id}:f{f}:{block}``
+    (the image construction with a per-frame namespace)."""
+    import hashlib
+
+    n = _IMG_W * _IMG_H * 3
+    out = bytearray()
+    for block in range((n + 15) // 16):
+        out += hashlib.md5(f"{doc_id}:f{f}:{block}".encode()).digest()
+    return bytes(out[:n])
+
+
+def ext_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 (r10) — video near-duplicate detection by frame-fingerprint
+    overlap (operators/videohash.py): every document becomes a 4-frame
+    concatenated-BMP video (md5-chain pixels per frame), each frame is
+    dHash-fingerprinted through the REAL container split + BMP decode,
+    and two videos pair when they share ≥2 distinct fingerprints.
+
+    Planted twins (``doc_id % 6 == 0``, id + 10^9): the even half
+    (``% 12 == 0``) REVERSES the frame order — the fingerprint SET is
+    unchanged, so the pair reports n_shared = 4 deterministically (the
+    set semantics the operator promises); the odd half (``% 12 == 6``)
+    DROPS the last frame — n_shared = 3 exactly. The DuckDB twin
+    replays frame payload → grid cells → dHash bits → distinct-
+    fingerprint pair join from md5 arithmetic alone, so the value-hash
+    match again certifies the BMV split + BMP decode bit-faithful.
+    Operator ground truth (reorder/truncate/re-encode recall, reject
+    routing) lives in tests/test_videohash.py."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_python_sqlite_spark.operators import multimodal as M
+    from etl_python_sqlite_spark.operators.videohash import (
+        video_frame_hashes,
+        video_near_dups,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [
+                    np.frombuffer(
+                        _vid_frame_payload(did, f), np.uint8
+                    ).reshape(_IMG_H, _IMG_W, 3)
+                    for f in range(_VID_FRAMES)
+                ]
+                out.append((did, M.encode_bmv(frames)))
+                if did % 6 == 0:
+                    if did % 12 == 6:  # truncated twin: drop last frame
+                        tf = frames[:-1]
+                    else:  # reordered twin: same fingerprint set
+                        tf = frames[::-1]
+                    out.append((did + _VID_TWIN_OFFSET, M.encode_bmv(tf)))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = docs.mapInPandas(_gen, schema="media_id long, content binary")
+    pairs = video_near_dups(
+        video_frame_hashes(media, every_n=1), min_shared=2
+    )
+    return tie(pairs.orderBy("id_a", "id_b"), keepalive=[pairs])
