@@ -151,6 +151,8 @@ def main() -> None:
             # band-rare: the honest linear probe for decode+hash+LSH
             ("image_near_dups", E.ext_image_near_dups),
             ("trigram_lm_score", E.ext_trigram_lm_score),
+            ("audio_near_dups", E.ext_audio_near_dups),
+            ("video_near_dups", E.ext_video_near_dups),
         ]
         if only is not None:
             pipelines = [(n, f) for n, f in pipelines if n in only]
