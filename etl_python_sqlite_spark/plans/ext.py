@@ -31,6 +31,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to default parallelism when the scan is
+    under-split — for PYTHON-BOUND Arrow pipelines only (media
+    encode/decode): the testdata is one 0.6 MB parquet file, so a
+    1-split scan serializes the whole Arrow pass behind one core
+    (measured r10: video near-dups 6.0 → 1.4 s, audio 1.7 → 1.1 s
+    interleaved A/B). At real scale the condition never fires. Do NOT
+    reach for this on JVM codegen pipelines — the trigram A/B measured
+    the same enabler LOSING there (stage overhead > parallelism gain;
+    BASELINE.md r10)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -687,7 +703,7 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_python_sqlite_spark.operators import multimodal as M
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id", "text"))
 
     def _encode(batches):
         for pdf in batches:
@@ -2832,7 +2848,7 @@ def _image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_python_sqlite_spark.operators import multimodal as M
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
     encoders = [M.encode_png, M.encode_bmp, M.encode_ppm]
 
     def _gen(batches):
@@ -3205,7 +3221,7 @@ def ext_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_near_dups,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     def _gen(batches):
         for pdf in batches:
@@ -3288,7 +3304,7 @@ def ext_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_near_dups,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
     def _gen(batches):
         for pdf in batches:
