@@ -66,9 +66,13 @@ def energy_dhash60(samples: "np.ndarray") -> int:
         seg = energy[edges[i] : edges[i + 1]]
         sums[i] = int(seg.sum())
         cnts[i] = len(seg)
+    # compare in PYTHON ints: np.int64 products wrap silently past
+    # 2^63 (hours of 48 kHz audio make segment-sum x count exceed it —
+    # code-review r10, repro'd), and a wrapped product flips hash bits
+    psums, pcnts = sums.tolist(), cnts.tolist()
     out = 0
     for k in range(DHASH_BITS):
-        if sums[k] * cnts[k + 1] > sums[k + 1] * cnts[k]:
+        if psums[k] * pcnts[k + 1] > psums[k + 1] * pcnts[k]:
             out |= 1 << k
     return out
 
@@ -85,9 +89,6 @@ def audio_energy_hash(
     from .multimodal import decode_audio
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct as _struct
-        import wave as _wave
-
         for pdf in batches:
             ids, hs, srs, nfs, oks = [], [], [], [], []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
@@ -100,13 +101,7 @@ def audio_energy_hash(
                     srs.append(aud.sample_rate)
                     nfs.append(aud.n_frames)
                     oks.append(True)
-                except (
-                    ValueError,
-                    NotImplementedError,
-                    _struct.error,
-                    _wave.Error,
-                    EOFError,
-                ):
+                except Exception:  # noqa: BLE001 — per-row reject
                     hs.append(None)
                     srs.append(None)
                     nfs.append(None)

@@ -195,8 +195,11 @@ def trigram_lm_score(
     more join column: ONE trigram explode (persisted — count tables +
     scoring join are multiple consumers), context counts ROLLED UP from
     the trigram counts (never a second corpus pass), the data-sized
-    (w1,w2,w3) count joined back on its uniform key, the
-    vocabulary-bounded context table and the 1-row V scalar broadcast.
+    (w1,w2,w3) count joined back on its uniform key. UNLIKE the bigram
+    scorer, the (w1,w2) context table is NOT broadcast: it is
+    distinct-bigram-sized (grows with the corpus — broadcasting it
+    would hit the 8 GB limit at scale), so it shuffle-joins; only the
+    1-row V scalar broadcasts.
 
     Negative result, measured (r10 interleaved A/B at sf0.1, best-of-4
     warm): collapsing instances to (doc, tri-string, multiplicity)

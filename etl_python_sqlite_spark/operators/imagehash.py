@@ -87,6 +87,9 @@ def dhash60(pixels: "np.ndarray") -> int:
             ]
             sums[i, j] = int(block.sum())
             cnts[i, j] = block.size
+    # compare in PYTHON ints: np.int64 products wrap silently past
+    # 2^63 (multi-gigapixel cells — code-review r10); exact means exact
+    psums, pcnts = sums.tolist(), cnts.tolist()
     out = 0
     for i in range(GRID_ROWS):
         for j in range(GRID_COLS - 1):
@@ -94,7 +97,10 @@ def dhash60(pixels: "np.ndarray") -> int:
             if k >= DHASH_BITS:
                 break
             # avg(i,j) > avg(i,j+1), cross-multiplied (exact)
-            if sums[i, j] * cnts[i, j + 1] > sums[i, j + 1] * cnts[i, j]:
+            if (
+                psums[i][j] * pcnts[i][j + 1]
+                > psums[i][j + 1] * pcnts[i][j]
+            ):
                 out |= 1 << k
     return out
 
@@ -113,8 +119,6 @@ def image_dhash(
     from .multimodal import decode_image
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct as _struct
-
         for pdf in batches:
             ids, hs, ws, hts, oks = [], [], [], [], []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
@@ -127,7 +131,12 @@ def image_dhash(
                     ws.append(img.width)
                     hts.append(img.height)
                     oks.append(True)
-                except (ValueError, NotImplementedError, _struct.error):
+                except Exception:  # noqa: BLE001 — per-row reject
+                    # contract: match the canonical decode path
+                    # (multimodal.decode_media_metadata), which catches
+                    # broadly — codecs raise zlib.error / struct.error /
+                    # EOFError / ValueError depending on WHERE the blob
+                    # is corrupt, and any of them must route, not abort
                     hs.append(None)
                     ws.append(None)
                     hts.append(None)

@@ -34,8 +34,15 @@ def _with_shuffle_key(
     any correlation with the natural key order (training loaders want
     i.i.d.-looking shards, not curriculum order). A different ``salt``
     yields an independent permutation. ``\\x1f`` separates the salt and
-    key parts so adjacent fields can never alias each other."""
-    parts = [F.lit(salt)] + [F.col(c).cast("string") for c in cols]
+    key parts, and every field carries an explicit null FLAG —
+    ``concat_ws`` SKIPS null operands (code-review r10), so without the
+    flag ('a', NULL) and (NULL, 'a') would alias, and an all-NULL key
+    would hash the salt alone, clumping those rows together."""
+    parts: list = [F.lit(salt)]
+    for c in cols:
+        col = F.col(c)
+        parts.append(F.when(col.isNull(), "1").otherwise("0"))
+        parts.append(F.coalesce(col.cast("string"), F.lit("")))
     return df.withColumn(_SHUF, phash60(F.concat_ws("\x1f", *parts)))
 
 
@@ -205,8 +212,20 @@ def write_webdataset_shards(
     for pid, tmpname in winners.items():
         dest = hpath(str(out_dir), f"shard-{pid:05d}.tar")
         if fs.exists(dest):
-            fs.delete(dest, False)  # HDFS rename won't overwrite
-        fs.rename(hpath(str(out_dir), tmpname), dest)
+            # HDFS rename won't overwrite: delete-then-rename. NOT
+            # atomic — a crash in between leaves the prior shard gone
+            # with the temp still present (the temp survives the
+            # job-scoped sweep only until a rerun; rerunning the write
+            # is the recovery, same as any failed overwrite job).
+            fs.delete(dest, False)
+        if not fs.rename(hpath(str(out_dir), tmpname), dest):
+            # Hadoop reports rename failure by RETURNING false, not
+            # raising (code-review r10) — an unchecked call would let
+            # the sweep delete the temp and silently drop the shard
+            raise IOError(
+                f"webdataset commit failed: rename {tmpname} -> "
+                f"shard-{pid:05d}.tar returned false"
+            )
     # sweep THIS JOB's lost speculative attempts only — an unscoped
     # sweep would unlink a concurrent writer's in-progress files
     marker = f".inprogress-{job_id}-"

@@ -63,7 +63,7 @@ def video_frame_hashes(
                     try:
                         img = decode_image(frames[idx])
                         rows.append((mid, idx, dhash60(img.pixels), True))
-                    except (ValueError, NotImplementedError, _struct.error):
+                    except Exception:  # noqa: BLE001 — per-frame reject
                         rows.append((mid, idx, None, False))
             yield pd.DataFrame(
                 rows, columns=[id_col, "frame_idx", "fhash", "decode_ok"]

@@ -3005,8 +3005,10 @@ def ext_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r10: semantic (embedding-space) contamination scan (VERDICT r9 missing #4)
 # ---------------------------------------------------------------------------
 
-#: planted-contamination id offset (disjoint from every vec_id)
-_SEMCON_OFFSET = 1_000_000
+#: planted-contamination id offset — 10^9 like every other planted-twin
+#: family, so planted ids stay disjoint from real vec_ids at any SF
+#: (code-review r10: 10^6 would collide from ~1e6 embeddings up)
+_SEMCON_OFFSET = 1_000_000_000
 
 
 def ext_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3017,7 +3019,7 @@ def ext_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Benchmark = the ``vec_id % 40 == 7`` slice; corpus = the rest PLUS
     planted paraphrase twins: for every benchmark vector with
     ``vec_id % 80 == 7`` and a nonzero embedding, a corpus vector
-    (id + 10^6) equal to 2·v — scalar multiples are the one paraphrase
+    (id + 10^9) equal to 2·v — scalar multiples are the one paraphrase
     surrogate whose recovery is MATHEMATICALLY deterministic, because
     cosine is exactly scale-invariant in IEEE arithmetic (×2 shifts
     exponents only: normalization, dot products and the final division

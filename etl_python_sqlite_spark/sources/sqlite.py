@@ -121,23 +121,25 @@ def write_sqlite(
 
     Because the write MATERIALIZES the frame on the driver
     (``toPandas``), a frame bigger than driver memory would OOM the JVM
-    instead of failing cleanly — so the size is checked first and the
-    write refuses above ``max_rows`` unless ``force=True`` (the count
-    is one cheap action; callers shipping genuinely huge frames to a
+    instead of failing cleanly — so the write collects AT MOST
+    ``max_rows + 1`` rows in ONE action (``limit`` bounds driver memory
+    without a separate count that would execute the upstream lineage
+    twice — code-review r10) and refuses if the limit was hit, unless
+    ``force=True``. Callers shipping genuinely huge frames to a
     single-writer SQLite file are making a scale mistake this guard is
-    meant to surface, not hide).
+    meant to surface, not hide.
     """
-    if not force:
-        n = df.count()
-        if n > max_rows:
+    if force:
+        pdf = df.toPandas()
+    else:
+        pdf = df.limit(max_rows + 1).toPandas()
+        if len(pdf) > max_rows:
             raise ValueError(
-                f"write_sqlite: frame has {n} rows > max_rows="
-                f"{max_rows}; a driver-side SQLite write would "
-                "materialize all of it in driver memory. Pass "
-                "force=True if you really mean it, or write parquet "
-                "and bulk-load instead."
+                f"write_sqlite: frame exceeds max_rows={max_rows}; a "
+                "driver-side SQLite write would materialize all of it "
+                "in driver memory. Pass force=True if you really mean "
+                "it, or write parquet and bulk-load instead."
             )
-    pdf = df.toPandas()
     con = sqlite3.connect(str(db_path))
     try:
         cur = con.cursor()
