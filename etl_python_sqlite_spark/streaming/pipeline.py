@@ -1207,12 +1207,34 @@ def image_dedup_stream_against_corpus(
     The corpus hash cache lives for the lifetime of the returned
     query (embedders in long-lived sessions: stop the query, then
     unpersist via the handle's ``_corpus_hashes``)."""
+    from etl_python_sqlite_spark.operators.imagehash import image_dhash
+
+    def _hasher(media: DataFrame) -> DataFrame:
+        return image_dhash(media, id_col, content_col)
+
+    return _hash_dedup_stream_against_corpus(
+        stream_media, corpus_media, out_path, _hasher,
+        max_hamming, n_bands, id_col,
+    )
+
+
+def _hash_dedup_stream_against_corpus(
+    stream_media: DataFrame,
+    corpus_media: DataFrame,
+    out_path: str,
+    hasher,
+    max_hamming: int,
+    n_bands: int,
+    id_col: str,
+):
+    """Shared engine of the perceptual-hash ingest-dedup streams:
+    ``hasher(media)`` must return (id_col, dhash, decode_ok, ...) with
+    a 60-bit hash; everything else (once-hashed corpus index, per-batch
+    banding, XOR verify, idempotent sink, reject pass-through, per-batch
+    checkpoint release) is modality-independent."""
     from etl_python_sqlite_spark.operators.cache import _release_frame
     from etl_python_sqlite_spark.operators.idempotent import idempotent_append
-    from etl_python_sqlite_spark.operators.imagehash import (
-        DHASH_BITS,
-        image_dhash,
-    )
+    from etl_python_sqlite_spark.operators.imagehash import DHASH_BITS
 
     if DHASH_BITS % n_bands:
         raise ValueError(f"n_bands must divide {DHASH_BITS}")
@@ -1240,7 +1262,7 @@ def image_dedup_stream_against_corpus(
         ).select(out_id, "_h", "bb.band", "bb.band_key")
 
     corpus_hashes = (
-        image_dhash(corpus_media, id_col, content_col)
+        hasher(corpus_media)
         .filter(F.col("dhash").isNotNull())
         .select(F.col(id_col).alias("_hid"), F.col("dhash").alias("_h"))
         .persist()
@@ -1255,7 +1277,7 @@ def image_dedup_stream_against_corpus(
         bh = None
         try:
             bh = (
-                image_dhash(batch, id_col, content_col)
+                hasher(batch)
                 .filter(F.col("dhash").isNotNull())
                 .select(
                     F.col(id_col).alias("_hid"), F.col("dhash").alias("_h")
@@ -1290,3 +1312,35 @@ def image_dedup_stream_against_corpus(
     writer = stream_media.writeStream.foreachBatch(_handle)
     writer._corpus_hashes = corpus_hashes  # release handle for embedders
     return writer
+
+
+def audio_dedup_stream_against_corpus(
+    stream_media: DataFrame,
+    corpus_media: DataFrame,
+    out_path: str,
+    max_hamming: int = 6,
+    n_bands: int = 4,
+    id_col: str = "media_id",
+    content_col: str = "content",
+):
+    """Streaming ingest dedup for AUDIO payloads — the energy-envelope
+    sibling of :func:`image_dedup_stream_against_corpus` (same corpus-
+    hashed-once index, Hamming-band candidates, exact XOR-popcount
+    verify, idempotent survivor sink, pass-through reject contract),
+    with ``operators/audiohash.audio_energy_hash`` as the fingerprint —
+    so a re-encoded or volume-scaled copy of a corpus clip is dropped
+    at ingest (the hash is exactly volume-invariant) while novel and
+    undecodable clips land in the sink."""
+    from etl_python_sqlite_spark.operators.audiohash import (
+        audio_energy_hash,
+    )
+
+    def _hasher(media: DataFrame) -> DataFrame:
+        return audio_energy_hash(media, id_col, content_col).select(
+            F.col(id_col), F.col("ahash").alias("dhash"), "decode_ok"
+        )
+
+    return _hash_dedup_stream_against_corpus(
+        stream_media, corpus_media, out_path, _hasher,
+        max_hamming, n_bands, id_col,
+    )

@@ -879,3 +879,57 @@ def test_image_dedup_stream_against_corpus(spark, tmp_path):
     run_once("img_ckpt2")  # fresh-checkpoint replay: idempotent sink
     kept2 = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
     assert kept2 == [3, 4]
+
+
+def test_audio_dedup_stream_against_corpus(spark, tmp_path):
+    """Streaming audio ingest dedup (r10): volume-scaled and
+    one-sample-edited copies of corpus clips drop; novel clips and
+    undecodable blobs pass; replay inserts zero duplicates."""
+    import numpy as np
+
+    from etl_python_sqlite_spark.operators import multimodal as M
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        audio_dedup_stream_against_corpus,
+    )
+
+    rng = np.random.default_rng(21)
+    s_a = rng.integers(-128, 128, size=(488, 1)).astype(np.int16)
+    s_b = rng.integers(-128, 128, size=(488, 1)).astype(np.int16)
+    corpus = spark.createDataFrame(
+        [(100, bytearray(M.encode_wav(s_a, 8000)))],
+        "media_id long, content binary",
+    )
+    edited = s_a.copy()
+    edited[255, 0] = 127
+    src = str(tmp_path / "aud_src")
+    schema = "media_id long, content binary"
+    spark.createDataFrame(
+        [
+            (1, bytearray(M.encode_wav(s_a * 2, 8000))),  # louder -> drop
+            (2, bytearray(M.encode_wav(edited, 8000))),   # edit -> drop
+            (3, bytearray(M.encode_wav(s_b, 8000))),      # novel -> keep
+            (4, bytearray(b"\xffnot audio")),             # reject -> keep
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "aud_out")
+
+    def run_once(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        writer = audio_dedup_stream_against_corpus(stream, corpus, out)
+        q = writer.option(
+            "checkpointLocation", str(tmp_path / ckpt)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        writer._corpus_hashes.unpersist()
+
+    run_once("aud_ckpt")
+    kept = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [3, 4]
+    run_once("aud_ckpt2")
+    kept2 = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
+    assert kept2 == [3, 4]
