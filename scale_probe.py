@@ -153,6 +153,9 @@ def main() -> None:
             ("trigram_lm_score", E.ext_trigram_lm_score),
             ("audio_near_dups", E.ext_audio_near_dups),
             ("video_near_dups", E.ext_video_near_dups),
+            # shares the memoized _image_pairs stage with
+            # image_near_dups — this row isolates the CC + summary cost
+            ("image_dedup_clusters", E.ext_image_dedup_clusters),
         ]
         if only is not None:
             pipelines = [(n, f) for n, f in pipelines if n in only]
