@@ -119,12 +119,17 @@ _KMEANS_LOCK = threading.RLock()
 #: because that frame was already persisted+counted for its own
 #: lifecycle; here the verified pairs are deliberately LAZY over the
 #: checkpointed candidate set; the count here comes from parquet
-#: footer metadata — zero Spark jobs). Below the gate the checkpoint tier is
-#: strictly faster (the table write adds a full verify + write pass);
-#: above it executor storage can't hold the stage and the bucketed
-#: files give id_a-keyed consumers a zero-exchange probe side —
-#: tier equality is pinned in tests/test_bucketed_stage.py.
-MINHASH_BUCKETED_STAGE_MIN_DOCS = 2_000_000
+#: footer metadata — zero Spark jobs). MEASURED crossover (r10,
+#: interleaved A/B, warm): at 5k docs the tiers tie on build+consume
+#: (3.3-3.9 s both, consumers ~0.1 s either way); at 80k docs the
+#: bucketed tier already TIES on build+first-consumer (22-25 s both)
+#: and wins ~10× per LATER consumer (0.5 s table read vs 5-7 s verify
+#: re-run) — and above executor storage it is the only option. The
+#: gate sits at the low end of the measured knee so reuse-heavy
+#: sessions get the table as soon as it can pay for itself; the
+#: driver's sf0.1 bench (5k docs) stays on the cache tier.
+#: Tier equality is pinned in tests/test_bucketed_stage.py.
+MINHASH_BUCKETED_STAGE_MIN_DOCS = 50_000
 MINHASH_STAGE_BUCKETS = 32
 _MINHASH_TABLE_ATTR = "_spark_graft_minhash_table"
 _MINHASH_LIVE_TABLES: set = set()
