@@ -156,6 +156,10 @@ def main() -> None:
             # shares the memoized _image_pairs stage with
             # image_near_dups — this row isolates the CC + summary cost
             ("image_dedup_clusters", E.ext_image_dedup_clusters),
+            # r10: the one >1.3x-vs-r9 bench mover (corpus-density
+            # effect on shingle-set sizes) — probed to show the
+            # prefix-filter stack stays sub-linear on THIS corpus
+            ("containment_join", E.ext_containment_join),
         ]
         if only is not None:
             pipelines = [(n, f) for n, f in pipelines if n in only]
