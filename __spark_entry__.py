@@ -183,6 +183,13 @@ def _langid_char_sql(text: str = "text") -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ORDERING CONTRACT: the driver records at most 50 CORRECTNESS rows,
+    # taken from the head of this dict. Round-11 rotation (VERDICT r10
+    # item 1): the 15 keys last attested ROUND 7 lead, then the queries
+    # NEW in r11 (never attested), then the block last attested ROUND 8
+    # fills the window -- whatever of it does not fit the 50-row window
+    # stays @r8 and MUST lead the r12 rotation (see the marker comment
+    # inside the r8 block). The r9- and r10-attested blocks close the
+    # dict in recency order.
     # taken from the head of this dict. Round-10 rotation: the 9 keys
     # that slipped out of the r9 window (last attested ROUND 6, three
     # corpus regenerations ago -- r9 VERDICT item 1) lead, then the 6
@@ -192,64 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # comment inside the block) slip to r11 and must lead its rotation.
     # The r8- and r9-attested blocks close the dict in recency order.
     return {
-        # -- slipped from the r9 window (last attested r6) -- lead --
-        "ext_simhash_near_dups": E.ext_simhash_near_dups,
-        "ext_winnowing_pairs": E.ext_winnowing_pairs,
-        "ext_ann_topk_lsh": E.ext_ann_topk_lsh,
-        "ext_ivf_topk": E.ext_ivf_topk,
-        "ext_embedding_near_dups": E.ext_embedding_near_dups,
-        "ext_heavy_hitters": E.ext_heavy_hitters,
-        "ext_kll_quantiles": E.ext_kll_quantiles,
-        "promo_revenue_ratio": R.promo_revenue_ratio,
-        "nation_market_share": R.nation_market_share,
-        # -- NEW in round 10 (never driver-attested) --
-        "ext_image_near_dups": E.ext_image_near_dups,
-        "ext_trigram_lm_score": E.ext_trigram_lm_score,
-        "ext_semantic_contamination": E.ext_semantic_contamination,
-        "ext_image_dedup_clusters": E.ext_image_dedup_clusters,
-        "ext_audio_near_dups": E.ext_audio_near_dups,
-        "ext_video_near_dups": E.ext_video_near_dups,
-        # -- last attested ROUND 7 (50 keys; the tail past the
-        # 50-row window slips to r11 and must lead its rotation) --
-        "ext_repeated_substring_mine": E.ext_repeated_substring_mine,
-        "ext_repeated_span_cut": E.ext_repeated_span_cut,
-        "large_volume_customers": R.large_volume_customers,
-        "disjunctive_revenue": R.disjunctive_revenue,
-        "idle_customer_balance": R.idle_customer_balance,
-        "ext_doc_chunking": E.ext_doc_chunking,
-        "ext_substring_contamination": E.ext_substring_contamination,
-        "cheapest_supplier_per_part": R.cheapest_supplier_per_part,
-        "supplier_variety_by_brand": R.supplier_variety_by_brand,
-        "daily_volume_anomaly": R.daily_volume_anomaly,
-        "ext_cross_source_dedup": E.ext_cross_source_dedup,
-        "priority_order_counts": R.priority_order_counts,
-        "shipmode_priority_split": R.shipmode_priority_split,
-        "top_supplier_revenue": R.top_supplier_revenue,
-        "ext_chunk_dedup": E.ext_chunk_dedup,
-        "ext_dataset_card": E.ext_dataset_card,
-        "ext_embedding_quantization": E.ext_embedding_quantization,
-        "ext_setsim_prefix_join": E.ext_setsim_prefix_join,
-        "ext_semantic_dedup": E.ext_semantic_dedup,
-        "ts_gap_fill_interpolate": R.ts_gap_fill_interpolate,
-        "robust_price_stats": R.robust_price_stats,
-        "snapshot_diff_orders": R.snapshot_diff_orders,
-        "forecast_revenue_change": R.forecast_revenue_change,
-        "volume_shipping_bilateral": R.volume_shipping_bilateral,
-        "important_stock_parts": R.important_stock_parts,
-        "customer_order_distribution": R.customer_order_distribution,
-        "small_quantity_order_revenue": R.small_quantity_order_revenue,
-        "supplier_part_promotion": R.supplier_part_promotion,
-        "sole_failing_supplier": R.sole_failing_supplier,
-        "json_props_rollup": R.json_props_rollup,
-        "zorder_orders_layout": R.zorder_orders_layout,
-        "ext_bpe_tokenizer": E.ext_bpe_tokenizer,
-        "ext_embedding_pooling": E.ext_embedding_pooling,
-        "impute_group_median": R.impute_group_median,
-        "mad_outlier_scan": R.mad_outlier_scan,
-        # -- r10 window boundary: the 15 keys from here to
-        # ext_ann_knn_join are positions 51-65 -- they slip out of
-        # the 50-row r10 window (last attested r7) and MUST lead
-        # the r11 rotation --
+        # -- last attested ROUND 7 (15 keys) -- lead the r11 window --
         "ext_bigram_lm_score": E.ext_bigram_lm_score,
         "ext_dsir_importance": E.ext_dsir_importance,
         "ext_leakage_free_split": E.ext_leakage_free_split,
@@ -265,7 +215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_cooccurrence_pagerank": R.part_cooccurrence_pagerank,
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,
-        # -- attested r8 --
+        # -- NEW in round 11 (never driver-attested) --
+        # -- last attested ROUND 8 (fills the rest of the r11 window; the
+        # tail past the 50-row window stays @r8 and leads r12 -- the
+        # r12 boundary marker below is positioned after the bench run) --
         "ext_kmeans_clusters": E.ext_kmeans_clusters,
         "ewma_revenue_smoothing": R.ewma_revenue_smoothing,
         "ext_containment_join": E.ext_containment_join,
@@ -316,7 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_quality_scores": E.ext_quality_scores,
         "ext_token_count_by_source": E.ext_token_count_by_source,
         "skew_salted_agg": R.skew_salted_agg,
-        # -- attested r9 (most recent, tail) --
+        # -- attested r9 --
         "asof_purchase_click": R.asof_purchase_click,
         "range_join_errors": R.range_join_errors,
         "ext_pii_scan": E.ext_pii_scan,
@@ -367,6 +320,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_month_spine": R.recursive_month_spine,
         "ext_minhash_near_dups": E.ext_minhash_near_dups,
         "ext_simhash_fingerprints": E.ext_simhash_fingerprints,
+        # -- attested r10 (most recent, tail) --
+        "ext_simhash_near_dups": E.ext_simhash_near_dups,
+        "ext_winnowing_pairs": E.ext_winnowing_pairs,
+        "ext_ann_topk_lsh": E.ext_ann_topk_lsh,
+        "ext_ivf_topk": E.ext_ivf_topk,
+        "ext_embedding_near_dups": E.ext_embedding_near_dups,
+        "ext_heavy_hitters": E.ext_heavy_hitters,
+        "ext_kll_quantiles": E.ext_kll_quantiles,
+        "promo_revenue_ratio": R.promo_revenue_ratio,
+        "nation_market_share": R.nation_market_share,
+        "ext_image_near_dups": E.ext_image_near_dups,
+        "ext_trigram_lm_score": E.ext_trigram_lm_score,
+        "ext_semantic_contamination": E.ext_semantic_contamination,
+        "ext_image_dedup_clusters": E.ext_image_dedup_clusters,
+        "ext_audio_near_dups": E.ext_audio_near_dups,
+        "ext_video_near_dups": E.ext_video_near_dups,
+        "ext_repeated_substring_mine": E.ext_repeated_substring_mine,
+        "ext_repeated_span_cut": E.ext_repeated_span_cut,
+        "large_volume_customers": R.large_volume_customers,
+        "disjunctive_revenue": R.disjunctive_revenue,
+        "idle_customer_balance": R.idle_customer_balance,
+        "ext_doc_chunking": E.ext_doc_chunking,
+        "ext_substring_contamination": E.ext_substring_contamination,
+        "cheapest_supplier_per_part": R.cheapest_supplier_per_part,
+        "supplier_variety_by_brand": R.supplier_variety_by_brand,
+        "daily_volume_anomaly": R.daily_volume_anomaly,
+        "ext_cross_source_dedup": E.ext_cross_source_dedup,
+        "priority_order_counts": R.priority_order_counts,
+        "shipmode_priority_split": R.shipmode_priority_split,
+        "top_supplier_revenue": R.top_supplier_revenue,
+        "ext_chunk_dedup": E.ext_chunk_dedup,
+        "ext_dataset_card": E.ext_dataset_card,
+        "ext_embedding_quantization": E.ext_embedding_quantization,
+        "ext_setsim_prefix_join": E.ext_setsim_prefix_join,
+        "ext_semantic_dedup": E.ext_semantic_dedup,
+        "ts_gap_fill_interpolate": R.ts_gap_fill_interpolate,
+        "robust_price_stats": R.robust_price_stats,
+        "snapshot_diff_orders": R.snapshot_diff_orders,
+        "forecast_revenue_change": R.forecast_revenue_change,
+        "volume_shipping_bilateral": R.volume_shipping_bilateral,
+        "important_stock_parts": R.important_stock_parts,
+        "customer_order_distribution": R.customer_order_distribution,
+        "small_quantity_order_revenue": R.small_quantity_order_revenue,
+        "supplier_part_promotion": R.supplier_part_promotion,
+        "sole_failing_supplier": R.sole_failing_supplier,
+        "json_props_rollup": R.json_props_rollup,
+        "zorder_orders_layout": R.zorder_orders_layout,
+        "ext_bpe_tokenizer": E.ext_bpe_tokenizer,
+        "ext_embedding_pooling": E.ext_embedding_pooling,
+        "impute_group_median": R.impute_group_median,
+        "mad_outlier_scan": R.mad_outlier_scan,
     }
 
 
