@@ -633,7 +633,7 @@ _IMAGE_PIPELINE_SQL = """imgs AS (
                             ELSE v0 END AS v
                 FROM byt
             ),
-            cells AS (
+            cells AS MATERIALIZED (
                 SELECT mid, ((t // 3) // 18) // 2 AS i,
                        ((t // 3) % 18) // 2 AS j,
                        CAST(SUM(v) AS BIGINT) AS s
@@ -647,13 +647,13 @@ _IMAGE_PIPELINE_SQL = """imgs AS (
                   ON l.mid = r.mid AND l.i = r.i AND r.j = l.j + 1
                 WHERE l.j < 8
             ),
-            hashes AS (
+            hashes AS MATERIALIZED (
                 SELECT mid,
                        CAST(SUM(CASE WHEN k < 60 THEN bit << k
                                      ELSE 0 END) AS BIGINT) AS h
                 FROM bits GROUP BY mid
             ),
-            banded AS (
+            banded AS MATERIALIZED (
                 SELECT mid, bn, (h >> (15 * bn)) & 32767 AS band_key
                 FROM hashes, generate_series(0, 3) g(bn)
             ),
@@ -743,7 +743,7 @@ def oracle_sql() -> dict[str, str]:
                             ELSE v0 - 128 END AS s
                 FROM byt
             ),
-            segs AS (
+            segs AS MATERIALIZED (
                 SELECT mid, t // 8 AS g, CAST(SUM(abs(s)) AS BIGINT) AS e
                 FROM smp GROUP BY 1, 2
             ),
@@ -755,11 +755,11 @@ def oracle_sql() -> dict[str, str]:
                   ON l.mid = r.mid AND r.g = l.g + 1
                 WHERE l.g < 60
             ),
-            hashes AS (
+            hashes AS MATERIALIZED (
                 SELECT mid, CAST(SUM(bit << k) AS BIGINT) AS h
                 FROM bits GROUP BY mid
             ),
-            banded AS (
+            banded AS MATERIALIZED (
                 SELECT mid, bn, (h >> (15 * bn)) & 32767 AS band_key
                 FROM hashes, generate_series(0, 3) g(bn)
             ),
@@ -804,7 +804,7 @@ def oracle_sql() -> dict[str, str]:
                            (t % 16) * 2 + 1, 2) AS BIGINT) AS v
                 FROM vframes, generate_series(0, 863) g(t)
             ),
-            cells AS (
+            cells AS MATERIALIZED (
                 SELECT mid, f, ((t // 3) // 18) // 2 AS i,
                        ((t // 3) % 18) // 2 AS j,
                        CAST(SUM(v) AS BIGINT) AS s
@@ -819,7 +819,7 @@ def oracle_sql() -> dict[str, str]:
                  AND r.j = l.j + 1
                 WHERE l.j < 8
             ),
-            fps AS (
+            fps AS MATERIALIZED (
                 SELECT DISTINCT mid,
                        CAST(SUM(CASE WHEN k < 60 THEN bit << k
                                      ELSE 0 END) AS BIGINT) AS h
@@ -908,6 +908,10 @@ def oracle_sql() -> dict[str, str]:
                                                  (x, y) -> x + y))), 6) AS c
                 FROM nat a JOIN bench b
                   ON a.vec_id < 150 AND b.vec_id < 150
+                WHERE list_reduce(list_transform(a.v, x -> abs(x)),
+                                  (x, y) -> x + y) <> 0
+                  AND list_reduce(list_transform(b.v, x -> abs(x)),
+                                  (x, y) -> x + y) <> 0
             )
             SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bench)
                        AS n_benchmark,

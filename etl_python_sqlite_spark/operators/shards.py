@@ -69,8 +69,17 @@ def write_training_shards(
     a SEEDED PSEUDO-RANDOM permutation: rows are range-partitioned and
     sorted by ``phash60(salt || order_cols)`` instead of the raw keys
     (``order_cols`` stays the tiebreak so the layout is total). Same
-    data + same salt ⇒ byte-stable shard assignment across reruns and
-    cluster layouts; a new salt ⇒ an independent permutation. This is
+    data + same salt + same input layout ⇒ byte-stable shard
+    assignment on rerun; a new salt ⇒ an independent permutation. The
+    PERMUTATION (the global sort order) is layout-independent, but the
+    shard BOUNDARIES are not: ``repartitionByRange`` samples the
+    input's actual partition splits to place range boundaries, so a
+    different parallelism / ``maxPartitionBytes`` layout can shift
+    boundary rows between adjacent shards. Callers that need
+    cross-layout byte-stable shard files should derive explicit
+    boundaries from the key domain instead (e.g. fixed phash60 value
+    ranges) — not offered here because training runs replay on the
+    same materialized input. This is
     what a training run usually wants — decorrelated shards without a
     nondeterministic ``rand()`` that would break replay.
     """

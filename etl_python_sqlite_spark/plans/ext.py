@@ -3095,11 +3095,16 @@ def ext_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     ).agg((F.count("*") == 0).alias("planted_recovered_ok"))
 
-    # exact cross-side fold-cosine ground truth on the bounded sample
-    sa = natural.filter(F.col("vec_id") < 150).select(
+    # exact cross-side fold-cosine ground truth on the bounded sample.
+    # Zero-norm vectors are filtered with the SAME exact Σ|x| ≠ 0
+    # predicate as the planted twins: an unguarded cosine on a zero
+    # vector is NaN, which Spark/DuckDB comparison semantics would
+    # count differently from a numpy replay — the audit booleans must
+    # stay invariants of the arithmetic across corpus regenerations.
+    sa = natural.filter((F.col("vec_id") < 150) & nonzero).select(
         F.col("vec_id").alias("corpus_id"), F.col("v").alias("va")
     )
-    sb = bench.filter(F.col("vec_id") < 150).select(
+    sb = bench.filter((F.col("vec_id") < 150) & nonzero).select(
         F.col("vec_id").alias("bench_id"), F.col("v").alias("vb")
     )
     def _sample_pairs(thr):

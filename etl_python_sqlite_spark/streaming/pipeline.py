@@ -1310,7 +1310,41 @@ def _hash_dedup_stream_against_corpus(
                 _release_frame(bh)
 
     writer = stream_media.writeStream.foreachBatch(_handle)
-    writer._corpus_hashes = corpus_hashes  # release handle for embedders
+    return _attach_corpus_release(writer, corpus_hashes)
+
+
+def _attach_corpus_release(writer, corpus_hashes: DataFrame):
+    """Tie the lifetime of the once-hashed corpus cache to the query.
+
+    Callers on the normal start/stop path must not leak one persisted
+    frame per stream build in a long-lived session, so ``stop()`` on
+    the query returned by ``start()`` unpersists the cache, and a
+    subsequent ``start()`` re-arms it (replay/restart tests reuse one
+    writer). ``release_corpus_cache()`` is the explicit public handle
+    for callers that never start the stream. PySpark's
+    ``DataStreamWriter`` config methods mutate and return ``self``, so
+    the patched ``start`` survives chained configuration."""
+    orig_start = writer.start
+
+    def _start(*args, **kwargs):
+        if not corpus_hashes.is_cached:
+            corpus_hashes.persist()
+            corpus_hashes.count()  # eager: one decode pass, all batches
+        query = orig_start(*args, **kwargs)
+        orig_stop = query.stop
+
+        def _stop(*sargs, **skwargs):
+            try:
+                return orig_stop(*sargs, **skwargs)
+            finally:
+                corpus_hashes.unpersist()
+
+        query.stop = _stop
+        return query
+
+    writer.start = _start
+    writer.release_corpus_cache = lambda: corpus_hashes.unpersist()
+    writer._corpus_hashes = corpus_hashes  # back-compat alias
     return writer
 
 

@@ -870,7 +870,8 @@ def test_image_dedup_stream_against_corpus(spark, tmp_path):
             "checkpointLocation", str(tmp_path / ckpt)
         ).trigger(availableNow=True).start()
         q.awaitTermination(120)
-        writer._corpus_hashes.unpersist()
+        q.stop()  # releases the corpus hash cache (no manual unpersist)
+        assert not writer._corpus_hashes.is_cached
 
     run_once("img_ckpt")
     kept = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
@@ -925,7 +926,8 @@ def test_audio_dedup_stream_against_corpus(spark, tmp_path):
             "checkpointLocation", str(tmp_path / ckpt)
         ).trigger(availableNow=True).start()
         q.awaitTermination(120)
-        writer._corpus_hashes.unpersist()
+        q.stop()  # releases the corpus hash cache (no manual unpersist)
+        assert not writer._corpus_hashes.is_cached
 
     run_once("aud_ckpt")
     kept = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
