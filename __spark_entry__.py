@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_langid_char_ngrams": E.ext_langid_char_ngrams,
         "ext_ann_knn_join": E.ext_ann_knn_join,
         # -- NEW in round 11 (never driver-attested) --
+        "ext_video_noisy_near_dups": E.ext_video_noisy_near_dups,
         # -- last attested ROUND 8 (fills the rest of the r11 window; the
         # tail past the 50-row window stays @r8 and leads r12 -- the
         # r12 boundary marker below is positioned after the bench run) --
@@ -777,6 +778,75 @@ def oracle_sql() -> dict[str, str]:
                 JOIN hashes hb ON hb.mid = cand.id_b
             )
             SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+            ORDER BY id_a, id_b
+        """,
+        # noisy video near-dups (r11): the Hamming-banded variant's
+        # full replay -- per-frame payload + _IMG_NOISE perturbation,
+        # distinct fingerprints, 4x15-bit band join, XOR-popcount
+        # verify, distinct matched-pair count
+        "ext_video_noisy_near_dups": """
+            WITH vids AS (
+                SELECT doc_id AS mid, doc_id AS src, FALSE AS noisy
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000000, doc_id, TRUE
+                FROM documents WHERE doc_id % 6 = 0
+            ),
+            vframes AS (
+                SELECT mid, src, noisy, f
+                FROM vids, generate_series(0, 3) g(f)
+            ),
+            byt AS (
+                SELECT mid, f, t,
+                       CASE WHEN noisy AND t = 5 THEN (v0 + 128) % 256
+                            WHEN noisy AND t = 200 THEN (v0 + 64) % 256
+                            WHEN noisy AND t = 431 THEN (v0 + 200) % 256
+                            ELSE v0 END AS v
+                FROM (
+                    SELECT mid, f, noisy, t,
+                           CAST('0x' || substr(
+                               md5(src::VARCHAR || ':f' || f::VARCHAR
+                                   || ':' || (t // 16)::VARCHAR),
+                               (t % 16) * 2 + 1, 2) AS BIGINT) AS v0
+                    FROM vframes, generate_series(0, 863) g(t)
+                )
+            ),
+            cells AS MATERIALIZED (
+                SELECT mid, f, ((t // 3) // 18) // 2 AS i,
+                       ((t // 3) % 18) // 2 AS j,
+                       CAST(SUM(v) AS BIGINT) AS s
+                FROM byt GROUP BY 1, 2, 3, 4
+            ),
+            bits AS (
+                SELECT l.mid, l.f, (l.i * 8 + l.j) AS k,
+                       CASE WHEN l.s > r.s THEN 1::BIGINT
+                            ELSE 0::BIGINT END AS bit
+                FROM cells l JOIN cells r
+                  ON l.mid = r.mid AND l.f = r.f AND l.i = r.i
+                 AND r.j = l.j + 1
+                WHERE l.j < 8
+            ),
+            fps AS MATERIALIZED (
+                SELECT DISTINCT mid,
+                       CAST(SUM(CASE WHEN k < 60 THEN bit << k
+                                     ELSE 0 END) AS BIGINT) AS h
+                FROM (SELECT mid, f, k, bit FROM bits) GROUP BY mid, f
+            ),
+            banded AS MATERIALIZED (
+                SELECT mid, h, bn, (h >> (15 * bn)) & 32767 AS band_key
+                FROM fps, generate_series(0, 3) g(bn)
+            ),
+            matched AS (
+                SELECT DISTINCT a.mid AS id_a, b.mid AS id_b,
+                                a.h AS ha, b.h AS hb
+                FROM banded a JOIN banded b
+                  ON a.bn = b.bn AND a.band_key = b.band_key
+                 AND a.mid < b.mid
+                WHERE bit_count(xor(a.h, b.h)) <= 6
+            )
+            SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM matched GROUP BY id_a, id_b
+            HAVING COUNT(*) >= 2
             ORDER BY id_a, id_b
         """,
         # video near-dups: frame fingerprints from md5 arithmetic (the

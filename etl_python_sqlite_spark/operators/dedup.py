@@ -574,13 +574,33 @@ def winnowing_overlap_pairs(
     window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_fingerprint_df: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
     plagiarism/near-dup detection as a self-equi-join on the fingerprint
-    (uniform key, no skew) + a pair-count aggregate."""
+    + a pair-count aggregate.
+
+    The fingerprint key is uniform on hash-synthetic corpora, but on a
+    real corpus a ubiquitous fingerprint (boilerplate windows — license
+    headers, navigation chrome) has a posting list of millions and the
+    identity join emits its square. ``max_fingerprint_df`` prunes
+    fingerprints with document frequency above the cap BEFORE the join
+    (the stop-shingle pattern of :func:`setsim_join_prefix` — the stop
+    set is tiny by construction, so the anti-join broadcasts), bounding
+    candidate work at O(n_fingerprints · max_fingerprint_df); the only
+    recall loss is a pair whose EVERY shared window is boilerplate."""
     fp = winnowing_fingerprints(df, k, window, text_col, id_col).persist()
-    a = fp.select(F.col(id_col).alias("id_a"), "fingerprint")
-    b = fp.select(F.col(id_col).alias("id_b"), "fingerprint")
+    paired = fp
+    if max_fingerprint_df is not None:
+        stop = (
+            fp.groupBy("fingerprint")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_fingerprint_df)
+            .select("fingerprint")
+        )
+        paired = fp.join(F.broadcast(stop), "fingerprint", "left_anti")
+    a = paired.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = paired.select(F.col(id_col).alias("id_b"), "fingerprint")
     out = (
         a.join(b, "fingerprint")
         .filter(F.col("id_a") < F.col("id_b"))

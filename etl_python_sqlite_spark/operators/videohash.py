@@ -75,29 +75,150 @@ def video_frame_hashes(
     )
 
 
+def _cap_fingerprint_df(fp: DataFrame, max_df: int | None) -> DataFrame:
+    """Stop-fingerprint pruning for the pair self-joins: drop
+    fingerprints whose document frequency exceeds ``max_df`` BEFORE the
+    join (the stop-shingle pattern of ``dedup.setsim_join_prefix``). On
+    a real corpus a ubiquitous fingerprint — black frames, intro cards,
+    station idents — has a posting list of millions and an uncapped
+    identity join emits its SQUARE; set semantics tolerate dropping it
+    (a pair whose every shared frame is boilerplate is not a content
+    duplicate). ``fp`` must already be distinct on (vid, h), so the
+    plain count IS the document frequency; the stop set is tiny by
+    construction (≤ n_rows / max_df) — broadcast the anti-join so the
+    fingerprint frame never reshuffles."""
+    if max_df is None:
+        return fp
+    stop = (
+        fp.groupBy("h")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("h")
+    )
+    return fp.join(F.broadcast(stop), "h", "left_anti")
+
+
 def video_near_dups(
     frame_hashes: DataFrame,
     min_shared: int = 2,
     id_col: str = "media_id",
     hash_col: str = "fhash",
+    max_fingerprint_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_shared) — video pairs sharing ≥ ``min_shared``
     DISTINCT frame fingerprints. Set semantics (duplicate frames within
     one video count once), so reordered/truncated copies pair by
     construction. The fingerprint frame is persisted for the self-join
-    (re-inlining rule) and tied to the result."""
+    (re-inlining rule) and tied to the result.
+
+    The fingerprint key is uniform on md5-chain synthetic corpora, but
+    a REAL corpus has hot fingerprints (black frames, intro cards) —
+    pass ``max_fingerprint_df`` to prune them before the join (see
+    :func:`_cap_fingerprint_df`); candidate work is then bounded by
+    O(n_fingerprints · max_fingerprint_df)."""
     fp = (
         frame_hashes.filter(F.col(hash_col).isNotNull())
         .select(F.col(id_col).alias("vid"), F.col(hash_col).alias("h"))
         .distinct()
         .persist()
     )
-    a = fp.select(F.col("vid").alias("id_a"), "h")
-    b = fp.select(F.col("vid").alias("id_b"), "h")
+    capped = _cap_fingerprint_df(fp, max_fingerprint_df)
+    a = capped.select(F.col("vid").alias("id_a"), "h")
+    b = capped.select(F.col("vid").alias("id_b"), "h")
     out = (
         a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return tie(out, fp)
+
+
+def video_near_dups_hamming(
+    frame_hashes: DataFrame,
+    max_hamming: int = 6,
+    min_shared: int = 2,
+    n_bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "fhash",
+    max_fingerprint_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_shared) — video pairs whose frames match within
+    ``max_hamming`` dHash bits, the lossy-re-encode-robust sibling of
+    :func:`video_near_dups`.
+
+    Exact fingerprint identity is blind to the most common real-world
+    video duplicate: a lossy (JPEG-quality) re-encode shifts 1–2 dHash
+    bits PER FRAME and then shares zero exact fingerprints. Here each
+    distinct frame fingerprint is banded with the image machinery
+    (``n_bands`` disjoint 15-bit bands — every frame pair within
+    Hamming ``n_bands - 1`` is pigeonhole-guaranteed to collide on some
+    band), candidates verify with exact ``bit_count(XOR)``, and
+    ``n_shared`` counts DISTINCT matched fingerprint pairs (at
+    ``max_hamming = 0`` this degenerates to the exact operator's
+    shared-fingerprint count).
+
+    Scale shape: the (vid, fingerprint) frame is distinct + eagerly
+    checkpointed (consumed by both band-join sides), banding is an
+    explode to ``n_bands`` rows per fingerprint, the candidate join is
+    band-keyed with the 60-bit hashes CARRIED through (no verify
+    re-join — unlike the image path, (vid, h) rows are already the
+    payload), and the verify is pure JVM codegen. ``max_fingerprint_df``
+    prunes hot fingerprints exactly as in the exact operator."""
+    from .imagehash import DHASH_BITS
+
+    if DHASH_BITS % n_bands:
+        raise ValueError(f"n_bands must divide {DHASH_BITS}")
+    band_bits = DHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    fp = (
+        frame_hashes.filter(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("vid"), F.col(hash_col).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    banded = _cap_fingerprint_df(fp, max_fingerprint_df).select(
+        "vid",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("h"), b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vid", "h", "bb.band", "bb.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    matched = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .filter(
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+            <= max_hamming
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .distinct()
+    )
+    out = (
+        matched.groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
