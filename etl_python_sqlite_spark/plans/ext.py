@@ -2843,6 +2843,48 @@ def _img_payload(doc_id: int) -> bytes:
 _IMGPAIRS_MEMO: dict = {}
 _IMGPAIRS_LOCK = threading.RLock()
 
+#: Media count above which the shared image-pairs stage materializes as
+#: a BUCKETED CATALOG TABLE (bucketBy id_a — the CC clustering's first
+#: key) instead of a session checkpoint, closing the last data-sized
+#: shared stage living only as a checkpoint (VERDICT r10 #4; the
+#: minhash tier at plans/ext.py MINHASH_BUCKETED_STAGE_MIN_DOCS and the
+#: co-occurrence edge tier are the precedents). The gate input is the
+#: derived media count — documents footer row count × 8/7 (one image
+#: per document + a twin per doc_id % 7 == 0), zero Spark jobs.
+#: MEASURED crossover (r11, interleaved A/B, 2 reps each; BASELINE.md):
+#: at 5.7k media (sf0.1) cache build+c1 ≈1.4-3.7 s warm vs table
+#: ≈1.9-2.7 s, consumers 0.5-0.8 s vs 0.06-0.11 s — build a wash, each
+#: reuse ~5× cheaper on the table; at 91k media (16× doc-id-offset
+#: replication; disjoint md5 payloads, natural density) table build
+#: costs ~1.3 s more and each consumer saves ~0.55 s (0.7-0.9 s
+#: banding+verify re-run vs 0.2 s table scan), so a build+2-consumer
+#: lifecycle TIES (4.3 vs 4.6 s, inside single-shot noise) and every
+#: later consumer wins ~3.5×. The image consumers are far cheaper than
+#: minhash's (the checkpointed hash frame makes the re-run banding-only)
+#: which pushes this knee HIGHER than minhash's 50k: the gate sits at
+#: the measured ~90k wash point; the driver's sf0.1 bench (≈5.7k media,
+#: exactly 2 consumers) stays on the cache tier. Both tiers returned
+#: identical pair sets at both scales (n=715 / n=11,440).
+#: Tier equality is pinned in tests/test_bucketed_stage.py.
+IMAGE_BUCKETED_STAGE_MIN_MEDIA = 90_000
+IMAGE_STAGE_BUCKETS = 32
+_IMGPAIRS_TABLE_ATTR = "_spark_graft_image_pairs_table"
+_IMGPAIRS_LIVE_TABLES: set = set()
+
+
+def _release_imgpairs_entry(old: DataFrame) -> None:
+    """Free one memo entry: DROP a bucketed stage table; cache-tier
+    entries just drop the reference (tie()'s finalizer frees the
+    checkpoint blocks when the last consumer lets go)."""
+    tbl = getattr(old, _IMGPAIRS_TABLE_ATTR, None)
+    if tbl is None:
+        return
+    try:
+        _IMGPAIRS_LIVE_TABLES.discard(tbl)
+        old.sparkSession.sql(f"DROP TABLE IF EXISTS {tbl}")
+    except Exception:
+        pass  # session already stopped
+
 
 def _image_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic image corpus of the E12 contract queries: one
@@ -2892,7 +2934,10 @@ def _image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dhash_near_dups,
         image_dhash,
     )
-    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+    from etl_python_sqlite_spark.sources.parquet import (
+        data_fingerprint,
+        table_row_count_from_metadata,
+    )
 
     fp = data_fingerprint(spark, sf_dir, "documents")
     key = (spark.sparkContext.applicationId, sf_dir, fp)
@@ -2906,18 +2951,48 @@ def _image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_hamming=6,
             n_bands=4,
         )
+        n_docs = table_row_count_from_metadata(sf_dir, "documents")
+        n_media = n_docs * 8 // 7  # one image/doc + a twin per %7==0
+        if n_media >= IMAGE_BUCKETED_STAGE_MIN_MEDIA:
+            import hashlib
+
+            from etl_python_sqlite_spark.operators.cache import release
+            from etl_python_sqlite_spark.plans.relational import (
+                sweep_stale_stage_tables,
+            )
+
+            sweep_stale_stage_tables(
+                spark, "image_pairs_", _IMGPAIRS_LIVE_TABLES
+            )
+            tbl = (
+                "image_pairs_"
+                + hashlib.md5(repr(key).encode()).hexdigest()[:12]
+            )
+            (
+                pairs.write.mode("overwrite")
+                .bucketBy(IMAGE_STAGE_BUCKETS, "id_a")
+                .sortBy("id_a", "id_b")
+                .saveAsTable(tbl)
+            )
+            release(pairs)  # the bucketed files are the materialization
+            pairs = spark.table(tbl)
+            setattr(pairs, _IMGPAIRS_TABLE_ATTR, tbl)
+            _IMGPAIRS_LIVE_TABLES.add(tbl)
         while len(_IMGPAIRS_MEMO) >= 2:
-            _IMGPAIRS_MEMO.pop(next(iter(_IMGPAIRS_MEMO)))
+            oldest = next(iter(_IMGPAIRS_MEMO))
+            _release_imgpairs_entry(_IMGPAIRS_MEMO.pop(oldest))
         _IMGPAIRS_MEMO[key] = pairs
         return pairs
 
 
 def release_shared_image_pairs() -> None:
-    """Release every memoized image-pair stage (checkpoint blocks)."""
+    """Release every memoized image-pair stage (checkpoint blocks /
+    bucketed stage tables included)."""
     from etl_python_sqlite_spark.operators.cache import release
 
     while _IMGPAIRS_MEMO:
         _, old = _IMGPAIRS_MEMO.popitem()
+        _release_imgpairs_entry(old)
         release(old)
 
 
