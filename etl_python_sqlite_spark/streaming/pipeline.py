@@ -1218,6 +1218,34 @@ def image_dedup_stream_against_corpus(
     )
 
 
+def _band_explode(hashes: DataFrame, out_id: str, n_bands: int) -> DataFrame:
+    """(out_id, _h, band, band_key) from a (_hid, _h) 60-bit hash frame
+    — the shared Hamming-band candidate index of the ingest-dedup
+    streams (pure column math over the cached corpus frame)."""
+    from etl_python_sqlite_spark.operators.imagehash import DHASH_BITS
+
+    band_bits = DHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    return hashes.select(
+        F.col("_hid").alias(out_id),
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("_h"), b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(out_id, "_h", "bb.band", "bb.band_key")
+
+
 def _hash_dedup_stream_against_corpus(
     stream_media: DataFrame,
     corpus_media: DataFrame,
@@ -1238,28 +1266,9 @@ def _hash_dedup_stream_against_corpus(
 
     if DHASH_BITS % n_bands:
         raise ValueError(f"n_bands must divide {DHASH_BITS}")
-    band_bits = DHASH_BITS // n_bands
-    mask = (1 << band_bits) - 1
 
     def _banded(hashes: DataFrame, out_id: str) -> DataFrame:
-        return hashes.select(
-            F.col("_hid").alias(out_id),
-            "_h",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            (
-                                F.shiftright(F.col("_h"), b * band_bits)
-                                .bitwiseAND(F.lit(mask))
-                            ).alias("band_key"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select(out_id, "_h", "bb.band", "bb.band_key")
+        return _band_explode(hashes, out_id, n_bands)
 
     corpus_hashes = (
         hasher(corpus_media)
@@ -1378,3 +1387,100 @@ def audio_dedup_stream_against_corpus(
         stream_media, corpus_media, out_path, _hasher,
         max_hamming, n_bands, id_col,
     )
+
+
+def video_dedup_stream_against_corpus(
+    stream_media: DataFrame,
+    corpus_media: DataFrame,
+    out_path: str,
+    min_shared: int = 2,
+    max_hamming: int = 6,
+    n_bands: int = 4,
+    every_n: int = 1,
+    id_col: str = "media_id",
+    content_col: str = "content",
+):
+    """Streaming ingest dedup for VIDEO containers — the set-overlap
+    sibling of :func:`image_dedup_stream_against_corpus` (VERDICT r10
+    #5): the corpus is frame-fingerprinted ONCE at stream build
+    (``operators/videohash.video_frame_hashes`` — the expensive Arrow
+    split+decode pass) into a persisted distinct (video, fingerprint)
+    index; per micro-batch only the ARRIVING videos are decoded.
+
+    A batch video is a duplicate when it shares ≥ ``min_shared``
+    matched frame fingerprints with SOME single corpus video — frames
+    match within ``max_hamming`` dHash bits via the shared Hamming-band
+    index + exact XOR-popcount verify (the per-video set-overlap
+    variant of the scalar engine's any-hash-match rule; reordered,
+    truncated AND lossy-re-encoded copies of a corpus video all drop at
+    ingest). Undecodable containers get NULL fingerprints, can never
+    verify, and pass through to the sink (the per-row reject contract);
+    the idempotent first-writer-wins append makes micro-batch replay
+    insert zero duplicates. Lifetime of the corpus index is tied to the
+    query exactly as in the scalar engine (stop() releases; a restart
+    re-arms)."""
+    from etl_python_sqlite_spark.operators.cache import _release_frame
+    from etl_python_sqlite_spark.operators.idempotent import idempotent_append
+    from etl_python_sqlite_spark.operators.imagehash import DHASH_BITS
+    from etl_python_sqlite_spark.operators.videohash import video_frame_hashes
+
+    if DHASH_BITS % n_bands:
+        raise ValueError(f"n_bands must divide {DHASH_BITS}")
+
+    corpus_fp = (
+        video_frame_hashes(corpus_media, every_n, id_col, content_col)
+        .filter(F.col("fhash").isNotNull())
+        .select(F.col(id_col).alias("_hid"), F.col("fhash").alias("_h"))
+        .distinct()
+        .persist()
+    )
+
+    def _handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        batch = batch.persist()
+        bh = None
+        try:
+            bh = (
+                video_frame_hashes(batch, every_n, id_col, content_col)
+                .filter(F.col("fhash").isNotNull())
+                .select(
+                    F.col(id_col).alias("_hid"), F.col("fhash").alias("_h")
+                )
+                .distinct()
+                .localCheckpoint(eager=True)  # 2 consumers: band + verify
+            )
+            matched = (
+                _band_explode(bh, "_batch_id", n_bands)
+                .withColumnRenamed("_h", "_h_b")
+                .join(
+                    _band_explode(corpus_fp, "_corpus_id", n_bands)
+                    .withColumnRenamed("_h", "_h_c"),
+                    ["band", "band_key"],
+                )
+                .filter(
+                    F.bit_count(
+                        F.col("_h_b").bitwiseXOR(F.col("_h_c"))
+                    )
+                    <= max_hamming
+                )
+                .select("_batch_id", "_corpus_id", "_h_b", "_h_c")
+                .distinct()  # set semantics: a fingerprint pair once
+            )
+            dup_ids = (
+                matched.groupBy("_batch_id", "_corpus_id")
+                .agg(F.count("*").alias("_n_shared"))
+                .filter(F.col("_n_shared") >= min_shared)
+                .select(F.col("_batch_id").alias(id_col))
+                .distinct()
+            )
+            survivors = batch.join(dup_ids, id_col, "left_anti")
+            idempotent_append(spark, survivors, out_path, keys=[id_col])
+        finally:
+            batch.unpersist()
+            if bh is not None:
+                _release_frame(bh)
+
+    writer = stream_media.writeStream.foreachBatch(_handle)
+    return _attach_corpus_release(writer, corpus_fp)

@@ -935,3 +935,81 @@ def test_audio_dedup_stream_against_corpus(spark, tmp_path):
     run_once("aud_ckpt2")
     kept2 = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
     assert kept2 == [3, 4]
+
+
+def test_video_dedup_stream_against_corpus(spark, tmp_path):
+    """Streaming video ingest dedup (r11, VERDICT r10 #5): reordered,
+    truncated and per-frame-noisy (lossy-re-encode surrogate) copies of
+    corpus videos drop at ingest via the per-video set-overlap verify;
+    novel videos and undecodable containers pass; replay from a fresh
+    checkpoint inserts zero duplicates; stop() releases the corpus
+    fingerprint index."""
+    import numpy as np
+
+    from etl_python_sqlite_spark.operators import multimodal as M
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        video_dedup_stream_against_corpus,
+    )
+
+    rng = np.random.default_rng(33)
+
+    def frames(n=4):
+        return [
+            rng.integers(0, 256, size=(16, 18, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+
+    fr_a, fr_b, fr_new = frames(), frames(), frames()
+    corpus = spark.createDataFrame(
+        [
+            (100, bytearray(M.encode_bmv(fr_a))),
+            (101, bytearray(M.encode_bmv(fr_b))),
+        ],
+        "media_id long, content binary",
+    )
+    # noisy copy of fr_b: a few payload bytes per frame (hamming <= 6)
+    noisy = []
+    for f in fr_b:
+        flat = f.reshape(-1).copy()
+        for t, d in {5: 128, 200: 64, 431: 200}.items():
+            flat[t] = (int(flat[t]) + d) % 256
+        noisy.append(flat.reshape(f.shape))
+    src = str(tmp_path / "vid_src")
+    schema = "media_id long, content binary"
+    spark.createDataFrame(
+        [
+            (1, bytearray(M.encode_bmv(fr_a[::-1]))),   # reorder -> drop
+            (2, bytearray(M.encode_bmv(fr_a[:2]))),     # truncate -> drop
+            (3, bytearray(M.encode_bmv(noisy))),        # noisy -> drop
+            (4, bytearray(M.encode_bmv(fr_new))),       # novel -> keep
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(5, bytearray(b"\x00not a container"))], schema  # reject -> keep
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "vid_out")
+
+    def run_once(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        writer = video_dedup_stream_against_corpus(
+            stream, corpus, out, min_shared=2, max_hamming=6
+        )
+        q = writer.option(
+            "checkpointLocation", str(tmp_path / ckpt)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        q.stop()  # releases the corpus fingerprint index
+        assert not writer._corpus_hashes.is_cached
+
+    run_once("vid_ckpt")
+    kept = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [4, 5]
+
+    run_once("vid_ckpt2")  # fresh-checkpoint replay: idempotent sink
+    kept2 = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
+    assert kept2 == [4, 5]
