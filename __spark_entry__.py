@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_ann_knn_join": E.ext_ann_knn_join,
         # -- NEW in round 11 (never driver-attested) --
         "ext_video_noisy_near_dups": E.ext_video_noisy_near_dups,
+        "ext_crossmodal_consistency": E.ext_crossmodal_consistency,
         # -- last attested ROUND 8 (fills the rest of the r11 window; the
         # tail past the 50-row window stays @r8 and leads r12 -- the
         # r12 boundary marker below is positioned after the bench run) --
@@ -779,6 +780,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
             ORDER BY id_a, id_b
+        """,
+        # cross-modal consistency (r11): exact fold-cosine over paired
+        # caption/image embeddings -- matched pairs are the 2*v scalar
+        # twins (score exactly 1.0 by IEEE scale invariance), mismatched
+        # pairs are reverse(v) (bit-replayable element re-ordering)
+        "ext_crossmodal_consistency": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            nz AS (
+                SELECT vec_id, v FROM e
+                WHERE list_reduce(list_transform(v, x -> abs(x)),
+                                  (a, b) -> a + b) <> 0
+            ),
+            p AS (
+                SELECT vec_id, v AS cap,
+                       CASE WHEN vec_id % 4 = 0
+                            THEN list_transform(v, x -> x * 2.0)
+                            ELSE list_reverse(v) END AS img
+                FROM nz
+            ),
+            s AS (
+                SELECT vec_id AS item_id,
+                       ROUND(
+                           list_reduce(list_transform(
+                               range(1, len(cap) + 1),
+                               i -> cap[i] * img[i]), (x, y) -> x + y)
+                           / (sqrt(list_reduce(list_transform(cap,
+                                   x -> x * x), (x, y) -> x + y))
+                              * sqrt(list_reduce(list_transform(img,
+                                   x -> x * x), (x, y) -> x + y))),
+                           6) AS clip_score
+                FROM p
+            )
+            SELECT item_id, clip_score, clip_score >= 0.35 AS kept
+            FROM s ORDER BY item_id
         """,
         # noisy video near-dups (r11): the Hamming-banded variant's
         # full replay -- per-frame payload + _IMG_NOISE perturbation,

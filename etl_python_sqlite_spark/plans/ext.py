@@ -3485,3 +3485,63 @@ def ext_video_noisy_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frame_hashes(media, every_n=1), max_hamming=6, min_shared=2
     )
     return tie(pairs.orderBy("id_a", "id_b"), keepalive=[pairs])
+
+
+# ---------------------------------------------------------------------------
+# r11: cross-modal (caption <-> image) consistency filter (E17)
+# ---------------------------------------------------------------------------
+
+def ext_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 (r11) — the CLIP-score-shaped caption↔image consistency gate
+    every multimodal training pipeline runs (VERDICT r10 #6): score
+    each (caption embedding, image embedding) pair by exact cosine and
+    keep pairs above a threshold.
+
+    Paired-embedding construction over the embeddings table (the E14
+    scalar-twin trick, deterministic across corpus regenerations):
+
+    * the caption embedding is the row vector ``v`` (float32 parquet
+      widened to double — exact);
+    * the MATCHED image embedding (``vec_id % 4 == 0``) is ``2·v`` —
+      IEEE scaling is exponent-only, so the fold-cosine rounds to
+      exactly 1.0 and the pair is kept deterministically;
+    * the MISMATCHED image embedding (every other row) is
+      ``reverse(v)`` — pure element re-ordering, so the score is
+      whatever the arithmetic says (typically far below threshold on a
+      random-ish vector) and BOTH engines replay it bit-for-bit
+      (sequential fold ↔ ``list_reduce``, the per-row float-fold
+      invariant).
+
+    Zero-norm embeddings are excluded with the exact Σ|x| ≠ 0
+    predicate (an unguarded cosine is NaN — the E14 zero-norm rule).
+    Per-row fold cosines are the brute-force ``cosine_topk`` cost
+    class: one O(dim) pass per row, no joins, no shuffle beyond the
+    final sort — at 100 TB this is a map-only filter."""
+    from etl_python_sqlite_spark.operators.similarity import (
+        _as_double_array,
+        cosine,
+    )
+
+    ev = _embs(spark, sf_dir).select(
+        F.col("vec_id"), _as_double_array("embedding").alias("v")
+    )
+    nonzero = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda a, x: a + F.abs(x)
+    ) != F.lit(0.0)
+    img = F.when(
+        F.col("vec_id") % 4 == 0,
+        F.transform(F.col("v"), lambda x: x * F.lit(2.0)),
+    ).otherwise(F.reverse(F.col("v")))
+    return (
+        ev.filter(nonzero)
+        .select(
+            F.col("vec_id").alias("item_id"),
+            F.round(cosine(F.col("v"), img), 6).alias("clip_score"),
+        )
+        .select(
+            "item_id",
+            "clip_score",
+            (F.col("clip_score") >= 0.35).alias("kept"),
+        )
+        .orderBy("item_id")
+    )

@@ -413,3 +413,20 @@ def test_semantic_contamination_scaled_twins_always_recovered(spark):
            for r in pairs.collect()}
     for i in range(30):
         assert got.get((2000 + i, 1000 + i)) == 1.0
+
+
+def test_crossmodal_consistency_planted_invariants(spark):
+    """E17: every vec_id % 4 == 0 item (the 2*v scalar twin) must score
+    exactly 1.0 and be kept — an invariant of IEEE scale invariance,
+    not of the corpus — and mismatched reverse(v) pairs must be strictly
+    below 1.0 unless palindromic (none in random testdata)."""
+    from etl_python_sqlite_spark.plans.ext import ext_crossmodal_consistency
+    from tests.conftest import SF_SMOKE
+
+    rows = ext_crossmodal_consistency(spark, SF_SMOKE).collect()
+    assert rows, "corpus must have nonzero embeddings"
+    matched = [r for r in rows if r["item_id"] % 4 == 0]
+    assert matched, "corpus must have planted matched pairs"
+    assert all(r["clip_score"] == 1.0 and r["kept"] for r in matched)
+    mism = [r for r in rows if r["item_id"] % 4 != 0]
+    assert mism and any(not r["kept"] for r in mism)
