@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW in round 11 (never driver-attested) --
         "ext_video_noisy_near_dups": E.ext_video_noisy_near_dups,
         "ext_crossmodal_consistency": E.ext_crossmodal_consistency,
+        "ext_fivegram_lm_score": E.ext_fivegram_lm_score,
         # -- last attested ROUND 8 (fills the rest of the r11 window; the
         # tail past the 50-row window stays @r8 and leads r12 -- the
         # r12 boundary marker below is positioned after the bench run) --
@@ -940,6 +941,55 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.mid, b.mid
             HAVING COUNT(*) >= 2
             ORDER BY id_a, id_b
+        """,
+        # 5-gram LM scoring (r11): the trigram twin with two more join
+        # columns -- same Laplace micro-unit and integer-mean discipline
+        "ext_fivegram_lm_score": """
+            WITH wt AS (
+                SELECT doc_id,
+                       string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS w
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM wt
+            ),
+            fg AS (
+                SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3,
+                       w[i + 3] AS w4, w[i + 4] AS w5
+                FROM pos
+            ),
+            ct AS MATERIALIZED (
+                SELECT w1, w2, w3, w4, w5, COUNT(*) AS cn FROM fg
+                GROUP BY w1, w2, w3, w4, w5
+            ),
+            cc AS (
+                SELECT w1, w2, w3, w4, CAST(SUM(cn) AS BIGINT) AS cctx
+                FROM ct GROUP BY w1, w2, w3, w4
+            ),
+            vocab AS (
+                SELECT COUNT(DISTINCT w5) AS v FROM ct
+            ),
+            scored AS (
+                SELECT f.doc_id,
+                       (1000000 * (ct.cn + 1)) // (cc.cctx + vocab.v)
+                           AS p_micro
+                FROM fg f
+                JOIN ct ON f.w1 = ct.w1 AND f.w2 = ct.w2 AND f.w3 = ct.w3
+                       AND f.w4 = ct.w4 AND f.w5 = ct.w5
+                JOIN cc ON f.w1 = cc.w1 AND f.w2 = cc.w2 AND f.w3 = cc.w3
+                       AND f.w4 = cc.w4
+                CROSS JOIN vocab
+            ),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n_ngrams,
+                       CAST(SUM(p_micro) AS BIGINT) AS sum_p_micro
+                FROM scored GROUP BY doc_id
+            )
+            SELECT doc_id, n_ngrams, sum_p_micro,
+                   ((2 * sum_p_micro + n_ngrams) // (2 * n_ngrams))
+                       / 1000000.0 AS mean_p
+            FROM agg
+            ORDER BY doc_id
         """,
         "ext_trigram_lm_score": """
             WITH wt AS (

@@ -259,7 +259,17 @@ def main() -> None:
     # cross-shard pairs decorrelate (a vector vs its rotation ≈ random
     # cosine for generic data) — match density stays natural as volume
     # scales f×, the same design goal as the documents salt.
-    if only is None or "semantic_dedup" in only:
+    sem_pipelines = [
+        ("semantic_dedup", "ext_semantic_dedup"),
+        # r11: the E14 contamination scan rides the same replicated
+        # embeddings — its one-row audit is bounded (vec_id < 150 no
+        # matter the factor), so the probe isolates the CLUSTERING +
+        # within-cluster pair-search scaling
+        ("semantic_contamination", "ext_semantic_contamination"),
+    ]
+    if only is not None:
+        sem_pipelines = [(n, a) for n, a in sem_pipelines if n in only]
+    if sem_pipelines:
         emb = load_table(spark, sf_dir, "embeddings")
         dim = len(emb.select("embedding").first()[0])
         sem_warm = False
@@ -283,28 +293,30 @@ def main() -> None:
                     int(cpus)
                 ).write.mode("overwrite").parquet(path)
             if not sem_warm:
-                E.ext_semantic_dedup(spark, d).write.mode(
-                    "overwrite"
-                ).format("noop").save()
+                for _, attr in sem_pipelines:
+                    getattr(E, attr)(spark, d).write.mode(
+                        "overwrite"
+                    ).format("noop").save()
                 sem_warm = True
-            sw0 = shuffle_write_bytes(app_id)
-            t0 = time.perf_counter()
-            E.ext_semantic_dedup(spark, d).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            wall = time.perf_counter() - t0
-            sw1 = shuffle_write_bytes(app_id)
-            results.setdefault(f"x{factor}", {})["ext_semantic_dedup"] = {
-                "wall_sec": round(wall, 2),
-                "shuffle_write_mb": round((sw1 - sw0) / 1e6, 1)
-                if sw0 >= 0 and sw1 >= 0
-                else None,
-            }
-            print(
-                f"x{factor} ext_semantic_dedup:"
-                f" {results[f'x{factor}']['ext_semantic_dedup']}",
-                file=sys.stderr,
-            )
+            for name, attr in sem_pipelines:
+                sw0 = shuffle_write_bytes(app_id)
+                t0 = time.perf_counter()
+                getattr(E, attr)(spark, d).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                wall = time.perf_counter() - t0
+                sw1 = shuffle_write_bytes(app_id)
+                results.setdefault(f"x{factor}", {})[attr] = {
+                    "wall_sec": round(wall, 2),
+                    "shuffle_write_mb": round((sw1 - sw0) / 1e6, 1)
+                    if sw0 >= 0 and sw1 >= 0
+                    else None,
+                }
+                print(
+                    f"x{factor} {attr}:"
+                    f" {results[f'x{factor}'][attr]}",
+                    file=sys.stderr,
+                )
 
     # ---- SCD2 late-rebuild probe: key-offset events replication (r7) --
     # user_id·f+i / event_id·f+i:16× keys, identical per-key history

@@ -702,3 +702,36 @@ def test_trigram_lm_score_exact(spark, docs):
     assert 5 not in rows
     # the template trio (docs 1/2/4 share contexts) outscores the one-off
     assert rows[1]["mean_p"] > rows[3]["mean_p"]
+
+
+def test_ngram_lm_score_order5(spark):
+    """Generic-order LM scorer (r11): exact Laplace micro-units at n=5;
+    <5-word docs yield no rows; a corpus-unique 5-gram in a two-doc
+    corpus scores (1+1)/(1+V) with V = distinct fifth words."""
+    from etl_python_sqlite_spark.operators.curation import (
+        doc_ngrams,
+        ngram_lm_score,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # one 5-gram
+            (2, "a b c d e f"),        # two 5-grams
+            (3, "too short here"),     # no rows
+        ],
+        "doc_id long, text string",
+    )
+    grams = {
+        tuple(r)
+        for r in doc_ngrams(df, 5).select("w1", "w2", "w3", "w4", "w5").collect()
+    }
+    assert ("a", "b", "c", "d", "e") in grams
+    assert ("b", "c", "d", "e", "f") in grams
+    got = {r["doc_id"]: r for r in ngram_lm_score(df, n=5).collect()}
+    assert set(got) == {1, 2}
+    # V = distinct w5 = {e, f} = 2; c(abcde)=2 (docs 1+2), ctx c(abcd)=2
+    # -> p = 10^6*(2+1) div (2+2) = 750000 for the abcde instance;
+    # bcdef: c=1, ctx=1 -> 10^6*2 div (1+2) = 666666
+    assert got[1]["n_ngrams"] == 1 and got[1]["sum_p_micro"] == 750000
+    assert got[2]["n_ngrams"] == 2
+    assert got[2]["sum_p_micro"] == 750000 + 666666
