@@ -219,9 +219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_video_noisy_near_dups": E.ext_video_noisy_near_dups,
         "ext_crossmodal_consistency": E.ext_crossmodal_consistency,
         "ext_fivegram_lm_score": E.ext_fivegram_lm_score,
-        # -- last attested ROUND 8 (fills the rest of the r11 window; the
-        # tail past the 50-row window stays @r8 and leads r12 -- the
-        # r12 boundary marker below is positioned after the bench run) --
+        # -- last attested ROUND 8 (fills the rest of the r11 window;
+        # the tail past the 50-row window stays @r8 and MUST lead the
+        # r12 rotation -- see the boundary marker at position 51) --
         "ext_kmeans_clusters": E.ext_kmeans_clusters,
         "ewma_revenue_smoothing": R.ewma_revenue_smoothing,
         "ext_containment_join": E.ext_containment_join,
@@ -254,6 +254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_status_priority": R.cube_status_priority,
         "string_funcs": R.string_funcs,
         "date_parts_agg": R.date_parts_agg,
+        # -- r11 window boundary: the 18 keys from here to
+        # skew_salted_agg are positions 51-68 -- they slip out of the
+        # 50-row r11 window (last attested r8) and MUST lead the r12
+        # rotation --
         "sql_exists_subquery": R.sql_exists_subquery,
         "percentiles_by_group": R.percentiles_by_group,
         "pivot_event_types": R.pivot_event_types,
