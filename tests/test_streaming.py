@@ -1013,3 +1013,52 @@ def test_video_dedup_stream_against_corpus(spark, tmp_path):
     run_once("vid_ckpt2")  # fresh-checkpoint replay: idempotent sink
     kept2 = sorted(r["media_id"] for r in spark.read.parquet(out).collect())
     assert kept2 == [4, 5]
+
+
+def test_corpus_release_rearms_on_restart(spark, tmp_path):
+    """The corpus cache released by stop() must re-arm when the SAME
+    writer is started again (replay harnesses reuse one writer), and
+    release_corpus_cache() is the explicit handle for never-started
+    writers."""
+    import numpy as np
+
+    from etl_python_sqlite_spark.operators import multimodal as M
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        image_dedup_stream_against_corpus,
+    )
+
+    rng = np.random.default_rng(77)
+    px = rng.integers(0, 256, size=(16, 18, 3), dtype=np.uint8)
+    corpus = spark.createDataFrame(
+        [(1, bytearray(M.encode_png(px)))], "media_id long, content binary"
+    )
+    src = str(tmp_path / "rearm_src")
+    schema = "media_id long, content binary"
+    spark.createDataFrame(
+        [(2, bytearray(M.encode_bmp(px)))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "rearm_out")
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    writer = image_dedup_stream_against_corpus(stream, corpus, out)
+    assert writer._corpus_hashes.is_cached  # armed at build
+    q = writer.option(
+        "checkpointLocation", str(tmp_path / "rearm_ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    q.stop()
+    assert not writer._corpus_hashes.is_cached  # released by stop
+    q2 = writer.option(
+        "checkpointLocation", str(tmp_path / "rearm_ckpt2")
+    ).trigger(availableNow=True).start()
+    assert writer._corpus_hashes.is_cached  # re-armed by restart
+    q2.awaitTermination(120)
+    q2.stop()
+    assert not writer._corpus_hashes.is_cached
+
+    # never-started writer: the explicit public release handle
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    w2 = image_dedup_stream_against_corpus(stream2, corpus, out)
+    assert w2._corpus_hashes.is_cached
+    w2.release_corpus_cache()
+    assert not w2._corpus_hashes.is_cached
