@@ -153,6 +153,11 @@ def main() -> None:
             ("trigram_lm_score", E.ext_trigram_lm_score),
             ("audio_near_dups", E.ext_audio_near_dups),
             ("video_near_dups", E.ext_video_near_dups),
+            # r11: the Hamming-banded video variant (per-frame band join
+            # instead of exact identity) and the 5-gram LM point —
+            # replicated doc_ids keep twin density natural for both
+            ("video_noisy_near_dups", E.ext_video_noisy_near_dups),
+            ("fivegram_lm_score", E.ext_fivegram_lm_score),
             # shares the memoized _image_pairs stage with
             # image_near_dups — this row isolates the CC + summary cost
             ("image_dedup_clusters", E.ext_image_dedup_clusters),
@@ -266,6 +271,9 @@ def main() -> None:
         # matter the factor), so the probe isolates the CLUSTERING +
         # within-cluster pair-search scaling
         ("semantic_contamination", "ext_semantic_contamination"),
+        # r11: the map-only cross-modal filter — probed to prove the
+        # no-shuffle claim (wall must track the scan, shuffle ~0)
+        ("crossmodal_consistency", "ext_crossmodal_consistency"),
     ]
     if only is not None:
         sem_pipelines = [(n, a) for n, a in sem_pipelines if n in only]
