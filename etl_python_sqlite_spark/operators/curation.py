@@ -303,11 +303,28 @@ def ngram_lm_score(
     string keys — the multiplicity-collapse form (documented at the
     trigram A/B) remains the at-scale upgrade path; at sf0.1 the
     instance form won the measured A/B and wins again here (the same
-    extra-stage economics)."""
+    extra-stage economics).
+
+    One order-dependent inversion, measured (r11 interleaved A/B at
+    sf0.1, 3 reps warm): an input repartition to the shuffle width
+    LOSES at n=3 (the r10 trigram A/B) but WINS at n=5 (2.3 vs
+    2.9–3.4 s) — the 5-tuple explode + concat-width map work is heavy
+    enough to amortize the extra stage. Applied only when the scan is
+    under-parallelized (fewer input splits than shuffle partitions), so
+    a well-split 100 TB corpus never pays a raw-text reshuffle; the
+    single-column concat-key join variant was also A/B'd and did NOT
+    beat the multi-column join (2.8 s — Spark codegen compares short
+    strings about as fast as one concat)."""
     from etl_python_sqlite_spark.operators.cache import tie
     from etl_python_sqlite_spark.plans.relational import _avg_expr
 
     keys = [f"w{i}" for i in range(1, n + 1)]
+    if n >= 4:
+        target = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     tg = doc_ngrams(df, n, text_col, id_col).persist()
     tg.count()
     cn = tg.groupBy(*keys).agg(F.count("*").alias("cn"))
