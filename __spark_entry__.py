@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_video_noisy_near_dups": E.ext_video_noisy_near_dups,
         "ext_crossmodal_consistency": E.ext_crossmodal_consistency,
         "ext_fivegram_lm_score": E.ext_fivegram_lm_score,
+        "ext_video_dedup_clusters": E.ext_video_dedup_clusters,
         # -- last attested ROUND 8 (fills the rest of the r11 window;
         # the tail past the 50-row window stays @r8 and MUST lead the
         # r12 rotation -- see the boundary marker at position 51) --
@@ -615,6 +616,61 @@ def _ewma_sql() -> str:
     """
 
 
+#: the E16 video pipeline CTE chain (per-frame md5 payload -> cells ->
+#: dHash bits -> distinct frame fingerprints -> shared-count pair join),
+#: shared by the ext_video_near_dups and ext_video_dedup_clusters twins
+_VIDEO_PIPELINE_SQL = """vids AS (
+                SELECT doc_id AS mid, doc_id AS src, -1 AS kind
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000000, doc_id,
+                       CASE WHEN doc_id % 12 = 6 THEN 1 ELSE 0 END
+                FROM documents WHERE doc_id % 6 = 0
+            ),
+            vframes AS (
+                -- kind 1 (truncated twin) keeps frames 0..2; others 0..3
+                SELECT mid, src, f FROM vids, generate_series(0, 3) g(f)
+                WHERE kind < 1 OR f < 3
+            ),
+            byt AS (
+                SELECT mid, f, t,
+                       CAST('0x' || substr(
+                           md5(src::VARCHAR || ':f' || f::VARCHAR || ':'
+                               || (t // 16)::VARCHAR),
+                           (t % 16) * 2 + 1, 2) AS BIGINT) AS v
+                FROM vframes, generate_series(0, 863) g(t)
+            ),
+            cells AS MATERIALIZED (
+                SELECT mid, f, ((t // 3) // 18) // 2 AS i,
+                       ((t // 3) % 18) // 2 AS j,
+                       CAST(SUM(v) AS BIGINT) AS s
+                FROM byt GROUP BY 1, 2, 3, 4
+            ),
+            bits AS (
+                SELECT l.mid, l.f, (l.i * 8 + l.j) AS k,
+                       CASE WHEN l.s > r.s THEN 1::BIGINT
+                            ELSE 0::BIGINT END AS bit
+                FROM cells l JOIN cells r
+                  ON l.mid = r.mid AND l.f = r.f AND l.i = r.i
+                 AND r.j = l.j + 1
+                WHERE l.j < 8
+            ),
+            fps AS MATERIALIZED (
+                SELECT DISTINCT mid,
+                       CAST(SUM(CASE WHEN k < 60 THEN bit << k
+                                     ELSE 0 END) AS BIGINT) AS h
+                FROM (SELECT mid, f, k, bit FROM bits) GROUP BY mid, f
+            ),
+            vpairs AS MATERIALIZED (
+                SELECT a.mid AS id_a, b.mid AS id_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_shared
+                FROM fps a JOIN fps b
+                  ON a.h = b.h AND a.mid < b.mid
+                GROUP BY a.mid, b.mid
+                HAVING COUNT(*) >= 2
+            )"""
+
+
 #: the E12 image pipeline CTE chain (payload bytes -> grayscale cells
 #: -> dHash bits -> band keys -> candidate join -> Hamming verify),
 #: shared by the ext_image_near_dups and ext_image_dedup_clusters twins
@@ -895,56 +951,37 @@ def oracle_sql() -> dict[str, str]:
         # video near-dups: frame fingerprints from md5 arithmetic (the
         # image cell/bit replay with a per-frame namespace), distinct
         # fingerprint sets, shared-count pair join
-        "ext_video_near_dups": """
-            WITH vids AS (
-                SELECT doc_id AS mid, doc_id AS src, -1 AS kind
-                FROM documents
-                UNION ALL
-                SELECT doc_id + 1000000000, doc_id,
-                       CASE WHEN doc_id % 12 = 6 THEN 1 ELSE 0 END
-                FROM documents WHERE doc_id % 6 = 0
-            ),
-            vframes AS (
-                -- kind 1 (truncated twin) keeps frames 0..2; others 0..3
-                SELECT mid, src, f FROM vids, generate_series(0, 3) g(f)
-                WHERE kind < 1 OR f < 3
-            ),
-            byt AS (
-                SELECT mid, f, t,
-                       CAST('0x' || substr(
-                           md5(src::VARCHAR || ':f' || f::VARCHAR || ':'
-                               || (t // 16)::VARCHAR),
-                           (t % 16) * 2 + 1, 2) AS BIGINT) AS v
-                FROM vframes, generate_series(0, 863) g(t)
-            ),
-            cells AS MATERIALIZED (
-                SELECT mid, f, ((t // 3) // 18) // 2 AS i,
-                       ((t // 3) % 18) // 2 AS j,
-                       CAST(SUM(v) AS BIGINT) AS s
-                FROM byt GROUP BY 1, 2, 3, 4
-            ),
-            bits AS (
-                SELECT l.mid, l.f, (l.i * 8 + l.j) AS k,
-                       CASE WHEN l.s > r.s THEN 1::BIGINT
-                            ELSE 0::BIGINT END AS bit
-                FROM cells l JOIN cells r
-                  ON l.mid = r.mid AND l.f = r.f AND l.i = r.i
-                 AND r.j = l.j + 1
-                WHERE l.j < 8
-            ),
-            fps AS MATERIALIZED (
-                SELECT DISTINCT mid,
-                       CAST(SUM(CASE WHEN k < 60 THEN bit << k
-                                     ELSE 0 END) AS BIGINT) AS h
-                FROM (SELECT mid, f, k, bit FROM bits) GROUP BY mid, f
-            )
-            SELECT a.mid AS id_a, b.mid AS id_b,
-                   CAST(COUNT(*) AS BIGINT) AS n_shared
-            FROM fps a JOIN fps b
-              ON a.h = b.h AND a.mid < b.mid
-            GROUP BY a.mid, b.mid
-            HAVING COUNT(*) >= 2
+        "ext_video_near_dups": f"""
+            WITH {_VIDEO_PIPELINE_SQL}
+            SELECT id_a, id_b, n_shared FROM vpairs
             ORDER BY id_a, id_b
+        """,
+        # video dedup clusters (r11): the image-clusters recursive-CTE
+        # closure over the shared video pair chain -- node set is every
+        # video id (originals + %6 twins)
+        "ext_video_dedup_clusters": f"""
+            WITH RECURSIVE {_VIDEO_PIPELINE_SQL},
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM vpairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM vpairs
+            ),
+            reach(id, root) AS (
+                SELECT mid, mid FROM vids
+                UNION
+                SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (
+                SELECT id AS media_id, MIN(root) AS cluster_id
+                FROM reach GROUP BY id
+            ),
+            sized AS (
+                SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM comp GROUP BY cluster_id
+            )
+            SELECT cluster_id, cluster_size, cluster_size AS n_members
+            FROM sized WHERE cluster_size > 1
+            ORDER BY cluster_id
         """,
         # 5-gram LM scoring (r11): the trigram twin with two more join
         # columns -- same Laplace micro-unit and integer-mean discipline

@@ -3376,31 +3376,14 @@ def _vid_frame_payload(doc_id: int, f: int) -> bytes:
     return bytes(out[:n])
 
 
-def ext_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E16 (r10) — video near-duplicate detection by frame-fingerprint
-    overlap (operators/videohash.py): every document becomes a 4-frame
-    concatenated-BMP video (md5-chain pixels per frame), each frame is
-    dHash-fingerprinted through the REAL container split + BMP decode,
-    and two videos pair when they share ≥2 distinct fingerprints.
-
-    Planted twins (``doc_id % 6 == 0``, id + 10^9): the even half
-    (``% 12 == 0``) REVERSES the frame order — the fingerprint SET is
-    unchanged, so the pair reports n_shared = 4 deterministically (the
-    set semantics the operator promises); the odd half (``% 12 == 6``)
-    DROPS the last frame — n_shared = 3 exactly. The DuckDB twin
-    replays frame payload → grid cells → dHash bits → distinct-
-    fingerprint pair join from md5 arithmetic alone, so the value-hash
-    match again certifies the BMV split + BMP decode bit-faithful.
-    Operator ground truth (reorder/truncate/re-encode recall, reject
-    routing) lives in tests/test_videohash.py."""
+def _video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic video corpus of the E16 contract queries: one
+    4-frame concatenated-BMP video per document plus the planted
+    reorder/truncate twins (see ext_video_near_dups docstring)."""
     import numpy as np
     import pandas as pd
 
     from etl_python_sqlite_spark.operators import multimodal as M
-    from etl_python_sqlite_spark.operators.videohash import (
-        video_frame_hashes,
-        video_near_dups,
-    )
 
     docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
@@ -3424,11 +3407,112 @@ def ext_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out.append((did + _VID_TWIN_OFFSET, M.encode_bmv(tf)))
             yield pd.DataFrame(out, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(_gen, schema="media_id long, content binary")
-    pairs = video_near_dups(
-        video_frame_hashes(media, every_n=1), min_shared=2
+    return docs.mapInPandas(_gen, schema="media_id long, content binary")
+
+
+#: (applicationId, sf_dir, fingerprint) → the verified video pair frame
+#: shared by ext_video_near_dups and ext_video_dedup_clusters — the
+#: `_image_pairs` policy with the checkpoint taken at the PAIR set (the
+#: narrowest stage: one Arrow decode pass serves both queries and the
+#: CC rounds scan the materialized RDD). Cache tier only: the pair
+#: frame is O(n_twins) rows; at a corpus where it outgrows a session
+#: checkpoint the image-pairs bucketed tier (IMAGE_BUCKETED_STAGE_*) is
+#: the ready-made upgrade. One lock per memo (build-race rule), LRU 2.
+_VIDPAIRS_MEMO: dict = {}
+_VIDPAIRS_LOCK = threading.RLock()
+
+
+def _video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_python_sqlite_spark.operators.cache import release
+    from etl_python_sqlite_spark.operators.videohash import (
+        video_frame_hashes,
+        video_near_dups,
     )
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+
+    fp = data_fingerprint(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    with _VIDPAIRS_LOCK:
+        hit = _VIDPAIRS_MEMO.pop(key, None)
+        if hit is not None:
+            _VIDPAIRS_MEMO[key] = hit  # LRU refresh
+            return hit
+        lazy = video_near_dups(
+            video_frame_hashes(_video_media(spark, sf_dir), every_n=1),
+            min_shared=2,
+        )
+        ckpt = lazy.localCheckpoint(eager=True)  # ONE decode, all consumers
+        release(lazy)  # the fingerprint persist — ckpt supersedes it
+        pairs = tie(ckpt.select("id_a", "id_b", "n_shared"), ckpt)
+        while len(_VIDPAIRS_MEMO) >= 2:
+            _VIDPAIRS_MEMO.pop(next(iter(_VIDPAIRS_MEMO)))
+        _VIDPAIRS_MEMO[key] = pairs
+        return pairs
+
+
+def release_shared_video_pairs() -> None:
+    """Release every memoized video-pair stage (checkpoint blocks)."""
+    from etl_python_sqlite_spark.operators.cache import release
+
+    while _VIDPAIRS_MEMO:
+        _, old = _VIDPAIRS_MEMO.popitem()
+        release(old)
+
+
+def ext_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16 (r10) — video near-duplicate detection by frame-fingerprint
+    overlap (operators/videohash.py): every document becomes a 4-frame
+    concatenated-BMP video (md5-chain pixels per frame), each frame is
+    dHash-fingerprinted through the REAL container split + BMP decode,
+    and two videos pair when they share ≥2 distinct fingerprints.
+
+    Planted twins (``doc_id % 6 == 0``, id + 10^9): the even half
+    (``% 12 == 0``) REVERSES the frame order — the fingerprint SET is
+    unchanged, so the pair reports n_shared = 4 deterministically (the
+    set semantics the operator promises); the odd half (``% 12 == 6``)
+    DROPS the last frame — n_shared = 3 exactly. The DuckDB twin
+    replays frame payload → grid cells → dHash bits → distinct-
+    fingerprint pair join from md5 arithmetic alone, so the value-hash
+    match again certifies the BMV split + BMP decode bit-faithful.
+    The pair pipeline is the memoized stage shared with
+    ext_video_dedup_clusters (``_video_pairs``). Operator ground truth
+    (reorder/truncate/re-encode recall, reject routing, the
+    hot-fingerprint df cap) lives in tests/test_videohash.py."""
+    pairs = _video_pairs(spark, sf_dir)
     return tie(pairs.orderBy("id_a", "id_b"), keepalive=[pairs])
+
+
+def ext_video_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16c (r11) — the operational half of video dedup: frame-overlap
+    pairs → connected components → per-cluster summary (the E12b shape
+    over the E16 pair stage, shared via ``_video_pairs`` — near-dup
+    GROUPS, not pairs, are what a curation pipeline consumes when it
+    picks one survivor per duplicate set). The node set — every video
+    id, including twins — derives ARITHMETICALLY from doc_ids (no
+    second decode pass), and the DuckDB twin rebuilds the identical
+    edge set from payload arithmetic and closes it with a recursive
+    CTE, so the whole split→decode→hash→pair→clustering path is
+    value-hash-checked."""
+    from etl_python_sqlite_spark.operators.graph import (
+        dedup_cluster_assignment,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media_ids = docs.select(F.col("doc_id").alias("media_id")).unionByName(
+        docs.filter(F.col("doc_id") % 6 == 0).select(
+            (F.col("doc_id") + _VID_TWIN_OFFSET).alias("media_id")
+        )
+    )
+    pairs = _video_pairs(spark, sf_dir)
+    edges = pairs.select("id_a", "id_b")
+    assign = dedup_cluster_assignment(media_ids, edges, id_col="media_id")
+    out = (
+        assign.filter(F.col("cluster_size") > 1)
+        .groupBy("cluster_id", "cluster_size")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("cluster_id")
+    )
+    return tie(out, keepalive=[assign, pairs])
 
 
 def ext_video_noisy_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
