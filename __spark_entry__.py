@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_crossmodal_consistency": E.ext_crossmodal_consistency,
         "ext_fivegram_lm_score": E.ext_fivegram_lm_score,
         "ext_video_dedup_clusters": E.ext_video_dedup_clusters,
+        "ext_audio_dedup_clusters": E.ext_audio_dedup_clusters,
         # -- last attested ROUND 8 (fills the rest of the r11 window;
         # the tail past the 50-row window stays @r8 and MUST lead the
         # r12 rotation -- see the boundary marker at position 51) --
@@ -616,6 +617,68 @@ def _ewma_sql() -> str:
     """
 
 
+#: the E15 audio pipeline CTE chain (md5 samples -> |energy| segment
+#: sums -> dHash bits -> band keys -> candidate join -> Hamming
+#: verify), shared by the ext_audio_near_dups and
+#: ext_audio_dedup_clusters twins
+_AUDIO_PIPELINE_SQL = """auds AS (
+                SELECT doc_id AS mid, doc_id AS src, FALSE AS noisy
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000000, doc_id, (doc_id % 10 = 5)
+                FROM documents WHERE doc_id % 5 = 0
+            ),
+            byt AS (
+                SELECT mid, t, noisy,
+                       (mid >= 1000000000) AS twin,
+                       CAST('0x' || substr(
+                           md5(src::VARCHAR || ':' || (t // 16)::VARCHAR),
+                           (t % 16) * 2 + 1, 2) AS BIGINT) AS v0
+                FROM auds, generate_series(0, 487) g(t)
+            ),
+            smp AS (
+                SELECT mid, t,
+                       CASE WHEN twin AND noisy AND t = 255
+                                THEN ((v0 + 96) % 256) - 128
+                            WHEN twin AND NOT noisy THEN 2 * (v0 - 128)
+                            ELSE v0 - 128 END AS s
+                FROM byt
+            ),
+            segs AS MATERIALIZED (
+                SELECT mid, t // 8 AS g, CAST(SUM(abs(s)) AS BIGINT) AS e
+                FROM smp GROUP BY 1, 2
+            ),
+            bits AS (
+                SELECT l.mid, l.g AS k,
+                       CASE WHEN l.e > r.e THEN 1::BIGINT
+                            ELSE 0::BIGINT END AS bit
+                FROM segs l JOIN segs r
+                  ON l.mid = r.mid AND r.g = l.g + 1
+                WHERE l.g < 60
+            ),
+            hashes AS MATERIALIZED (
+                SELECT mid, CAST(SUM(bit << k) AS BIGINT) AS h
+                FROM bits GROUP BY mid
+            ),
+            banded AS MATERIALIZED (
+                SELECT mid, bn, (h >> (15 * bn)) & 32767 AS band_key
+                FROM hashes, generate_series(0, 3) g(bn)
+            ),
+            cand AS (
+                SELECT DISTINCT a.mid AS id_a, b.mid AS id_b
+                FROM banded a JOIN banded b
+                  ON a.bn = b.bn AND a.band_key = b.band_key
+                 AND a.mid < b.mid
+            ),
+            pairs AS (
+                SELECT id_a, id_b,
+                       CAST(bit_count(xor(ha.h, hb.h)) AS INT) AS hamming
+                FROM cand
+                JOIN hashes ha ON ha.mid = cand.id_a
+                JOIN hashes hb ON hb.mid = cand.id_b
+            )"""
+
+
 #: the E16 video pipeline CTE chain (per-frame md5 payload -> cells ->
 #: dHash bits -> distinct frame fingerprints -> shared-count pair join),
 #: shared by the ext_video_near_dups and ext_video_dedup_clusters twins
@@ -782,65 +845,40 @@ def oracle_sql() -> dict[str, str]:
         # -- samples -> |energy| segment sums -> bits -> bands -> verify
         # from md5 arithmetic alone (488 frames = 61 segments x 8, so
         # the cross-multiplied mean comparisons are plain sum compares)
-        "ext_audio_near_dups": """
-            WITH auds AS (
-                SELECT doc_id AS mid, doc_id AS src, FALSE AS noisy
-                FROM documents
-                UNION ALL
-                SELECT doc_id + 1000000000, doc_id, (doc_id % 10 = 5)
-                FROM documents WHERE doc_id % 5 = 0
-            ),
-            byt AS (
-                SELECT mid, t, noisy,
-                       (mid >= 1000000000) AS twin,
-                       CAST('0x' || substr(
-                           md5(src::VARCHAR || ':' || (t // 16)::VARCHAR),
-                           (t % 16) * 2 + 1, 2) AS BIGINT) AS v0
-                FROM auds, generate_series(0, 487) g(t)
-            ),
-            smp AS (
-                SELECT mid, t,
-                       CASE WHEN twin AND noisy AND t = 255
-                                THEN ((v0 + 96) % 256) - 128
-                            WHEN twin AND NOT noisy THEN 2 * (v0 - 128)
-                            ELSE v0 - 128 END AS s
-                FROM byt
-            ),
-            segs AS MATERIALIZED (
-                SELECT mid, t // 8 AS g, CAST(SUM(abs(s)) AS BIGINT) AS e
-                FROM smp GROUP BY 1, 2
-            ),
-            bits AS (
-                SELECT l.mid, l.g AS k,
-                       CASE WHEN l.e > r.e THEN 1::BIGINT
-                            ELSE 0::BIGINT END AS bit
-                FROM segs l JOIN segs r
-                  ON l.mid = r.mid AND r.g = l.g + 1
-                WHERE l.g < 60
-            ),
-            hashes AS MATERIALIZED (
-                SELECT mid, CAST(SUM(bit << k) AS BIGINT) AS h
-                FROM bits GROUP BY mid
-            ),
-            banded AS MATERIALIZED (
-                SELECT mid, bn, (h >> (15 * bn)) & 32767 AS band_key
-                FROM hashes, generate_series(0, 3) g(bn)
-            ),
-            cand AS (
-                SELECT DISTINCT a.mid AS id_a, b.mid AS id_b
-                FROM banded a JOIN banded b
-                  ON a.bn = b.bn AND a.band_key = b.band_key
-                 AND a.mid < b.mid
-            ),
-            pairs AS (
-                SELECT id_a, id_b,
-                       CAST(bit_count(xor(ha.h, hb.h)) AS INT) AS hamming
-                FROM cand
-                JOIN hashes ha ON ha.mid = cand.id_a
-                JOIN hashes hb ON hb.mid = cand.id_b
-            )
+        "ext_audio_near_dups": f"""
+            WITH {_AUDIO_PIPELINE_SQL}
             SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
             ORDER BY id_a, id_b
+        """,
+        # audio dedup clusters (r11): recursive-CTE closure over the
+        # shared audio pair chain -- node set is every audio id
+        # (originals + %5 twins)
+        "ext_audio_dedup_clusters": f"""
+            WITH RECURSIVE {_AUDIO_PIPELINE_SQL},
+            vp AS (
+                SELECT id_a, id_b FROM pairs WHERE hamming <= 6
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM vp
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM vp
+            ),
+            reach(id, root) AS (
+                SELECT mid, mid FROM auds
+                UNION
+                SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+            ),
+            comp AS (
+                SELECT id AS media_id, MIN(root) AS cluster_id
+                FROM reach GROUP BY id
+            ),
+            sized AS (
+                SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM comp GROUP BY cluster_id
+            )
+            SELECT cluster_id, cluster_size, cluster_size AS n_members
+            FROM sized WHERE cluster_size > 1
+            ORDER BY cluster_id
         """,
         # cross-modal consistency (r11): exact fold-cosine over paired
         # caption/image embeddings -- matched pairs are the 2*v scalar

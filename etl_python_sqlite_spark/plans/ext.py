@@ -3307,17 +3307,24 @@ def ext_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays samples → |energy| segment sums → 60 comparison bits →
     band keys → candidate join → Hamming verify from
     ``md5(doc_id||':'||block)`` arithmetic alone, which ALSO certifies
-    the WAV write→read round trip bit-faithful. Operator ground truth
-    (volume/edit invariances, reject routing) lives in
-    tests/test_audiohash.py."""
+    the WAV write→read round trip bit-faithful. The pair pipeline is
+    the memoized stage shared with ext_audio_dedup_clusters
+    (``_audio_pairs``). Operator ground truth (volume/edit invariances,
+    reject routing) lives in tests/test_audiohash.py."""
+    pairs = _audio_pairs(spark, sf_dir)
+    # keepalive: ordered frame derives from the tie()'d result
+    # (cache.py composition rule)
+    return tie(pairs.orderBy("id_a", "id_b"), keepalive=[pairs])
+
+
+def _audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic audio corpus of the E15 contract queries: one
+    488-frame WAV per document plus the planted volume-doubled/noisy
+    twins (see ext_audio_near_dups docstring)."""
     import numpy as np
     import pandas as pd
 
     from etl_python_sqlite_spark.operators import multimodal as M
-    from etl_python_sqlite_spark.operators.audiohash import (
-        audio_energy_hash,
-        audio_near_dups,
-    )
 
     docs = _spread(_docs(spark, sf_dir).select("doc_id"))
 
@@ -3345,13 +3352,83 @@ def ext_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(out, columns=["media_id", "content"])
 
-    media = docs.mapInPandas(_gen, schema="media_id long, content binary")
-    pairs = audio_near_dups(
-        audio_energy_hash(media), max_hamming=6, n_bands=4
+    return docs.mapInPandas(_gen, schema="media_id long, content binary")
+
+
+#: (applicationId, sf_dir, fingerprint) → the tie()'d verified audio
+#: pair frame shared by ext_audio_near_dups and
+#: ext_audio_dedup_clusters — the `_image_pairs` policy (the expensive
+#: Arrow decode+hash half is checkpointed INSIDE dhash_near_dups, so
+#: each consumer re-runs only the cheap JVM banding/verify); one lock
+#: per memo (build-race rule), LRU cap 2.
+_AUDPAIRS_MEMO: dict = {}
+_AUDPAIRS_LOCK = threading.RLock()
+
+
+def _audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_python_sqlite_spark.operators.audiohash import (
+        audio_energy_hash,
+        audio_near_dups,
     )
-    # keepalive: ordered frame derives from the tie()'d result
-    # (cache.py composition rule)
-    return tie(pairs.orderBy("id_a", "id_b"), keepalive=[pairs])
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+
+    fp = data_fingerprint(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    with _AUDPAIRS_LOCK:
+        hit = _AUDPAIRS_MEMO.pop(key, None)
+        if hit is not None:
+            _AUDPAIRS_MEMO[key] = hit  # LRU refresh
+            return hit
+        pairs = audio_near_dups(
+            audio_energy_hash(_audio_media(spark, sf_dir)),
+            max_hamming=6,
+            n_bands=4,
+        )
+        while len(_AUDPAIRS_MEMO) >= 2:
+            _AUDPAIRS_MEMO.pop(next(iter(_AUDPAIRS_MEMO)))
+        _AUDPAIRS_MEMO[key] = pairs
+        return pairs
+
+
+def release_shared_audio_pairs() -> None:
+    """Release every memoized audio-pair stage (checkpoint blocks)."""
+    from etl_python_sqlite_spark.operators.cache import release
+
+    while _AUDPAIRS_MEMO:
+        _, old = _AUDPAIRS_MEMO.popitem()
+        release(old)
+
+
+def ext_audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15b (r11) — the operational half of audio dedup: perceptual
+    near-dup pairs → connected components → per-cluster summary,
+    completing the modality × (pairs, clusters) matrix (images E12b,
+    video E16c). Node set derives arithmetically from doc_ids (no
+    second decode pass); the DuckDB twin rebuilds the identical edge
+    set from md5 sample arithmetic and closes it recursively."""
+    from etl_python_sqlite_spark.operators.graph import (
+        dedup_cluster_assignment,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media_ids = docs.select(F.col("doc_id").alias("media_id")).unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + _AUD_TWIN_OFFSET).alias("media_id")
+        )
+    )
+    pairs = _audio_pairs(spark, sf_dir)
+    # eager lineage cut: CC's iterative rounds are many actions — each
+    # would re-run the banding/verify join otherwise (the image-clusters
+    # rule)
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    assign = dedup_cluster_assignment(media_ids, edges, id_col="media_id")
+    out = (
+        assign.filter(F.col("cluster_size") > 1)
+        .groupBy("cluster_id", "cluster_size")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("cluster_id")
+    )
+    return tie(out, edges, keepalive=[assign, pairs])
 
 
 # ---------------------------------------------------------------------------
