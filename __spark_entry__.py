@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_fivegram_lm_score": E.ext_fivegram_lm_score,
         "ext_video_dedup_clusters": E.ext_video_dedup_clusters,
         "ext_audio_dedup_clusters": E.ext_audio_dedup_clusters,
+        "ext_webdataset_roundtrip": E.ext_webdataset_roundtrip,
         # -- last attested ROUND 8 (fills the rest of the r11 window;
         # the tail past the 50-row window stays @r8 and MUST lead the
         # r12 rotation -- see the boundary marker at position 51) --
@@ -879,6 +880,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, cluster_size, cluster_size AS n_members
             FROM sized WHERE cluster_size > 1
             ORDER BY cluster_id
+        """,
+        # WebDataset round trip (r11): the twin hashes documents
+        # directly -- a value-hash match certifies the tar pack->read
+        # path byte-faithful without the oracle opening a tar
+        "ext_webdataset_roundtrip": """
+            SELECT doc_id, md5(text) AS text_md5,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes
+            FROM documents ORDER BY doc_id
         """,
         # cross-modal consistency (r11): exact fold-cosine over paired
         # caption/image embeddings -- matched pairs are the 2*v scalar

@@ -3717,3 +3717,51 @@ def ext_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: WebDataset pack -> read round trip (the packaging attestation)
+# ---------------------------------------------------------------------------
+
+def ext_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-pack (r11) — the full-pipeline PACKAGING attestation, the
+    codec-certification trick applied to shards: every document is
+    packed into WebDataset tar shards (operators/shards —
+    two-phase-commit writer) and read back through the one-task-per-
+    shard reader (sources/webdataset), emitting (doc_id, md5, bytes)
+    of the recovered member. The DuckDB twin computes the same md5
+    straight off the documents table, so a value-hash match certifies
+    the tar write→read round trip byte-faithful — the oracle never
+    opens a tar.
+
+    The scratch dir is keyed on (applicationId, sf, data fingerprint)
+    under /tmp and rewritten per run (deterministic content; no
+    cross-session races). Scale note: the pack is the writer's
+    range-shuffle + streaming tar emit, the read is one task per shard
+    — both linear, no collects beyond the writer's bounded commit
+    3-tuples."""
+    import hashlib
+    import shutil
+
+    from etl_python_sqlite_spark.operators.shards import (
+        write_webdataset_shards,
+    )
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+    from etl_python_sqlite_spark.sources.webdataset import read_webdataset
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    fp = data_fingerprint(spark, sf_dir, "documents")
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:{fp}".encode()
+    ).hexdigest()[:12]
+    out = f"/tmp/spark_graft_wds_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_webdataset_shards(
+        docs, out, key_col="doc_id", members={"txt": "text"}, num_shards=4
+    )
+    back = read_webdataset(spark, out, members=["txt"])
+    return back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.md5(F.col("txt")).alias("text_md5"),
+        F.length(F.col("txt")).cast("long").alias("n_bytes"),
+    ).orderBy("doc_id")

@@ -1,0 +1,120 @@
+"""WebDataset tar-shard READER — the loader side of
+``operators/shards.write_webdataset_shards`` (format per the public
+webdataset spec, github.com/webdataset: one POSIX tar per shard,
+members named ``{key}.{ext}``, the key is the member name up to the
+FIRST period, consecutive same-key members form one sample).
+
+The reference engine has no packaging path at all; this closes the
+round trip so a training pipeline can both PACK shards (the writer's
+two-phase commit) and consume them back through the engine — e.g. to
+re-curate an already-packed dataset without the original parquet.
+
+Scale shape: one task per tar shard (the natural WebDataset unit — a
+loader process streams one shard), each task streaming ``tarfile``
+members sequentially; nothing collects, nothing decodes. The sample
+grouping is within-member-order (the spec's contiguity rule), so no
+shuffle exists anywhere in the read.
+
+FILESYSTEM CONTRACT (same as the writer and ``avro_py``): executors
+open shard paths with plain ``tarfile`` — every executor must see the
+same directory at the same POSIX path (local mode, NFS/Lustre, a
+FUSE-mounted object store). On raw HDFS/S3 URIs this reader does not
+apply; read the parquet shards instead.
+"""
+
+from __future__ import annotations
+
+import tarfile
+from pathlib import Path
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _sanitize(ext: str) -> str:
+    """Member extension → column name (dots in compound extensions
+    like ``seq.json`` become underscores)."""
+    return ext.replace(".", "_")
+
+
+def discover_member_extensions(tar_path: str | Path) -> list[str]:
+    """The union of member extensions across ONE shard — bounded
+    driver-side peek (tar HEADERS only, no payload reads), used when
+    the caller does not pass ``members`` explicitly. A whole shard, not
+    just the first sample: sparse members (the writer skips NULLs) may
+    be absent from any given sample."""
+    exts: set[str] = set()
+    with tarfile.open(str(tar_path), "r") as tf:
+        for m in tf:
+            if not m.isfile():
+                continue
+            _, _, ext = m.name.partition(".")
+            if ext:
+                exts.add(ext)
+    if not exts:
+        raise ValueError(f"no members in {tar_path}")
+    return sorted(exts)
+
+
+def read_webdataset(
+    spark: SparkSession,
+    path: str | Path,
+    members: list[str] | None = None,
+) -> DataFrame:
+    """(key string, shard string, <one binary column per extension>)
+    from every ``*.tar`` under ``path``.
+
+    ``members`` is the expected extension list; omitted, it is
+    discovered from the first shard's first sample (one bounded
+    driver-side peek). A sample missing a member yields NULL in that
+    column; members outside the list are ignored (forward-compatible
+    with shards that carry extra modalities). Keys follow the spec:
+    everything before the FIRST period of the member name.
+    """
+    tars = sorted(str(p) for p in Path(path).glob("*.tar"))
+    if not tars:
+        raise ValueError(f"no .tar shards under {path}")
+    if members is None:
+        members = discover_member_extensions(tars[0])
+    exts = sorted(members)
+    cols = ["key", "shard"] + [_sanitize(e) for e in exts]
+    schema = "key string, shard string, " + ", ".join(
+        f"{_sanitize(e)} binary" for e in exts
+    )
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        for pdf in batches:
+            for tp in pdf["tar_path"]:
+                shard = os.path.basename(tp)
+                rows: list[tuple] = []
+                cur_key = None
+                cur: dict = {}
+
+                def _flush() -> None:
+                    if cur_key is not None:
+                        rows.append(
+                            (cur_key, shard)
+                            + tuple(cur.get(e) for e in exts)
+                        )
+
+                with tarfile.open(tp, "r") as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        key, _, ext = m.name.partition(".")
+                        if key != cur_key:
+                            _flush()
+                            cur_key, cur = key, {}
+                        if ext in exts:
+                            f = tf.extractfile(m)
+                            cur[ext] = f.read() if f is not None else None
+                    _flush()
+                yield pd.DataFrame(rows, columns=cols)
+
+    paths = spark.createDataFrame(
+        [(t,) for t in tars], "tar_path string"
+    ).repartition(len(tars))  # one task per shard — the loader unit
+    return paths.mapInPandas(_read, schema=schema)
