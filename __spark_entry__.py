@@ -190,14 +190,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays @r8 and MUST lead the r12 rotation (see the marker comment
     # inside the r8 block). The r9- and r10-attested blocks close the
     # dict in recency order.
-    # taken from the head of this dict. Round-10 rotation: the 9 keys
-    # that slipped out of the r9 window (last attested ROUND 6, three
-    # corpus regenerations ago -- r9 VERDICT item 1) lead, then the 6
-    # queries NEW in r10, then the 50-key block last attested ROUND 7,
-    # of which the first 35 fit the 50-row window; the last 15 of that
-    # block (ext_bigram_lm_score through ext_ann_knn_join -- see the marker
-    # comment inside the block) slip to r11 and must lead its rotation.
-    # The r8- and r9-attested blocks close the dict in recency order.
     return {
         # -- last attested ROUND 7 (15 keys) -- lead the r11 window --
         "ext_bigram_lm_score": E.ext_bigram_lm_score,
@@ -254,13 +246,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except_users": R.set_except_users,
         "rollup_region_nation": R.rollup_region_nation,
         "inline_cascade_annotated": R.inline_cascade_annotated,
+        # -- r11 window boundary: the 21 keys from here
+        # (cube_status_priority) through skew_salted_agg are positions
+        # 51-71 -- they slip out of the 50-row r11 window (last
+        # attested r8) and MUST lead the r12 rotation --
         "cube_status_priority": R.cube_status_priority,
         "string_funcs": R.string_funcs,
         "date_parts_agg": R.date_parts_agg,
-        # -- r11 window boundary: the 18 keys from here to
-        # skew_salted_agg are positions 51-68 -- they slip out of the
-        # 50-row r11 window (last attested r8) and MUST lead the r12
-        # rotation --
         "sql_exists_subquery": R.sql_exists_subquery,
         "percentiles_by_group": R.percentiles_by_group,
         "pivot_event_types": R.pivot_event_types,

@@ -118,6 +118,30 @@ def tie_shared(
     return out
 
 
+def tie_stage_table(frame: DataFrame, drop_cb) -> DataFrame:
+    """Run ``drop_cb`` (the DROP of a bucketed stage table) when the
+    LAST consumer of a table-backed memo handle lets go. LRU eviction
+    of a stage-table entry must only drop the REFERENCE — an immediate
+    DROP TABLE under a still-live consumer frame fails that consumer's
+    next action with FileNotFound (the cache-tier eviction rule,
+    extended to tables). Explicit release paths may still drop
+    immediately; ``drop_cb`` must be idempotent (DROP TABLE IF
+    EXISTS). Uses a DIFFERENT attribute than :func:`tie` so
+    ``release(frame)`` on the handle stays a no-op — the immediate
+    drop belongs to the tier's own release function."""
+
+    def _cb(_drop=drop_cb) -> None:
+        try:
+            _drop()
+        except Exception:
+            pass  # session already stopped
+
+    fin = weakref.finalize(frame, _cb)
+    fin.atexit = False
+    setattr(frame, "_spark_graft_table_release", fin)
+    return frame
+
+
 def release(df: DataFrame) -> None:
     """Explicitly run a frame's tied cleanup now (idempotent, optional —
     dropping the frame has the same effect)."""

@@ -67,20 +67,10 @@ def doc_bigrams(
     interpreted per-element lambda HOFs the repo bans in hot paths.)
     arrays_zip pads the shorter tail with NULL, so the last token emits
     (w_n, NULL) — dropped by the filter; <2-word docs yield no rows.
+    Implementation is :func:`doc_ngrams` at order 2 (one definition of
+    the zip — code-review r11).
     """
-    ws = words(F.lower(F.col(text_col)))
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.arrays_zip(
-                    ws.alias("w1"), F.slice(ws, 2, F.size(ws)).alias("w2")
-                )
-            ).alias("p"),
-        )
-        .filter(F.col("p.w2").isNotNull())
-        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    )
+    return doc_ngrams(df, 2, text_col, id_col)
 
 
 def bigram_lm_score(
@@ -149,31 +139,9 @@ def bigram_lm_score(
 def doc_trigrams(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, w1, w2, w3) — one row per ADJACENT word triple, multiset
-    semantics; the same zero-exchange in-row pairing as
-    :func:`doc_bigrams`, zipping the word array with its 1- and
-    2-shifted tails (arrays_zip NULL-pads, the filter drops the two
-    ragged tail rows; <3-word docs yield no rows)."""
-    ws = words(F.lower(F.col(text_col)))
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.arrays_zip(
-                    ws.alias("w1"),
-                    F.slice(ws, 2, F.size(ws)).alias("w2"),
-                    F.slice(ws, 3, F.size(ws)).alias("w3"),
-                )
-            ).alias("p"),
-        )
-        .filter(F.col("p.w3").isNotNull())
-        .select(
-            id_col,
-            F.col("p.w1").alias("w1"),
-            F.col("p.w2").alias("w2"),
-            F.col("p.w3").alias("w3"),
-        )
-    )
+    """(id, w1, w2, w3) — :func:`doc_ngrams` at order 3 (kept as a
+    named entry point for the trigram scorer and its tests)."""
+    return doc_ngrams(df, 3, text_col, id_col)
 
 
 def trigram_lm_score(

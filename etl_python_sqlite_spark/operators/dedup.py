@@ -567,6 +567,35 @@ def winnowing_fingerprints(
     )
 
 
+def cap_fingerprint_df(
+    fp: DataFrame, max_df: int | None, key_col: str = "fingerprint"
+) -> DataFrame:
+    """Stop-fingerprint pruning for fingerprint-identity pair joins:
+    drop fingerprints whose document frequency exceeds ``max_df``
+    BEFORE the self-join (the stop-shingle pattern of
+    :func:`setsim_join_prefix`, shared by winnowing and the video
+    frame matchers). On a real corpus a ubiquitous fingerprint — black
+    frames, intro cards, boilerplate text windows — has a posting list
+    of millions and an uncapped identity join emits its SQUARE; set
+    semantics tolerate dropping it (a pair whose every shared
+    fingerprint is boilerplate is not a content duplicate). ``fp`` must
+    already be distinct on (id, fingerprint), so the plain count IS the
+    document frequency; the stop set is tiny by construction
+    (≤ n_rows / max_df) — broadcast the anti-join so the fingerprint
+    frame never reshuffles. Candidate work is bounded at
+    O(n_fingerprints · max_df); the only recall loss is a pair whose
+    EVERY shared fingerprint exceeds the cap."""
+    if max_df is None:
+        return fp
+    stop = (
+        fp.groupBy(key_col)
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select(key_col)
+    )
+    return fp.join(F.broadcast(stop), key_col, "left_anti")
+
+
 def winnowing_overlap_pairs(
     df: DataFrame,
     min_shared: int = 2,
@@ -583,22 +612,10 @@ def winnowing_overlap_pairs(
     The fingerprint key is uniform on hash-synthetic corpora, but on a
     real corpus a ubiquitous fingerprint (boilerplate windows — license
     headers, navigation chrome) has a posting list of millions and the
-    identity join emits its square. ``max_fingerprint_df`` prunes
-    fingerprints with document frequency above the cap BEFORE the join
-    (the stop-shingle pattern of :func:`setsim_join_prefix` — the stop
-    set is tiny by construction, so the anti-join broadcasts), bounding
-    candidate work at O(n_fingerprints · max_fingerprint_df); the only
-    recall loss is a pair whose EVERY shared window is boilerplate."""
+    identity join emits its square — ``max_fingerprint_df`` prunes it
+    via :func:`cap_fingerprint_df` (caveats there)."""
     fp = winnowing_fingerprints(df, k, window, text_col, id_col).persist()
-    paired = fp
-    if max_fingerprint_df is not None:
-        stop = (
-            fp.groupBy("fingerprint")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") > max_fingerprint_df)
-            .select("fingerprint")
-        )
-        paired = fp.join(F.broadcast(stop), "fingerprint", "left_anti")
+    paired = cap_fingerprint_df(fp, max_fingerprint_df)
     a = paired.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = paired.select(F.col(id_col).alias("id_b"), "fingerprint")
     out = (

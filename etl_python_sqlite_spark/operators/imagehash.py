@@ -160,6 +160,43 @@ def image_dhash(
     )
 
 
+def band_explode(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str = "h",
+    n_bands: int = 4,
+    keep_hash: bool = True,
+) -> DataFrame:
+    """(id, [hash], band, band_key) — the 60-bit Hamming-band explode
+    shared by every banded pipeline (image/audio pair gen, the video
+    frame matcher, the streaming ingest-dedup engines): ``n_bands``
+    disjoint ``DHASH_BITS/n_bands``-bit keys per hash, pure column
+    math. ONE definition so a change to the banding scheme cannot
+    drift between call sites (code-review r11)."""
+    if DHASH_BITS % n_bands:
+        raise ValueError(f"n_bands must divide {DHASH_BITS}")
+    band_bits = DHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    keep = [id_col, hash_col] if keep_hash else [id_col]
+    return df.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col(hash_col), b * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(*keep, "bb.band", "bb.band_key")
+
+
 def dhash_near_dups(
     hashes: DataFrame,
     max_hamming: int = 6,
@@ -179,30 +216,12 @@ def dhash_near_dups(
     the narrowest data-sized stage)."""
     if DHASH_BITS % n_bands:
         raise ValueError(f"n_bands must divide {DHASH_BITS}")
-    band_bits = DHASH_BITS // n_bands
-    mask = (1 << band_bits) - 1
     hh = (
         hashes.filter(F.col(hash_col).isNotNull())
         .select(F.col(id_col).alias("mid"), F.col(hash_col).alias("h"))
         .localCheckpoint(eager=True)
     )
-    banded = hh.select(
-        "mid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        (
-                            F.shiftright(F.col("h"), b * band_bits)
-                            .bitwiseAND(F.lit(mask))
-                        ).alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("mid", "bb.band", "bb.band_key")
+    banded = band_explode(hh, "mid", "h", n_bands, keep_hash=False)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -29,7 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .cache import tie
-from .imagehash import dhash60
+from .dedup import cap_fingerprint_df
+from .imagehash import band_explode, dhash60
 
 
 def video_frame_hashes(
@@ -75,29 +76,6 @@ def video_frame_hashes(
     )
 
 
-def _cap_fingerprint_df(fp: DataFrame, max_df: int | None) -> DataFrame:
-    """Stop-fingerprint pruning for the pair self-joins: drop
-    fingerprints whose document frequency exceeds ``max_df`` BEFORE the
-    join (the stop-shingle pattern of ``dedup.setsim_join_prefix``). On
-    a real corpus a ubiquitous fingerprint — black frames, intro cards,
-    station idents — has a posting list of millions and an uncapped
-    identity join emits its SQUARE; set semantics tolerate dropping it
-    (a pair whose every shared frame is boilerplate is not a content
-    duplicate). ``fp`` must already be distinct on (vid, h), so the
-    plain count IS the document frequency; the stop set is tiny by
-    construction (≤ n_rows / max_df) — broadcast the anti-join so the
-    fingerprint frame never reshuffles."""
-    if max_df is None:
-        return fp
-    stop = (
-        fp.groupBy("h")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") > max_df)
-        .select("h")
-    )
-    return fp.join(F.broadcast(stop), "h", "left_anti")
-
-
 def video_near_dups(
     frame_hashes: DataFrame,
     min_shared: int = 2,
@@ -114,7 +92,8 @@ def video_near_dups(
     The fingerprint key is uniform on md5-chain synthetic corpora, but
     a REAL corpus has hot fingerprints (black frames, intro cards) —
     pass ``max_fingerprint_df`` to prune them before the join (see
-    :func:`_cap_fingerprint_df`); candidate work is then bounded by
+    :func:`~etl_python_sqlite_spark.operators.dedup.cap_fingerprint_df`);
+    candidate work is then bounded by
     O(n_fingerprints · max_fingerprint_df)."""
     fp = (
         frame_hashes.filter(F.col(hash_col).isNotNull())
@@ -122,7 +101,7 @@ def video_near_dups(
         .distinct()
         .persist()
     )
-    capped = _cap_fingerprint_df(fp, max_fingerprint_df)
+    capped = cap_fingerprint_df(fp, max_fingerprint_df, key_col="h")
     a = capped.select(F.col("vid").alias("id_a"), "h")
     b = capped.select(F.col("vid").alias("id_b"), "h")
     out = (
@@ -166,36 +145,18 @@ def video_near_dups_hamming(
     re-join — unlike the image path, (vid, h) rows are already the
     payload), and the verify is pure JVM codegen. ``max_fingerprint_df``
     prunes hot fingerprints exactly as in the exact operator."""
-    from .imagehash import DHASH_BITS
-
-    if DHASH_BITS % n_bands:
-        raise ValueError(f"n_bands must divide {DHASH_BITS}")
-    band_bits = DHASH_BITS // n_bands
-    mask = (1 << band_bits) - 1
     fp = (
         frame_hashes.filter(F.col(hash_col).isNotNull())
         .select(F.col(id_col).alias("vid"), F.col(hash_col).alias("h"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    banded = _cap_fingerprint_df(fp, max_fingerprint_df).select(
+    banded = band_explode(
+        cap_fingerprint_df(fp, max_fingerprint_df, key_col="h"),
         "vid",
         "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        (
-                            F.shiftright(F.col("h"), b * band_bits)
-                            .bitwiseAND(F.lit(mask))
-                        ).alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vid", "h", "bb.band", "bb.band_key")
+        n_bands,
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     matched = (

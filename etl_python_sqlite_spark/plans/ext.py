@@ -189,12 +189,26 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .saveAsTable(tbl)
             )
             release(pairs)  # the bucketed files are the materialization
+            from etl_python_sqlite_spark.operators.cache import (
+                tie_stage_table,
+            )
+
             pairs = spark.table(tbl)
             setattr(pairs, _MINHASH_TABLE_ATTR, tbl)
             _MINHASH_LIVE_TABLES.add(tbl)
+            pairs = tie_stage_table(
+                pairs,
+                lambda s=spark, t=tbl: (
+                    _MINHASH_LIVE_TABLES.discard(t),
+                    s.sql(f"DROP TABLE IF EXISTS {t}"),
+                ),
+            )
         while len(_MINHASH_MEMO) >= 2:
-            oldest = next(iter(_MINHASH_MEMO))
-            _release_minhash_entry(_MINHASH_MEMO.pop(oldest))
+            # reference drop only: a table-tier entry's DROP fires via
+            # its tie_stage_table finalizer once the LAST consumer lets
+            # go (code-review r11: an immediate DROP here would fail a
+            # still-live consumer's next action)
+            _MINHASH_MEMO.pop(next(iter(_MINHASH_MEMO)))
         _MINHASH_MEMO[key] = pairs
         return pairs
 
@@ -2975,12 +2989,23 @@ def _image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .saveAsTable(tbl)
             )
             release(pairs)  # the bucketed files are the materialization
+            from etl_python_sqlite_spark.operators.cache import (
+                tie_stage_table,
+            )
+
             pairs = spark.table(tbl)
             setattr(pairs, _IMGPAIRS_TABLE_ATTR, tbl)
             _IMGPAIRS_LIVE_TABLES.add(tbl)
+            pairs = tie_stage_table(
+                pairs,
+                lambda s=spark, t=tbl: (
+                    _IMGPAIRS_LIVE_TABLES.discard(t),
+                    s.sql(f"DROP TABLE IF EXISTS {t}"),
+                ),
+            )
         while len(_IMGPAIRS_MEMO) >= 2:
-            oldest = next(iter(_IMGPAIRS_MEMO))
-            _release_imgpairs_entry(_IMGPAIRS_MEMO.pop(oldest))
+            # reference drop only (see the minhash eviction comment)
+            _IMGPAIRS_MEMO.pop(next(iter(_IMGPAIRS_MEMO)))
         _IMGPAIRS_MEMO[key] = pairs
         return pairs
 
@@ -3723,6 +3748,32 @@ def ext_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r11: WebDataset pack -> read round trip (the packaging attestation)
 # ---------------------------------------------------------------------------
 
+#: age floor for the cross-session /tmp scratch sweep — dirs younger
+#: than this are plausibly a CONCURRENT session's live scratch
+_WDS_ORPHAN_AGE_SEC = 2 * 3600
+
+
+def _sweep_stale_wds_scratch(keep: str) -> None:
+    """Delete dead sessions' ``/tmp/spark_graft_wds_*`` scratch dirs
+    (their tags embed a dead applicationId, so no later run ever
+    re-keys them) — mtime older than the age floor only, never the
+    current run's ``keep`` dir."""
+    import glob as _glob
+    import os
+    import shutil
+    import time
+
+    cutoff = time.time() - _WDS_ORPHAN_AGE_SEC
+    for d in _glob.glob("/tmp/spark_graft_wds_*"):
+        if d == keep:
+            continue
+        try:
+            if os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass  # raced with a concurrent sweep
+
+
 def ext_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-pack (r11) — the full-pipeline PACKAGING attestation, the
     codec-certification trick applied to shards: every document is
@@ -3736,10 +3787,14 @@ def ext_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scratch dir is keyed on (applicationId, sf, data fingerprint)
     under /tmp and rewritten per run (deterministic content; no
-    cross-session races). Scale note: the pack is the writer's
-    range-shuffle + streaming tar emit, the read is one task per shard
-    — both linear, no collects beyond the writer's bounded commit
-    3-tuples."""
+    cross-session races). Because the tag embeds the applicationId, a
+    DEAD session's dirs are never re-keyed — each run sweeps sibling
+    ``spark_graft_wds_*`` dirs older than the age floor (the orphan
+    stage-table rule: a FRESH foreign dir is plausibly a concurrent
+    session's live scratch and survives). Scale note: the pack is the
+    writer's range-shuffle + streaming tar emit, the read is one task
+    per shard — both linear, no collects beyond the writer's bounded
+    commit 3-tuples."""
     import hashlib
     import shutil
 
@@ -3755,6 +3810,7 @@ def ext_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{spark.sparkContext.applicationId}:{sf_dir}:{fp}".encode()
     ).hexdigest()[:12]
     out = f"/tmp/spark_graft_wds_{tag}"
+    _sweep_stale_wds_scratch(keep=out)
     shutil.rmtree(out, ignore_errors=True)
     write_webdataset_shards(
         docs, out, key_col="doc_id", members={"txt": "text"}, num_shards=4

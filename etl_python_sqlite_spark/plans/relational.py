@@ -2123,12 +2123,26 @@ def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .saveAsTable(tbl)
             )
             e.unpersist()  # the bucketed files are the materialization
+            from etl_python_sqlite_spark.operators.cache import (
+                tie_stage_table,
+            )
+
             e = spark.table(tbl).filter(F.col("u") < F.col("v"))
             setattr(e, _COOCC_TABLE_ATTR, tbl)
             _COOCC_LIVE_TABLES.add(tbl)
+            e = tie_stage_table(
+                e,
+                lambda s=spark, t=tbl: (
+                    _COOCC_LIVE_TABLES.discard(t),
+                    s.sql(f"DROP TABLE IF EXISTS {t}"),
+                ),
+            )
         while len(_COOCC_MEMO) >= _FLAG_HIST_MAX:
-            oldest = next(iter(_COOCC_MEMO))
-            _release_coocc_entry(_COOCC_MEMO.pop(oldest))
+            # reference drop only: a table-tier entry's DROP fires via
+            # its tie_stage_table finalizer once the LAST consumer lets
+            # go (code-review r11: an immediate DROP here would fail a
+            # still-live consumer's next action)
+            _COOCC_MEMO.pop(next(iter(_COOCC_MEMO)))
         _COOCC_MEMO[key] = e
         return e
 
@@ -2146,7 +2160,13 @@ def _cooccurrence_edges_directed(
     e = _cooccurrence_edges(spark, sf_dir)
     tbl = getattr(e, _COOCC_TABLE_ATTR, None)
     if tbl is not None:
-        return spark.table(tbl), True
+        from etl_python_sqlite_spark.operators.cache import tie
+
+        # keepalive: the fresh spark.table frame does not hold the memo
+        # handle, and the handle's tie_stage_table finalizer would DROP
+        # the table once an eviction plus GC releases it — the consumer
+        # must keep the handle alive for its own lifetime
+        return tie(spark.table(tbl), keepalive=[e]), True
     return (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
         False,

@@ -38,22 +38,29 @@ def _sanitize(ext: str) -> str:
     return ext.replace(".", "_")
 
 
-def discover_member_extensions(tar_path: str | Path) -> list[str]:
-    """The union of member extensions across ONE shard — bounded
-    driver-side peek (tar HEADERS only, no payload reads), used when
-    the caller does not pass ``members`` explicitly. A whole shard, not
-    just the first sample: sparse members (the writer skips NULLs) may
-    be absent from any given sample."""
+def discover_member_extensions(tar_paths) -> list[str]:
+    """The union of member extensions across the given shards —
+    driver-side peek over tar HEADERS only (seek-based, no payload
+    reads). ALL shards, not just the first: the writer skips NULL
+    members and range-partitions by key, so a sparse member can be
+    absent from any one shard's entire key range (a first-shard-only
+    peek would silently drop that column corpus-wide). At a shard count
+    where a full header sweep is too slow, pass ``members`` explicitly
+    to :func:`read_webdataset` instead — an at-scale loader knows its
+    schema."""
+    if isinstance(tar_paths, (str, Path)):
+        tar_paths = [tar_paths]
     exts: set[str] = set()
-    with tarfile.open(str(tar_path), "r") as tf:
-        for m in tf:
-            if not m.isfile():
-                continue
-            _, _, ext = m.name.partition(".")
-            if ext:
-                exts.add(ext)
+    for tp in tar_paths:
+        with tarfile.open(str(tp), "r") as tf:
+            for m in tf:
+                if not m.isfile():
+                    continue
+                _, _, ext = m.name.partition(".")
+                if ext:
+                    exts.add(ext)
     if not exts:
-        raise ValueError(f"no members in {tar_path}")
+        raise ValueError(f"no members in {list(tar_paths)}")
     return sorted(exts)
 
 
@@ -66,17 +73,19 @@ def read_webdataset(
     from every ``*.tar`` under ``path``.
 
     ``members`` is the expected extension list; omitted, it is
-    discovered from the first shard's first sample (one bounded
-    driver-side peek). A sample missing a member yields NULL in that
-    column; members outside the list are ignored (forward-compatible
-    with shards that carry extra modalities). Keys follow the spec:
-    everything before the FIRST period of the member name.
+    discovered from ALL shards' tar headers (driver-side, no payload
+    reads — see :func:`discover_member_extensions` for why one shard
+    is not enough and when to pass ``members`` instead). A sample
+    missing a member yields NULL in that column; members outside the
+    list are ignored (forward-compatible with shards that carry extra
+    modalities). Keys follow the spec: everything before the FIRST
+    period of the member name.
     """
     tars = sorted(str(p) for p in Path(path).glob("*.tar"))
     if not tars:
         raise ValueError(f"no .tar shards under {path}")
     if members is None:
-        members = discover_member_extensions(tars[0])
+        members = discover_member_extensions(tars)
     exts = sorted(members)
     cols = ["key", "shard"] + [_sanitize(e) for e in exts]
     schema = "key string, shard string, " + ", ".join(

@@ -1220,30 +1220,13 @@ def image_dedup_stream_against_corpus(
 
 def _band_explode(hashes: DataFrame, out_id: str, n_bands: int) -> DataFrame:
     """(out_id, _h, band, band_key) from a (_hid, _h) 60-bit hash frame
-    — the shared Hamming-band candidate index of the ingest-dedup
-    streams (pure column math over the cached corpus frame)."""
-    from etl_python_sqlite_spark.operators.imagehash import DHASH_BITS
+    — the ingest-dedup streams' view over the ONE shared banding
+    definition (``operators/imagehash.band_explode``)."""
+    from etl_python_sqlite_spark.operators.imagehash import band_explode
 
-    band_bits = DHASH_BITS // n_bands
-    mask = (1 << band_bits) - 1
-    return hashes.select(
-        F.col("_hid").alias(out_id),
-        "_h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        (
-                            F.shiftright(F.col("_h"), b * band_bits)
-                            .bitwiseAND(F.lit(mask))
-                        ).alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(out_id, "_h", "bb.band", "bb.band_key")
+    return band_explode(hashes, "_hid", "_h", n_bands).withColumnRenamed(
+        "_hid", out_id
+    )
 
 
 def _hash_dedup_stream_against_corpus(

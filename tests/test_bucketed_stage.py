@@ -261,3 +261,22 @@ def test_image_release_drops_stage_table(spark, imgpairs_gate):
     tbl = getattr(pairs, E._IMGPAIRS_TABLE_ATTR)
     E.release_shared_image_pairs()
     assert not spark.catalog.tableExists(tbl)
+
+
+def test_lru_eviction_defers_table_drop_to_last_consumer(spark, minhash_gate):
+    """Evicting a table-tier memo entry must NOT drop the stage table
+    while a consumer still holds the handle (code-review r11): the DROP
+    fires via the tie_stage_table finalizer on last release."""
+    E = minhash_gate
+    pairs = E._minhash_pairs(spark, SF_SMOKE)
+    tbl = getattr(pairs, E._MINHASH_TABLE_ATTR)
+    assert spark.catalog.tableExists(tbl)
+    # simulate the LRU eviction path: reference drop from the memo only
+    key = next(iter(E._MINHASH_MEMO))
+    evicted = E._MINHASH_MEMO.pop(key)
+    assert evicted is pairs
+    assert spark.catalog.tableExists(tbl)  # consumer still holds it
+    assert pairs.count() >= 0  # and can still execute
+    del pairs, evicted
+    gc.collect()
+    assert not spark.catalog.tableExists(tbl)  # finalizer dropped it

@@ -271,3 +271,58 @@ def test_webdataset_roundtrip(spark, tmp_path):
     only_bin = read_webdataset(spark, out, members=["bin"])
     assert only_bin.columns == ["key", "shard", "bin"]
     assert only_bin.count() == 37
+
+
+def test_webdataset_discovery_sees_sparse_members(spark, tmp_path):
+    """A member NULL for every key in shard 0's range must still be
+    discovered (the writer skips NULL members; discovery sweeps ALL
+    shards' headers, not just the first)."""
+    from etl_python_sqlite_spark.operators.shards import (
+        write_webdataset_shards,
+    )
+    from etl_python_sqlite_spark.sources.webdataset import read_webdataset
+
+    rows = [
+        (i, f"t{i}".encode(), None if i < 20 else f"m{i}")
+        for i in range(37)
+    ]
+    df = spark.createDataFrame(
+        rows, "sample_id long, payload binary, meta string"
+    )
+    out = str(tmp_path / "wds_sparse")
+    write_webdataset_shards(
+        df, out, key_col="sample_id",
+        members={"bin": "payload", "json": "meta"}, num_shards=3,
+    )
+    back = read_webdataset(spark, out)  # members discovered
+    assert set(back.columns) == {"key", "shard", "bin", "json"}
+    got = {int(r["key"]): r for r in back.collect()}
+    assert got[0]["json"] is None and bytes(got[36]["json"]) == b"m36"
+
+
+def test_wds_scratch_sweep_age_floor(tmp_path, monkeypatch):
+    """Dead sessions' scratch dirs sweep once past the age floor;
+    fresh foreign dirs (a concurrent session) and the current dir
+    survive."""
+    import os
+    import time
+
+    from etl_python_sqlite_spark.plans import ext as E
+
+    old_dir = "/tmp/spark_graft_wds_deadbeef0001"
+    fresh_dir = "/tmp/spark_graft_wds_peer00000001"
+    keep_dir = "/tmp/spark_graft_wds_current00001"
+    for d in (old_dir, fresh_dir, keep_dir):
+        os.makedirs(d, exist_ok=True)
+    past = time.time() - (E._WDS_ORPHAN_AGE_SEC + 3600)
+    os.utime(old_dir, (past, past))
+    os.utime(keep_dir, (past, past))  # even an old keep dir survives
+    try:
+        E._sweep_stale_wds_scratch(keep=keep_dir)
+        assert not os.path.exists(old_dir)
+        assert os.path.exists(fresh_dir)
+        assert os.path.exists(keep_dir)
+    finally:
+        for d in (old_dir, fresh_dir, keep_dir):
+            import shutil
+            shutil.rmtree(d, ignore_errors=True)
