@@ -214,7 +214,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_video_dedup_clusters": E.ext_video_dedup_clusters,
         "ext_audio_dedup_clusters": E.ext_audio_dedup_clusters,
         "ext_webdataset_roundtrip": E.ext_webdataset_roundtrip,
-        # -- last attested ROUND 8 (fills the rest of the r11 window;
+        "ext_passage_dedup": E.ext_passage_dedup,
+        "ext_ccnet_quality_buckets": E.ext_ccnet_quality_buckets,
+        "ext_orc_roundtrip": E.ext_orc_roundtrip,
+        # -- last attested ROUND 8 (fills the rest of the r11 window:
+        # positions 25-50 = the 26 keys through hourly_event_rollup;
         # the tail past the 50-row window stays @r8 and MUST lead the
         # r12 rotation -- see the boundary marker at position 51) --
         "ext_kmeans_clusters": E.ext_kmeans_clusters,
@@ -243,13 +247,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strict_cast_json": R.strict_cast_json,
         "normalize_names": R.normalize_names,
         "hourly_event_rollup": R.hourly_event_rollup,
+        # -- r11 window boundary: the 24 keys from here
+        # (set_except_users) through skew_salted_agg are positions
+        # 51-74 -- they slip out of the 50-row r11 window (last
+        # attested r8) and MUST lead the r12 rotation --
         "set_except_users": R.set_except_users,
         "rollup_region_nation": R.rollup_region_nation,
         "inline_cascade_annotated": R.inline_cascade_annotated,
-        # -- r11 window boundary: the 21 keys from here
-        # (cube_status_priority) through skew_salted_agg are positions
-        # 51-71 -- they slip out of the 50-row r11 window (last
-        # attested r8) and MUST lead the r12 rotation --
         "cube_status_priority": R.cube_status_priority,
         "string_funcs": R.string_funcs,
         "date_parts_agg": R.date_parts_agg,
@@ -880,6 +884,129 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS text_md5,
                    CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id
+        """,
+        # ORC round trip (r11): the twin hashes every column straight
+        # off the parquet table -- a value-hash match certifies the
+        # ORC write->read path without the oracle reading ORC
+        "ext_orc_roundtrip": """
+            SELECT doc_id,
+                   md5(text || chr(31) || lang || chr(31) || source ||
+                       chr(31) || CAST(n_chars AS VARCHAR)) AS row_md5,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        # CCNet head/middle/tail buckets (r11): replay the 5-gram LM
+        # score chain, rank per language on the exact total order
+        # (mean_p DESC, doc_id ASC), tercile by integer division --
+        # integer-only output, no NTILE engine semantics
+        "ext_ccnet_quality_buckets": """
+            WITH wt AS (
+                SELECT doc_id,
+                       string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS w
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM wt
+            ),
+            fg AS (
+                SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3,
+                       w[i + 3] AS w4, w[i + 4] AS w5
+                FROM pos
+            ),
+            ct AS MATERIALIZED (
+                SELECT w1, w2, w3, w4, w5, COUNT(*) AS cn FROM fg
+                GROUP BY w1, w2, w3, w4, w5
+            ),
+            cc AS (
+                SELECT w1, w2, w3, w4, CAST(SUM(cn) AS BIGINT) AS cctx
+                FROM ct GROUP BY w1, w2, w3, w4
+            ),
+            vocab AS (
+                SELECT COUNT(DISTINCT w5) AS v FROM ct
+            ),
+            scored AS (
+                SELECT f.doc_id,
+                       (1000000 * (ct.cn + 1)) // (cc.cctx + vocab.v)
+                           AS p_micro
+                FROM fg f
+                JOIN ct ON f.w1 = ct.w1 AND f.w2 = ct.w2 AND f.w3 = ct.w3
+                       AND f.w4 = ct.w4 AND f.w5 = ct.w5
+                JOIN cc ON f.w1 = cc.w1 AND f.w2 = cc.w2 AND f.w3 = cc.w3
+                       AND f.w4 = cc.w4
+                CROSS JOIN vocab
+            ),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n_ngrams,
+                       CAST(SUM(p_micro) AS BIGINT) AS sum_p_micro
+                FROM scored GROUP BY doc_id
+            ),
+            perdoc AS (
+                SELECT a.doc_id, d.lang, a.n_ngrams, a.sum_p_micro,
+                       ((2 * a.sum_p_micro + a.n_ngrams)
+                           // (2 * a.n_ngrams)) / 1000000.0 AS mean_p
+                FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+            ),
+            ranked AS (
+                SELECT lang, doc_id, n_ngrams, sum_p_micro,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY mean_p DESC, doc_id ASC) AS rn,
+                       COUNT(*) OVER (PARTITION BY lang) AS n
+                FROM perdoc
+            )
+            SELECT lang,
+                   (['head', 'middle', 'tail'])[
+                       CAST(((rn - 1) * 3) // n AS INT) + 1] AS bucket,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(SUM(n_ngrams) AS BIGINT) AS sum_n_ngrams,
+                   CAST(SUM(sum_p_micro) AS BIGINT) AS sum_p_total
+            FROM ranked
+            GROUP BY lang, bucket
+            ORDER BY lang, bucket
+        """,
+        # passage-level exact dedup (r11): fixed 20-word passages,
+        # first-writer-wins on min(doc_id*2^20+pos), survivors
+        # reassembled in position order -- kept_md5 certifies the
+        # reassembled text itself
+        "ext_passage_dedup": f"""
+            WITH wt AS (
+                SELECT doc_id, {_WORDS.format(c='text')} AS w
+                FROM documents
+                WHERE length({_WS_STRIP.format(c='text')}) > 0
+            ),
+            ch AS (
+                SELECT doc_id,
+                       unnest(range(0, CAST(ceil(len(w) / 20.0) AS BIGINT)))
+                           AS pos,
+                       w
+                FROM wt
+            ),
+            chunks AS (
+                SELECT doc_id, pos,
+                       array_to_string(w[pos*20 + 1 : pos*20 + 20], ' ')
+                           AS chunk
+                FROM ch
+            ),
+            own AS (
+                SELECT chunk, MIN(doc_id * 1048576 + pos) AS first_enc
+                FROM chunks GROUP BY chunk
+            ),
+            tagged AS (
+                SELECT c.doc_id, c.pos, c.chunk,
+                       (c.doc_id * 1048576 + c.pos) = o.first_enc
+                           AS is_first
+                FROM chunks c JOIN own o USING (chunk)
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_chunks,
+                   CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   md5(COALESCE(
+                       string_agg(chunk, ' ' ORDER BY pos)
+                           FILTER (WHERE is_first),
+                       '')) AS kept_md5
+            FROM tagged GROUP BY doc_id ORDER BY doc_id
         """,
         # cross-modal consistency (r11): exact fold-cosine over paired
         # caption/image embeddings -- matched pairs are the 2*v scalar

@@ -1442,3 +1442,94 @@ def cut_repeated_spans(
             "cut_chars"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# passage-level exact dedup (r11 — the RefinedWeb/C4 line-dedup analogue)
+# ---------------------------------------------------------------------------
+
+#: pos-in-doc order-embedding base for the first-writer-wins key:
+#: doc_id·2^20 + pos stays exact for corpora up to ~2^43 documents of
+#: <2^20 passages each (a single BIGINT min beats a struct min, which
+#: would plan a SortAggregate — the clustering._assign argmin rule)
+_PASSAGE_POS_BITS = 20
+
+
+def passage_dedup(
+    df: DataFrame,
+    window_words: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_chunks, n_kept, kept_md5) — PASSAGE-level exact dedup
+    with document reassembly: the corpus-global "line dedup" step of
+    RefinedWeb/C4-style pipelines (Penedo et al., *The RefinedWeb
+    Dataset*, 2023 §4; Raffel et al., C4, JMLR 2020), re-expressed over
+    fixed ``window_words``-word passages because this corpus carries no
+    newline structure. Reference scope: the reference engine dedups
+    whole rows only (etl_relational.py's INSERT OR IGNORE); sub-document
+    dedup is EXT surface.
+
+    Semantics (first-writer-wins, globally): every document is cut into
+    consecutive ``window_words``-word passages; a passage string kept
+    iff this (doc, pos) is the corpus-minimum ``doc_id·2^20 + pos`` for
+    that exact string — intra-document repeats dedup too. Surviving
+    passages are reassembled in position order and fingerprinted
+    (md5), so the output certifies the reassembled text, not just
+    counts.
+
+    Scale shape: ONE explode (posexplode over the passage array), one
+    groupBy on the passage string (map-side combine absorbs hot
+    boilerplate passages — no skewed window sort), one 1:1 join back on
+    the passage (AQE skew-split handles hot probe keys; fan-out is
+    exactly 1 per instance, never quadratic), one groupBy(doc) for
+    reassembly. The passage array is built with slice/array_join HOFs —
+    interpreted, but per PASSAGE (1/window_words of the per-word rate
+    that made exploded_shingles restructure); the explode→flat-columns
+    rewrite documented there is the upgrade path if a profile ever
+    shows it."""
+    from etl_python_sqlite_spark.functions.text import _ws_strip, words
+
+    k = int(window_words)
+    base = df.filter(F.length(_ws_strip(F.col(text_col))) > 0).select(
+        F.col(id_col), words(F.col(text_col)).alias("w")
+    )
+    n_chunks = F.ceil(F.size("w") / F.lit(float(k))).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(F.col("w"), i * k + 1, k), " "),
+    )
+    inst = base.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("pos", "chunk")
+    ).persist()
+    enc = F.col(id_col) * F.lit(1 << _PASSAGE_POS_BITS) + F.col("pos")
+    own = inst.groupBy("chunk").agg(F.min(enc).alias("first_enc"))
+    tagged = inst.join(own, "chunk").select(
+        F.col(id_col),
+        "pos",
+        "chunk",
+        (enc == F.col("first_enc")).alias("is_first"),
+    )
+    out = tagged.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_first"),
+                                F.struct("pos", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    return tie(out, inst)

@@ -3753,8 +3753,8 @@ def ext_crossmodal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WDS_ORPHAN_AGE_SEC = 2 * 3600
 
 
-def _sweep_stale_wds_scratch(keep: str) -> None:
-    """Delete dead sessions' ``/tmp/spark_graft_wds_*`` scratch dirs
+def _sweep_stale_scratch(pattern: str, keep: str) -> None:
+    """Delete dead sessions' ``/tmp`` scratch dirs matching ``pattern``
     (their tags embed a dead applicationId, so no later run ever
     re-keys them) — mtime older than the age floor only, never the
     current run's ``keep`` dir."""
@@ -3764,7 +3764,7 @@ def _sweep_stale_wds_scratch(keep: str) -> None:
     import time
 
     cutoff = time.time() - _WDS_ORPHAN_AGE_SEC
-    for d in _glob.glob("/tmp/spark_graft_wds_*"):
+    for d in _glob.glob(pattern):
         if d == keep:
             continue
         try:
@@ -3772,6 +3772,12 @@ def _sweep_stale_wds_scratch(keep: str) -> None:
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             pass  # raced with a concurrent sweep
+
+
+def _sweep_stale_wds_scratch(keep: str) -> None:
+    """WebDataset flavor of the scratch sweep (kept as the named entry
+    point tests/test_jsonl_shards.py pins)."""
+    _sweep_stale_scratch("/tmp/spark_graft_wds_*", keep=keep)
 
 
 def ext_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3820,4 +3826,135 @@ def ext_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("long").alias("doc_id"),
         F.md5(F.col("txt")).alias("text_md5"),
         F.length(F.col("txt")).cast("long").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# r11b: passage-level exact dedup (RefinedWeb/C4 line-dedup analogue)
+# ---------------------------------------------------------------------------
+
+def ext_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18 (r11) — corpus-global PASSAGE-level exact dedup with
+    document reassembly (operators/dedup.passage_dedup): the
+    sub-document dedup step every RefinedWeb/C4-shaped pipeline runs
+    between exact-doc and near-dup dedup. Fixed 20-word passages
+    (this corpus has no newline structure), first-writer-wins on the
+    corpus-minimum (doc_id, pos), survivors reassembled in position
+    order and md5-fingerprinted — the full per-document frame is
+    value-hash-checked, so the oracle certifies the REASSEMBLED TEXT,
+    not just counts."""
+    from etl_python_sqlite_spark.operators.dedup import passage_dedup
+
+    return passage_dedup(_docs(spark, sf_dir), window_words=20).orderBy(
+        "doc_id"
+    )
+
+
+def ext_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E19 (r11) — CCNet head/middle/tail quality bucketing (Wenzek et
+    al., *CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data*, LREC 2020 §3.3): per LANGUAGE, rank documents by LM
+    quality score and cut the ranking into terciles — head = most
+    probable (lowest perplexity). Composes the 5-gram LM scorer
+    (operators/curation.ngram_lm_score, the CCNet operating point) with
+    the corpus lang column.
+
+    Determinism: the ranking key is the TOTAL order (mean_p DESC,
+    doc_id ASC) — mean_p is the micro-unit-quantized integer-rounding
+    mean, exact on both engines, and two distinct 6-digit decimals stay
+    distinct (and ordered) as doubles, so the DuckDB replay ranks
+    identically. bucket = ((rn−1)·3) div n — pure integer arithmetic,
+    no NTILE engine-semantics dependence. Output is integer-only
+    (counts + BIGINT checksums); no float mean crosses engines.
+
+    Scale note: row_number over (lang) is one sort per language — fine
+    while a language fits a task's spill budget; the histogram
+    rank-select of operators/selection.py is the documented upgrade
+    path (same statistic: mean_p is already quantized), per the
+    measured "naive window wins at sf0.1" A/B."""
+    from etl_python_sqlite_spark.operators.curation import ngram_lm_score
+
+    docs = _docs(spark, sf_dir)
+    scored = ngram_lm_score(docs, n=5)
+    j = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("mean_p"), F.asc("doc_id")
+    )
+    ranked = j.select(
+        "doc_id",
+        "lang",
+        "n_ngrams",
+        "sum_p_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    out = (
+        ranked.select(
+            "lang",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.expr("CAST(((rn - 1) * 3) DIV n AS INT) + 1"),
+            ).alias("bucket"),
+            "doc_id",
+            "n_ngrams",
+            "sum_p_micro",
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("n_ngrams").cast("long").alias("sum_n_ngrams"),
+            F.sum("sum_p_micro").cast("long").alias("sum_p_total"),
+        )
+        .orderBy("lang", "bucket")
+    )
+    return out
+
+
+
+def ext_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-orc (r11) — columnar-format round-trip attestation for ORC,
+    the second Spark-native columnar format a lakehouse migration
+    meets (Spark ships the reader/writer; no extra jars): the full
+    documents table is written to ORC (zlib, Spark default) and read
+    back, emitting one md5 row per document over EVERY column. The
+    DuckDB twin computes the same md5 straight off the parquet table,
+    so a value-hash match certifies the ORC write→read path faithful
+    for int64/string columns without the oracle reading ORC (the
+    WebDataset/codec certification trick).
+
+    Scratch lifecycle = the WebDataset rule: dir keyed on
+    (applicationId, sf, data fingerprint) under /tmp, rewritten per
+    run, dead siblings swept past the age floor. Scale note: both
+    sides are one map-only pass; the write is embarrassingly parallel
+    (one ORC file per input split)."""
+    import hashlib
+    import shutil
+
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    fp = data_fingerprint(spark, sf_dir, "documents")
+    tag = hashlib.md5(
+        f"{spark.sparkContext.applicationId}:{sf_dir}:{fp}".encode()
+    ).hexdigest()[:12]
+    out = f"/tmp/spark_graft_orc_{tag}"
+    _sweep_stale_scratch("/tmp/spark_graft_orc_*", keep=out)
+    shutil.rmtree(out, ignore_errors=True)
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.col("text"),
+                F.col("lang"),
+                F.col("source"),
+                F.col("n_chars").cast("string"),
+            )
+        ).alias("row_md5"),
+        F.col("n_chars").cast("long").alias("n_chars"),
     ).orderBy("doc_id")

@@ -491,3 +491,91 @@ def test_repeated_span_mine_fuzz_small_alphabet(spark):
         )
         exp = _brute_spans(texts, 8)
         assert got == exp, f"trial {trial}: {len(got)} vs {len(exp)}"
+
+
+# ---------------------------------------------------------------------------
+# passage-level exact dedup (r11)
+# ---------------------------------------------------------------------------
+
+def _brute_passage_dedup(texts: dict, k: int = 20):
+    """CPython replay of passage_dedup: first-writer-wins on the
+    corpus-minimum (doc_id, pos) per exact passage string."""
+    import hashlib
+
+    chunks = []  # (doc, pos, chunk)
+    for d in sorted(texts):
+        w = texts[d].split()
+        if not w:
+            continue
+        for pos in range((len(w) + k - 1) // k):
+            chunks.append((d, pos, " ".join(w[pos * k:(pos + 1) * k])))
+    first = {}
+    for d, pos, c in chunks:
+        enc = d * (1 << 20) + pos
+        if c not in first or enc < first[c]:
+            first[c] = enc
+    out = {}
+    for d in sorted(texts):
+        mine = [(pos, c) for (dd, pos, c) in chunks if dd == d]
+        if not mine:
+            continue
+        kept = [c for pos, c in mine
+                if first[c] == d * (1 << 20) + pos]
+        out[d] = (
+            len(mine),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+def test_passage_dedup_first_writer_wins(spark):
+    from etl_python_sqlite_spark.operators.dedup import passage_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(20))  # one exact passage
+    texts = {
+        0: boiler + " " + " ".join(f"x{i}" for i in range(25)),
+        1: boiler + " tail words here",       # boilerplate repeats -> cut
+        2: " ".join(f"y{i}" for i in range(40)),
+        3: boiler + " " + boiler,             # intra-doc repeat of a
+        # passage doc 0 already owns: both cut
+        4: "",                                # empty -> absent from output
+        5: "   \t  ",                         # ws-only -> absent
+        6: "short",                           # sub-window doc
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_md5"])
+        for r in passage_dedup(df, window_words=20).collect()
+    }
+    exp = _brute_passage_dedup(texts, 20)
+    assert got == exp
+    # doc 1's boilerplate passage was cut (doc 0 owns it)
+    assert got[1][1] == got[1][0] - 1
+    # doc 3 lost both copies
+    assert got[3] == (2, 0, __import__("hashlib").md5(b"").hexdigest())
+    # docs 4/5 (no words) are absent
+    assert 4 not in got and 5 not in got
+    # doc 6: single short passage, kept whole
+    assert got[6] == exp[6] and got[6][1] == 1
+
+
+def test_passage_dedup_randomized_parity(spark):
+    """Fuzz vs the CPython replay on a template-heavy corpus (the shape
+    that actually exercises cross-doc passage collisions)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {}
+    for d in range(40):
+        n = rng.randrange(0, 90)
+        texts[d] = " ".join(rng.choice(vocab) for _ in range(n))
+    from etl_python_sqlite_spark.operators.dedup import passage_dedup
+
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_md5"])
+        for r in passage_dedup(df, window_words=5).collect()
+    }
+    assert got == _brute_passage_dedup(texts, 5)

@@ -88,6 +88,8 @@ def test_no_query_uses_cartesian_or_bnlj(spark):
         "ext_bigram_lm_score",       # one-row vocab-size (V) broadcast
         "ext_trigram_lm_score",      # same one-row V broadcast shape
         "ext_fivegram_lm_score",     # same one-row V broadcast shape
+        "ext_ccnet_quality_buckets",  # rides the 5-gram score stage —
+        # same one-row V broadcast shape
         "ext_semantic_contamination",  # one-row audit crossJoins +
         # bounded (vec_id<150) cross-side ground-truth pair scan, the
         # ext_semantic_dedup audit shape
