@@ -1455,6 +1455,36 @@ def cut_repeated_spans(
 _PASSAGE_POS_BITS = 20
 
 
+def passage_instances(
+    df: DataFrame,
+    window_words: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, chunk) — every consecutive ``window_words``-word
+    passage of every document (wordless documents contribute no rows).
+    The shared explode of the batch dedup and its streaming ingest
+    sibling (streaming/pipeline.passage_dedup_stream_against_corpus).
+    The passage array is built with slice/array_join HOFs — interpreted,
+    but per PASSAGE (1/window_words of the per-word rate that made
+    exploded_shingles restructure); the explode→flat-columns rewrite
+    documented there is the upgrade path if a profile ever shows it."""
+    from etl_python_sqlite_spark.functions.text import _ws_strip, words
+
+    k = int(window_words)
+    base = df.filter(F.length(_ws_strip(F.col(text_col))) > 0).select(
+        F.col(id_col), words(F.col(text_col)).alias("w")
+    )
+    n_chunks = F.ceil(F.size("w") / F.lit(float(k))).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(F.col("w"), i * k + 1, k), " "),
+    )
+    return base.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("pos", "chunk")
+    )
+
+
 def passage_dedup(
     df: DataFrame,
     window_words: int = 20,
@@ -1486,22 +1516,9 @@ def passage_dedup(
     reassembly. The passage array is built with slice/array_join HOFs —
     interpreted, but per PASSAGE (1/window_words of the per-word rate
     that made exploded_shingles restructure); the explode→flat-columns
-    rewrite documented there is the upgrade path if a profile ever
-    shows it."""
-    from etl_python_sqlite_spark.functions.text import _ws_strip, words
-
-    k = int(window_words)
-    base = df.filter(F.length(_ws_strip(F.col(text_col))) > 0).select(
-        F.col(id_col), words(F.col(text_col)).alias("w")
-    )
-    n_chunks = F.ceil(F.size("w") / F.lit(float(k))).cast("int")
-    chunk_arr = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(F.col("w"), i * k + 1, k), " "),
-    )
-    inst = base.select(
-        F.col(id_col), F.posexplode(chunk_arr).alias("pos", "chunk")
-    ).persist()
+    rewrite documented in ``passage_instances`` is the upgrade path if
+    a profile ever shows it."""
+    inst = passage_instances(df, window_words, text_col, id_col).persist()
     enc = F.col(id_col) * F.lit(1 << _PASSAGE_POS_BITS) + F.col("pos")
     own = inst.groupBy("chunk").agg(F.min(enc).alias("first_enc"))
     tagged = inst.join(own, "chunk").select(

@@ -1467,3 +1467,128 @@ def video_dedup_stream_against_corpus(
 
     writer = stream_media.writeStream.foreachBatch(_handle)
     return _attach_corpus_release(writer, corpus_fp)
+
+
+def passage_dedup_stream_against_corpus(
+    stream_docs: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    window_words: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming PASSAGE-level dedup — the sub-document sibling of
+    :func:`dedup_stream_against_corpus` (batch twin:
+    operators/dedup.passage_dedup): documents arriving on the stream
+    have every ``window_words``-word passage that already exists in the
+    static corpus CUT, plus within-batch first-writer-wins passage
+    dedup; the CLEANED documents (surviving passages reassembled in
+    position order) land in ``out_path`` via the idempotent
+    first-writer-wins append, so micro-batch replay inserts zero
+    duplicate rows. Output rows: (id, cleaned_text, n_chunks, n_kept).
+
+    Scale shape:
+
+    * the corpus collapses ONCE at stream build to DISTINCT 8-byte
+      xxhash64 passage keys (~1/2500th of corpus bytes at 20-word
+      passages), persisted — never re-exploded per batch;
+    * per micro-batch, the corpus key frame is probed with a BROADCAST
+      of the batch's own (bounded) passage keys — a semi-join that
+      scans the persisted index map-side, then the (≤ batch-sized)
+      matched set broadcasts back against the batch's passages: the
+      corpus is never shuffled, per-batch cost is one index scan;
+    * wordless documents pass through unchanged (nothing to dedup).
+
+    Honest divergences from the batch op, both documented properties
+    of streaming ingest: (1) the corpus cut trusts the 64-bit passage
+    key (the :func:`dedup_stream_against_corpus` collision argument —
+    ~2⁻⁶⁴·|corpus passages| per passage); (2) passages are deduped
+    within each micro-batch and against the fixed corpus, NOT across
+    micro-batches (cross-batch passage state would grow with the
+    stream; the batch reconciliation op ``passage_dedup`` is the
+    nightly backstop, the lakehouse-ingest pattern used throughout
+    this module). Corpus-cache lifetime is tied to the query (stop()
+    releases, restart re-arms)."""
+    from etl_python_sqlite_spark.operators.cache import _release_frame
+    from etl_python_sqlite_spark.operators.dedup import (
+        _PASSAGE_POS_BITS,
+        passage_instances,
+    )
+    from etl_python_sqlite_spark.operators.idempotent import idempotent_append
+
+    corpus_keys = (
+        passage_instances(corpus, window_words, text_col, id_col)
+        .select(F.xxhash64("chunk").alias("_ph"))
+        .distinct()
+        .persist()
+    )
+
+    def _handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        batch = batch.persist()
+        inst = None
+        try:
+            inst = (
+                passage_instances(batch, window_words, text_col, id_col)
+                .withColumn("_ph", F.xxhash64("chunk"))
+                # 3 consumers: probe-key broadcast, anti-join, own-min
+                .localCheckpoint(eager=True)
+            )
+            probe = inst.select("_ph").distinct()
+            matched = corpus_keys.join(
+                F.broadcast(probe), "_ph", "left_semi"
+            )
+            fresh = inst.join(F.broadcast(matched), "_ph", "left_anti")
+            enc = F.col(id_col) * F.lit(1 << _PASSAGE_POS_BITS) + F.col(
+                "pos"
+            )
+            own = fresh.groupBy("_ph").agg(F.min(enc).alias("_first_enc"))
+            kept = (
+                fresh.join(own, "_ph")
+                .filter(enc == F.col("_first_enc"))
+                .groupBy(id_col)
+                .agg(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "chunk"))
+                            ),
+                            lambda s: s["chunk"],
+                        ),
+                        " ",
+                    ).alias("_kept_text"),
+                    F.count("*").cast("long").alias("n_kept"),
+                )
+            )
+            totals = inst.groupBy(id_col).agg(
+                F.count("*").cast("long").alias("n_chunks")
+            )
+            cleaned = (
+                batch.select(id_col, F.col(text_col))
+                .join(totals, id_col, "left")
+                .join(kept, id_col, "left")
+                .select(
+                    id_col,
+                    F.when(
+                        F.col("n_chunks").isNull(), F.col(text_col)
+                    )
+                    .otherwise(F.coalesce("_kept_text", F.lit("")))
+                    .alias("cleaned_text"),
+                    F.coalesce("n_chunks", F.lit(0).cast("long")).alias(
+                        "n_chunks"
+                    ),
+                    F.coalesce("n_kept", F.lit(0).cast("long")).alias(
+                        "n_kept"
+                    ),
+                )
+            )
+            idempotent_append(spark, cleaned, out_path, keys=[id_col])
+        finally:
+            batch.unpersist()
+            if inst is not None:
+                _release_frame(inst)
+
+    writer = stream_docs.writeStream.foreachBatch(_handle)
+    return _attach_corpus_release(writer, corpus_keys)

@@ -158,6 +158,12 @@ def main() -> None:
             # replicated doc_ids keep twin density natural for both
             ("video_noisy_near_dups", E.ext_video_noisy_near_dups),
             ("fivegram_lm_score", E.ext_fivegram_lm_score),
+            # r11b: passage dedup — the salt token sits inside every
+            # 20-word window, so passages never collide across shards
+            # and dup density stays natural; ccnet buckets ride the
+            # 5-gram score stage + a per-language rank
+            ("passage_dedup", E.ext_passage_dedup),
+            ("ccnet_quality_buckets", E.ext_ccnet_quality_buckets),
             # shares the memoized _image_pairs stage with
             # image_near_dups — this row isolates the CC + summary cost
             ("image_dedup_clusters", E.ext_image_dedup_clusters),

@@ -1062,3 +1062,77 @@ def test_corpus_release_rearms_on_restart(spark, tmp_path):
     assert w2._corpus_hashes.is_cached
     w2.release_corpus_cache()
     assert not w2._corpus_hashes.is_cached
+
+
+def test_passage_dedup_stream_against_corpus(spark, tmp_path):
+    """Streaming passage-level dedup (r11): corpus passages are CUT
+    from arriving documents, within-batch first-writer-wins applies,
+    wordless docs pass through, cross-batch passages are NOT deduped
+    (the documented divergence), and fresh-checkpoint replay inserts
+    zero duplicate rows."""
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        passage_dedup_stream_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "a b c d e f")], "doc_id long, text string"
+    )
+    src = str(tmp_path / "psg_src")
+    schema = "doc_id long, text string"
+    # batch 1: corpus cut + within-batch first-writer-wins
+    spark.createDataFrame(
+        [
+            (1, "a b c x y z"),     # "a b c" cut (corpus), "x y z" kept
+            (2, "x y z x y z"),     # doc 1 owns "x y z" in this batch
+            (4, ""),                # wordless -> passes through
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: corpus cut again + cross-batch NON-dedup
+    spark.createDataFrame(
+        [
+            (3, "d e f g h i"),     # "d e f" cut, "g h i" kept
+            (5, "x y z"),           # batch 1 kept it too -> kept again
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "psg_out")
+
+    def run_once(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        writer = passage_dedup_stream_against_corpus(
+            stream, corpus, out, window_words=3
+        )
+        q = writer.option(
+            "checkpointLocation", str(tmp_path / ckpt)
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        q.stop()
+        assert not writer._corpus_hashes.is_cached
+
+    run_once("psg_ckpt")
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_chunks"], r["n_kept"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        1: ("x y z", 2, 1),
+        2: ("", 2, 0),
+        3: ("g h i", 2, 1),
+        4: ("", 0, 0),
+        5: ("x y z", 1, 1),
+    }
+
+    run_once("psg_ckpt2")  # fresh-checkpoint replay: idempotent sink
+    again = spark.read.parquet(out)
+    assert again.count() == 5
+    got2 = {
+        r["doc_id"]: (r["cleaned_text"], r["n_chunks"], r["n_kept"])
+        for r in again.collect()
+    }
+    assert got2 == got
