@@ -217,8 +217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_passage_dedup": E.ext_passage_dedup,
         "ext_ccnet_quality_buckets": E.ext_ccnet_quality_buckets,
         "ext_orc_roundtrip": E.ext_orc_roundtrip,
+        "ext_classifier_calibration": E.ext_classifier_calibration,
+        "ext_corpus_snapshot_diff": E.ext_corpus_snapshot_diff,
         # -- last attested ROUND 8 (fills the rest of the r11 window:
-        # positions 25-50 = the 26 keys through hourly_event_rollup;
+        # positions 27-50 = the 24 keys through strict_cast_json;
         # the tail past the 50-row window stays @r8 and MUST lead the
         # r12 rotation -- see the boundary marker at position 51) --
         "ext_kmeans_clusters": E.ext_kmeans_clusters,
@@ -245,12 +247,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": R.topk_per_group,
         "case_cascade_classify": R.case_cascade_classify,
         "strict_cast_json": R.strict_cast_json,
+        # -- r11 window boundary: the 26 keys from here
+        # (normalize_names) through skew_salted_agg are positions
+        # 51-76 -- they slip out of the 50-row r11 window (last
+        # attested r8) and MUST lead the r12 rotation --
         "normalize_names": R.normalize_names,
         "hourly_event_rollup": R.hourly_event_rollup,
-        # -- r11 window boundary: the 24 keys from here
-        # (set_except_users) through skew_salted_agg are positions
-        # 51-74 -- they slip out of the 50-row r11 window (last
-        # attested r8) and MUST lead the r12 rotation --
         "set_except_users": R.set_except_users,
         "rollup_region_nation": R.rollup_region_nation,
         "inline_cascade_annotated": R.inline_cascade_annotated,
@@ -884,6 +886,123 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS text_md5,
                    CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id
+        """,
+        # classifier calibration (r11): replay the NB chain to the
+        # per-doc scores, then sweep 6 integer cross-multiplied
+        # thresholds over the full census
+        "ext_classifier_calibration": """
+            WITH wt AS (
+                SELECT doc_id,
+                       string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS w
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM wt
+            ),
+            bg AS (
+                SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM pos
+            ),
+            feats AS MATERIALIZED (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(w1 || ' ' || w2), 1, 15) AS BIGINT) % 1024 AS bucket
+                FROM bg
+            ),
+            doc_counts AS (
+                SELECT doc_id, bucket, COUNT(*) AS cnt
+                FROM feats GROUP BY doc_id, bucket
+            ),
+            pos_b AS (
+                SELECT bucket, COUNT(*) AS cp FROM feats
+                WHERE doc_id IN (SELECT doc_id FROM documents
+                                 WHERE lang = 'en')
+                GROUP BY bucket
+            ),
+            raw_b AS (
+                SELECT bucket, COUNT(*) AS cr FROM feats GROUP BY bucket
+            ),
+            buckets AS (
+                SELECT r.bucket, COALESCE(p.cp, 0) AS cp,
+                       r.cr - COALESCE(p.cp, 0) AS cn,
+                       SUM(COALESCE(p.cp, 0)) OVER () AS np,
+                       SUM(r.cr - COALESCE(p.cp, 0)) OVER () AS nn
+                FROM raw_b r LEFT JOIN pos_b p ON r.bucket = p.bucket
+            ),
+            wts AS (
+                SELECT bucket,
+                       LEAST(GREATEST(
+                           CAST((CAST(1000000 AS HUGEINT) * (cp + 1) * (nn + 1024))
+                                // (CAST(cn + 1 AS HUGEINT) * (np + 1024)) AS BIGINT),
+                           1), 1000000000000) AS w
+                FROM buckets
+            ),
+            scored AS (
+                SELECT d.doc_id,
+                       CAST(SUM(d.cnt) AS BIGINT) AS n_feat,
+                       CAST(SUM(d.cnt * wts.w) AS BIGINT) AS score_micro
+                FROM doc_counts d JOIN wts ON d.bucket = wts.bucket
+                GROUP BY d.doc_id
+            ),
+            census AS (
+                SELECT doc.lang = 'en' AS is_en,
+                       COALESCE(s.n_feat, 0) AS n_feat,
+                       COALESCE(s.score_micro, 0) AS score_micro
+                FROM documents doc
+                LEFT JOIN scored s ON doc.doc_id = s.doc_id
+            ),
+            sweep AS (
+                SELECT c.*, t.thr_micro
+                FROM census c
+                CROSS JOIN (SELECT unnest([500000, 750000, 1000000,
+                                           1250000, 1500000, 2000000])
+                                AS thr_micro) t
+            )
+            SELECT thr_micro,
+                   CAST(SUM(CASE WHEN score_micro > n_feat * thr_micro
+                                  AND is_en THEN 1 ELSE 0 END) AS BIGINT)
+                       AS tp,
+                   CAST(SUM(CASE WHEN score_micro > n_feat * thr_micro
+                                  AND NOT is_en THEN 1 ELSE 0 END) AS BIGINT)
+                       AS fp,
+                   CAST(SUM(CASE WHEN score_micro <= n_feat * thr_micro
+                                  AND is_en THEN 1 ELSE 0 END) AS BIGINT)
+                       AS fn,
+                   CAST(SUM(CASE WHEN score_micro <= n_feat * thr_micro
+                                  AND NOT is_en THEN 1 ELSE 0 END) AS BIGINT)
+                       AS tn
+            FROM sweep GROUP BY thr_micro ORDER BY thr_micro
+        """,
+        # corpus snapshot diff (r11): both engines derive the same two
+        # snapshots from the one corpus, then full-outer-join on doc_id
+        # comparing md5(text)
+        "ext_corpus_snapshot_diff": """
+            WITH prev AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 7 = 0
+                                THEN text || ' legacy' ELSE text END)
+                           AS h_prev
+                FROM documents WHERE doc_id % 5 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000000 AS doc_id, md5(text) AS h_prev
+                FROM documents WHERE doc_id % 11 = 3
+            ),
+            cur AS (
+                SELECT doc_id, md5(text) AS h_cur, n_chars
+                FROM documents
+            ),
+            j AS (
+                SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+                       p.h_prev, c.h_cur, c.n_chars
+                FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+            )
+            SELECT CASE WHEN h_prev IS NULL THEN 'added'
+                        WHEN h_cur IS NULL THEN 'removed'
+                        WHEN h_prev = h_cur THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT)
+                       AS sum_n_chars
+            FROM j GROUP BY 1 ORDER BY status
         """,
         # ORC round trip (r11): the twin hashes every column straight
         # off the parquet table -- a value-hash match certifies the

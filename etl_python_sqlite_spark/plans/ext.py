@@ -3958,3 +3958,131 @@ def ext_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("row_md5"),
         F.col("n_chars").cast("long").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+#: mean-ratio decision thresholds for the calibration sweep, in
+#: micro-units (pred ⇔ score_micro > n_feat·thr — the integer
+#: cross-multiplication rule; 10^6 = the classifier's native boundary)
+_CALIB_THRESHOLDS_MICRO = (
+    500_000, 750_000, 1_000_000, 1_250_000, 1_500_000, 2_000_000,
+)
+
+
+def ext_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10b (r11) — decision-threshold CALIBRATION sweep for the NB
+    quality classifier: the precision/recall-vs-threshold table every
+    production curation pipeline derives before picking its operating
+    point (fastText/CCNet practice: sweep the score cut, choose by
+    target purity). One row per threshold with the exact confusion
+    counts against the lang='en' weak label (the TRAINING label — this
+    is a training-fit calibration table, the honest framing; held-out
+    evaluation lives in tests/test_curation.py's planted-label
+    ground truth).
+
+    Decision stays integer cross-multiplication at every threshold:
+    pred ⇔ score_micro > n_feat·thr_micro (never divide). Docs with
+    n_feat = 0 score 0 and predict negative at every threshold (the
+    left-join census contract). Rides the memoized hashed-bigram
+    roll-up shared with ext_quality_classifier / ext_dsir_importance —
+    at bench time the corpus explode runs once for all three.
+
+    Scale: the sweep multiplies rows by |thresholds| = 6 AFTER the
+    per-doc score frame is reduced (one row per doc) — a map-side
+    explode into a 6-group aggregation, no new corpus pass."""
+    from etl_python_sqlite_spark.operators import curation as Cur
+
+    docs = _docs(spark, sf_dir)
+    scored = Cur.nb_quality_classifier(
+        docs,
+        docs.filter(F.col("lang") == "en"),
+        _counts=_bigram_bucket_stage(spark, sf_dir),
+    )
+    j = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "n_feat",
+        "score_micro",
+        (F.col("lang") == "en").alias("is_en"),
+        F.explode(
+            F.array(*[F.lit(t) for t in _CALIB_THRESHOLDS_MICRO])
+        ).alias("thr_micro"),
+    )
+    pred = F.col("score_micro") > F.col("n_feat") * F.col("thr_micro")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        j.groupBy("thr_micro")
+        .agg(
+            flag(pred & F.col("is_en")).alias("tp"),
+            flag(pred & ~F.col("is_en")).alias("fp"),
+            flag(~pred & F.col("is_en")).alias("fn"),
+            flag(~pred & ~F.col("is_en")).alias("tn"),
+        )
+        .orderBy("thr_micro")
+    )
+
+
+def ext_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E21 (r11) — content-addressed SNAPSHOT DIFF between two corpus
+    versions: the added/removed/changed/unchanged census a recurring
+    crawl pipeline computes before incremental processing (what changed
+    since the last snapshot decides what re-enters dedup/scoring). The
+    two snapshots are derived deterministically from the one corpus so
+    both engines construct identical inputs:
+
+    * PREVIOUS = docs with ``doc_id % 5 != 0`` (text suffixed
+      ``' legacy'`` when ``doc_id % 7 == 0`` — the edited-page slice)
+      ∪ docs with ``doc_id % 11 == 3`` re-keyed ``+10^9`` (pages that
+      vanished from the current crawl);
+    * CURRENT = the corpus as-is.
+
+    Diff = full outer join on doc_id comparing md5(text):
+    added (current only), removed (previous only), changed (both, hash
+    differs), unchanged. Output per status: count + BIGINT id/char
+    checksums — integer-only, membership-certifying.
+
+    Scale: one full outer join on the uniform doc_id key (the standard
+    CDC diff — shuffle both sides once, AQE handles it; bucketed
+    snapshots would make it exchange-free, the documented upgrade);
+    hashes are computed map-side, never the texts shipped twice."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    prev = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(" legacy")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 3).select(
+                (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+                "text",
+            )
+        )
+        .select("doc_id", F.md5("text").alias("h_prev"))
+    )
+    cur = docs.select(
+        "doc_id", F.md5("text").alias("h_cur"), "n_chars"
+    )
+    joined = prev.join(cur, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_prev").isNull(), F.lit("added"))
+        .when(F.col("h_cur").isNull(), F.lit("removed"))
+        .when(F.col("h_prev") == F.col("h_cur"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.select(
+            status.alias("status"),
+            "doc_id",
+            F.coalesce("n_chars", F.lit(0)).alias("nc"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum("nc").cast("long").alias("sum_n_chars"),
+        )
+        .orderBy("status")
+    )
