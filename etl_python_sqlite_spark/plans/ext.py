@@ -3111,10 +3111,12 @@ def ext_fivegram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     operating point (operators/curation.ngram_lm_score, n=5; real CCNet
     filters on 5-gram KenLM perplexity — VERDICT r10 missing #4). Same
     Laplace integer micro-unit discipline as the bigram/trigram
-    scorers; the full per-document score frame is value-hash-checked."""
-    from etl_python_sqlite_spark.operators.curation import ngram_lm_score
-
-    return ngram_lm_score(_docs(spark, sf_dir), n=5).orderBy("doc_id")
+    scorers; the full per-document score frame is value-hash-checked.
+    The per-doc score frame is the memoized ``_fivegram_score_stage``
+    shared with ext_ccnet_quality_buckets (one order-5 explode for
+    both)."""
+    stage = _fivegram_score_stage(spark, sf_dir)
+    return tie(stage.orderBy("doc_id"), keepalive=[stage])
 
 
 # ---------------------------------------------------------------------------
@@ -3871,11 +3873,11 @@ def ext_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     while a language fits a task's spill budget; the histogram
     rank-select of operators/selection.py is the documented upgrade
     path (same statistic: mean_p is already quantized), per the
-    measured "naive window wins at sf0.1" A/B."""
-    from etl_python_sqlite_spark.operators.curation import ngram_lm_score
-
+    measured "naive window wins at sf0.1" A/B. The per-doc score frame
+    is the memoized ``_fivegram_score_stage`` shared with
+    ext_fivegram_lm_score (one order-5 explode for both)."""
     docs = _docs(spark, sf_dir)
-    scored = ngram_lm_score(docs, n=5)
+    scored = _fivegram_score_stage(spark, sf_dir)
     j = scored.join(docs.select("doc_id", "lang"), "doc_id")
     w = Window.partitionBy("lang").orderBy(
         F.desc("mean_p"), F.asc("doc_id")
@@ -3908,7 +3910,7 @@ def ext_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
-    return out
+    return tie(out, keepalive=[scored])
 
 
 
@@ -4086,3 +4088,49 @@ def ext_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+#: (applicationId, sf_dir, fingerprint) → the checkpointed per-doc
+#: 5-gram LM score frame shared by ext_fivegram_lm_score and
+#: ext_ccnet_quality_buckets — the order-5 explode + count joins are
+#: the expensive half of BOTH queries and are identical; each consumer
+#: re-runs only its own cheap tail (a sort / a per-language rank).
+#: Same lock/LRU/finalizer policy as the other ext-side stages; the
+#: bench runs both consumers CONCURRENTLY, so the get-or-build holds
+#: the lock end-to-end and the checkpoint is eager (CLAUDE.md memo
+#: rules).
+_FIVEGRAM_MEMO: dict = {}
+_FIVEGRAM_LOCK = threading.Lock()
+
+
+def _fivegram_score_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_python_sqlite_spark.operators.cache import tie
+    from etl_python_sqlite_spark.operators.curation import ngram_lm_score
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+
+    fp = data_fingerprint(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    with _FIVEGRAM_LOCK:
+        hit = _FIVEGRAM_MEMO.pop(key, None)
+        if hit is not None:
+            _FIVEGRAM_MEMO[key] = hit  # LRU refresh
+            return hit
+        ck = ngram_lm_score(_docs(spark, sf_dir), n=5).localCheckpoint(
+            eager=True
+        )
+        stage = tie(
+            ck.select("doc_id", "n_ngrams", "sum_p_micro", "mean_p"), ck
+        )
+        while len(_FIVEGRAM_MEMO) >= 2:
+            _FIVEGRAM_MEMO.pop(next(iter(_FIVEGRAM_MEMO)))
+        _FIVEGRAM_MEMO[key] = stage
+        return stage
+
+
+def release_shared_fivegram() -> None:
+    """Release every memoized 5-gram score stage (checkpoint blocks)."""
+    from etl_python_sqlite_spark.operators.cache import release
+
+    while _FIVEGRAM_MEMO:
+        _, old = _FIVEGRAM_MEMO.popitem()
+        release(old)

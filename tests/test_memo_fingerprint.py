@@ -229,3 +229,25 @@ def test_image_pairs_stage_rebuilds_on_rewrite(spark, tmp_path):
     got2 = {(r["id_a"], r["id_b"]) for r in p2.collect()}
     assert got2 == {(0, 1_000_000_000), (7, 1_000_000_007)}
     X.release_shared_image_pairs()
+
+
+def test_fivegram_score_stage_rebuilds_on_rewrite(spark, tmp_path):
+    """The r11 shared 5-gram score stage (fivegram_lm_score + ccnet
+    buckets) keys on the documents fingerprint: rewriting the corpus
+    must rebuild the per-doc score frame."""
+    from etl_python_sqlite_spark.plans import ext as X
+
+    X.release_shared_fivegram()
+    d = str(tmp_path)
+    _write_documents(spark, d, ["a b c d e f g", "h i j k l"])
+    s1 = X._fivegram_score_stage(spark, d)
+    # doc0: 3 five-grams, doc1: 1
+    got = {r["doc_id"]: r["n_ngrams"] for r in s1.collect()}
+    assert got == {0: 3, 1: 1}
+    assert X._fivegram_score_stage(spark, d) is s1  # memo hit
+
+    _write_documents(spark, d, ["p q r s t u"])
+    s2 = X._fivegram_score_stage(spark, d)
+    assert s2 is not s1
+    assert {r["doc_id"]: r["n_ngrams"] for r in s2.collect()} == {0: 2}
+    X.release_shared_fivegram()
