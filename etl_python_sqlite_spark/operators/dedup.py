@@ -1467,8 +1467,13 @@ def passage_instances(
     sibling (streaming/pipeline.passage_dedup_stream_against_corpus).
     The passage array is built with slice/array_join HOFs — interpreted,
     but per PASSAGE (1/window_words of the per-word rate that made
-    exploded_shingles restructure); the explode→flat-columns rewrite
-    documented there is the upgrade path if a profile ever shows it."""
+    exploded_shingles restructure). Measured (r11 interleaved A/B at
+    16×/80k docs, 3 reps warm): this shape 1.30-1.78 s vs the
+    exploded_shingles-style per-word posexplode → groupBy(doc, pos div
+    k) rewrite at 1.83-2.34 s — the rewrite's extra word-level shuffle
+    costs more than the interpreted per-passage HOFs, the same
+    extra-stage economics as the trigram multiplicity A/B. Keep the
+    HOF form."""
     from etl_python_sqlite_spark.functions.text import _ws_strip, words
 
     k = int(window_words)
