@@ -3847,9 +3847,12 @@ def ext_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just counts."""
     from etl_python_sqlite_spark.operators.dedup import passage_dedup
 
-    return passage_dedup(_docs(spark, sf_dir), window_words=20).orderBy(
-        "doc_id"
-    )
+    # keepalive: passage_dedup returns a tie()'d frame whose finalizer
+    # unpersists the shared instance explode — deriving orderBy and
+    # dropping the original would fire it before the action (the
+    # cache.py composition rule)
+    pd = passage_dedup(_docs(spark, sf_dir), window_words=20)
+    return tie(pd.orderBy("doc_id"), keepalive=[pd])
 
 
 def ext_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4009,7 +4012,7 @@ def ext_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pred = F.col("score_micro") > F.col("n_feat") * F.col("thr_micro")
     flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
-    return (
+    out = (
         j.groupBy("thr_micro")
         .agg(
             flag(pred & F.col("is_en")).alias("tp"),
@@ -4019,6 +4022,10 @@ def ext_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thr_micro")
     )
+    # keepalive: `scored` is this query's only handle on the memoized
+    # checkpoint-backed bigram stage (the consumer-keepalive rule its
+    # classifier/DSIR siblings follow)
+    return tie(out, keepalive=[scored])
 
 
 def ext_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,6 +67,9 @@ def _baseline_clean(spark):
     X.release_shared_kmeans()
     X.release_shared_bigrams()
     X.release_shared_image_pairs()
+    X.release_shared_audio_pairs()
+    X.release_shared_video_pairs()
+    X.release_shared_fivegram()
     # py4j exposes the java.util.Map as a dict-like view
     jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
     for jrdd in jrdds:
