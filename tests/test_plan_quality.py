@@ -341,3 +341,21 @@ def test_scd1_merge_plan_is_single_window_no_join(spark):
     plan = _plan(spark, R.scd1_latest_state(spark, SF_SMOKE), "simple")
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_passage_dedup_partial_combine_and_pruned_scan(spark):
+    """The passage-dedup skew-safety claim rests on MAP-SIDE partial
+    aggregation of the first-writer min (a hot boilerplate passage must
+    be combined per task, never concentrated in one window sort), and
+    the scan must prune to (doc_id, text)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["ext_passage_dedup"](spark, SF_SMOKE)
+    plan = _plan(spark, df, "simple")
+    assert "partial_min" in plan  # map-side combine of the FWW key
+    read_schema = next(
+        l for l in plan.splitlines() if "ReadSchema" in l
+    )
+    assert "doc_id" in read_schema and "text" in read_schema
+    for col in ("lang", "source", "n_chars"):
+        assert col not in read_schema
