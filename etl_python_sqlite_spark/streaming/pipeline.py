@@ -1171,6 +1171,94 @@ def nb_state_weights(state: DataFrame, n_buckets: int = 1024) -> DataFrame:
     )
 
 
+
+def maintain_kmv_stream(
+    stream: DataFrame,
+    state_path: str,
+    group_col: str = "source",
+    value_col: str = "w",
+    k: int = 256,
+    retain_versions: int = 3,
+):
+    """Streaming maintenance of per-group KMV (k-minimum-values)
+    sketches (``operators/sketch.kmv_sketches``): the sketch's
+    sufficient statistic is the k smallest DISTINCT portable hashes per
+    group — mergeable by the KMV merge law (min-k of a union is the
+    min-k of the kept halves' union; every dropped hash is ≥ its
+    sketch's k-th smallest, so it can never re-enter), making this the
+    sketch-family member of the mergeable-statistic maintenance trio
+    (:func:`maintain_rollup_stream` counts, :func:`maintain_kmeans_stream`
+    (Σq, n), :func:`maintain_nb_stream` class-conditionals).
+
+    Rows in: ``(group_col, value_col)`` — the caller owns tokenization
+    (the batch contract query uses lowercased nonzero words; any
+    pre-exploded value stream works). State: O(k·|groups|) rows per
+    version, constant in stream length; ORDER-INVARIANT, so the
+    streamed sketch is BIT-IDENTICAL to batch ``kmv_sketches`` over the
+    union of all batches (pinned by tests/test_streaming.py). The state
+    schema (group, h, rn) is exactly the batch sketch schema —
+    ``operators/sketch.kmv_pair_overlap`` runs on it unchanged for live
+    cross-group overlap estimates, no rescan of history.
+
+    Exactly-once on plain parquet by the batch_id-versioned pattern:
+    batch N merges the newest version < N and dynamically overwrites
+    only ``v=N``; replay recomputes the same deterministic result from
+    the intact predecessor. Missing-state reads propagate.
+
+    Scale: the per-batch distinct compresses map-side; the per-group
+    re-rank is a window over ≤ k + |batch distinct| hashes per group —
+    state-bounded, not stream-bounded."""
+    from pyspark.sql import Window
+
+    from etl_python_sqlite_spark.functions.portable import phash60
+
+    if retain_versions < 2:
+        raise ValueError(
+            "retain_versions must be >= 2: exactly-once replay reads the "
+            f"predecessor version, which {retain_versions} would prune"
+        )
+
+    def _handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        delta = batch.select(
+            F.col(group_col),
+            phash60(F.col(value_col).cast("string")).alias("h"),
+        ).distinct()
+        prev_v = _vstore_latest(spark, state_path, below=batch_id)
+        if prev_v is not None:
+            # read errors here are REAL failures — let them propagate
+            prev = spark.read.parquet(f"{state_path}/v={prev_v}").select(
+                group_col, "h"
+            )
+            merged = prev.unionByName(delta).distinct()
+        else:
+            merged = delta
+        w = Window.partitionBy(group_col).orderBy("h")
+        new_state = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select(group_col, "h", "rn")
+        )
+        (
+            new_state.withColumn("v", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("v")
+            .parquet(state_path)
+        )
+        _vstore_prune(spark, state_path, retain_versions)
+
+    return stream.writeStream.foreachBatch(_handle)
+
+
+def read_kmv_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Current (group, h, rn) sketch table of a ``maintain_kmv_stream``
+    run: the highest ``v=`` partition. None before the first commit;
+    read errors PROPAGATE (the read_rollup_state contract)."""
+    return _vstore_read_latest(spark, state_path)
+
 def image_dedup_stream_against_corpus(
     stream_media: DataFrame,
     corpus_media: DataFrame,

@@ -1136,3 +1136,67 @@ def test_passage_dedup_stream_against_corpus(spark, tmp_path):
         for r in again.collect()
     }
     assert got2 == got
+
+
+def test_kmv_stream_maintenance_matches_batch(spark, tmp_path):
+    """Streaming KMV sketch maintenance (r11): the streamed per-group
+    sketch is BIT-IDENTICAL to batch kmv_sketches over the union of all
+    batches (order-invariant min-k merge law), and fresh-checkpoint
+    replay converges to the same state (exactly-once versioned state)."""
+    from etl_python_sqlite_spark.operators.sketch import kmv_sketches
+    from etl_python_sqlite_spark.streaming.pipeline import (
+        maintain_kmv_stream,
+        read_kmv_state,
+    )
+
+    src = str(tmp_path / "kmv_src")
+    schema = "source string, w string"
+    rows1 = [("a", f"w{i}") for i in range(30)] + [("b", f"x{i}") for i in range(5)]
+    rows2 = [("a", f"w{i}") for i in range(20, 50)] + [("b", "x2"), ("b", "y9")]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    state = str(tmp_path / "kmv_state")
+
+    def run_once(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            maintain_kmv_stream(
+                stream, state, group_col="source", value_col="w", k=16
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once("kmv_ckpt")
+    streamed = {
+        (r["source"], r["h"], r["rn"])
+        for r in read_kmv_state(spark, state).collect()
+    }
+    union = spark.createDataFrame(rows1 + rows2, schema)
+    batch = {
+        (r["source"], r["h"], r["rn"])
+        for r in kmv_sketches(union, "source", "w", k=16).collect()
+    }
+    assert streamed == batch
+    # group b never filled the sketch: all 6 distinct values present
+    # (x0..x4 from batch 1; batch 2 re-delivers x2 and adds y9)
+    assert len([t for t in streamed if t[0] == "b"]) == 6
+
+    run_once("kmv_ckpt2")  # fresh-checkpoint replay: same final state
+    again = {
+        (r["source"], r["h"], r["rn"])
+        for r in read_kmv_state(spark, state).collect()
+    }
+    assert again == batch
