@@ -4050,7 +4050,11 @@ def ext_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one full outer join on the uniform doc_id key (the standard
     CDC diff — shuffle both sides once, AQE handles it; bucketed
     snapshots would make it exchange-free, the documented upgrade);
-    hashes are computed map-side, never the texts shipped twice."""
+    hashes are computed map-side, never the texts shipped twice. The
+    diff itself is operators/snapshot.snapshot_diff — the same engine
+    behind snapshot_diff_orders, probed here on content hashes."""
+    from etl_python_sqlite_spark.operators.snapshot import snapshot_diff
+
     docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
     prev = (
         docs.filter(F.col("doc_id") % 5 != 0)
@@ -4069,21 +4073,16 @@ def ext_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "text",
             )
         )
-        .select("doc_id", F.md5("text").alias("h_prev"))
+        .select("doc_id", F.md5("text").alias("h"))
     )
-    cur = docs.select(
-        "doc_id", F.md5("text").alias("h_cur"), "n_chars"
-    )
-    joined = prev.join(cur, "doc_id", "full_outer")
-    status = (
-        F.when(F.col("h_prev").isNull(), F.lit("added"))
-        .when(F.col("h_cur").isNull(), F.lit("removed"))
-        .when(F.col("h_prev") == F.col("h_cur"), F.lit("unchanged"))
-        .otherwise(F.lit("changed"))
-    )
+    cur = docs.select("doc_id", F.md5("text").alias("h"))
+    diff = snapshot_diff(prev, cur, keys=["doc_id"], compare_cols=["h"])
     return (
-        joined.select(
-            status.alias("status"),
+        diff.join(
+            docs.select("doc_id", "n_chars"), "doc_id", "left"
+        )
+        .select(
+            "status",
             "doc_id",
             F.coalesce("n_chars", F.lit(0)).alias("nc"),
         )
