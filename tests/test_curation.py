@@ -735,3 +735,53 @@ def test_ngram_lm_score_order5(spark):
     assert got[1]["n_ngrams"] == 1 and got[1]["sum_p_micro"] == 750000
     assert got[2]["n_ngrams"] == 2
     assert got[2]["sum_p_micro"] == 750000 + 666666
+
+
+def test_ccnet_buckets_tie_dense_cross_engine(spark, tmp_path):
+    """Regeneration guard for ext_ccnet_quality_buckets: on a corpus
+    where MANY documents share identical 5-gram scores (one repeated
+    template per language), bucket membership is decided entirely by
+    the doc_id tie-break — both engines must cut identical terciles."""
+    from pyspark.sql import Row
+
+    import __spark_entry__ as SE
+    from tests.conftest import compare_frames
+
+    import duckdb
+
+    tmpl_en = "a b c d e f g h"      # every en doc scores identically
+    tmpl_fr = "p q r s t u"          # every fr doc, too
+    rows = [
+        Row(doc_id=i, text=tmpl_en, lang="en", source="web", n_chars=15)
+        for i in range(11)           # 11 docs -> terciles 4/3/4... by rank
+    ] + [
+        Row(doc_id=100 + i, text=tmpl_fr, lang="fr", source="web", n_chars=11)
+        for i in range(5)
+    ] + [
+        Row(doc_id=500, text="x y", lang="de", source="web", n_chars=3),
+        # <5 words -> no 5-grams -> absent from the census on BOTH sides
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    from etl_python_sqlite_spark.plans import ext as X
+
+    X.release_shared_fivegram()
+    sdf = SE.queries()["ext_ccnet_quality_buckets"](spark, d)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    compare_frames(
+        sdf, con.execute(SE.oracle_sql()["ext_ccnet_quality_buckets"]),
+        "ccnet_tie_dense",
+    )
+    got = {(r["lang"], r["bucket"]): r["n_docs"] for r in sdf.collect()}
+    # rank buckets: ((rn-1)*3) div n -> en(11): 4/4/3, fr(5): 2/2/1
+    assert got == {
+        ("en", "head"): 4, ("en", "middle"): 4, ("en", "tail"): 3,
+        ("fr", "head"): 2, ("fr", "middle"): 2, ("fr", "tail"): 1,
+    }
+    X.release_shared_fivegram()
