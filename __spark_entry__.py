@@ -219,8 +219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_orc_roundtrip": E.ext_orc_roundtrip,
         "ext_classifier_calibration": E.ext_classifier_calibration,
         "ext_corpus_snapshot_diff": E.ext_corpus_snapshot_diff,
+        "ext_hard_negative_mining": E.ext_hard_negative_mining,
         # -- last attested ROUND 8 (fills the rest of the r11 window:
-        # positions 27-50 = the 24 keys through strict_cast_json;
+        # positions 28-50 = the 23 keys through case_cascade_classify;
         # the tail past the 50-row window stays @r8 and MUST lead the
         # r12 rotation -- see the boundary marker at position 51) --
         "ext_kmeans_clusters": E.ext_kmeans_clusters,
@@ -246,11 +247,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_minmax_distinct": R.agg_minmax_distinct,
         "topk_per_group": R.topk_per_group,
         "case_cascade_classify": R.case_cascade_classify,
-        "strict_cast_json": R.strict_cast_json,
-        # -- r11 window boundary: the 26 keys from here
-        # (normalize_names) through skew_salted_agg are positions
-        # 51-76 -- they slip out of the 50-row r11 window (last
+        # -- r11 window boundary: the 27 keys from here
+        # (strict_cast_json) through skew_salted_agg are positions
+        # 51-77 -- they slip out of the 50-row r11 window (last
         # attested r8) and MUST lead the r12 rotation --
+        "strict_cast_json": R.strict_cast_json,
         "normalize_names": R.normalize_names,
         "hourly_event_rollup": R.hourly_event_rollup,
         "set_except_users": R.set_except_users,
@@ -886,6 +887,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS text_md5,
                    CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id
+        """,
+        # hard-negative mining (r11): bounded anchors x nonzero
+        # candidates, bit-portable fold-cosine (ROUND 6), argmax by
+        # row_number over (cos DESC, vec_id) -- the cosine_topk
+        # stable-ranking rule
+        "ext_hard_negative_mining": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            nz AS (
+                SELECT vec_id, label, v FROM e
+                WHERE list_reduce(list_transform(v, x -> abs(x)),
+                                  (a, b) -> a + b) <> 0
+            ),
+            anc AS (
+                SELECT vec_id AS anchor_id, label AS a_label, v AS av
+                FROM nz WHERE vec_id % 10 = 1
+            ),
+            p AS (
+                SELECT anc.anchor_id, anc.a_label,
+                       c.vec_id AS cand_id,
+                       c.label AS negative_label,
+                       ROUND(
+                           list_reduce(list_transform(
+                               range(1, len(anc.av) + 1),
+                               i -> anc.av[i] * c.v[i]), (x, y) -> x + y)
+                           / (sqrt(list_reduce(list_transform(anc.av,
+                                   x -> x * x), (x, y) -> x + y))
+                              * sqrt(list_reduce(list_transform(c.v,
+                                   x -> x * x), (x, y) -> x + y))),
+                           6) AS neg_cos
+                FROM anc, nz c
+                WHERE anc.a_label <> c.label
+            ),
+            r AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY anchor_id
+                           ORDER BY neg_cos DESC, cand_id ASC) AS rn,
+                       COUNT(*) OVER (PARTITION BY anchor_id)
+                           AS n_candidates
+                FROM p
+            )
+            SELECT anchor_id, a_label, cand_id AS negative_id,
+                   negative_label, neg_cos,
+                   CAST(n_candidates AS BIGINT) AS n_candidates
+            FROM r WHERE rn = 1 ORDER BY anchor_id
         """,
         # classifier calibration (r11): replay the NB chain to the
         # per-doc scores, then sweep 6 integer cross-multiplied

@@ -4140,3 +4140,79 @@ def release_shared_fivegram() -> None:
     while _FIVEGRAM_MEMO:
         _, old = _FIVEGRAM_MEMO.popitem()
         release(old)
+
+
+def ext_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E22 (r11) — contrastive HARD-NEGATIVE mining over the labeled
+    embedding table: for each anchor, the most-similar vector carrying
+    a DIFFERENT label — the standard negative-sampling step when
+    training embedding/reranker models (in-batch negatives are easy;
+    the valuable ones are the near-misses across class boundaries).
+
+    Exactness contract (the audit-query discipline): anchors are the
+    bounded ``vec_id % 10 == 1`` slice, candidates the full nonzero
+    table; per pair the fold-cosine is the bit-portable sequential
+    fold (ROUND 6), the argmax is row_number over (cos DESC, vec_id
+    ASC) — rounding before ranking keeps rank boundaries stable across
+    engines (the cosine_topk rule). Zero-norm embeddings are excluded
+    on both sides with the exact Σ|x| ≠ 0 predicate.
+
+    Scale story: this bounded-anchor pair scan is the GROUND-TRUTH
+    shape (the allowlisted audit BNLJ class — anchors are a fixed
+    slice, never the corpus); at production scale the candidate
+    generator is the repo's ANN family (sign-LSH kNN-join / IVF,
+    operators/similarity) with label-mismatch filtering on candidates
+    and this exact fold as the verify — the ext_ann_* queries pin that
+    machinery."""
+    from etl_python_sqlite_spark.operators.similarity import (
+        _as_double_array,
+        cosine,
+    )
+
+    ev = _embs(spark, sf_dir).select(
+        "vec_id", "label", _as_double_array("embedding").alias("v")
+    )
+    nonzero = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda a, x: a + F.abs(x)
+    ) != F.lit(0.0)
+    ev = ev.filter(nonzero)
+    anchors = ev.filter(F.col("vec_id") % 10 == 1).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("av"),
+    )
+    cands = ev.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("v").alias("cv"),
+    )
+    pairs = anchors.crossJoin(cands).filter(
+        F.col("a_label") != F.col("c_label")
+    )
+    scored = pairs.select(
+        "anchor_id",
+        "a_label",
+        "cand_id",
+        F.col("c_label").alias("negative_label"),
+        F.round(cosine(F.col("av"), F.col("cv")), 6).alias("neg_cos"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("neg_cos"), F.asc("cand_id")
+    )
+    return (
+        scored.select(
+            "anchor_id",
+            "a_label",
+            F.col("cand_id").alias("negative_id"),
+            "negative_label",
+            "neg_cos",
+            F.row_number().over(w).alias("rn"),
+            F.count("*")
+            .over(Window.partitionBy("anchor_id"))
+            .cast("long")
+            .alias("n_candidates"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("anchor_id")
+    )

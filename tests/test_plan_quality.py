@@ -83,6 +83,8 @@ def test_no_query_uses_cartesian_or_bnlj(spark):
         "ext_unigram_tokenizer",     # same one-row audit shape as BPE
         "ext_kmv_source_overlap",    # |groups|-row sketch-stat pair joins
         # (bounded by construction: k·|sources| sketch rows total)
+        "ext_hard_negative_mining",  # bounded anchor slice × candidates —
+        # the ground-truth pair scan; ANN is the documented scale path
         "ext_semantic_dedup",        # one-row audit crossJoins + bounded
         # (vec_id<150) brute-force ground-truth pair scans, as the ANN audits
         "ext_bigram_lm_score",       # one-row vocab-size (V) broadcast
