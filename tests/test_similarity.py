@@ -430,3 +430,49 @@ def test_crossmodal_consistency_planted_invariants(spark):
     assert all(r["clip_score"] == 1.0 and r["kept"] for r in matched)
     mism = [r for r in rows if r["item_id"] % 4 != 0]
     assert mism and any(not r["kept"] for r in mism)
+
+
+def test_hard_negative_mining_planted_ground_truth(spark, tmp_path):
+    """ext_hard_negative_mining semantics on a constructed table: the
+    planted cross-label near-duplicate (2·v, cosine exactly 1.0 by IEEE
+    scale invariance) must win over same-label identicals and weaker
+    cross-label candidates; zero-norm vectors are excluded."""
+    from pyspark.sql import Row
+
+    import __spark_entry__ as SE
+
+    rows = [
+        # anchor (vec_id % 10 == 1), label 0
+        Row(vec_id=1, embedding=[1.0, 2.0, 3.0, 4.0], label=0),
+        # same-label EXACT copy: cosine 1.0 but must be ignored (label)
+        Row(vec_id=2, embedding=[1.0, 2.0, 3.0, 4.0], label=0),
+        # cross-label scalar twin: cosine exactly 1.0 -> the hard negative
+        Row(vec_id=3, embedding=[2.0, 4.0, 6.0, 8.0], label=1),
+        # weaker cross-label candidate
+        Row(vec_id=4, embedding=[-1.0, 5.0, 0.5, 2.0], label=2),
+        # zero-norm cross-label vector: excluded by the nonzero guard
+        Row(vec_id=5, embedding=[0.0, 0.0, 0.0, 0.0], label=3),
+        # second anchor, label 1: its only cross-label candidates are
+        # ids 1/2/4 (5 excluded); the twin of itself (id 3) is same-label
+        Row(vec_id=11, embedding=[2.0, 4.0, 6.0, 8.0], label=1),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/embeddings.parquet"
+    )
+    out = {
+        r["anchor_id"]: (
+            r["negative_id"],
+            r["negative_label"],
+            float(r["neg_cos"]),
+            r["n_candidates"],
+        )
+        for r in SE.queries()["ext_hard_negative_mining"](spark, d).collect()
+    }
+    # anchor 1: candidates are {3 (cos 1.0), 4, } labels !=0, id 11 (label 1,
+    # cos 1.0) ties with 3 -> tie-break by vec_id picks 3
+    assert out[1][0] == 3 and out[1][2] == 1.0 and out[1][3] == 3
+    # anchor 11 (label 1): cross-label candidates {1, 2, 4}; ids 1 and 2
+    # are parallel to it (cos 1.0), tie-break picks 1
+    assert out[11][0] == 1 and out[11][2] == 1.0 and out[11][3] == 3
+    assert set(out) == {1, 11}
