@@ -51,6 +51,8 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -4166,10 +4168,13 @@ def ext_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery. Norms are folded ONCE PER VECTOR before the pair join
     (sqrt is a pure function of the fold — bit-identical wherever it
     is computed, so the twin's per-pair form matches), leaving one dot
-    fold per pair: measured 7.4 → ~2.7 s at sf0.1 (interpreted HOF
-    folds are the cost, the CLAUDE.md per-element rule; the
-    explode→index-join→groupBy codegen rewrite is the upgrade path if
-    the pair volume ever grows past the audit slice)."""
+    fold per pair: measured 7.4 → ~2.7 s at sf0.1 in the r11 build.
+    r11-opt: the hoist only became REAL with the persist barrier —
+    projection collapse had been re-inlining both norm folds into the
+    per-pair projection (3 folds/pair in the executed plan; see the
+    in-body comment), and an unrolled codegen'd element_at chain was
+    A/B-measured 5× SLOWER than the HOF fold (OPTIMIZATION_r11.md),
+    so the fold stays and the barrier does the work."""
     from etl_python_sqlite_spark.operators.similarity import (
         _as_double_array,
         _dot,
@@ -4182,18 +4187,44 @@ def ext_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonzero = F.aggregate(
         F.col("v"), F.lit(0.0), lambda a, x: a + F.abs(x)
     ) != F.lit(0.0)
-    ev = ev.filter(nonzero)
-    anchors = ev.filter(F.col("vec_id") % 10 == 1).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("a_label"),
-        F.col("v").alias("av"),
-        _norm(F.col("v")).alias("a_nrm"),
+    # PERSIST the norm-carrying frame before the pair join: without the
+    # materialization barrier Catalyst's projection collapse re-inlines
+    # BOTH hoisted norm folds into the per-pair projection — the
+    # executed plan carried 3 zip_with folds per pair (dot + a_nrm +
+    # c_nrm), the repo's "persist before self-joins on derived frames"
+    # invariant exactly. Measured (r11-opt, interleaved same-session
+    # A/B at sf0.1, 360k pairs): scored-stage 2.59 s → ~0.9 s; the
+    # frame is one row per vector (~2k rows), so the persist is
+    # byte-trivial and the eager count is one sub-100 ms job. tie()
+    # scopes the cache to the result frame.
+    ev = (
+        ev.filter(nonzero)
+        .select("vec_id", "label", "v", _norm(F.col("v")).alias("nrm"))
+        .persist()
+    )
+    ev.count()
+    # REPARTITION the anchor (stream) side of the nested-loop join: the
+    # anchor slice fills 1-2 scan partitions, and BroadcastNestedLoopJoin
+    # parallelism IS the stream side's partition count — profiled at
+    # sf0.1, the whole 360k-pair dot stage ran in one task (2.6 s
+    # single-core; the r11-opt profile in OPTIMIZATION_r11.md). The
+    # exchange moves only the bounded anchor rows; width follows
+    # defaultParallelism, never a constant (scale-adaptive rule).
+    anchors = (
+        ev.filter(F.col("vec_id") % 10 == 1)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("a_label"),
+            F.col("v").alias("av"),
+            F.col("nrm").alias("a_nrm"),
+        )
     )
     cands = ev.select(
         F.col("vec_id").alias("cand_id"),
         F.col("label").alias("c_label"),
         F.col("v").alias("cv"),
-        _norm(F.col("v")).alias("c_nrm"),
+        F.col("nrm").alias("c_nrm"),
     )
     pairs = anchors.crossJoin(cands).filter(
         F.col("a_label") != F.col("c_label")
@@ -4212,7 +4243,7 @@ def ext_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("neg_cos"), F.asc("cand_id")
     )
-    return (
+    out = (
         scored.select(
             "anchor_id",
             "a_label",
@@ -4229,3 +4260,4 @@ def ext_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("anchor_id")
     )
+    return tie(out, ev)
