@@ -547,12 +547,46 @@ def pagerank(
 TRIANGLE_BROADCAST_MAX_EDGES = 20_000_000
 
 
+def orient_edges(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Degree-ordered orientation of a canonical distinct (u < v) edge
+    frame: returns lazy ``(eor, deg)`` — ``eor`` = (a, b, db) with every
+    edge pointing from the lower (degree, id) endpoint to the higher
+    (out-lists capped at O(√|E|)), ``deg`` = (node, d). Callers
+    persist/scope the frames themselves (``triangle_counts`` does; the
+    plans layer memoizes them as a shared stage)."""
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # oriented edge a->b carries b's degree so the wedge tier can order
+    # the two far endpoints without another degree join
+    eor = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
+        .repartition("a")
+    )
+    return eor, deg
+
+
 def triangle_counts(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     broadcast_max_edges: int = TRIANGLE_BROADCAST_MAX_EDGES,
     edges_canonical: bool = False,
+    prepared: tuple | None = None,
 ) -> DataFrame:
     """Per-node triangle counts via degree-ordered edge orientation
     (Schank & Wagner 2005's *forward* algorithm; the MapReduce shaping
@@ -569,23 +603,50 @@ def triangle_counts(
     lowest-ordered corner, and total wedge volume is O(|E|^1.5) on ANY
     degree distribution — the hub explosion is structurally gone.
 
-    Plan shape: two shuffles prepare the oriented frame (degree agg +
-    join), the wedge stage is a self-equi-join on the apex (the frame
-    is repartitioned ONCE on ``a`` so both join sides are co-located),
-    closure is an equi-join of wedges against oriented edges on
-    (b, c), and per-node counts are one explode + map-side-combined
-    groupBy. No cartesian anywhere; every key is a uniformly-hashed
-    node id. The ordering comparator is pure-integer lexicographic
-    (degree, node), so another engine replays the exact same oriented
-    edge set bit-for-bit — no floats, no engine-specific hashing.
+    Closure tiers, gated on the measured edge count (both produce the
+    identical triangle multiset — each triangle once, at its apex):
+
+    * ``n_edges ≤ broadcast_max_edges`` — **adjacency-intersect**
+      (r11-opt): broadcast the per-apex out-lists (Σ|list| = |E| ids —
+      the same byte class as the closure-edge broadcast it replaces),
+      join them onto each oriented edge (a, b) map-side, and
+      ``explode(array_intersect(out(a), out(b)))`` emits exactly the
+      closing c's. The O(|E|^1.5) wedge stream is never MATERIALIZED
+      as rows — only true triangles are — where the previous
+      broadcast-closure tier generated every wedge row and hash-probed
+      it (sf0.1 A/B, 1.2M edges / 41M wedges: 3.5-5.2 s → 1.0-1.2 s
+      per pass, identical output; OPTIMIZATION_r11.md).
+    * above the gate — wedge self-equi-join on the apex (the oriented
+      frame is repartitioned ONCE on ``a`` so both sides are
+      co-located) + shuffled closure equi-join on (b, c): no broadcast
+      anywhere, the only shape that survives 10^9 edges.
+
+    Per-node counts are one explode + map-side-combined groupBy. No
+    cartesian anywhere; every key is a uniformly-hashed node id. The
+    ordering comparator is pure-integer lexicographic (degree, node),
+    so another engine replays the exact same oriented edge set
+    bit-for-bit — no floats, no engine-specific hashing.
+
+    ``prepared``: optional ``(eor, deg, n_edges)`` — the orientation
+    stage already built, PERSISTED and counted by the caller (the
+    plans-layer shared-stage memo); this operator then neither builds
+    nor releases it.
     """
-    if edges_canonical:
+    if prepared is not None:
+        eor, deg, n_edges = prepared
+        own = []
+    elif edges_canonical:
         # caller guarantees distinct (u < v) edges ALREADY materialized
         # (e.g. the memoized shared co-occurrence stage): every consumer
         # below reads its cache through a rename projection; this
         # operator neither persists nor releases it (the memo owns it)
         e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        own_e = False
+        n_edges = e.count()
+        eor, deg = orient_edges(e)
+        deg = deg.persist()
+        eor = eor.persist()
+        eor.count()  # multi-consumer: materialize before reuse
+        own = [deg, eor]
     else:
         e = (
             edges.select(
@@ -596,64 +657,55 @@ def triangle_counts(
             .distinct()
             .persist()
         )
-        own_e = True
-    # consumed by deg, the orientation join, and (via deg) the final
-    # degree attach — materialize once (multi-consumer invariant); the
-    # count doubles as the closure-strategy gate input
-    n_edges = e.count()
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-        .persist()
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    fwd = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    # oriented edge a->b carries b's degree so the wedge stage can order
-    # the two far endpoints without another degree join
-    eor = (
-        e.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
-            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
-        )
-        .repartition("a")
-        .persist()
-    )
-    eor.count()  # self-join + closure probe: materialize before reuse
-    wed = (
-        eor.join(
-            eor.select(
-                F.col("a"),
-                F.col("b").alias("c"),
-                F.col("db").alias("dc"),
-            ),
-            "a",
-        )
-        .filter(
-            (F.col("db") < F.col("dc"))
-            | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
-        )
-        .select("a", "b", "c")
-    )
-    closure = eor.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        # consumed by deg, the orientation join, and (via deg) the
+        # final degree attach — materialize once (multi-consumer
+        # invariant); the count doubles as the tier gate input
+        n_edges = e.count()
+        eor, deg = orient_edges(e)
+        deg = deg.persist()
+        eor = eor.persist()
+        eor.count()
+        own = [e, deg, eor]
     if n_edges <= broadcast_max_edges:
-        # map-side closure probe: wedges are generated AND filtered
-        # inside the apex partitions — the O(|E|^1.5) wedge stream
-        # never hits an exchange (r6; sf0.1 A/B below). eor is unique
-        # edges, so the inner join cannot multiply rows.
-        closure = F.broadcast(closure)
-    tri = wed.join(closure, ["b", "c"])
+        adj = eor.groupBy("a").agg(F.collect_list("b").alias("nb"))
+        adj_a = F.broadcast(adj.select(F.col("a"), F.col("nb").alias("_na")))
+        adj_b = F.broadcast(
+            adj.select(F.col("a").alias("b"), F.col("nb").alias("_nb"))
+        )
+        tri = (
+            eor.select("a", "b")
+            .join(adj_a, "a")
+            .join(adj_b, "b")
+            .select(
+                "a", "b", F.explode(F.array_intersect("_na", "_nb")).alias("c")
+            )
+        )
+    else:
+        wed = (
+            eor.join(
+                eor.select(
+                    F.col("a"),
+                    F.col("b").alias("c"),
+                    F.col("db").alias("dc"),
+                ),
+                "a",
+            )
+            .filter(
+                (F.col("db") < F.col("dc"))
+                | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+            )
+            .select("a", "b", "c")
+        )
+        closure = eor.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        tri = wed.join(closure, ["b", "c"])
     per = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("tri_cnt"))
     )
     out = per.join(deg, "node").select("node", "tri_cnt", F.col("d").alias("degree"))
-    return tie(out, *([e] if own_e else []), deg, eor)
+    if own:
+        return tie(out, *own)
+    # prepared tier: the memo owns the frames — keep them alive for as
+    # long as this result reads them (tie composition rule)
+    return tie(out, keepalive=[eor, deg])

@@ -2173,14 +2173,70 @@ def _cooccurrence_edges_directed(
     )
 
 
+#: (applicationId, sf_dir, fingerprint) → (eor, deg, n_edges, coocc
+#: handle): the degree-ORIENTED edge stage (operators/graph
+#: .orient_edges over the memoized co-occurrence frame), persisted +
+#: eagerly counted once per session. r11-opt: part_triangle_stats was
+#: rebuilding this orientation (degree agg + two joins + repartition +
+#: persist + count ≈ 1.35 s at sf0.1) on EVERY invocation even though
+#: it is a pure function of the memoized edge set — same shared-stage
+#: policy as the cents-histogram second stage (_flag_cents_cum). The
+#: held coocc handle keeps the parent memo entry alive (tie
+#: composition rule); eviction unpersists the derived frames
+#: explicitly (cache-tier unpersist under a live consumer only
+#: recomputes, never fails).
+_TRI_STAGE_MEMO: dict = {}
+_TRI_STAGE_LOCK = threading.Lock()
+
+
+def _triangle_oriented_stage(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int, DataFrame]:
+    from etl_python_sqlite_spark.operators.graph import orient_edges
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _data_fingerprint(spark, sf_dir, "lineitem"),
+    )
+    with _TRI_STAGE_LOCK:
+        hit = _TRI_STAGE_MEMO.pop(key, None)
+        if hit is not None:
+            _TRI_STAGE_MEMO[key] = hit  # LRU refresh
+            return hit
+        e = _cooccurrence_edges(spark, sf_dir)
+        eor, deg = orient_edges(e)
+        deg = deg.persist()
+        eor = eor.persist()
+        n_edges = eor.count()  # materializer doubles as the tier gate
+        entry = (eor, deg, n_edges, e)
+        while len(_TRI_STAGE_MEMO) >= _FLAG_HIST_MAX:
+            _, old = _TRI_STAGE_MEMO.popitem()
+            for f in old[:2]:
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
+        _TRI_STAGE_MEMO[key] = entry
+        return entry
+
+
 def release_shared_histograms() -> None:
     """Unpersist and forget every memoized shared stage (the per-flag
-    cents histograms AND the co-occurrence edge frames/tables)."""
+    cents histograms, the co-occurrence edge frames/tables AND the
+    derived oriented-edge stage)."""
     for memo in (_FLAG_CUM_MEMO, _FLAG_HIST_MEMO):
         while memo:
             _, old = memo.popitem()
             try:
                 old.unpersist()
+            except Exception:
+                pass
+    while _TRI_STAGE_MEMO:
+        _, old = _TRI_STAGE_MEMO.popitem()
+        for f in old[:2]:
+            try:
+                f.unpersist()
             except Exception:
                 pass
     while _COOCC_MEMO:
@@ -3005,10 +3061,11 @@ def part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_python_sqlite_spark.operators.graph import triangle_counts
 
     # the memoized shared co-occurrence stage IS this operator's
-    # canonical (u < v) distinct edge set — skip the internal dedup
-    tc = triangle_counts(
-        _cooccurrence_edges(spark, sf_dir), "u", "v", edges_canonical=True
-    )
+    # canonical (u < v) distinct edge set, and the degree-oriented
+    # frame on top of it is memoized too (_triangle_oriented_stage) —
+    # each invocation runs only the closure + count stages
+    eor, deg, n_edges, handle = _triangle_oriented_stage(spark, sf_dir)
+    tc = triangle_counts(handle, "u", "v", prepared=(eor, deg, n_edges))
     out = (
         tc.select(
             F.col("node").alias("part"),
