@@ -260,12 +260,20 @@ def _local_pagerank(
     damp_num: int,
     damp_den: int,
     redistribute: bool,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Exact integer PageRank over an edge set that fits one partition,
     as a single Arrow-batched task (``coalesce(1).mapInPandas`` —
     executor-side, no driver collect). BIT-IDENTICAL to the distributed
     loop: same r0/base constants, same per-edge floor division, same
-    dangling handling — pinned by test_graph's tier-equality test."""
+    dangling handling — pinned by test_graph's tier-equality test.
+
+    ``symmetric``: ``edges`` holds ONE canonical row per undirected
+    edge; both orientations are derived inside the kernel (index
+    concatenation — r11-opt: the symmetric co-occurrence caller was
+    funneling the 2× union through the single-task Arrow boundary,
+    pure data-movement cost; integer addition commutes exactly, so the
+    per-node totals are bit-identical to feeding the directed union)."""
     id_type = dict(edges.dtypes)["u"]
 
     def run(batches):
@@ -283,6 +291,11 @@ def _local_pagerank(
         )
         n = len(nodes)
         u_idx, v_idx = inv[: len(e)], inv[len(e) :]
+        if symmetric:
+            u_idx, v_idx = (
+                np.concatenate([u_idx, v_idx]),
+                np.concatenate([v_idx, u_idx]),
+            )
         outdeg = np.bincount(u_idx, minlength=n).astype(np.int64)
         r0 = total_mass // n
         base = (damp_den - damp_num) * r0 // damp_den
@@ -329,6 +342,7 @@ def pagerank(
     local_edge_limit: int = PAGERANK_LOCAL_EDGE_LIMIT,
     edges_distinct: bool = False,
     edges_bucketed: bool = False,
+    edges_symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank in EXACT integer arithmetic
     (Brin & Page 1998; the quantized estimator is this module's spec).
@@ -363,6 +377,14 @@ def pagerank(
       One extra one-row aggregate per iteration (the dangling id set
       is persisted once; D_t is a semi-join + sum collapsed to a
       single row, then cross-joined — broadcast — into the update).
+
+    ``edges_symmetric`` (requires ``edges_distinct`` semantics): the
+    caller's frame holds ONE canonical row per undirected edge and the
+    graph is its symmetric closure. The local tier derives both
+    orientations INSIDE the numpy kernel, so only half the edge bytes
+    cross the coalesce(1) Arrow boundary (r11-opt: that boundary was
+    the tier's whole cost); the Pregel tiers union the two disjoint
+    orientations up front exactly as the caller used to.
 
     Execution tiers, sized by MEASURED counts (never a guess):
 
@@ -436,13 +458,18 @@ def pagerank(
     # one scalar to the driver — picks the execution tier by measured
     # size (the CC hybrid pattern): a graph whose edge list fits one
     # partition finishes in ONE executor task instead of ~9 Pregel jobs
-    n_edges = e.count()
+    n_edges = e.count() * (2 if edges_symmetric else 1)
     if n_edges <= local_edge_limit:
         out = _local_pagerank(
             e, iterations, total_mass, damp_num, damp_den,
             dangling == "redistribute",
+            symmetric=edges_symmetric,
         )
         return tie(out, e) if own_e else out
+    if edges_symmetric:
+        # Pregel tiers work on the directed set — the two orientations
+        # of a canonical frame are disjoint, so the union is distinct
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     nodes = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))

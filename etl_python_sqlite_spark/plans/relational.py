@@ -3033,11 +3033,24 @@ def part_cooccurrence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucketed-stage gate the accessor hands back the stage TABLE
     # (already directed, bucketed by u) and the flag routes pagerank
     # around its full-E repartition — zero exchanges of E end to end.
-    directed, bucketed = _cooccurrence_edges_directed(spark, sf_dir)
-    pr = pagerank(
-        directed, "u", "v", iterations=5,
-        edges_distinct=True, edges_bucketed=bucketed,
-    )
+    e = _cooccurrence_edges(spark, sf_dir)
+    if getattr(e, _COOCC_TABLE_ATTR, None) is not None:
+        # bucketed tier: the stage table is ALREADY directed and
+        # hash-partitioned on u — zero exchanges of E in the Pregel loop
+        directed, bucketed = _cooccurrence_edges_directed(spark, sf_dir)
+        pr = pagerank(
+            directed, "u", "v", iterations=5,
+            edges_distinct=True, edges_bucketed=bucketed,
+        )
+    else:
+        # cache tier: hand the CANONICAL frame straight through —
+        # pagerank(edges_symmetric) derives both orientations inside
+        # the local kernel, halving the single-task Arrow funnel
+        # (r11-opt; the Pregel tiers union them up front as before)
+        pr = pagerank(
+            e, "u", "v", iterations=5,
+            edges_distinct=True, edges_symmetric=True,
+        )
     out = (
         pr.orderBy(F.desc("r"), "node")
         .limit(25)

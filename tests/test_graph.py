@@ -319,3 +319,42 @@ def test_triangle_closure_tiers_identical(spark):
     # ground truth: triangles {1,2,3}, {3,4,5}, {1,3,4}
     by_node = {n: t for n, t, _ in bcast}
     assert by_node == {1: 2, 2: 1, 3: 3, 4: 2, 5: 1}
+
+
+def test_pagerank_symmetric_canonical_matches_directed_union(spark):
+    """r11-opt: pagerank(edges_symmetric=True) over a canonical (u < v)
+    frame must be bit-identical to feeding the directed union, on both
+    the local-numpy tier and the Pregel tiers."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    canon = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in ((rng.randrange(50), rng.randrange(50)) for _ in range(250))
+            if a != b
+        }
+    )
+    cdf = spark.createDataFrame(canon, ["u", "v"])
+    directed = cdf.union(cdf.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    want = {
+        r["node"]: r["r"]
+        for r in pagerank(directed, "u", "v", edges_distinct=True).collect()
+    }
+    got_local = {
+        r["node"]: r["r"]
+        for r in pagerank(
+            cdf, "u", "v", edges_distinct=True, edges_symmetric=True
+        ).collect()
+    }
+    got_pregel = {
+        r["node"]: r["r"]
+        for r in pagerank(
+            cdf, "u", "v", edges_distinct=True, edges_symmetric=True,
+            local_edge_limit=0,
+        ).collect()
+    }
+    assert got_local == want
+    assert got_pregel == want
