@@ -387,6 +387,33 @@ def embedding_near_dup_pairs(
     )
 
 
+def cosine_pairs_sample_scored(
+    df: DataFrame,
+    max_id: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ALL pairwise rounded cosines on a bounded id-range sample —
+    (id_a, id_b, cos_sim), id_a < id_b, no threshold. Callers that
+    need several thresholds over the same sample filter THIS frame
+    instead of paying one fold scan per threshold (r11-opt: the
+    SemDeDup audits ran three such scans per query). The pair-stream
+    side is repartitioned to the executor cores: the nested-loop join's
+    parallelism is the stream side's partition count, and a ≤200-row
+    sample otherwise computes every fold in one task (the
+    hard-negative-mining lesson)."""
+    sub = df.filter(F.col(id_col) < max_id)
+    a = sub.select(
+        F.col(id_col).alias("id_a"), _as_double_array(vec_col).alias("va")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    b = sub.select(F.col(id_col).alias("id_b"), _as_double_array(vec_col).alias("vb"))
+    return a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+    )
+
+
 def cosine_pairs_sample(
     df: DataFrame,
     max_id: int = 100,
@@ -396,17 +423,8 @@ def cosine_pairs_sample(
 ) -> DataFrame:
     """Exact pairwise cosine on a bounded id-range sample (oracle-friendly
     ground truth for the ANN variants)."""
-    sub = df.filter(F.col(id_col) < max_id)
-    a = sub.select(F.col(id_col).alias("id_a"), _as_double_array(vec_col).alias("va"))
-    b = sub.select(F.col(id_col).alias("id_b"), _as_double_array(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+    return cosine_pairs_sample_scored(df, max_id, vec_col, id_col).filter(
+        F.col("cos_sim") >= threshold
     )
 
 

@@ -1713,9 +1713,15 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs.count()  # eager: two independent left_anti consumers
 
     n_vec = embs.agg(F.count("*").cast("long").alias("n_vectors"))
-    exact = S.cosine_pairs_sample(embs, max_id=150, threshold=0.9)
-    exact_relaxed = S.cosine_pairs_sample(embs, max_id=150, threshold=0.899998)
-    exact_strict = S.cosine_pairs_sample(embs, max_id=150, threshold=0.900002)
+    # ONE scored sample frame, three threshold filters (r11-opt): the
+    # exact/relaxed/strict ground truths previously ran three separate
+    # fold scans (~1.3 s each, single-task BNLJ) inside the final
+    # action's plan; the persisted 11k-row score table feeds all three
+    # (tie-scoped below). Same values — filter over identical scores.
+    scored_sample = S.cosine_pairs_sample_scored(embs, max_id=150).persist()
+    exact = scored_sample.filter(F.col("cos_sim") >= 0.9)
+    exact_relaxed = scored_sample.filter(F.col("cos_sim") >= 0.899998)
+    exact_strict = scored_sample.filter(F.col("cos_sim") >= 0.900002)
     n_sample = exact.agg(F.count("*").cast("long").alias("n_sample_pairs"))
 
     sample_found = pairs.filter((F.col("id_a") < 150) & (F.col("id_b") < 150))
@@ -1760,7 +1766,7 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cocluster_exhaustive_ok",
         )
     )
-    return tie(out, assigned, pairs)
+    return tie(out, assigned, pairs, scored_sample)
 
 
 def ext_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3222,16 +3228,20 @@ def ext_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = bench.filter((F.col("vec_id") < 150) & nonzero).select(
         F.col("vec_id").alias("bench_id"), F.col("v").alias("vb")
     )
-    def _sample_pairs(thr):
-        return (
-            sa.join(sb, F.col("corpus_id") != F.col("bench_id"))
-            .select(
-                "corpus_id",
-                "bench_id",
-                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("c"),
-            )
-            .filter(F.col("c") >= thr)
+    # ONE scored cross-side sample, three threshold filters (r11-opt:
+    # was three separate fold-scan subtrees in the final action's plan)
+    scored_sample = (
+        sa.join(sb, F.col("corpus_id") != F.col("bench_id"))
+        .select(
+            "corpus_id",
+            "bench_id",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("c"),
         )
+        .persist()
+    )
+
+    def _sample_pairs(thr):
+        return scored_sample.filter(F.col("c") >= thr)
 
     exact = _sample_pairs(0.9)
     exact_relaxed = _sample_pairs(0.899998)
@@ -3282,7 +3292,7 @@ def ext_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cocluster_exhaustive_ok",
         )
     )
-    return tie(out, assigned, pairs, planted_keys)
+    return tie(out, assigned, pairs, planted_keys, scored_sample)
 
 
 # ---------------------------------------------------------------------------
