@@ -2084,9 +2084,9 @@ def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             _COOCC_MEMO[key] = hit  # LRU refresh
             return hit
         _sweep_stale_coocc_tables(spark)
-        li = table(spark, sf_dir, "lineitem")
-        op = li.select("l_orderkey", "l_partkey").distinct().persist()
-        op.count()  # two self-join consumers — materialize first
+        # shared (order, part) distinct stage — memoized with
+        # part_basket_pairs (r11-opt); the memo owns its lifecycle
+        op = _ordpart_distinct(spark, sf_dir)
         a = op.select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
         )
@@ -2101,7 +2101,6 @@ def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
         n_edges = e.count()
-        op.unpersist()  # consumed only by the join above — release now
         if n_edges >= COOCC_BUCKETED_STAGE_MIN_EDGES:
             import hashlib
 
@@ -2173,6 +2172,41 @@ def _cooccurrence_edges_directed(
     )
 
 
+#: (applicationId, sf_dir, fingerprint) → persisted DISTINCT
+#: (l_orderkey, l_partkey) frame — the per-order basket stage shared by
+#: part_basket_pairs (every invocation was re-scanning lineitem and
+#: re-shuffling the distinct: 0.9 s at sf0.1) and the co-occurrence
+#: edge build (same first stage). Same policy as the other cache-tier
+#: memos: lock across get-or-build, LRU cap, explicit unpersist on
+#: eviction/release.
+_ORDPART_MEMO: dict = {}
+_ORDPART_LOCK = threading.Lock()
+
+
+def _ordpart_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _data_fingerprint(spark, sf_dir, "lineitem"),
+    )
+    with _ORDPART_LOCK:
+        hit = _ORDPART_MEMO.pop(key, None)
+        if hit is not None:
+            _ORDPART_MEMO[key] = hit  # LRU refresh
+            return hit
+        li = table(spark, sf_dir, "lineitem")
+        op = li.select("l_orderkey", "l_partkey").distinct().persist()
+        op.count()  # self-join consumers in concurrent bench actions
+        while len(_ORDPART_MEMO) >= _FLAG_HIST_MAX:
+            _, old = _ORDPART_MEMO.popitem()
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _ORDPART_MEMO[key] = op
+        return op
+
+
 #: (applicationId, sf_dir, fingerprint) → (eor, deg, n_edges, coocc
 #: handle): the degree-ORIENTED edge stage (operators/graph
 #: .orient_edges over the memoized co-occurrence frame), persisted +
@@ -2239,6 +2273,12 @@ def release_shared_histograms() -> None:
                 f.unpersist()
             except Exception:
                 pass
+    while _ORDPART_MEMO:
+        _, old = _ORDPART_MEMO.popitem()
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     while _COOCC_MEMO:
         _, old = _COOCC_MEMO.popitem()
         _release_coocc_entry(old)
@@ -2905,9 +2945,10 @@ def part_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_python_sqlite_spark.operators.cache import tie
 
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct().persist()
-    op.count()
+    # the memoized shared (order, part) distinct stage (r11-opt —
+    # part_basket_pairs re-built it per invocation; the co-occurrence
+    # edge build starts from the same frame)
+    op = _ordpart_distinct(spark, sf_dir)
     a = op.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
     )
@@ -2921,7 +2962,7 @@ def part_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
-    return tie(out, op)
+    return tie(out, keepalive=[op])
 
 
 def scd1_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
