@@ -619,33 +619,37 @@ def ext_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     approx = S.ann_knn_join_lsh(embs, k=3).select("id_a", "id_b")
 
-    # Brute-force 3-NN audit, restructured from the original per-pair
-    # F.aggregate cosine folds (the repo's measured-60×-slower
-    # interpreted-HOF hazard: 200k pairs × 3 folds × 64 dims dominated
-    # the query at 3.8 s) into flat codegen columns: posexplode both
-    # sides, BROADCAST the 100×64 query rows into the corpus rows, one
-    # partial-aggregated groupBy for the dots. Element products are
-    # floor-quantized to integer 1e-9 units, so the summation is
-    # order-free exact integers — no float-accumulation-order
-    # nondeterminism across partitionings (the invariance gate's rule) —
-    # and the final score ranking divides exact ints in IEEE doubles.
-    qf = (
-        embs.filter(F.col("vec_id") < 100)
-        .select(
-            F.col("vec_id").alias("id_a"),
-            F.posexplode(S._as_double_array("embedding")).alias("pos", "va"),
-        )
+    # Brute-force 3-NN audit. History of this stage's shape: the r7
+    # form ran per-pair float cosine folds through a 1-partition
+    # nested-loop join (3 folds/pair, one task — 3.8 s); r10 rewrote it
+    # as posexplode + broadcast + (id_a,id_b) groupBy over quantized
+    # element products (1.5-1.7 s — order-free exact integers); r11-opt
+    # A/B'd BOTH against a per-pair INTEGER fold over the broadcast
+    # cross join with the corpus side repartitioned to the cores:
+    # 0.32-0.39 s vs 1.49-1.69 s for the explode form, identical dot_q
+    # on all 199 900 pairs. The explode form's cost was never the
+    # arithmetic — it was shuffling 12.8M exploded rows into the pair
+    # groupBy; the fold keeps each pair's 64 products in-row (zero
+    # exchanges before the top-k window) and stays order-free exact
+    # (integer truncation per element, BIGINT sum).
+    qa = embs.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id_a"), S._as_double_array("embedding").alias("qv")
     )
-    cf = embs.select(
-        F.col("vec_id").alias("id_b"),
-        F.posexplode(S._as_double_array("embedding")).alias("pos", "vb"),
-    )
-    qprod = F.expr("CAST(floor(va * vb * 1e9) AS BIGINT)")
+    ca = embs.select(
+        F.col("vec_id").alias("id_b"), S._as_double_array("embedding").alias("cv")
+    ).repartition(spark.sparkContext.defaultParallelism)
     dots = (
-        cf.join(F.broadcast(qf), "pos")
+        ca.crossJoin(F.broadcast(qa))
         .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(qprod).alias("dot_q"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "aggregate(zip_with(cv, qv,"
+                " (x, y) -> CAST(floor(x * y * 1e9) AS BIGINT)),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("dot_q"),
+        )
     )
     norms = embs.select(
         F.col("vec_id").alias("_nid"),
