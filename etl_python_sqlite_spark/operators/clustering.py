@@ -307,6 +307,7 @@ def _lloyd_chain(
     id_col: str,
     n_partitions: int | None,
     seeding: str = "phash",
+    seeds: list | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared chain builder: returns ``(flat, cents, final)`` — the
     persisted flat frame, the persisted FINAL centroid frame, and the
@@ -326,10 +327,13 @@ def _lloyd_chain(
 
     if seeding == "parallel":
         # --- k-means‖: bounded collects up front, then literal k·dim
-        # seed centroids ride the same broadcast path ----------------
-        seeds = kmeans_parallel_seeds(
-            embs, k, vec_col=vec_col, id_col=id_col, _flat=flat
-        )
+        # seed centroids ride the same broadcast path; callers may hand
+        # in memoized seeds (a deterministic pure function of the
+        # table) and skip both collects ------------------------------
+        if seeds is None:
+            seeds = kmeans_parallel_seeds(
+                embs, k, vec_col=vec_col, id_col=id_col, _flat=flat
+            )
         cents = embs.sparkSession.createDataFrame(
             [
                 (cid, d, q)
@@ -379,6 +383,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     n_partitions: int | None = None,
     seeding: str = "phash",
+    seeds: list | None = None,
 ) -> DataFrame:
     """Run ``iters`` Lloyd updates and return the final per-cluster
     summary:
@@ -392,10 +397,13 @@ def kmeans_lloyd(
     uniform-random, zero extra jobs) or ``"parallel"`` (deterministic
     k-means‖, :func:`kmeans_parallel_seeds` — two bounded extra driver
     jobs; well-spread seeds that avoid the collapsed-seed/dead-cluster
-    failure mode on skewed corpora).
+    failure mode on skewed corpora). ``seeds``: precomputed
+    :func:`kmeans_parallel_seeds` output — seeding is a deterministic
+    pure function of the table, so callers may memoize it per
+    session+fingerprint and skip the two collects (r11-opt).
     """
     flat, cents, final = _lloyd_chain(
-        embs, k, iters, vec_col, id_col, n_partitions, seeding
+        embs, k, iters, vec_col, id_col, n_partitions, seeding, seeds
     )
     l1 = cents.groupBy("cid").agg(
         F.sum("c").cast("long").alias("centroid_l1")

@@ -2589,8 +2589,38 @@ def ext_kmeans_par_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return kmeans_lloyd(
         _embs(spark, sf_dir), k=8, iters=2, seeding="parallel",
-        n_partitions=8,
+        n_partitions=8, seeds=_kmeans_par_seeds_stage(spark, sf_dir, k=8),
     )
+
+
+#: (applicationId, sf_dir, fingerprint, k) → kmeans_parallel_seeds
+#: output: k (cid, vid, qvec) tuples of plain Python ints — the
+#: deterministic k-means‖ seeding is a pure function of the table, and
+#: every ext_kmeans_par_seeded invocation was re-running its two
+#: bounded corpus passes (~2.2 s warm at sf0.1). Same plain-python memo
+#: policy as the word histogram (no Spark resources, no finalizer).
+_KMSEEDS_MEMO: dict = {}
+_KMSEEDS_LOCK = threading.Lock()
+
+
+def _kmeans_par_seeds_stage(spark: SparkSession, sf_dir: str, k: int) -> list:
+    from etl_python_sqlite_spark.operators.clustering import (
+        kmeans_parallel_seeds,
+    )
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+
+    fp = data_fingerprint(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, fp, k)
+    with _KMSEEDS_LOCK:
+        hit = _KMSEEDS_MEMO.pop(key, None)
+        if hit is not None:
+            _KMSEEDS_MEMO[key] = hit  # LRU refresh
+            return hit
+        hit = kmeans_parallel_seeds(_embs(spark, sf_dir), k)
+        while len(_KMSEEDS_MEMO) >= 2:
+            _KMSEEDS_MEMO.pop(next(iter(_KMSEEDS_MEMO)))
+        _KMSEEDS_MEMO[key] = hit
+        return hit
 
 
 #: (applicationId, sf_dir, fingerprint, max_vocab) → collected (word,
