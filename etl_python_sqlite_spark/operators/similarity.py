@@ -845,33 +845,52 @@ def semantic_dedup_pairs(
     return semantic_dedup_pairs_from_assignment(assigned, threshold, id_col)
 
 
+def semantic_centroids(
+    df: DataFrame,
+    n_clusters: int = 16,
+    refine_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """The deterministic codebook of :func:`semantic_assign` WITHOUT the
+    final assignment pass: farthest-point seeds, then ``refine_iters``
+    Lloyd refinements (each one Arrow assignment pass + an
+    order-independent integer-quantized refine collect). A pure
+    function of the input frame — r11-opt: the plans layer memoizes it
+    per session+fingerprint so repeated query invocations skip the
+    seeding/refine jobs and pay only the final assignment."""
+    cents = _unit(farthest_point_seeds(df, n_clusters, vec_col, id_col))
+    for _ in range(refine_iters if cents else 0):
+        # persist each iteration's assignment: the refine collect
+        # otherwise re-runs the full Arrow assignment scan
+        assigned = ivf_assign(df, cents, vec_col, id_col).persist()
+        cents = _unit(_lloyd_refine_centroids(assigned, cents))
+        assigned.unpersist()
+    return cents
+
+
 def semantic_assign(
     df: DataFrame,
     n_clusters: int = 16,
     refine_iters: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cents: list | None = None,
 ) -> DataFrame:
     """Deterministic k-clustering of the embedding space (codebook =
     lowest-id seeds, Lloyd refinement on integer-quantized sums, cosine
-    argmax assignment). Returns (id, v, centroid_id)."""
-    cents = _unit(
-        farthest_point_seeds(df, n_clusters, vec_col, id_col)
-    )
+    argmax assignment). Returns (id, v, centroid_id). ``cents``:
+    precomputed :func:`semantic_centroids` output (callers may memoize
+    it — the codebook is deterministic)."""
+    if cents is None:
+        cents = semantic_centroids(
+            df, n_clusters, refine_iters, vec_col, id_col
+        )
     if not cents:  # empty corpus — empty assignment, correct schema
         return df.sparkSession.createDataFrame(
             [], f"{id_col} long, v array<double>, centroid_id int"
         )
-    assigned = ivf_assign(df, cents, vec_col, id_col)
-    for _ in range(refine_iters):
-        # persist each iteration's assignment: the refine collect AND the
-        # next iteration (or the caller) otherwise re-run the full Arrow
-        # assignment scan — 2R+1 corpus scans instead of R+1
-        assigned = assigned.persist()
-        cents = _unit(_lloyd_refine_centroids(assigned, cents))
-        prev, assigned = assigned, ivf_assign(df, cents, vec_col, id_col)
-        prev.unpersist()
-    return assigned
+    return ivf_assign(df, cents, vec_col, id_col)
 
 
 def farthest_point_seeds(

@@ -1709,7 +1709,12 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero ≥0.9 pairs; ground-truth recall on planted corpora lives in
     tests/test_similarity.py."""
     embs = _embs(spark, sf_dir)
-    assigned = S.semantic_assign(embs, n_clusters=16, refine_iters=1).persist()
+    cents = _semantic_centroids_stage(
+        spark, sf_dir, "semdedup", embs, n_clusters=16, refine_iters=1
+    )
+    assigned = S.semantic_assign(
+        embs, n_clusters=16, refine_iters=1, cents=cents
+    ).persist()
     assigned.count()  # eager: pair search + ca/cb joins + cluster stats
     pairs = S.semantic_dedup_pairs_from_assignment(
         assigned, threshold=0.9
@@ -2593,6 +2598,39 @@ def ext_kmeans_par_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir, fingerprint, tag) → semantic_centroids
+#: output (k (cid, unit-vec) tuples of plain Python floats): the
+#: SemDeDup codebook is a DETERMINISTIC pure function of its input
+#: frame, and both audit queries were re-running seeding + one Lloyd
+#: refinement (a seeds collect + an extra Arrow assignment pass + a
+#: refine collect ≈ 1-1.5 s) per invocation. ``tag`` separates the two
+#: distinct inputs (the raw embeddings vs the contamination-tagged
+#: union — the union is itself a deterministic function of the same
+#: table, so the fingerprint key stays valid). Plain-python memo, no
+#: Spark resources (the word-histogram policy).
+_SEMCENTS_MEMO: dict = {}
+_SEMCENTS_LOCK = threading.Lock()
+
+
+def _semantic_centroids_stage(
+    spark: SparkSession, sf_dir: str, tag: str, df: DataFrame, **kw
+) -> list:
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+
+    fp = data_fingerprint(spark, sf_dir, "embeddings")
+    key = (spark.sparkContext.applicationId, sf_dir, fp, tag)
+    with _SEMCENTS_LOCK:
+        hit = _SEMCENTS_MEMO.pop(key, None)
+        if hit is not None:
+            _SEMCENTS_MEMO[key] = hit  # LRU refresh
+            return hit
+        hit = S.semantic_centroids(df, **kw)
+        while len(_SEMCENTS_MEMO) >= 4:
+            _SEMCENTS_MEMO.pop(next(iter(_SEMCENTS_MEMO)))
+        _SEMCENTS_MEMO[key] = hit
+        return hit
+
+
 #: (applicationId, sf_dir, fingerprint, k) → kmeans_parallel_seeds
 #: output: k (cid, vid, qvec) tuples of plain Python ints — the
 #: deterministic k-means‖ seeding is a pure function of the table, and
@@ -3226,8 +3264,12 @@ def ext_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = corpus.withColumn("side", F.lit(0)).unionByName(
         bench.withColumn("side", F.lit(1))
     )
+    cents = _semantic_centroids_stage(
+        spark, sf_dir, "semcon", union,
+        n_clusters=16, refine_iters=1, vec_col="v",
+    )
     assigned = semantic_assign(
-        union, n_clusters=16, refine_iters=1, vec_col="v"
+        union, n_clusters=16, refine_iters=1, vec_col="v", cents=cents
     ).join(union.select("vec_id", "side"), "vec_id").persist()
     assigned.count()  # eager: pair search + the two co-cluster joins
     pairs = semantic_contamination_pairs_from_assignment(
