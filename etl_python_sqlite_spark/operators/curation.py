@@ -74,7 +74,10 @@ def doc_bigrams(
 
 
 def bigram_lm_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_bigrams, sum_p_micro, mean_p) — corpus-trained bigram-LM
     quality score per document.
@@ -99,12 +102,21 @@ def bigram_lm_score(
     it would hit the 8 GB limit; only the word-level c1 table, bounded
     by vocabulary, and the 1-row V scalar broadcast) → one groupBy back
     on the id. No floats until the final display division.
+
+    ``grams``: an ALREADY-MATERIALIZED (id, w1, w2) instance frame (the
+    plans-layer shared stage) — this operator then neither builds,
+    persists nor releases it (r12-opt, guide §2.4: the count tables and
+    the scoring join read the caller's cache instead of re-running the
+    explode per invocation).
     """
     from etl_python_sqlite_spark.operators.cache import tie
     from etl_python_sqlite_spark.plans.relational import _avg_expr
 
-    bg = doc_bigrams(df, text_col, id_col).persist()
-    bg.count()
+    if grams is not None:
+        bg, own = grams, False
+    else:
+        bg, own = doc_bigrams(df, text_col, id_col).persist(), True
+        bg.count()
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     # 1-row frame carrying V — broadcast into the expression (a 1-row
@@ -133,7 +145,7 @@ def bigram_lm_score(
             _avg_expr("sum_p_micro", "n_bigrams", 6, 6).alias("mean_p"),
         )
     )
-    return tie(out, bg)
+    return tie(out, bg) if own else out
 
 
 def doc_trigrams(
@@ -145,7 +157,10 @@ def doc_trigrams(
 
 
 def trigram_lm_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_trigrams, sum_p_micro, mean_p) — the higher-order sibling
     of :func:`bigram_lm_score` (VERDICT r9 missing #2: real CCNet
@@ -178,12 +193,19 @@ def trigram_lm_score(
     parallelism at 0.6 MB input, the repo's extra-stages lesson). The
     multiplicity form remains the documented upgrade path for corpora
     where the raw instance frame outgrows executor storage — its
-    instance shuffle carries distinct (doc, trigram) rows only."""
+    instance shuffle carries distinct (doc, trigram) rows only.
+
+    ``grams``: an ALREADY-MATERIALIZED (id, w1, w2, w3) instance frame
+    (the plans-layer shared stage; same contract as
+    :func:`bigram_lm_score`)."""
     from etl_python_sqlite_spark.operators.cache import tie
     from etl_python_sqlite_spark.plans.relational import _avg_expr
 
-    tg = doc_trigrams(df, text_col, id_col).persist()
-    tg.count()
+    if grams is not None:
+        tg, own = grams, False
+    else:
+        tg, own = doc_trigrams(df, text_col, id_col).persist(), True
+        tg.count()
     c3 = tg.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
     c12 = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c12"))
     vocab = c3.agg(F.countDistinct("w3").alias("v"))
@@ -209,11 +231,29 @@ def trigram_lm_score(
             _avg_expr("sum_p_micro", "n_trigrams", 6, 6).alias("mean_p"),
         )
     )
-    return tie(out, tg)
+    return tie(out, tg) if own else out
+
+
+def doc_words(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, ws) — the lowercased word ARRAY per document: the one
+    tokenization pass every order of :func:`doc_ngrams` starts from.
+    Split out (r12-opt) so the plans layer can materialize it ONCE and
+    feed the bigram/trigram/5-gram scorers from the same cached stage
+    (guide §2.4 — the LM family re-ran the identical regexp split +
+    lower per query)."""
+    return df.select(
+        F.col(id_col), words(F.lower(F.col(text_col))).alias("ws")
+    )
 
 
 def doc_ngrams(
-    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_col: str | None = None,
 ) -> DataFrame:
     """(id, w1..wn) — one row per ADJACENT word n-tuple, multiset
     semantics; the :func:`doc_trigrams` in-row zip generalized to any
@@ -221,10 +261,18 @@ def doc_ngrams(
     NULL-padded; the filter on the LAST column drops the ragged tail
     rows, and <n-word docs yield no rows). Zero pairing exchanges at
     any order — the n-gram never leaves its row until the count
-    shuffle."""
+    shuffle.
+
+    ``words_col``: the caller already tokenized (a :func:`doc_words`
+    frame, possibly cached) — zip that array column instead of
+    re-running the lower+regexp split. Same values by construction."""
     if n < 2:
         raise ValueError("n must be >= 2")
-    ws = words(F.lower(F.col(text_col)))
+    ws = (
+        F.col(words_col)
+        if words_col is not None
+        else words(F.lower(F.col(text_col)))
+    )
     return (
         df.select(
             F.col(id_col),
@@ -251,6 +299,7 @@ def ngram_lm_score(
     n: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    words_col: str | None = None,
 ) -> DataFrame:
     """(id, n_ngrams, sum_p_micro, mean_p) — order-n Laplace LM quality
     scoring, closing the bigram→trigram ladder at the CCNet operating
@@ -293,7 +342,7 @@ def ngram_lm_score(
         )
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
-    tg = doc_ngrams(df, n, text_col, id_col).persist()
+    tg = doc_ngrams(df, n, text_col, id_col, words_col=words_col).persist()
     tg.count()
     cn = tg.groupBy(*keys).agg(F.count("*").alias("cn"))
     ctx = cn.groupBy(*keys[:-1]).agg(F.sum("cn").alias("cctx"))
@@ -328,13 +377,17 @@ def bucketed_bigram_counts(
     n_buckets: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id, bucket, cnt) — the raw hashed-bigram roll-up both DSIR and
     the NB quality classifier aggregate from (identical hash, identical
     buckets): the stage worth materializing ONCE when several consumers
-    run over the same corpus (plans/ext memoizes it per fingerprint)."""
+    run over the same corpus (plans/ext memoizes it per fingerprint).
+    ``grams``: an already-materialized (id, w1, w2) instance frame —
+    the hash roll-up then rides the shared LM-family stage instead of
+    re-exploding (r12-opt)."""
     return (
-        doc_bigrams(df, text_col, id_col)
+        (grams if grams is not None else doc_bigrams(df, text_col, id_col))
         .select(
             F.col(id_col),
             F.pmod(

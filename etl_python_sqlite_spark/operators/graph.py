@@ -466,6 +466,10 @@ def pagerank(
             symmetric=edges_symmetric,
         )
         return tie(out, e) if own_e else out
+    # keep the (possibly persisted) pre-union handle: reassigning ``e``
+    # below would otherwise orphan the canonical frame's persist — tie
+    # would unpersist the un-cached union, a no-op (ADVICE r11)
+    e0 = e
     if edges_symmetric:
         # Pregel tiers work on the directed set — the two orientations
         # of a canonical frame are disjoint, so the union is distinct
@@ -552,7 +556,7 @@ def pagerank(
             .cast("long")
             .alias("r"),
         ).localCheckpoint(eager=True)
-    keep = ([e] if own_e else []) + [eo, nodes, no_in] + (
+    keep = ([e0] if own_e else []) + [eo, nodes, no_in] + (
         [dang] if dang is not None else []
     )
     return tie(ranks, *keep)
@@ -734,5 +738,9 @@ def triangle_counts(
     if own:
         return tie(out, *own)
     # prepared tier: the memo owns the frames — keep them alive for as
-    # long as this result reads them (tie composition rule)
-    return tie(out, keepalive=[eor, deg])
+    # long as this result reads them (tie composition rule). The edges
+    # handle (the co-occurrence memo entry eor/deg derive from) must be
+    # kept too: if BOTH memos evict while this result is live, dropping
+    # eor would force the next action to recompute through the parent
+    # stage TABLE, whose drop finalizer may have fired (ADVICE r11).
+    return tie(out, keepalive=[eor, deg, edges])

@@ -2198,7 +2198,10 @@ def _ordpart_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         op = li.select("l_orderkey", "l_partkey").distinct().persist()
         op.count()  # self-join consumers in concurrent bench actions
         while len(_ORDPART_MEMO) >= _FLAG_HIST_MAX:
-            _, old = _ORDPART_MEMO.popitem()
+            # true LRU: evict the OLDEST entry (popitem() pops the
+            # newest — the _flag_cents_hist documented pitfall)
+            oldest = next(iter(_ORDPART_MEMO))
+            old = _ORDPART_MEMO.pop(oldest)
             try:
                 old.unpersist()
             except Exception:
@@ -2245,7 +2248,10 @@ def _triangle_oriented_stage(
         n_edges = eor.count()  # materializer doubles as the tier gate
         entry = (eor, deg, n_edges, e)
         while len(_TRI_STAGE_MEMO) >= _FLAG_HIST_MAX:
-            _, old = _TRI_STAGE_MEMO.popitem()
+            # true LRU: evict the OLDEST entry (popitem() pops the
+            # newest — the _flag_cents_hist documented pitfall)
+            oldest = next(iter(_TRI_STAGE_MEMO))
+            old = _TRI_STAGE_MEMO.pop(oldest)
             for f in old[:2]:
                 try:
                     f.unpersist()
