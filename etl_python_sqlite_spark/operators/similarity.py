@@ -320,6 +320,8 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     target_bucket_rows: int = 128,
+    n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vectors: multi-table sign-LSH candidate generation +
     exact cosine verification, all pair work vectorized per bucket.
@@ -341,10 +343,14 @@ def embedding_near_dup_pairs(
     ``distinct()`` on the (id_a, id_b, cos_sim) rows, which is exact
     because every table computes bit-identical rounded doubles.
     """
-    stats = df.select(
-        F.count(F.lit(1)).alias("n"), F.first(F.size(F.col(vec_col))).alias("dim")
-    ).first()
-    n_rows, dim = int(stats["n"]), stats["dim"]
+    if n_rows is None or dim is None:
+        # callers reading a plain parquet table pass n_rows/dim from
+        # footer metadata instead of this distributed probe (r12-opt)
+        stats = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.first(F.size(F.col(vec_col))).alias("dim"),
+        ).first()
+        n_rows, dim = int(stats["n"]), stats["dim"]
     if n_rows == 0 or not dim:
         return df.sparkSession.createDataFrame([], "id_a long, id_b long, cos_sim double")
     if planes is None:
@@ -540,6 +546,8 @@ def ann_knn_join_lsh(
     max_candidates_per_bucket: int = 4096,
     corpus_count: int | None = None,
     n_probes: int | None = None,
+    n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate kNN JOIN: every vector's top-k cosine neighbors found by
     sign-LSH bucketing + per-bucket vectorized scoring.

@@ -51,6 +51,23 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _emb_meta(spark: SparkSession, sf_dir: str) -> tuple[int, int | None]:
+    """(n_rows, dim) of the embeddings table from parquet FOOTER
+    metadata — zero Spark jobs (r12-opt: the ANN/near-dup operators'
+    count+first(size(v)) probe was a distributed aggregate action per
+    invocation; for a plain table scan the footer count is exact and
+    the first row's dim is the same row the probe read)."""
+    from etl_python_sqlite_spark.sources.parquet import (
+        array_dim_from_metadata,
+        table_row_count_from_metadata,
+    )
+
+    return (
+        table_row_count_from_metadata(sf_dir, "embeddings"),
+        array_dim_from_metadata(sf_dir, "embeddings", "embedding"),
+    )
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -458,7 +475,12 @@ def ext_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ max(1, 20% of exact) — wide margin under the measured ≥0.95 recall
     SLO (tests/test_similarity.py::test_embedding_near_dup_recall)."""
     embs = _embs(spark, sf_dir)
-    approx = S.embedding_near_dup_pairs(embs, threshold=0.9).select("id_a", "id_b")
+    # r12-opt: n/dim from parquet footer metadata — the distributed
+    # count+first probe was one whole driver action per invocation
+    n_emb, dim_emb = _emb_meta(spark, sf_dir)
+    approx = S.embedding_near_dup_pairs(
+        embs, threshold=0.9, n_rows=n_emb, dim=dim_emb
+    ).select("id_a", "id_b")
     exact = S.cosine_pairs_sample(embs, max_id=200, threshold=0.9).select(
         "id_a", "id_b"
     )
@@ -617,7 +639,13 @@ def ext_ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     embs = _embs(spark, sf_dir)
-    approx = S.ann_knn_join_lsh(embs, k=3).select("id_a", "id_b")
+    # r12-opt: n/dim from parquet footer metadata (zero Spark jobs) —
+    # the operator's count+first probe was one driver action per
+    # invocation (VERDICT r11 next #4)
+    n_emb, dim_emb = _emb_meta(spark, sf_dir)
+    approx = S.ann_knn_join_lsh(
+        embs, k=3, n_rows=n_emb, dim=dim_emb
+    ).select("id_a", "id_b")
 
     # Brute-force 3-NN audit. History of this stage's shape: the r7
     # form ran per-pair float cosine folds through a 1-partition
@@ -1715,11 +1743,15 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = S.semantic_assign(
         embs, n_clusters=16, refine_iters=1, cents=cents
     ).persist()
-    assigned.count()  # eager: pair search + ca/cb joins + cluster stats
     pairs = S.semantic_dedup_pairs_from_assignment(
         assigned, threshold=0.9
     ).persist()
-    pairs.count()  # eager: two independent left_anti consumers
+    # ONE eager action warms BOTH caches (r12-opt, the sequential-
+    # consumers rule): the pair search scans — and thereby materializes
+    # — the assignment persist, so the ca/cb joins and cluster stats in
+    # the final action read a warm cache; a separate assigned.count()
+    # was one whole driver action (~0.9 s fixed) for no extra safety.
+    pairs.count()
 
     n_vec = embs.agg(F.count("*").cast("long").alias("n_vectors"))
     # ONE scored sample frame, three threshold filters (r11-opt): the
@@ -3289,11 +3321,13 @@ def ext_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = semantic_assign(
         union, n_clusters=16, refine_iters=1, vec_col="v", cents=cents
     ).join(union.select("vec_id", "side"), "vec_id").persist()
-    assigned.count()  # eager: pair search + the two co-cluster joins
     pairs = semantic_contamination_pairs_from_assignment(
         assigned, threshold=0.9
     ).persist()
-    pairs.count()  # eager: four independent audit consumers below
+    # ONE eager action warms BOTH caches (r12-opt, the sequential-
+    # consumers rule — see ext_semantic_dedup): the pair search scan
+    # materializes the assignment persist for the later audit joins.
+    pairs.count()
 
     n_bench = bench.agg(F.count("*").cast("long").alias("n_benchmark"))
     n_corp = corpus.agg(F.count("*").cast("long").alias("n_corpus"))
@@ -3929,7 +3963,17 @@ def ext_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_webdataset_shards(
         docs, out, key_col="doc_id", members={"txt": "text"}, num_shards=4
     )
-    back = read_webdataset(spark, out, members=["txt"])
+    # r12-opt (guide §2.6, VERDICT r11 next #9): the read-back was one
+    # task per shard — 4 tasks on a 32-core box. Member-range splits
+    # (sample-boundary-aligned, driver header sweep + executor
+    # seek+read) lift read parallelism to the cores; every payload byte
+    # still comes off the tar, so the attestation is unchanged. Scale-
+    # adaptive: at shard counts ≥ cores this stays 1 (the streaming
+    # one-task-per-shard form, no header sweep).
+    par = spark.sparkContext.defaultParallelism
+    back = read_webdataset(
+        spark, out, members=["txt"], splits_per_shard=max(1, par // 4)
+    )
     return back.select(
         F.col("key").cast("long").alias("doc_id"),
         F.md5(F.col("txt")).alias("text_md5"),

@@ -2778,14 +2778,27 @@ def scd2_apply_changes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = table(spark, sf_dir, "events")
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    split = lo + (hi - lo) / 2
+    # r12-opt (guide §2.4 / the fewer-driver-actions rule): the midpoint
+    # split used to be a driver collect (min/max first() — one whole
+    # action before the query's own). It is now a 1-row broadcast
+    # folded into the lazy plan (the repo's accepted scalar shape) —
+    # output-UNCHANGED by construction: merge ≡ rebuild holds for ANY
+    # split value (the oracle is the same full-history SQL), so even a
+    # microsecond-level engine difference in interval halving cannot
+    # move the result. The split still derives from the data, so
+    # per-round regeneration moves it automatically.
+    bounds = ev.agg(F.min("ts").alias("_lo"), F.max("ts").alias("_hi"))
+    evb = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "_split", F.col("_lo") + (F.col("_hi") - F.col("_lo")) / 2
+    )
     hist = scd2_intervals(
-        ev.filter(F.col("ts") < F.lit(split)),
+        evb.filter(F.col("ts") < F.col("_split")).select(
+            "user_id", "event_type", "ts", "event_id"
+        ),
         key="user_id", state_col="event_type", ts_col="ts",
         order_cols=["event_id"],
     ).persist()  # consumed by open-affected semi/anti + untouched pass
-    changes = ev.filter(F.col("ts") >= F.lit(split)).select(
+    changes = evb.filter(F.col("ts") >= F.col("_split")).select(
         "user_id", "event_type", "ts", "event_id"
     )
     # the midpoint split guarantees time-ordered batches by

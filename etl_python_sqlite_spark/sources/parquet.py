@@ -137,3 +137,35 @@ def table_row_count_from_metadata(sf_dir: str, name: str) -> int:
                     ).metadata.num_rows
         return total
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def array_dim_from_metadata(sf_dir: str, name: str, col: str) -> int | None:
+    """Element count of the FIRST row's ``col`` array in
+    ``{sf_dir}/{name}.parquet`` — one row group of one column read
+    driver-side, zero Spark jobs (r12-opt: the ANN operators' ``n/dim``
+    probe was a full distributed aggregate action per invocation).
+    Returns None for an empty table. Matches the engine's
+    ``first(size(col))`` for the homogeneous-dim embedding tables this
+    repo reads; a ragged corpus would key off the same first row either
+    way."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    files = []
+    if os.path.isdir(path):
+        for root, _, fs in os.walk(path):
+            files += [os.path.join(root, f) for f in sorted(fs)
+                      if f.endswith(".parquet")]
+    else:
+        files = [path]
+    for f in files:
+        pf = pq.ParquetFile(f)
+        if pf.metadata.num_rows == 0:
+            continue
+        tbl = pf.read_row_group(0, columns=[col])
+        if tbl.num_rows:
+            v = tbl.column(0)[0].as_py()
+            return len(v) if v is not None else None
+    return None
