@@ -80,9 +80,13 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             return name, -1.0
 
-    # pass 0: untimed warm-up of every query (see module docstring §0)
-    for item in queries.items():
-        run_one(item)
+    # pass 0: untimed warm-up of every query (see module docstring §0).
+    # The per-query COLD times are recorded (BENCH_DETAIL.json only,
+    # never the final line — capture contract) so memo-amortized stage
+    # builds stay attributable: a query whose warm number rides a
+    # session memo shows its true first-invocation cost here
+    # (VERDICT r11 next #6).
+    cold_timings = dict(run_one(item) for item in queries.items())
 
     # pass 1: sequential per-query latency, warm plans, BEST OF TWO
     # passes — single-shot numbers on a 32-thread single JVM swing 2-4×
@@ -193,6 +197,7 @@ def main() -> None:
     full = dict(summary)
     full["concurrent_runs_sec"] = concurrent_runs
     full["queries"] = timings
+    full["queries_cold"] = cold_timings
     # per-query DuckDB twin timings (detail file only, never the final
     # line): the aggregate baseline swings ~2× with machine state
     # (r5: 71→144 s on the same corpus), so the breakdown is needed to

@@ -571,11 +571,28 @@ def pagerank(
 #: list is broadcastable. MEASURED (r6, 16× lineitem probe, 14.3M
 #: edges): broadcast 96 s vs shuffle 166 s — broadcast still 1.7×
 #: faster, so the gate sits above that point. Beyond it the shuffle
-#: join is the only shape that survives: the hashed relation is
-#: ~16 B/row × 3-4× overhead (≈1.5 GB at this gate), which must fit
-#: EVERY executor — at 10^9 edges the broadcast is the classic
-#: scale-killer (the pagerank lesson).
-TRIANGLE_BROADCAST_MAX_EDGES = 20_000_000
+#: join is the only shape that survives: the broadcast must fit EVERY
+#: executor — at 10^9 edges it is the classic scale-killer (the
+#: pagerank lesson).
+#:
+#: r12-opt (VERDICT r11 #4): the gate is expressed in BYTES, the unit
+#: the executor actually pays, and the edge cap derives from it.
+#: MEASURED bytes/edge of the broadcast adjacency relation (the
+#: per-apex collect_list out-lists both intersect-tier joins build):
+#: sf0.1 co-occurrence graph, 1,196,000 oriented edges → 16.2 MiB
+#: BroadcastExchange "data size" per adjacency broadcast (UI REST
+#: metric, probe log in plans/r12) ≈ 14.2 B/edge serialized; 16 B/edge
+#: is the rounded-up constant (the hashed relation's in-memory build
+#: adds its own 3-4× on top — the deploy-sizing note below). 320 MiB
+#: keeps the gate at the r6-measured 20M-edge operating point (its 16×
+#: probe showed broadcast still 1.7× faster at 14.3M edges) while
+#: staying a per-executor footprint a real cluster can hold
+#: (~0.3 GiB serialized, ~1-1.3 GiB built).
+TRIANGLE_ADJ_BYTES_PER_EDGE = 16
+TRIANGLE_BROADCAST_MAX_BYTES = 320 * 1024 * 1024
+TRIANGLE_BROADCAST_MAX_EDGES = (
+    TRIANGLE_BROADCAST_MAX_BYTES // TRIANGLE_ADJ_BYTES_PER_EDGE
+)
 
 
 def orient_edges(e: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -138,10 +138,18 @@ def scd2_intervals(
     extra = list(order_cols or [])
     order = [F.col(ts_col)] + [F.col(c) for c in extra]
     w = Window.partitionBy(key).orderBy(*order)
+    # both windows order by the SAME attributes (ts is renamed to
+    # valid_from only in the final projection): the planner then proves
+    # the change rows are already sorted and plans ONE Exchange + ONE
+    # Sort for the whole operator. The previous mid-stream rename made
+    # the second window re-Sort — ordering propagation does not see
+    # through the alias (r12-opt, guide §2.4; plan diff in plans/r12).
+    # The tie-break (two change rows CAN share a timestamp) is the same
+    # order list, so lead() stays deterministic.
     flagged = df.select(
         key,
         state_col,
-        F.col(ts_col).alias("valid_from"),
+        ts_col,
         *extra,
         (
             F.lag(state_col).over(w).isNull()
@@ -149,17 +157,12 @@ def scd2_intervals(
         ).alias("_chg"),
     )
     changes = flagged.filter("_chg").drop("_chg")
-    # tie-break the second window with the SAME order columns — two
-    # change rows can share a timestamp, and lead() must be deterministic
-    w2 = Window.partitionBy(key).orderBy(
-        F.col("valid_from"), *[F.col(c) for c in extra]
-    )
     return changes.select(
         key,
         state_col,
-        "valid_from",
-        F.lead("valid_from").over(w2).alias("valid_to"),
-        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
     )
 
 

@@ -212,6 +212,7 @@ def test_curation_ops_empty_inputs(spark):
     )
 
 
+@pytest.mark.slow  # >8 s e2e/fuzz (default tier deselects)
 def test_scd2_apply_changes_merge_equals_rebuild(spark):
     """Planted CDC log split at several boundaries: merging the suffix
     into the prefix-built history must equal the one-shot rebuild —
@@ -461,6 +462,7 @@ def test_scd2_rebuild_keys_late_batch_duckdb_twin(spark):
     assert r2 == {(2, "X", T(0)), (2, "Y", T(3))}
 
 
+@pytest.mark.slow  # >8 s e2e/fuzz (default tier deselects)
 def test_scd2_rebuild_keys_fuzz_against_python_reference(spark):
     """Seeded-random CDC logs (duplicate per-key timestamps, same-state
     runs, late batches that interleave arbitrarily — including AT

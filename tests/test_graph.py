@@ -8,6 +8,8 @@ round budget), stars, and merged multi-cluster graphs.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_python_sqlite_spark.operators.graph import (
@@ -321,6 +323,7 @@ def test_triangle_closure_tiers_identical(spark):
     assert by_node == {1: 2, 2: 1, 3: 3, 4: 2, 5: 1}
 
 
+@pytest.mark.slow  # >8 s e2e/fuzz (default tier deselects)
 def test_pagerank_symmetric_canonical_matches_directed_union(spark):
     """r11-opt: pagerank(edges_symmetric=True) over a canonical (u < v)
     frame must be bit-identical to feeding the directed union, on both

@@ -10,6 +10,8 @@ frame, never serve a cached stage of the OLD data.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row
 
 
@@ -97,6 +99,7 @@ def _write_documents(spark, sf_dir: str, texts: list[str]) -> None:
     )
 
 
+@pytest.mark.slow  # >8 s e2e/fuzz (default tier deselects)
 def test_minhash_stage_rebuilds_on_rewrite(spark, tmp_path):
     """The r8 shared minhash-pairs stage must never serve pairs mined
     from rewritten-away data (the same wrong-answer class as the cents

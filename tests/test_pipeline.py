@@ -99,6 +99,7 @@ def test_batch_end_to_end(spark, cfg):
     assert audit["b_clean.csv"]["ignored_duplicates"] == 1
 
 
+@pytest.mark.slow  # >8 s e2e/fuzz (default tier deselects)
 def test_rerun_is_idempotent(spark, cfg):
     run_batch(spark, cfg, now=NOW)
     result2 = run_batch(spark, cfg, now=NOW)
@@ -174,6 +175,7 @@ def test_combined_directory_run_matches_per_file(spark, cfg, tmp_path):
     assert naomi["nombre"] == "Naomi " and naomi["ciudad"] == " san juan"
 
 
+@pytest.mark.slow  # >8 s e2e/fuzz (default tier deselects)
 def test_bucketed_warehouse_run_batch_parity(spark, tmp_path):
     """fact_table set → the warehouse default is the bucketed catalog
     layout: same end state and audit metrics as the path layout, and the

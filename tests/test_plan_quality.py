@@ -99,6 +99,9 @@ def test_no_query_uses_cartesian_or_bnlj(spark):
         "ext_pq_topk",               # one-row ANN audit crossJoins
         "dq_expectations_orders",    # one-row rule-result crossJoins
         "ext_bloom_prefilter",       # one-row (corpus-count × audit) crossJoin
+        "scd2_apply_changes_events",  # one-row (min,max) midpoint-split
+        # broadcast — r12 replaced the driver collect with the repo's
+        # accepted scalar shape (merge ≡ rebuild for any split value)
         "ext_substring_contamination",  # tiny snippet set × corpus probe —
         # the only sane 100 TB plan for exact-substring search (an
         # equi-join would require exploding the corpus into 48-grams)

@@ -6,6 +6,8 @@ import time
 from datetime import datetime, timedelta
 
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e tier (pytest.ini default deselects)
 from pyspark.sql import functions as F
 
 from etl_python_sqlite_spark.operators import skew as K

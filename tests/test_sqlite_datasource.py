@@ -4,6 +4,7 @@ bridge, and the read_sqlite strategy ladder."""
 
 from __future__ import annotations
 
+import pytest
 import sqlite3
 
 from pyspark.sql import functions as F
@@ -133,6 +134,7 @@ def test_read_sqlite_prefers_distributed_path(spark, tmp_path):
     assert df.count() == 50
 
 
+@pytest.mark.slow  # >8 s e2e/fuzz (default tier deselects)
 def test_north_star_sqlite_to_target_pipeline(spark, tmp_path):
     """The north-star flow end-to-end on the distributed source:
     DataFrame read FROM SQLITE (rowid-partitioned Python DataSource) →

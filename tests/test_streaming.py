@@ -8,6 +8,8 @@ from datetime import datetime, timedelta, timezone
 from pathlib import Path
 
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e tier (pytest.ini default deselects)
 from pyspark.sql import functions as F
 
 from etl_python_sqlite_spark.pipeline import PipelineConfig

@@ -9,7 +9,10 @@ import hashlib
 import itertools
 import math
 
+import pytest
 from pyspark.sql import functions as F  # noqa: F401 (parity with siblings)
+
+pytestmark = pytest.mark.slow  # heavy e2e tier (pytest.ini default deselects)
 
 SCHEMA = "vec_id long, embedding array<float>"
 K = 3

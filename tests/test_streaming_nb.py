@@ -9,7 +9,10 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
 from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.slow  # heavy e2e tier (pytest.ini default deselects)
 
 SCHEMA = "doc_id long, text string, is_pos boolean"
 B = 64  # small bucket table keeps the test's python recount cheap

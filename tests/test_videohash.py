@@ -4,6 +4,7 @@ threshold behavior, and the per-row reject contract."""
 
 from __future__ import annotations
 
+import pytest
 import numpy as np
 
 from etl_python_sqlite_spark.operators import multimodal as M
@@ -150,6 +151,7 @@ def test_hamming_degenerates_to_exact_at_zero(spark):
     assert zero == exact
 
 
+@pytest.mark.slow  # >8 s e2e/fuzz (default tier deselects)
 def test_fingerprint_df_cap_bounds_hot_frame(spark):
     """Skew hazard (VERDICT r10 #3): one ubiquitous frame (black) across
     many videos must NOT emit the quadratic join — with the cap the
