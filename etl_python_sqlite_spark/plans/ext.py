@@ -3963,16 +3963,30 @@ def ext_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_webdataset_shards(
         docs, out, key_col="doc_id", members={"txt": "text"}, num_shards=4
     )
-    # r12-opt (guide §2.6, VERDICT r11 next #9): the read-back was one
-    # task per shard — 4 tasks on a 32-core box. Member-range splits
+    # r12-opt (guide §2.6, VERDICT r11 next #9): member-range splits
     # (sample-boundary-aligned, driver header sweep + executor
-    # seek+read) lift read parallelism to the cores; every payload byte
-    # still comes off the tar, so the attestation is unchanged. Scale-
-    # adaptive: at shard counts ≥ cores this stays 1 (the streaming
-    # one-task-per-shard form, no header sweep).
+    # seek+read) can lift read parallelism beyond one-task-per-shard;
+    # every payload byte still comes off the tar, so the attestation is
+    # unchanged. MEASURED at sf0.1 (1.3 MB shards, read-only noop A/B
+    # ×4 warm: splits=1 1.06-1.44 s vs splits=8 1.32-1.55 s) the split
+    # path LOSES — per-task fixed cost + the chunk exchange outweigh
+    # parallel payload reads on tiny shards — so splitting is gated on
+    # shard size: engage only when every chunk still reads ≥32 MiB
+    # (i.e. shards of hundreds of MB, the real WebDataset operating
+    # point), capped at the core count. At sf0.1 the gate keeps the
+    # streaming one-task-per-shard form (no header sweep, no regression).
+    import os as _os
+
     par = spark.sparkContext.defaultParallelism
+    shard_bytes = max(
+        (_os.path.getsize(_os.path.join(out, f))
+         for f in _os.listdir(out) if f.endswith(".tar")),
+        default=0,
+    )
+    _MIN_CHUNK = 32 * 1024 * 1024
     back = read_webdataset(
-        spark, out, members=["txt"], splits_per_shard=max(1, par // 4)
+        spark, out, members=["txt"],
+        splits_per_shard=max(1, min(par // 4, shard_bytes // _MIN_CHUNK)),
     )
     return back.select(
         F.col("key").cast("long").alias("doc_id"),
