@@ -254,3 +254,38 @@ def test_fivegram_score_stage_rebuilds_on_rewrite(spark, tmp_path):
     assert s2 is not s1
     assert {r["doc_id"]: r["n_ngrams"] for r in s2.collect()} == {0: 2}
     X.release_shared_fivegram()
+
+
+def test_ngram_stage_rebuilds_on_rewrite_and_matches_selfbuilt(spark, tmp_path):
+    """The r12 shared word-array / n-gram instance stages must (a) never
+    serve instances of rewritten-away documents and (b) make the scorers
+    produce EXACTLY the self-built (grams=None) operator output."""
+    from etl_python_sqlite_spark.operators.curation import (
+        bigram_lm_score,
+        trigram_lm_score,
+    )
+    from etl_python_sqlite_spark.plans import ext as X
+
+    X.release_shared_ngrams()
+    d = str(tmp_path)
+    _write_documents(
+        spark, d,
+        ["the quick brown fox jumps over the lazy dog",
+         "the quick brown fox naps under the warm sun",
+         "entirely different tokens in this one"],
+    )
+    docs = X._docs(spark, d)
+    g2 = X._ngram_instances_stage(spark, d, 2)
+    assert X._ngram_instances_stage(spark, d, 2) is g2  # stable -> hit
+    for fn, n in ((bigram_lm_score, 2), (trigram_lm_score, 3)):
+        shared = fn(docs, grams=X._ngram_instances_stage(spark, d, n))
+        self_built = fn(docs)
+        assert sorted(map(tuple, shared.collect())) == sorted(
+            map(tuple, self_built.collect())
+        )
+
+    _write_documents(spark, d, ["aa bb cc", "aa bb cc", "dd ee ff"])
+    g2b = X._ngram_instances_stage(spark, d, 2)
+    assert g2b is not g2  # rewrite -> rebuild
+    assert g2b.count() == 6  # 3 docs x 2 adjacent pairs
+    X.release_shared_ngrams()
