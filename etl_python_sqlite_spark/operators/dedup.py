@@ -832,13 +832,24 @@ def simhash_near_dups_portable(
     max_hamming: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Hamming-distance pairs over the portable 60-bit SimHash via 4
     pigeonhole blocks of 15 bits. Recall is guaranteed for distance ≤ 3
     (4 blocks, pigeonhole) and best-effort for 4..max_hamming — but the
     blocking is DETERMINISTIC, so Spark and the DuckDB twin produce the
-    identical pair set and the driver's value-hash check applies."""
-    sh = simhash_portable(df, 60, text_col, id_col).persist()
+    identical pair set and the driver's value-hash check applies.
+
+    ``sh``: an ALREADY-MATERIALIZED (id, simhash) fingerprint frame
+    (the plans-layer shared stage, ``grams=`` contract) — this operator
+    then neither builds, persists nor releases it (r12-opt, guide
+    §2.4: the fingerprint pass is the query's whole per-doc cost and
+    the fingerprints query computes the identical frame)."""
+    if sh is not None:
+        own_sh = False
+    else:
+        sh = simhash_portable(df, 60, text_col, id_col).persist()
+        own_sh = True
     blocks = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -875,7 +886,7 @@ def simhash_near_dups_portable(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return tie(out, sh)
+    return tie(out, sh) if own_sh else out
 
 
 def winnowing_overlap_pairs_portable(

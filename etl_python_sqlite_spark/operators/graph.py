@@ -343,6 +343,7 @@ def pagerank(
     edges_distinct: bool = False,
     edges_bucketed: bool = False,
     edges_symmetric: bool = False,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank in EXACT integer arithmetic
     (Brin & Page 1998; the quantized estimator is this module's spec).
@@ -377,6 +378,13 @@ def pagerank(
       One extra one-row aggregate per iteration (the dangling id set
       is persisted once; D_t is a semi-join + sum collapsed to a
       single row, then cross-joined — broadcast — into the update).
+
+    ``n_edges`` (requires ``edges_distinct``): the caller already
+    KNOWS the row count of its materialized edge frame (a memoized
+    stage measures it once at build — _cooccurrence_edges), so the
+    tier gate skips its own ``count()`` action; one fewer driver job
+    per invocation. Ignored (recounted) without ``edges_distinct``,
+    where this operator's own filter+distinct changes the count.
 
     ``edges_symmetric`` (requires ``edges_distinct`` semantics): the
     caller's frame holds ONE canonical row per undirected edge and the
@@ -457,8 +465,13 @@ def pagerank(
         own_e = True
     # one scalar to the driver — picks the execution tier by measured
     # size (the CC hybrid pattern): a graph whose edge list fits one
-    # partition finishes in ONE executor task instead of ~9 Pregel jobs
-    n_edges = e.count() * (2 if edges_symmetric else 1)
+    # partition finishes in ONE executor task instead of ~9 Pregel jobs.
+    # A caller-supplied count (measured once by the owning memo) skips
+    # the per-invocation job; only trustworthy under edges_distinct,
+    # where the frame passes through unchanged.
+    if n_edges is None or not edges_distinct:
+        n_edges = e.count()
+    n_edges *= 2 if edges_symmetric else 1
     if n_edges <= local_edge_limit:
         out = _local_pagerank(
             e, iterations, total_mass, damp_num, damp_den,

@@ -260,8 +260,10 @@ def ext_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2b — SimHash fingerprints on the portable 60-bit hash; DuckDB
     recomputes every fingerprint bit-for-bit (was rows-only under
-    xxhash64; the fast path remains ``operators.dedup.simhash64``)."""
-    return D.simhash_portable(_docs(spark, sf_dir)).orderBy("doc_id")
+    xxhash64; the fast path remains ``operators.dedup.simhash64``).
+    Reads the session-shared fingerprint stage (``_simhash_stage``) —
+    the identical frame ext_simhash_near_dups blocks on."""
+    return _simhash_stage(spark, sf_dir).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -415,8 +417,14 @@ def ext_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2b-pairs — SimHash Hamming-distance near-dups via pigeonhole
     block joins on the portable 60-bit fingerprint (4×15-bit blocks,
     deterministic → full value-hash oracle; recall guaranteed ≤3,
-    best-effort 4-6, identically on both engines)."""
-    return D.simhash_near_dups_portable(_docs(spark, sf_dir), max_hamming=6)
+    best-effort 4-6, identically on both engines). The fingerprint
+    pass rides the session-shared ``_simhash_stage`` (the memo owns
+    its lifecycle; the operator's self-contained path stays for
+    non-plans callers)."""
+    return D.simhash_near_dups_portable(
+        _docs(spark, sf_dir), max_hamming=6,
+        sh=_simhash_stage(spark, sf_dir),
+    )
 
 
 def ext_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,9 +550,10 @@ def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-miss condition) to true."""
     from etl_python_sqlite_spark.operators.heavyhitters import heavy_hitters_topn
 
-    docs = _docs(spark, sf_dir)
-    tokens = docs.select(
-        F.explode(X.words(F.lower(F.col("text")))).alias("term")
+    # r12-opt: explode the session-shared lowercased word-array stage
+    # (identical expression, cached) instead of re-tokenizing the corpus
+    tokens = _doc_words_stage(spark, sf_dir).select(
+        F.explode("ws").alias("term")
     )
     return heavy_hitters_topn(tokens, top_n=20, k=8192).orderBy("rank")
 
@@ -1052,9 +1061,9 @@ def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", F.explode(X.words(F.lower(F.col("text")))).alias("term")
+    # r12-opt: ride the shared word-array stage (guide §2.4)
+    toks = _doc_words_stage(spark, sf_dir).select(
+        "doc_id", F.explode("ws").alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -1236,9 +1245,10 @@ def ext_word_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     noted here because the oracle needs the raw string). The histogram
     re-agg is O(|vocab|) → 5 rows.
     """
-    docs = _docs(spark, sf_dir)
+    # r12-opt: ride the shared word-array stage (guide §2.4)
     exploded = (
-        docs.select("doc_id", F.explode(X.words(F.lower(F.col("text")))).alias("word"))
+        _doc_words_stage(spark, sf_dir)
+        .select("doc_id", F.explode("ws").alias("word"))
         .filter(F.col("word") != "")
     )
     per_word = exploded.groupBy("word").agg(
@@ -1428,10 +1438,12 @@ def ext_word_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_python_sqlite_spark.plans.relational import _avg_expr
 
-    docs = _docs(spark, sf_dir)
-    ex = docs.select(
-        "doc_id", F.explode(X.words(F.lower(F.col("text")))).alias("word")
-    ).filter(F.col("word") != "")
+    # r12-opt: ride the shared word-array stage (guide §2.4)
+    ex = (
+        _doc_words_stage(spark, sf_dir)
+        .select("doc_id", F.explode("ws").alias("word"))
+        .filter(F.col("word") != "")
+    )
     freq = ex.groupBy("word").agg(F.count("*").alias("word_freq"))
     return (
         ex.join(F.broadcast(freq), "word")
@@ -2248,9 +2260,10 @@ def ext_cms_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_python_sqlite_spark.operators.sketch import cms_build, cms_estimate
 
     depth, width, top = 4, 512, 15
-    docs = _docs(spark, sf_dir)
+    # r12-opt: ride the shared word-array stage (guide §2.4)
     counts = (
-        docs.select(F.explode(X.words(F.lower(F.col("text")))).alias("term"))
+        _doc_words_stage(spark, sf_dir)
+        .select(F.explode("ws").alias("term"))
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("true_cnt"))
     )
@@ -2292,14 +2305,14 @@ def ext_vocab_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_python_sqlite_spark.operators.editdist import edit_distance_pairs
 
-    docs = _docs(spark, sf_dir)
     parts = load_table(spark, sf_dir, "part")
     # vocabulary = document words ∪ part-name words: the documents side
     # carries the corpus-scale story; the part side (TPC-H's fixed color
     # list) guarantees the query FIRES at every SF (rose/rosy et al.) —
     # the generated document vocabulary is pairwise farther than 1 edit
-    tokens = docs.select(
-        F.explode(X.words(F.lower(F.col("text")))).alias("w")
+    # r12-opt: the documents side rides the shared word-array stage
+    tokens = _doc_words_stage(spark, sf_dir).select(
+        F.explode("ws").alias("w")
     ).unionAll(
         parts.select(F.explode(X.words(F.lower(F.col("p_name")))).alias("w"))
     )
@@ -2870,6 +2883,10 @@ def ext_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_sketches,
     )
 
+    # NOT on the shared word-array stage (negative A/B, r12 session 2,
+    # interleaved ×2: 1.70/1.84 s self-contained vs 1.93/2.01 riding the
+    # stage) — the stage lacks `source`, and the (doc_id, source) join
+    # to recover it costs more than the tokenize pass it saves.
     wrows = (
         _docs(spark, sf_dir)
         .select(
@@ -4391,6 +4408,54 @@ def release_shared_ngrams() -> None:
                 old.unpersist()
             except Exception:
                 pass
+
+
+#: (applicationId, sf_dir, fingerprint) → persisted (doc_id, simhash)
+#: 60-bit portable fingerprint frame. ext_simhash_fingerprints and
+#: ext_simhash_near_dups each re-ran the IDENTICAL tokenize → phash60 →
+#: 60-way bit explode → two-level aggregation per invocation — the
+#: whole per-doc cost of both queries (r12-opt, guide §2.4 cross-query
+#: sharing; the r11 within-query rewrites of this pass are measured
+#: losers and stand). NOT the lowercased LM words stage: simhash
+#: tokenizes the raw text, so the stages cannot merge without changing
+#: results. Plain persisted frame — eviction unpersists, consumers
+#: recompute (never fail). Eager count: the two consumer queries run as
+#: CONCURRENT bench actions (the multi-consumer invariant).
+_SIMHASH_STAGE_MEMO: dict = {}
+_SIMHASH_STAGE_LOCK = threading.Lock()
+
+
+def _simhash_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+
+    fp = data_fingerprint(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    with _SIMHASH_STAGE_LOCK:
+        hit = _SIMHASH_STAGE_MEMO.pop(key, None)
+        if hit is not None:
+            _SIMHASH_STAGE_MEMO[key] = hit  # LRU refresh
+            return hit
+        sh = D.simhash_portable(_docs(spark, sf_dir)).persist()
+        sh.count()  # concurrent consumers: fingerprints + near-dups
+        while len(_SIMHASH_STAGE_MEMO) >= 2:
+            oldest = next(iter(_SIMHASH_STAGE_MEMO))
+            old = _SIMHASH_STAGE_MEMO.pop(oldest)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _SIMHASH_STAGE_MEMO[key] = sh
+        return sh
+
+
+def release_shared_simhash() -> None:
+    """Unpersist and forget the shared simhash fingerprint stage."""
+    while _SIMHASH_STAGE_MEMO:
+        _, old = _SIMHASH_STAGE_MEMO.popitem()
+        try:
+            old.unpersist()
+        except Exception:
+            pass
 
 
 def ext_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:

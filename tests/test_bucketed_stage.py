@@ -39,6 +39,9 @@ def test_stage_materializes_as_bucketed_table(spark, bucketed_gate):
     assert directed.count() == 2 * n_canon
     # memo hit returns the same table-backed frame, no rebuild
     assert R._cooccurrence_edges(spark, SF_SMOKE) is e
+    # the build-time measured count rides the handle (r12-opt: pagerank's
+    # tier gate consumes it instead of paying a count() job)
+    assert getattr(e, R._COOCC_NEDGES_ATTR) == n_canon
 
 
 def test_bucketed_stage_joins_without_exchanging_edges(spark, bucketed_gate):
@@ -145,6 +148,21 @@ def test_stage_build_sweeps_orphaned_tables(spark, bucketed_gate):
     assert spark.catalog.tableExists(getattr(e2, R._COOCC_TABLE_ATTR))
     R._COOCC_LIVE_TABLES.discard(live)
     spark.sql(f"DROP TABLE IF EXISTS {live}")
+
+
+def test_cache_tier_carries_measured_edge_count(spark):
+    """The CACHE tier (default gate) also stamps the measured canonical
+    count on the memo handle — pagerank's tier gate reads it on either
+    tier."""
+    from etl_python_sqlite_spark.plans import relational as R
+
+    R.release_shared_histograms()
+    try:
+        e = R._cooccurrence_edges(spark, SF_SMOKE)
+        assert getattr(e, R._COOCC_TABLE_ATTR, None) is None
+        assert getattr(e, R._COOCC_NEDGES_ATTR) == e.count()
+    finally:
+        R.release_shared_histograms()
 
 
 def test_concurrent_memo_miss_builds_once(spark, bucketed_gate):

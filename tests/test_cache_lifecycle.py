@@ -70,6 +70,8 @@ def _baseline_clean(spark):
     X.release_shared_audio_pairs()
     X.release_shared_video_pairs()
     X.release_shared_fivegram()
+    X.release_shared_ngrams()
+    X.release_shared_simhash()
     # py4j exposes the java.util.Map as a dict-like view
     jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
     for jrdd in jrdds:

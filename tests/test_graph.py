@@ -361,3 +361,34 @@ def test_pagerank_symmetric_canonical_matches_directed_union(spark):
     }
     assert got_local == want
     assert got_pregel == want
+
+
+def test_pagerank_caller_supplied_edge_count(spark):
+    """r12-opt: a caller that already measured its distinct edge frame
+    (the memoized co-occurrence stage) hands ``n_edges`` to the tier
+    gate and skips the per-invocation count() job — ranks must be
+    bit-identical to the recounting form on every tier, and the hint
+    must be IGNORED (recounted) without ``edges_distinct``, where the
+    operator's own filter+distinct changes the count."""
+    edges = spark.createDataFrame(_DIRECTED_EDGES, ["src", "dst"])
+    n = len(_DIRECTED_EDGES)
+    want = _pagerank_reference(_DIRECTED_EDGES)
+    hinted_local = {
+        r["node"]: r["r"]
+        for r in pagerank(edges, edges_distinct=True, n_edges=n).collect()
+    }
+    hinted_pregel = {
+        r["node"]: r["r"]
+        for r in pagerank(
+            edges, edges_distinct=True, n_edges=n, local_edge_limit=0
+        ).collect()
+    }
+    assert hinted_local == want
+    assert hinted_pregel == want
+    # a wildly wrong hint without edges_distinct must not leak into the
+    # tier gate (0 would force the local tier even above the limit; the
+    # recount keeps the documented tier choice AND the exact ranks)
+    ignored = {
+        r["node"]: r["r"] for r in pagerank(edges, n_edges=0).collect()
+    }
+    assert ignored == want

@@ -289,3 +289,43 @@ def test_ngram_stage_rebuilds_on_rewrite_and_matches_selfbuilt(spark, tmp_path):
     assert g2b is not g2  # rewrite -> rebuild
     assert g2b.count() == 6  # 3 docs x 2 adjacent pairs
     X.release_shared_ngrams()
+
+
+def test_simhash_stage_rebuilds_on_rewrite_and_matches_selfbuilt(
+    spark, tmp_path
+):
+    """The r12 shared simhash fingerprint stage must (a) never serve
+    fingerprints of rewritten-away documents and (b) make the near-dup
+    operator's ``sh=`` path produce EXACTLY the self-built output."""
+    from etl_python_sqlite_spark.operators.dedup import (
+        simhash_near_dups_portable,
+        simhash_portable,
+    )
+    from etl_python_sqlite_spark.plans import ext as X
+
+    X.release_shared_simhash()
+    d = str(tmp_path)
+    _write_documents(
+        spark, d,
+        ["the quick brown fox jumps over the lazy dog",
+         "the quick brown fox jumps over the lazy cat",
+         "entirely different tokens in this one"],
+    )
+    docs = X._docs(spark, d)
+    s1 = X._simhash_stage(spark, d)
+    assert X._simhash_stage(spark, d) is s1  # stable -> hit
+    # stage rows ≡ the operator's own fingerprints
+    assert sorted(map(tuple, s1.collect())) == sorted(
+        map(tuple, simhash_portable(docs).collect())
+    )
+    shared = simhash_near_dups_portable(docs, max_hamming=60, sh=s1)
+    self_built = simhash_near_dups_portable(docs, max_hamming=60)
+    assert sorted(map(tuple, shared.collect())) == sorted(
+        map(tuple, self_built.collect())
+    )
+
+    _write_documents(spark, d, ["aa bb", "aa bb", "cc dd"])
+    s2 = X._simhash_stage(spark, d)
+    assert s2 is not s1  # rewrite -> rebuild
+    assert s2.count() == 3
+    X.release_shared_simhash()
