@@ -329,3 +329,41 @@ def test_simhash_stage_rebuilds_on_rewrite_and_matches_selfbuilt(
     assert s2 is not s1  # rewrite -> rebuild
     assert s2.count() == 3
     X.release_shared_simhash()
+
+
+def test_ann_query_stage_rebuilds_on_rewrite_and_matches_selfbuilt(
+    spark, tmp_path
+):
+    """The r12 shared ANN query/ground-truth stage must (a) re-collect
+    the vec_id=0 query vector and the exact top-k after a rewrite and
+    (b) equal the self-built cosine_topk output exactly."""
+    from etl_python_sqlite_spark.operators.similarity import cosine_topk
+    from etl_python_sqlite_spark.plans import ext as X
+
+    X.release_shared_ann_query()
+    d = str(tmp_path)
+
+    def write(shift):
+        rows = [
+            (i, [float(i + shift), float(1 - i), 0.5, float(shift)])
+            for i in range(25)
+        ]
+        (
+            spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{d}/embeddings.parquet")
+        )
+
+    write(0.0)
+    q1, e1 = X._ann_query_stage(spark, d)
+    assert X._ann_query_stage(spark, d)[1] is e1  # stable -> hit
+    corpus = X._embs(spark, d).filter("vec_id != 0")
+    want = cosine_topk(corpus, q1, k=20).collect()
+    assert sorted(map(tuple, e1.collect())) == sorted(map(tuple, want))
+
+    write(2.0)
+    q2, e2 = X._ann_query_stage(spark, d)
+    assert e2 is not e1  # rewrite -> rebuild
+    assert q2 != q1  # the query vector itself moved with the data
+    X.release_shared_ann_query()
