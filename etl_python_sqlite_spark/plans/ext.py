@@ -2641,9 +2641,14 @@ def ext_kmeans_par_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan."""
     from etl_python_sqlite_spark.operators.clustering import kmeans_lloyd
 
+    # the unrolled chain plans its tiny fixed-size exchanges STATICALLY
+    # (AQE-off clone session — see _aqe_off_session; results identical,
+    # AQE never changes semantics): ~20 per-exchange stage
+    # materializations collapse into plain stages within one job
     return kmeans_lloyd(
-        _embs(spark, sf_dir), k=8, iters=2, seeding="parallel",
-        n_partitions=8, seeds=_kmeans_par_seeds_stage(spark, sf_dir, k=8),
+        _embs(_aqe_off_session(spark), sf_dir), k=8, iters=2,
+        seeding="parallel", n_partitions=8,
+        seeds=_kmeans_par_seeds_stage(spark, sf_dir, k=8),
     )
 
 
@@ -2684,6 +2689,44 @@ def _semantic_centroids_stage(
             _SEMCENTS_MEMO.pop(next(iter(_SEMCENTS_MEMO)))
         _SEMCENTS_MEMO[key] = hit
         return hit
+
+
+#: applicationId → a cloned SparkSession with AQE DISABLED, for the
+#: unrolled Lloyd chain only (r12-opt session 2, measured interleaved
+#: A/B ×2 at sf0.1: 0.92-1.09 s vs 1.33-1.53 s with AQE on). The chain
+#: is an iterative plan of tiny fixed-size exchanges (k·dim centroid
+#: rows, explicitly-partitioned element rows): AQE has nothing to
+#: adapt — sizes are known, the joins are literal broadcasts — and its
+#: per-exchange stage materialization adds a driver round-trip whose
+#: count grows with ITERATIONS (not with local core count, so the win
+#: is not a local[32] artifact). The clone shares SparkContext,
+#: cacheManager and catalog; key confs are copied from the parent at
+#: clone time (newSession() inherits builder-time conf only).
+_AQE_OFF_SESSIONS: dict = {}
+_AQE_OFF_LOCK = threading.Lock()
+
+
+def _aqe_off_session(spark: SparkSession) -> SparkSession:
+    key = spark.sparkContext.applicationId
+    with _AQE_OFF_LOCK:
+        hit = _AQE_OFF_SESSIONS.get(key)
+        if hit is not None:
+            return hit
+        s = spark.newSession()
+        for conf in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.session.timeZone",
+            "spark.sql.python.filterPushdown.enabled",
+        ):
+            try:
+                s.conf.set(conf, spark.conf.get(conf))
+            except Exception:
+                pass  # unset in the parent: keep the clone's default
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        if len(_AQE_OFF_SESSIONS) >= 2:
+            _AQE_OFF_SESSIONS.clear()  # dead appIds only; no resources
+        _AQE_OFF_SESSIONS[key] = s
+        return s
 
 
 #: (applicationId, sf_dir, fingerprint, k) → kmeans_parallel_seeds
