@@ -1018,9 +1018,13 @@ def setsim_join_prefix(
     keeps the join's per-key fan-out bounded, which is what makes this
     the 100 TB-safe shape.
     """
-    toks = doc_token_sets(df, text_col, id_col)
+    # toks is consumed by the prefix-index subtree (the cands action)
+    # AND the sets_ verify build (a later eager action) — unpersisted,
+    # the tokenize+distinct pass re-ran once per consumer (r12-opt §2.4
+    # within-query sharing; no eager count — the prefix count below is
+    # the warming action, the sets_ action then reads the cache)
+    toks = doc_token_sets(df, text_col, id_col).persist()
     prefix = setsim_prefix_index(toks, threshold_micro, id_col).persist()
-    prefix.count()  # eager — the self-join's two sides otherwise race
     a = prefix.alias("a")
     b = prefix.alias("b")
     cands = (
@@ -1059,7 +1063,6 @@ def setsim_join_prefix(
         .agg(F.collect_set("tok").alias("tokset"))
         .persist()  # reused by both sides of the verify join
     )
-    sets_.count()  # eager
     sa = sets_.select(F.col(id_col).alias("id_a"), F.col("tokset").alias("ts_a"))
     sb = sets_.select(F.col(id_col).alias("id_b"), F.col("tokset").alias("ts_b"))
     verified = (
@@ -1078,7 +1081,7 @@ def setsim_join_prefix(
         )
         .filter(F.col("jaccard_micro") >= threshold_micro)
     )
-    return tie(verified, cands, sets_)
+    return tie(verified, cands, sets_, toks)
 
 
 def containment_join_prefix(
@@ -1123,10 +1126,16 @@ def containment_join_prefix(
     Returns (id_a, id_b, containment_micro): id_a the CONTAINED doc,
     ``containment_micro = (10⁶·|∩|) div |S_A|``.
     """
+    # toks feeds THREE subtrees inside the cands action (prefix, sizes,
+    # index) plus the later sets_ build — unpersisted, the
+    # tokenize+shingle+distinct pass re-ran once per subtree
+    # (r12-opt §2.4 within-query sharing; no eager count — the eager
+    # checkpoint below is the warming action)
     toks = (
         exploded_shingles(df, k, text_col, id_col)
         .withColumnRenamed("shingle", "tok")
         .distinct()  # SET semantics (exploded_shingles keeps duplicates)
+        .persist()
     )
     # prefix has exactly ONE consumer (the cands join inside the single
     # eager-localCheckpoint action below) — no persist/eager-count (the
@@ -1171,7 +1180,6 @@ def containment_join_prefix(
         .agg(F.collect_set("tok").alias("tokset"))
         .persist()  # both sides of the verify join
     )
-    sets_.count()  # eager
     sa = sets_.select(
         F.col(id_col).alias("id_a"), F.col("tokset").alias("ts_a")
     )
@@ -1196,7 +1204,7 @@ def containment_join_prefix(
         )
         .filter(F.col("containment_micro") >= threshold_micro)
     )
-    return tie(verified, cands, sets_)
+    return tie(verified, cands, sets_, toks)
 
 
 def repeated_span_mine(
