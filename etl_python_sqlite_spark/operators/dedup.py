@@ -799,16 +799,25 @@ def simhash_portable(
     bits: int = 60,
     text_col: str = "text",
     id_col: str = "doc_id",
+    words_arr: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash fingerprints on the portable 60-bit hash: (id, simhash)
     with ``simhash`` a non-negative BIGINT of ``bits`` bits. Same narrow
     explode → conditional-sum shape as ``simhash64`` (the 64-wide plan's
-    codegen-compile blowup documented there applies equally here)."""
+    codegen-compile blowup documented there applies equally here).
+
+    ``words_arr``: an already-tokenized (id, ws) RAW word-array frame
+    (the plans-layer shared stage) — exploded instead of re-running the
+    tokenize pass; identical tokens by construction."""
     from etl_python_sqlite_spark.functions.portable import phash60
     from etl_python_sqlite_spark.functions.text import words
 
-    toks = df.select(
-        F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
+    toks = (
+        words_arr.select(F.col(id_col), F.explode("ws").alias("tok"))
+        if words_arr is not None
+        else df.select(
+            F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
+        )
     ).select(id_col, phash60(F.col("tok")).alias("h"))
     bit_rows = toks.select(
         id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("s")
@@ -896,17 +905,29 @@ def winnowing_overlap_pairs_portable(
     window: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    words_arr: DataFrame | None = None,
 ) -> DataFrame:
     """Winnowing overlap pairs on the portable hash: (id_a, id_b,
     n_shared). Same windowed-min plan as ``winnowing_fingerprints`` with
     ``phash60`` leaves; DuckDB rebuilds the identical fingerprint set with
-    a ROWS BETWEEN CURRENT ROW AND window-1 FOLLOWING frame."""
+    a ROWS BETWEEN CURRENT ROW AND window-1 FOLLOWING frame.
+
+    ``words_arr``: an already-tokenized (id, ws) RAW word-array frame
+    (the plans-layer shared stage) — posexploded instead of re-running
+    the tokenize pass; identical (pos, token) rows by construction."""
     from etl_python_sqlite_spark.functions.portable import phash60
     from etl_python_sqlite_spark.functions.text import words
 
     wtok = Window.partitionBy(id_col).orderBy("pos")
-    toks = df.select(
-        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "w0")
+    toks = (
+        words_arr.select(
+            F.col(id_col), F.posexplode("ws").alias("pos", "w0")
+        )
+        if words_arr is not None
+        else df.select(
+            F.col(id_col),
+            F.posexplode(words(F.col(text_col))).alias("pos", "w0"),
+        )
     )
     cols = [F.col("w0")] + [
         F.lead("w0", i).over(wtok).alias(f"w{i}") for i in range(1, k)

@@ -411,7 +411,10 @@ def ext_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable hash; the DuckDB twin replays the windowed-min fingerprint
     selection exactly (was rows-only under xxhash64; pytest keeps the
     coverage guarantee on the fast path)."""
-    return D.winnowing_overlap_pairs_portable(_docs(spark, sf_dir), min_shared=3)
+    return D.winnowing_overlap_pairs_portable(
+        _docs(spark, sf_dir), min_shared=3,
+        words_arr=_raw_words_stage(spark, sf_dir),
+    )
 
 
 def ext_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -936,8 +939,11 @@ def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the top-word agg, and their join — explode→flat-columns→groupBy in
     # place of the interpreted 60×-slower transform() HOF (the measured
     # pitfall in CLAUDE.md; this cut the query from 6.4s to ~2s at sf0.1).
-    ex = docs.select(
-        "doc_id", F.posexplode(X.words(F.col("text"))).alias("pos", "w")
+    # r12-opt: posexplode the shared RAW word-array stage (identical
+    # (pos, token) rows; the in-row n_words/dup_word_frac metrics above
+    # stay on the doc scan they already share)
+    ex = _raw_words_stage(spark, sf_dir).select(
+        "doc_id", F.posexplode("ws").alias("pos", "w")
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
     grams = (
@@ -4452,6 +4458,56 @@ def release_shared_ngrams() -> None:
                 pass
 
 
+#: (applicationId, sf_dir, fingerprint) → persisted (doc_id, ws)
+#: RAW (un-lowercased) word-array frame — the tokenization shared by
+#: ext_repetition_filter, ext_winnowing_pairs and the simhash
+#: fingerprint stage build (r12-opt session 2; the LOWERCASED stage
+#: `_doc_words_stage` serves the LM/word-stat family — the two cannot
+#: merge without changing results). Measured: a tokenize+posexplode
+#: pass is ~0.30 s at sf0.1, exploding the cached array ~0.13 s.
+#: Eager count: repetition + winnowing run as concurrent bench actions.
+_RAW_WORDS_MEMO: dict = {}
+_RAW_WORDS_LOCK = threading.Lock()
+
+
+def _raw_words_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_python_sqlite_spark.functions.text import words
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+
+    fp = data_fingerprint(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    with _RAW_WORDS_LOCK:
+        hit = _RAW_WORDS_MEMO.pop(key, None)
+        if hit is not None:
+            _RAW_WORDS_MEMO[key] = hit  # LRU refresh
+            return hit
+        ws = (
+            _docs(spark, sf_dir)
+            .select("doc_id", words(F.col("text")).alias("ws"))
+            .persist()
+        )
+        ws.count()  # concurrent consumers (see above)
+        while len(_RAW_WORDS_MEMO) >= 2:
+            oldest = next(iter(_RAW_WORDS_MEMO))
+            old = _RAW_WORDS_MEMO.pop(oldest)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _RAW_WORDS_MEMO[key] = ws
+        return ws
+
+
+def release_shared_raw_words() -> None:
+    """Unpersist and forget the shared raw word-array stage."""
+    while _RAW_WORDS_MEMO:
+        _, old = _RAW_WORDS_MEMO.popitem()
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+
+
 #: (applicationId, sf_dir, fingerprint) → persisted (doc_id, simhash)
 #: 60-bit portable fingerprint frame. ext_simhash_fingerprints and
 #: ext_simhash_near_dups each re-ran the IDENTICAL tokenize → phash60 →
@@ -4477,7 +4533,10 @@ def _simhash_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         if hit is not None:
             _SIMHASH_STAGE_MEMO[key] = hit  # LRU refresh
             return hit
-        sh = D.simhash_portable(_docs(spark, sf_dir)).persist()
+        sh = D.simhash_portable(
+            _docs(spark, sf_dir),
+            words_arr=_raw_words_stage(spark, sf_dir),
+        ).persist()
         sh.count()  # concurrent consumers: fingerprints + near-dups
         while len(_SIMHASH_STAGE_MEMO) >= 2:
             oldest = next(iter(_SIMHASH_STAGE_MEMO))

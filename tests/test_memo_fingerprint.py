@@ -331,6 +331,52 @@ def test_simhash_stage_rebuilds_on_rewrite_and_matches_selfbuilt(
     X.release_shared_simhash()
 
 
+def test_raw_words_stage_rebuilds_on_rewrite_and_matches_selfbuilt(
+    spark, tmp_path
+):
+    """The r12 shared RAW word-array stage must (a) never serve arrays
+    of rewritten-away documents and (b) make the winnowing/simhash
+    ``words_arr=`` paths produce EXACTLY the self-built output —
+    including the un-lowercased tokens the LM words stage would fold."""
+    from etl_python_sqlite_spark.operators.dedup import (
+        simhash_portable,
+        winnowing_overlap_pairs_portable,
+    )
+    from etl_python_sqlite_spark.plans import ext as X
+
+    X.release_shared_raw_words()
+    d = str(tmp_path)
+    _write_documents(
+        spark, d,
+        ["The Quick Brown fox jumps over The lazy dog again and again",
+         "The Quick Brown fox jumps over The lazy cat again and again",
+         "entirely different tokens in this one"],
+    )
+    docs = X._docs(spark, d)
+    w1 = X._raw_words_stage(spark, d)
+    assert X._raw_words_stage(spark, d) is w1  # stable -> hit
+    # raw case preserved (the lowercased stage would fold 'The')
+    toks = {t for r in w1.collect() for t in r["ws"]}
+    assert "The" in toks and "the" not in toks
+    shared_sh = simhash_portable(docs, words_arr=w1)
+    assert sorted(map(tuple, shared_sh.collect())) == sorted(
+        map(tuple, simhash_portable(docs).collect())
+    )
+    shared_wp = winnowing_overlap_pairs_portable(
+        docs, min_shared=1, words_arr=w1
+    )
+    self_wp = winnowing_overlap_pairs_portable(docs, min_shared=1)
+    assert sorted(map(tuple, shared_wp.collect())) == sorted(
+        map(tuple, self_wp.collect())
+    )
+
+    _write_documents(spark, d, ["aa bb", "cc dd"])
+    w2 = X._raw_words_stage(spark, d)
+    assert w2 is not w1  # rewrite -> rebuild
+    assert w2.count() == 2
+    X.release_shared_raw_words()
+
+
 def test_ann_query_stage_rebuilds_on_rewrite_and_matches_selfbuilt(
     spark, tmp_path
 ):
