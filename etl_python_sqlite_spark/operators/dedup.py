@@ -942,6 +942,17 @@ def winnowing_overlap_pairs_portable(
         )
     )
     frame = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    # Lazy persist ON PURPOSE — do not "fix" this to an eager
+    # checkpoint or feed the upstream from a cached stage (r12 negative
+    # result, 10× probe): on a template corpus one fingerprint is
+    # shared by thousands of docs, so the self-join generates Σf²
+    # candidate rows (949M at 10×). The under-estimated lazy stats keep
+    # the join a BroadcastHashJoin, which STREAMS those rows straight
+    # into the map-side-combined groupBy (19 s at 10×); accurate stats
+    # (cached upstream or checkpointed fp) flip it to a sort-merge join
+    # that must SORT the exploded rows — 124-180 s, GC-locker 1 GB
+    # allocation stalls. The at-scale upgrade path is a
+    # fingerprint-grouped pair generation, not a join-strategy change.
     fp = (
         grams.select(F.col(id_col), F.min("h").over(frame).alias("fingerprint"))
         .distinct()

@@ -411,10 +411,13 @@ def ext_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable hash; the DuckDB twin replays the windowed-min fingerprint
     selection exactly (was rows-only under xxhash64; pytest keeps the
     coverage guarantee on the fast path)."""
-    return D.winnowing_overlap_pairs_portable(
-        _docs(spark, sf_dir), min_shared=3,
-        words_arr=_raw_words_stage(spark, sf_dir),
-    )
+    # NOT on the shared raw-words stage (r12 negative result, 10×
+    # probe): the cached upstream's accurate size stats flip the
+    # fingerprint self-join from the streaming BroadcastHashJoin to a
+    # sort-merge join that must sort the Σf² candidate rows a template
+    # corpus generates (949M rows at 10×: 19 s → 124-180 s). See the
+    # fp-persist comment in winnowing_overlap_pairs_portable.
+    return D.winnowing_overlap_pairs_portable(_docs(spark, sf_dir), min_shared=3)
 
 
 def ext_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
