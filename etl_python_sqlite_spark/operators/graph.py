@@ -116,13 +116,20 @@ def _local_components(edges: DataFrame) -> DataFrame:
     )
 
 
+#: edge-count ceiling for the single-task union-find finisher — public
+#: so pair-stage memos can compare their measured counts against it
+#: when deciding whether to attest ``n_edges`` to a caller.
+CC_LOCAL_EDGE_LIMIT = 2_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
-    local_edge_limit: int = 2_000_000,
+    local_edge_limit: int = CC_LOCAL_EDGE_LIMIT,
     round_stats: list | None = None,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``, where
     ``component`` is the minimum node id of its connected component.
@@ -143,12 +150,28 @@ def connected_components(
     per round. ``max_iter`` is a safety rail far above the O(log n)
     bound.
 
+    ``n_edges``: caller-attested UPPER BOUND on the distinct canonical
+    edge count (a memoized pair stage measures it once at build, or the
+    caller proves it statically — a 500-doc sample has ≤ C(500,2) pairs).
+    When it fits ``local_edge_limit`` the union-find finisher runs
+    directly inside the query's own action: no persist, no checksum job —
+    the tier gate's count was the only reason the extra driver action
+    existed (the pagerank ``n_edges`` contract). An over-large real edge
+    set under a small attested bound stays CORRECT (union-find is exact
+    on any edge list), just single-task slow — the hint is a promise
+    about size, never about semantics. Ignored when above the limit.
+
     ``round_stats``, when a list is passed, receives one
     ``(round_index, edge_count_after_round)`` tuple per completed
     large-star/small-star round — observability for the O(log n)
     convergence claim (scale_probe.py records measured round counts);
     no cost when None.
     """
+    if n_edges is not None and n_edges <= local_edge_limit:
+        # attested-small graph: one plan, zero gate actions — the
+        # canonical distinct still runs (a shuffle, not a job) so the
+        # Arrow transfer into the single union-find task stays minimal
+        return _local_components(_canonical_edges(edges, src, dst))
     first = _canonical_edges(edges, src, dst).persist()
     e = first
     prev = _checksum(e)
@@ -196,6 +219,7 @@ def dedup_cluster_assignment(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Every node's dedup verdict: (id_col, cluster_id, cluster_size).
 
@@ -203,10 +227,14 @@ def dedup_cluster_assignment(
     without any edge are their own singleton cluster); keeping rows
     where ``doc_id == cluster_id`` is the canonical-document selection —
     deterministic, no ordering dependence, replayable in plain SQL.
+
+    ``n_edges`` forwards the caller-attested edge bound to
+    :func:`connected_components` (see there — it removes the tier
+    gate's count job when the graph provably fits the local tier).
     """
     from pyspark.sql import Window
 
-    comp = connected_components(edges, src, dst)
+    comp = connected_components(edges, src, dst, n_edges=n_edges)
     assigned = nodes.select(id_col).join(
         comp.withColumnRenamed("id", id_col), id_col, "left"
     )

@@ -153,6 +153,53 @@ MINHASH_STAGE_BUCKETS = 32
 _MINHASH_TABLE_ATTR = "_spark_graft_minhash_table"
 _MINHASH_LIVE_TABLES: set = set()
 
+#: verified-pair count stamped on every pair-stage memo handle at build
+#: (the _COOCC_NEDGES_ATTR pattern): downstream connected-components
+#: callers pass it as the attested ``n_edges`` so the CC tier gate
+#: needs no count job of its own — and, when it fits the local tier,
+#: no per-invocation lineage-cut checkpoint either (the union-find
+#: finisher is ONE plan inside the query's own action).
+_PAIRS_NEDGES_ATTR = "_spark_graft_n_pairs"
+
+
+def _cluster_summary(
+    node_ids: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """pairs → connected components → per-cluster summary, the shared
+    shape of every ``*_dedup_clusters`` query (r12 refactor).
+
+    When the pair memo stamped a build-time count that fits CC's local
+    tier, the union-find finisher runs inside the query's own action
+    over the memo's materialized pair stage — no per-invocation
+    lineage-cut checkpoint, no tier-gate count job (3 driver actions →
+    1). Above the tier (or on an unstamped handle) the eager checkpoint
+    stays: CC's iterative rounds are many actions and each would re-run
+    the pair scan otherwise."""
+    from etl_python_sqlite_spark.operators.graph import (
+        CC_LOCAL_EDGE_LIMIT,
+        dedup_cluster_assignment,
+    )
+
+    n_pairs = getattr(pairs, _PAIRS_NEDGES_ATTR, None)
+    local = n_pairs is not None and n_pairs <= CC_LOCAL_EDGE_LIMIT
+    edges = (
+        pairs.select("id_a", "id_b")
+        if local
+        else pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    )
+    assign = dedup_cluster_assignment(
+        node_ids, edges, id_col=id_col, n_edges=n_pairs if local else None
+    )
+    out = (
+        assign.filter(F.col("cluster_size") > 1)
+        .groupBy("cluster_id", "cluster_size")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("cluster_id")
+    )
+    if local:
+        return tie(out, keepalive=[assign, pairs])
+    return tie(out, edges, keepalive=[assign, pairs])  # edges: ckpt blocks
+
 
 def _release_minhash_entry(old: DataFrame) -> None:
     """Free one memo entry: DROP a bucketed stage table (files +
@@ -182,14 +229,15 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         if hit is not None:
             _MINHASH_MEMO[key] = hit  # LRU refresh
             return hit
-        pairs = D.minhash_near_dups_portable(
+        lazy = D.minhash_near_dups_portable(
             _docs(spark, sf_dir), threshold_micro=300_000
         )
         n_docs = table_row_count_from_metadata(sf_dir, "documents")
+        from etl_python_sqlite_spark.operators.cache import release
+
         if n_docs >= MINHASH_BUCKETED_STAGE_MIN_DOCS:
             import hashlib
 
-            from etl_python_sqlite_spark.operators.cache import release
             from etl_python_sqlite_spark.plans.relational import (
                 sweep_stale_stage_tables,
             )
@@ -202,17 +250,20 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + hashlib.md5(repr(key).encode()).hexdigest()[:12]
             )
             (
-                pairs.write.mode("overwrite")
+                lazy.write.mode("overwrite")
                 .bucketBy(MINHASH_STAGE_BUCKETS, "id_a")
                 .sortBy("id_a", "id_b")
                 .saveAsTable(tbl)
             )
-            release(pairs)  # the bucketed files are the materialization
+            release(lazy)  # the bucketed files are the materialization
             from etl_python_sqlite_spark.operators.cache import (
                 tie_stage_table,
             )
 
             pairs = spark.table(tbl)
+            # parquet-count over the freshly written table — footer
+            # statistics, bounded job at BUILD time only
+            n_pairs = pairs.count()
             setattr(pairs, _MINHASH_TABLE_ATTR, tbl)
             _MINHASH_LIVE_TABLES.add(tbl)
             pairs = tie_stage_table(
@@ -222,6 +273,19 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     s.sql(f"DROP TABLE IF EXISTS {t}"),
                 ),
             )
+        else:
+            # eager lineage cut at the VERIFIED pair set (the
+            # _video_pairs policy, extended here r12): consumers scan
+            # one materialized RDD instead of re-running the verify
+            # join per action, and the measured count rides the handle
+            # for the CC tier gate. The internal candidate checkpoint +
+            # shingle persist are released immediately — the pair
+            # checkpoint supersedes them.
+            ckpt = lazy.localCheckpoint(eager=True)
+            n_pairs = ckpt.count()  # materialized blocks — bounded job
+            release(lazy)
+            pairs = tie(ckpt.select("id_a", "id_b", "jaccard_micro"), ckpt)
+        setattr(pairs, _PAIRS_NEDGES_ATTR, n_pairs)
         while len(_MINHASH_MEMO) >= 2:
             # reference drop only: a table-tier entry's DROP fires via
             # its tie_stage_table finalizer once the LAST consumer lets
@@ -914,7 +978,12 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sample = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
     pairs = D.ngram_jaccard_pairs(sample, threshold=0.25, k=3)
-    assign = dedup_cluster_assignment(sample, pairs.select("id_a", "id_b"))
+    # the sample bounds the pair graph STATICALLY: ≤ C(500,2) = 124,750
+    # edges, far under the CC local tier — the attested n_edges drops
+    # the tier gate's count job (one whole driver action per invocation)
+    assign = dedup_cluster_assignment(
+        sample, pairs.select("id_a", "id_b"), n_edges=124_750
+    )
     return tie(assign, keepalive=[pairs])
 
 
@@ -1102,25 +1171,9 @@ def ext_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH→clustering path is value-hash-checked. This is the production
     shape — candidate pairs from LSH, never a quadratic scan, clusters
     closed in O(log n) star rounds."""
-    from etl_python_sqlite_spark.operators.graph import dedup_cluster_assignment
-
     docs = _docs(spark, sf_dir)
     pairs = _minhash_pairs(spark, sf_dir)  # shared stage (r8)
-    # eager LINEAGE CUT: CC's iterative rounds + the assignment join are
-    # MANY actions — each would re-run the verify join otherwise, and
-    # the within-session A/B measured the checkpoint form 1.5-2 s faster
-    # than persist+count (downstream plans re-enter nothing). tie() now
-    # releases checkpoint blocks deterministically on drop
-    # (operators/cache._release_frame), so the lifecycle gate holds.
-    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
-    assign = dedup_cluster_assignment(docs, edges)
-    out = (
-        assign.filter(F.col("cluster_size") > 1)
-        .groupBy("cluster_id", "cluster_size")
-        .agg(F.count("*").alias("n_members"))
-        .orderBy("cluster_id")
-    )
-    return tie(out, edges, keepalive=[assign, pairs])  # edges: ckpt blocks
+    return _cluster_summary(docs, pairs, id_col="doc_id")
 
 
 def ext_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3154,17 +3207,18 @@ def _image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         if hit is not None:
             _IMGPAIRS_MEMO[key] = hit  # LRU refresh
             return hit
-        pairs = dhash_near_dups(
+        lazy = dhash_near_dups(
             image_dhash(_image_media(spark, sf_dir)),
             max_hamming=6,
             n_bands=4,
         )
+        from etl_python_sqlite_spark.operators.cache import release
+
         n_docs = table_row_count_from_metadata(sf_dir, "documents")
         n_media = n_docs * 8 // 7  # one image/doc + a twin per %7==0
         if n_media >= IMAGE_BUCKETED_STAGE_MIN_MEDIA:
             import hashlib
 
-            from etl_python_sqlite_spark.operators.cache import release
             from etl_python_sqlite_spark.plans.relational import (
                 sweep_stale_stage_tables,
             )
@@ -3177,17 +3231,20 @@ def _image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + hashlib.md5(repr(key).encode()).hexdigest()[:12]
             )
             (
-                pairs.write.mode("overwrite")
+                lazy.write.mode("overwrite")
                 .bucketBy(IMAGE_STAGE_BUCKETS, "id_a")
                 .sortBy("id_a", "id_b")
                 .saveAsTable(tbl)
             )
-            release(pairs)  # the bucketed files are the materialization
+            release(lazy)  # the bucketed files are the materialization
             from etl_python_sqlite_spark.operators.cache import (
                 tie_stage_table,
             )
 
             pairs = spark.table(tbl)
+            # footer-statistics count over the written table — bounded
+            # job at BUILD time only, rides the handle for the CC gate
+            n_pairs = pairs.count()
             setattr(pairs, _IMGPAIRS_TABLE_ATTR, tbl)
             _IMGPAIRS_LIVE_TABLES.add(tbl)
             pairs = tie_stage_table(
@@ -3197,6 +3254,19 @@ def _image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     s.sql(f"DROP TABLE IF EXISTS {t}"),
                 ),
             )
+        else:
+            # eager lineage cut at the verified pair set (the
+            # _video_pairs policy, extended here r12): both consumers
+            # scan one materialized RDD instead of re-running the
+            # banding/verify joins per action; the decode-half
+            # checkpoint inside dhash_near_dups is released immediately
+            # (the pair checkpoint supersedes it), and the measured
+            # count rides the handle for the CC tier gate.
+            ckpt = lazy.localCheckpoint(eager=True)
+            n_pairs = ckpt.count()  # materialized blocks — bounded job
+            release(lazy)
+            pairs = tie(ckpt.select("id_a", "id_b", "hamming"), ckpt)
+        setattr(pairs, _PAIRS_NEDGES_ATTR, n_pairs)
         while len(_IMGPAIRS_MEMO) >= 2:
             # reference drop only (see the minhash eviction comment)
             _IMGPAIRS_MEMO.pop(next(iter(_IMGPAIRS_MEMO)))
@@ -3256,10 +3326,6 @@ def ext_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass), and the DuckDB twin rebuilds the identical edge set from
     payload arithmetic and closes it with a recursive CTE, so the
     whole decode→hash→LSH→clustering path is value-hash-checked."""
-    from etl_python_sqlite_spark.operators.graph import (
-        dedup_cluster_assignment,
-    )
-
     docs = _docs(spark, sf_dir).select("doc_id")
     media_ids = docs.select(F.col("doc_id").alias("media_id")).unionByName(
         docs.filter(F.col("doc_id") % 7 == 0).select(
@@ -3267,18 +3333,7 @@ def ext_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = _image_pairs(spark, sf_dir)
-    # eager lineage cut: CC's iterative rounds are many actions — each
-    # would re-run the banding/verify join otherwise (the minhash
-    # clusters rule)
-    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
-    assign = dedup_cluster_assignment(media_ids, edges, id_col="media_id")
-    out = (
-        assign.filter(F.col("cluster_size") > 1)
-        .groupBy("cluster_id", "cluster_size")
-        .agg(F.count("*").alias("n_members"))
-        .orderBy("cluster_id")
-    )
-    return tie(out, edges, keepalive=[assign, pairs])
+    return _cluster_summary(media_ids, pairs, id_col="media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -3614,11 +3669,22 @@ def _audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         if hit is not None:
             _AUDPAIRS_MEMO[key] = hit  # LRU refresh
             return hit
-        pairs = audio_near_dups(
+        lazy = audio_near_dups(
             audio_energy_hash(_audio_media(spark, sf_dir)),
             max_hamming=6,
             n_bands=4,
         )
+        # eager lineage cut at the verified pair set (the _video_pairs
+        # policy, extended here r12) + measured count for the CC gate;
+        # the decode-half checkpoint inside the banding machinery is
+        # released immediately (the pair checkpoint supersedes it).
+        from etl_python_sqlite_spark.operators.cache import release
+
+        ckpt = lazy.localCheckpoint(eager=True)
+        n_pairs = ckpt.count()  # materialized blocks — bounded job
+        release(lazy)
+        pairs = tie(ckpt.select("id_a", "id_b", "hamming"), ckpt)
+        setattr(pairs, _PAIRS_NEDGES_ATTR, n_pairs)
         while len(_AUDPAIRS_MEMO) >= 2:
             _AUDPAIRS_MEMO.pop(next(iter(_AUDPAIRS_MEMO)))
         _AUDPAIRS_MEMO[key] = pairs
@@ -3641,10 +3707,6 @@ def ext_audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     video E16c). Node set derives arithmetically from doc_ids (no
     second decode pass); the DuckDB twin rebuilds the identical edge
     set from md5 sample arithmetic and closes it recursively."""
-    from etl_python_sqlite_spark.operators.graph import (
-        dedup_cluster_assignment,
-    )
-
     docs = _docs(spark, sf_dir).select("doc_id")
     media_ids = docs.select(F.col("doc_id").alias("media_id")).unionByName(
         docs.filter(F.col("doc_id") % 5 == 0).select(
@@ -3652,18 +3714,7 @@ def ext_audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = _audio_pairs(spark, sf_dir)
-    # eager lineage cut: CC's iterative rounds are many actions — each
-    # would re-run the banding/verify join otherwise (the image-clusters
-    # rule)
-    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
-    assign = dedup_cluster_assignment(media_ids, edges, id_col="media_id")
-    out = (
-        assign.filter(F.col("cluster_size") > 1)
-        .groupBy("cluster_id", "cluster_size")
-        .agg(F.count("*").alias("n_members"))
-        .orderBy("cluster_id")
-    )
-    return tie(out, edges, keepalive=[assign, pairs])
+    return _cluster_summary(media_ids, pairs, id_col="media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -3756,6 +3807,9 @@ def _video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt = lazy.localCheckpoint(eager=True)  # ONE decode, all consumers
         release(lazy)  # the fingerprint persist — ckpt supersedes it
         pairs = tie(ckpt.select("id_a", "id_b", "n_shared"), ckpt)
+        # measured count for the CC tier gate (bounded job over the
+        # materialized blocks, build time only — r12)
+        setattr(pairs, _PAIRS_NEDGES_ATTR, ckpt.count())
         while len(_VIDPAIRS_MEMO) >= 2:
             _VIDPAIRS_MEMO.pop(next(iter(_VIDPAIRS_MEMO)))
         _VIDPAIRS_MEMO[key] = pairs
@@ -3805,10 +3859,6 @@ def ext_video_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge set from payload arithmetic and closes it with a recursive
     CTE, so the whole split→decode→hash→pair→clustering path is
     value-hash-checked."""
-    from etl_python_sqlite_spark.operators.graph import (
-        dedup_cluster_assignment,
-    )
-
     docs = _docs(spark, sf_dir).select("doc_id")
     media_ids = docs.select(F.col("doc_id").alias("media_id")).unionByName(
         docs.filter(F.col("doc_id") % 6 == 0).select(
@@ -3816,15 +3866,7 @@ def ext_video_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pairs = _video_pairs(spark, sf_dir)
-    edges = pairs.select("id_a", "id_b")
-    assign = dedup_cluster_assignment(media_ids, edges, id_col="media_id")
-    out = (
-        assign.filter(F.col("cluster_size") > 1)
-        .groupBy("cluster_id", "cluster_size")
-        .agg(F.count("*").alias("n_members"))
-        .orderBy("cluster_id")
-    )
-    return tie(out, keepalive=[assign, pairs])
+    return _cluster_summary(media_ids, pairs, id_col="media_id")
 
 
 def ext_video_noisy_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,6 +54,24 @@ def _check(spark, edge_list):
         for r in connected_components(edges, local_edge_limit=0).collect()
     }
     assert got_dist == expected
+    # attested-count fast path (r12: no tier-gate job, no persist) —
+    # same result whether the hint is exact or a loose upper bound
+    got_hint = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            edges, n_edges=len(edge_list)
+        ).collect()
+    }
+    assert got_hint == expected
+    # an over-large REAL edge set under a small attested bound must
+    # stay correct (the hint is a size promise, never a semantics one)
+    got_loose = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            edges, n_edges=1, local_edge_limit=1
+        ).collect()
+    }
+    assert got_loose == expected
 
 
 def test_chain_collapses_to_min(spark):
