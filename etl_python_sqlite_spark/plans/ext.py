@@ -906,15 +906,27 @@ def ext_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
-    keeper = F.min("doc_id").over(Window.partitionBy(F.sha2(F.col("text"), 256)))
-    quality6 = F.round(X.quality_score(F.col("text")), 6)
-    lang = X.langid(F.col("text"))
+    # r12-opt (guide §2.3 — project before the exchange): the keeper
+    # window partitions on sha2(text), and langid/quality are pure
+    # per-row functions of text — computing all three BEFORE the window
+    # exchange (a) drops the full document text from the shuffle
+    # (~60 B/row of derived columns instead of the KB-scale payload)
+    # and (b) evaluates each regex tree ONCE per row instead of once
+    # per CASE branch of the stage expression. Same expressions, same
+    # values — the oracle twin is unchanged.
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.sha2(F.col("text"), 256).alias("_sha"),
+        X.langid(F.col("text")).alias("_lang"),
+        F.round(X.quality_score(F.col("text")), 6).alias("_q6"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("_sha"))
     h = F.pmod(F.col("doc_id") * 2654435761, F.lit(2**32)) % 100
     split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
     stage = (
-        F.when(lang == "und", F.lit("reject_lang"))
-        .when(quality6 < 0.5, F.lit("reject_quality"))
+        F.when(F.col("_lang") == "und", F.lit("reject_lang"))
+        .when(F.col("_q6") < 0.5, F.lit("reject_quality"))
         .when(F.col("doc_id") != keeper, F.lit("reject_duplicate"))
         .otherwise(F.concat(F.lit("kept_"), split))
     )
