@@ -40,7 +40,11 @@ from etl_python_sqlite_spark.operators.cache import tie
 
 
 def exploded_shingles(
-    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_arr: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingle) rows — distinct k-word shingles per document.
 
@@ -50,13 +54,25 @@ def exploded_shingles(
     posexplode/lead/concat_ws stay in whole-stage codegen. One shuffle on
     the (uniform) id for the window, then distinct folds into downstream
     aggregation.
+
+    ``words_arr``: an already-tokenized (id_col, ws) RAW word-array
+    frame (the ``simhash_portable`` contract): posexplode it instead of
+    re-running ``words(text)`` — identical (pos, token) rows by
+    construction since ``ws`` is the same expression. The operator
+    neither persists nor releases it (a session memo owns it).
     """
     from etl_python_sqlite_spark.functions.text import words
 
     w = Window.partitionBy(id_col).orderBy("pos")
-    toks = df.select(
-        F.col(id_col), F.posexplode(words(F.col(text_col))).alias("pos", "w0")
-    )
+    if words_arr is not None:
+        toks = words_arr.select(
+            F.col(id_col), F.posexplode("ws").alias("pos", "w0")
+        )
+    else:
+        toks = df.select(
+            F.col(id_col),
+            F.posexplode(words(F.col(text_col))).alias("pos", "w0"),
+        )
     cols = [F.col("w0")] + [
         F.lead("w0", i).over(w).alias(f"w{i}") for i in range(1, k)
     ]

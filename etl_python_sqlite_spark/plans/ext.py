@@ -1101,9 +1101,16 @@ def ext_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array HOF — same 60× pitfall as the repetition filter), deduped to
     # the per-doc shingle SET and persisted: the frame feeds three
     # branches (totals / benchmark side / corpus side) and re-inlining
-    # the window would re-shuffle it per branch.
+    # the window would re-shuffle it per branch. r12-opt: the shingle
+    # window rides the shared RAW word-array stage (identical tokens by
+    # construction; only doc_id is needed, so the kmv source-join
+    # negative does not apply). Downstream joins are an explicit
+    # broadcast + doc_id joins between branches of the SAME persisted
+    # frame — no stat-sensitive self-join to flip (the winnowing rule).
     sh = (
-        D.exploded_shingles(docs, k=5)
+        D.exploded_shingles(
+            docs, k=5, words_arr=_raw_words_stage(spark, sf_dir)
+        )
         .dropDuplicates(["doc_id", "shingle"])
         .persist()
     )

@@ -369,6 +369,14 @@ def test_raw_words_stage_rebuilds_on_rewrite_and_matches_selfbuilt(
     assert sorted(map(tuple, shared_wp.collect())) == sorted(
         map(tuple, self_wp.collect())
     )
+    # r12: the shingle window rides the stage too (contamination scan)
+    from etl_python_sqlite_spark.operators.dedup import exploded_shingles
+
+    shared_es = exploded_shingles(docs, k=5, words_arr=w1)
+    self_es = exploded_shingles(docs, k=5)
+    assert sorted(map(tuple, shared_es.collect())) == sorted(
+        map(tuple, self_es.collect())
+    )
 
     _write_documents(spark, d, ["aa bb", "cc dd"])
     w2 = X._raw_words_stage(spark, d)
