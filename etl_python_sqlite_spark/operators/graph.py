@@ -301,24 +301,39 @@ def _local_pagerank(
     concatenation — r11-opt: the symmetric co-occurrence caller was
     funneling the 2× union through the single-task Arrow boundary,
     pure data-movement cost; integer addition commutes exactly, so the
-    per-node totals are bit-identical to feeding the directed union)."""
+    per-node totals are bit-identical to feeding the directed union).
+
+    r12-opt (guide §4.2): ``mapInArrow`` instead of ``mapInPandas`` —
+    the kernel is numpy end-to-end, so each batch's pandas DataFrame
+    construction plus the final ``pd.concat`` copy were pure boundary
+    overhead; Arrow int64 columns view as numpy arrays directly and
+    one typed RecordBatch carries the result back. Same bytes, same
+    math — bit-identical, pinned by the tier-equality test."""
     id_type = dict(edges.dtypes)["u"]
 
     def run(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        parts = [pdf for pdf in batches if len(pdf)]
-        if not parts:
-            yield pd.DataFrame({"node": [], "r": []})
+        out_id_t = pa.int32() if id_type == "int" else pa.int64()
+        us: list = []
+        vs: list = []
+        for b in batches:
+            if b.num_rows:
+                us.append(b.column(0).to_numpy(zero_copy_only=False))
+                vs.append(b.column(1).to_numpy(zero_copy_only=False))
+        if not us:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], out_id_t), pa.array([], pa.int64())],
+                ["node", "r"],
+            )
             return
-        e = pd.concat(parts)
+        eu, ev = np.concatenate(us), np.concatenate(vs)
         nodes, inv = np.unique(
-            np.concatenate([e["u"].to_numpy(), e["v"].to_numpy()]),
-            return_inverse=True,
+            np.concatenate([eu, ev]), return_inverse=True
         )
         n = len(nodes)
-        u_idx, v_idx = inv[: len(e)], inv[len(e) :]
+        u_idx, v_idx = inv[: len(eu)], inv[len(eu) :]
         if symmetric:
             u_idx, v_idx = (
                 np.concatenate([u_idx, v_idx]),
@@ -352,9 +367,12 @@ def _local_pagerank(
                 dm = int(r[dangling_mask].sum())
                 extra = (damp_num * dm) // (damp_den * n)
             r = base + extra + agg
-        yield pd.DataFrame({"node": nodes, "r": r})
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(nodes, out_id_t), pa.array(r, pa.int64())],
+            ["node", "r"],
+        )
 
-    return edges.coalesce(1).mapInPandas(run, schema=f"node {id_type}, r long")
+    return edges.coalesce(1).mapInArrow(run, schema=f"node {id_type}, r long")
 
 
 def pagerank(
