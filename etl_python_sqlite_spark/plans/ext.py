@@ -91,12 +91,65 @@ def ext_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir, fingerprint) → the checkpointed sample
+#: exact-Jaccard score frame shared by ext_ngram_jaccard_pairs and
+#: ext_dedup_clusters (r12, guide §2.4): both ran the same
+#: shingle→inverted-index→verify pipeline over nested doc samples.
+#: One stage over doc_id < 500 at the LOOSER threshold (0.05) is exact
+#: for both consumers: candidate pairs share ≥1 shingle, shingle
+#: sharing between two docs is independent of the rest of the sample,
+#: and the df stop-shingle cap (10k) cannot fire under 500 docs — so
+#: the <150 query is precisely the stage filtered to id_b < 150, and
+#: the clusters query is the stage filtered to jaccard ≥ 0.25 (the
+#: identical double compare the operator would have run).
+_SAMPLE_JACC_MEMO: dict = {}
+_SAMPLE_JACC_LOCK = threading.RLock()
+
+
+def _sample_jaccard_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_python_sqlite_spark.operators.cache import release
+    from etl_python_sqlite_spark.sources.parquet import data_fingerprint
+
+    fp = data_fingerprint(spark, sf_dir, "documents")
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    with _SAMPLE_JACC_LOCK:
+        hit = _SAMPLE_JACC_MEMO.pop(key, None)
+        if hit is not None:
+            _SAMPLE_JACC_MEMO[key] = hit  # LRU refresh
+            return hit
+        sample = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+        lazy = D.ngram_jaccard_pairs(sample, threshold=0.05, k=3)
+        # eager cut at the scored pair set: the two consumers run as
+        # concurrent bench actions; count rides the handle as the CC
+        # edge bound (an upper bound — the clusters query's ≥ 0.25
+        # filter only shrinks it)
+        ckpt = lazy.localCheckpoint(eager=True)
+        n_pairs = ckpt.count()
+        release(lazy)
+        pairs = tie(ckpt.select("id_a", "id_b", "jaccard"), ckpt)
+        setattr(pairs, _PAIRS_NEDGES_ATTR, n_pairs)
+        while len(_SAMPLE_JACC_MEMO) >= 2:
+            _SAMPLE_JACC_MEMO.pop(next(iter(_SAMPLE_JACC_MEMO)))
+        _SAMPLE_JACC_MEMO[key] = pairs
+        return pairs
+
+
+def release_shared_sample_jaccard() -> None:
+    """Release every memoized sample-Jaccard stage (checkpoint blocks)."""
+    from etl_python_sqlite_spark.operators.cache import release
+
+    while _SAMPLE_JACC_MEMO:
+        _, old = _SAMPLE_JACC_MEMO.popitem()
+        release(old)
+
+
 def ext_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2-exact — 3-gram Jaccard pairs over a bounded sample (ground truth
-    for the LSH path; quadratic by design)."""
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.05, k=3)
-    out = pairs.select(
+    for the LSH path; quadratic by design). Rides the shared sample
+    score stage (``_sample_jaccard_stage``): id_a < id_b < 150 restricts
+    the 500-doc stage to exactly this query's pair set."""
+    pairs = _sample_jaccard_stage(spark, sf_dir)
+    out = pairs.filter(F.col("id_b") < 150).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
     return tie(out, keepalive=[pairs])
@@ -989,14 +1042,19 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_python_sqlite_spark.operators.graph import dedup_cluster_assignment
 
     sample = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
-    pairs = D.ngram_jaccard_pairs(sample, threshold=0.25, k=3)
+    # shared sample score stage (r12, §2.4) filtered to this query's
+    # threshold — the identical double compare the operator ran inline
+    stage = _sample_jaccard_stage(spark, sf_dir)
+    pairs = stage.filter(F.col("jaccard") >= 0.25)
     # the sample bounds the pair graph STATICALLY: ≤ C(500,2) = 124,750
     # edges, far under the CC local tier — the attested n_edges drops
     # the tier gate's count job (one whole driver action per invocation)
     assign = dedup_cluster_assignment(
         sample, pairs.select("id_a", "id_b"), n_edges=124_750
     )
-    return tie(assign, keepalive=[pairs])
+    # keepalive the MEMO HANDLE itself, not just the derived filter
+    # (cache.py composition rule)
+    return tie(assign, keepalive=[pairs, stage])
 
 
 def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

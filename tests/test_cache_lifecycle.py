@@ -74,6 +74,7 @@ def _baseline_clean(spark):
     X.release_shared_simhash()
     X.release_shared_ann_query()
     X.release_shared_raw_words()
+    X.release_shared_sample_jaccard()
     # py4j exposes the java.util.Map as a dict-like view
     jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
     for jrdd in jrdds:
