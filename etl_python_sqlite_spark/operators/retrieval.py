@@ -49,21 +49,35 @@ def bm25_topk(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    words_arr: DataFrame | None = None,
 ) -> DataFrame:
     """Rank ``docs`` by exact-integer BM25-saturation score against the
     corpus's own ``n_probe_terms`` most frequent words (a deterministic,
     regeneration-proof probe query: ties broken by word ascending).
     Returns the top ``k`` rows ``(doc_id, n_terms, score_units)``,
     ordered by score desc then id — fully hash-checkable.
+
+    ``words_arr``: an already-tokenized LOWERCASED (id_col, ws) word-
+    array frame (the ``doc_words`` contract): explode it instead of
+    re-tokenizing — identical rows since ``ws`` is the same expression,
+    and the word frame here feeds FOUR subtrees (doc lengths, probe
+    pick, df, tf), so a cached source saves the pass per subtree. The
+    operator neither persists nor releases it (a session memo owns it).
     """
     from etl_python_sqlite_spark.functions.text import words as _words
 
-    w = (
-        docs.select(
-            F.col(id_col), F.explode(_words(F.lower(F.col(text_col)))).alias("word")
+    if words_arr is not None:
+        w = words_arr.select(
+            F.col(id_col), F.explode("ws").alias("word")
+        ).filter(F.col("word") != "")
+    else:
+        w = (
+            docs.select(
+                F.col(id_col),
+                F.explode(_words(F.lower(F.col(text_col)))).alias("word"),
+            )
+            .filter(F.col("word") != "")
         )
-        .filter(F.col("word") != "")
-    )
     dl = w.groupBy(id_col).agg(F.count("*").alias("dl"))
     tot = dl.agg(
         F.sum("dl").cast("long").alias("S"), F.count("*").cast("long").alias("N")

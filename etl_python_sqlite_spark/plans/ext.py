@@ -2115,7 +2115,14 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the int64 bounds)."""
     from etl_python_sqlite_spark.operators.retrieval import bm25_topk
 
-    return bm25_topk(_docs(spark, sf_dir), n_probe_terms=3, k=10)
+    # r12-opt: explode the session-shared lowercased word-array stage —
+    # the word frame feeds four subtrees, each re-ran the tokenize
+    return bm25_topk(
+        _docs(spark, sf_dir),
+        n_probe_terms=3,
+        k=10,
+        words_arr=_doc_words_stage(spark, sf_dir),
+    )
 
 
 def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

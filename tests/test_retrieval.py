@@ -79,3 +79,20 @@ def test_bm25_saturation_beats_raw_tf(spark, docs_df):
 
 def test_bm25_k_truncates(spark, docs_df):
     assert bm25_topk(docs_df, k=2).count() == 2
+
+
+def test_bm25_words_arr_matches_selfbuilt(spark, docs_df):
+    """The r12 words_arr= rider (shared lowercased word-array stage)
+    must produce exactly the self-tokenized output."""
+    from etl_python_sqlite_spark.operators.curation import doc_words
+
+    wa = doc_words(docs_df)
+    got = [
+        tuple(r)
+        for r in bm25_topk(docs_df, n_probe_terms=3, k=10,
+                           words_arr=wa).collect()
+    ]
+    want = [
+        tuple(r) for r in bm25_topk(docs_df, n_probe_terms=3, k=10).collect()
+    ]
+    assert got == want
