@@ -134,6 +134,11 @@ def test_dedup_cluster_queries_release_cache(spark):
 
     before = _n_persistent(spark)
     assert _run_and_drop(E.ext_dedup_clusters(spark, SF_SMOKE)) > 0
+    # the sample score frame is a session-memoized shared stage (r12,
+    # shared with ext_ngram_jaccard_pairs) — its blocks legitimately
+    # survive the result; release through the API
+    E.release_shared_sample_jaccard()
+    gc.collect()
     assert _n_persistent(spark) == before
     assert _run_and_drop(E.ext_minhash_dedup_clusters(spark, SF_SMOKE)) >= 0
     # the pair pipeline is a session-memoized shared stage (r8) — its
@@ -168,6 +173,10 @@ def test_contamination_scan_releases_cache(spark):
 
     before = _n_persistent(spark)
     assert _run_and_drop(E.ext_contamination_scan(spark, SF_SMOKE)) >= 0
+    # the raw word-array frame is a session-memoized shared stage (the
+    # shingle window rides it since r12) — release through the API
+    E.release_shared_raw_words()
+    gc.collect()
     assert _n_persistent(spark) == before
 
 
