@@ -2010,18 +2010,35 @@ def oracle_sql() -> dict[str, str]:
                    ((2 * pd * 1 + cnt) // (2 * cnt)) / 10000.0 AS avg_disc,
                    count_order
             FROM (
+                -- 10^-k-unit BIGINT per-row money math (the Spark side's
+                -- _units quantization); charge summed as an exact hi/lo
+                -- BIGINT pair and recombined losslessly in DECIMAL(38)
                 SELECT l_returnflag, l_linestatus,
-                       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
-                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
-                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-                       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS pq,
-                       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)) AS BIGINT) AS pe,
-                       CAST(SUM(CAST(CAST(l_discount AS DECIMAL(28,4)) * 10000 AS BIGINT)) AS BIGINT) AS pd,
+                       CAST(SUM(q2) AS DOUBLE) / 100.0 AS sum_qty,
+                       CAST(SUM(e2) AS DOUBLE) / 100.0 AS sum_base_price,
+                       CAST(SUM(r4) AS DOUBLE) / 10000.0 AS sum_disc_price,
+                       CAST(CAST(CAST(SUM(c6 // 1000000) AS BIGINT) AS DECIMAL(30,0))
+                            * CAST(1000000 AS DECIMAL(7,0))
+                            + CAST(SUM(c6 % 1000000) AS BIGINT) AS DOUBLE) / 1000000.0
+                           AS sum_charge,
+                       SUM(q2) AS pq,
+                       SUM(e2) AS pe,
+                       SUM(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS pd,
                        COUNT(l_quantity) AS cnt,
                        COUNT(*) AS count_order
-                FROM lineitem
-                WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+                FROM (
+                    SELECT l_returnflag, l_linestatus, l_quantity,
+                           CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q2,
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS e2,
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS r4,
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                           * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS c6,
+                           l_discount
+                    FROM lineitem
+                    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+                )
                 GROUP BY l_returnflag, l_linestatus
             )
             ORDER BY l_returnflag, l_linestatus
@@ -2429,11 +2446,12 @@ def oracle_sql() -> dict[str, str]:
         "supplier_profit_by_nation": """
             SELECT n_name AS nation,
                    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
-                       AS revenue,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                        AS DOUBLE) / 10000.0 AS revenue,
                    COUNT(*) AS n_items,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+                   CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS sum_qty
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
@@ -3028,14 +3046,13 @@ def oracle_sql() -> dict[str, str]:
         "important_stock_parts": """
             WITH per_part AS (
                 SELECT l_partkey,
-                       SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                                * CAST(l_quantity AS DECIMAL(7,2))
-                                AS DECIMAL(28,4))) AS v
+                       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS v4
                 FROM lineitem GROUP BY l_partkey
             ),
             scaled AS (
-                SELECT l_partkey, CAST(v AS DOUBLE) AS part_value,
-                       CAST(v * 10000 AS BIGINT) AS vi
+                SELECT l_partkey, CAST(v4 AS DOUBLE) / 10000.0 AS part_value,
+                       v4 AS vi
                 FROM per_part
             )
             SELECT l_partkey, part_value
@@ -3951,22 +3968,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # -- round-3 TPC-H shapes + chunking/decontamination --------------
         "promo_revenue_ratio": """
-            SELECT ship_month,
-                   CAST(p AS DOUBLE) AS promo_revenue,
-                   CAST(t AS DOUBLE) AS total_revenue,
-                   ((2 * CAST(p * 10000 AS BIGINT) * 1000000
-                     + CAST(t * 10000 AS BIGINT))
-                    // (2 * CAST(t * 10000 AS BIGINT))) / 1000000.0 AS promo_frac
+            SELECT strftime(m, '%Y-%m') AS ship_month,
+                   CAST(p4 AS DOUBLE) / 10000.0 AS promo_revenue,
+                   CAST(t4 AS DOUBLE) / 10000.0 AS total_revenue,
+                   ((2 * p4 * 1000000 + t4) // (2 * t4)) / 1000000.0
+                       AS promo_frac
             FROM (
-                SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                -- per-row revenue in exact 1e-4-unit BIGINTs (the Spark
+                -- side's _units quantization: floor(x*100 + 0.5) is
+                -- bit-identical to the old DECIMAL(12,2) cast on this
+                -- schema's 2-dp money doubles)
+                SELECT date_trunc('month', l_shipdate) AS m,
                        SUM(CASE WHEN p_type = 'PROMO'
-                                THEN CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                                          AS DECIMAL(28,4))
-                                ELSE CAST(0 AS DECIMAL(28,4)) END) AS p,
-                       SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                                * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                                AS DECIMAL(28,4))) AS t
+                                THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                                     * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                                ELSE 0 END) AS p4,
+                       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS t4
                 FROM lineitem JOIN part ON l_partkey = p_partkey
                 GROUP BY 1
             )
@@ -3974,21 +3992,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nation_market_share": """
             SELECT order_year,
-                   CAST(n AS DOUBLE) AS nation_revenue,
-                   CAST(t AS DOUBLE) AS total_revenue,
-                   ((2 * CAST(n * 10000 AS BIGINT) * 1000000
-                     + CAST(t * 10000 AS BIGINT))
-                    // (2 * CAST(t * 10000 AS BIGINT))) / 1000000.0 AS market_share
+                   CAST(n4 AS DOUBLE) / 10000.0 AS nation_revenue,
+                   CAST(t4 AS DOUBLE) / 10000.0 AS total_revenue,
+                   ((2 * n4 * 1000000 + t4) // (2 * t4)) / 1000000.0
+                       AS market_share
             FROM (
                 SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
                        SUM(CASE WHEN sn.n_name = 'NATION_7'
-                                THEN CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
-                                          AS DECIMAL(28,4))
-                                ELSE CAST(0 AS DECIMAL(28,4)) END) AS n,
-                       SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
-                                AS DECIMAL(28,4))) AS t
+                                THEN CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                                     * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+                                ELSE 0 END) AS n4,
+                       SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                           * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS t4
                 FROM lineitem l
                 JOIN orders o ON l.l_orderkey = o.o_orderkey
                 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -4007,11 +4022,12 @@ def oracle_sql() -> dict[str, str]:
                    o.o_totalprice, q.sum_qty
             FROM (
                 SELECT l_orderkey,
-                       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT)
-                           AS sum_qty
+                       CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) // 100 AS sum_qty
                 FROM lineitem
                 GROUP BY l_orderkey
-                HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT) > 150
+                HAVING CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                            AS BIGINT) // 100 > 150
             ) q
             JOIN orders o ON q.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -4091,9 +4107,8 @@ def oracle_sql() -> dict[str, str]:
         "cheapest_supplier_per_part": """
             WITH priced AS (
                 SELECT l_partkey, l_suppkey,
-                       (CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
-                             AS BIGINT) * 10000)
-                       // CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT)
+                       (CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 10000)
+                       // (CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) // 100)
                            AS unit_microprice
                 FROM lineitem
             ),
@@ -4760,10 +4775,8 @@ def oracle_sql() -> dict[str, str]:
             groups="l_returnflag, l_linestatus",
             rows="""
                 SELECT l_returnflag, l_linestatus,
-                       CAST(CAST(l_quantity AS DECIMAL(28,2)) * 100
-                            AS BIGINT) AS x,
-                       CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100
-                            AS BIGINT) AS y
+                       CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+                       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
                 FROM lineitem
             """,
         )

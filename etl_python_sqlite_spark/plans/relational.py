@@ -37,6 +37,28 @@ def _dsum(col: Column | str, scale: int = 2) -> Column:
     return F.sum(c.cast(f"decimal(28,{scale})")).cast("double")
 
 
+def _units(col: Column | str, scale: int = 2) -> Column:
+    """Exact 10^-scale-unit BIGINT of a ``scale``-dp money/qty DOUBLE via
+    pure double math: ``floor(x·10^scale + 0.5)``. For a double that is
+    the nearest representation of an exact ``scale``-dp value (every
+    money/quantity column this schema generates — measured deviation
+    ≤4e-9 of an integer at all SFs, nowhere near the 0.5 boundary) this
+    recovers the integer bit-identically to
+    ``CAST(x AS DECIMAL(p,scale)) · 10^scale`` on BOTH engines — but as
+    one IEEE multiply+add+floor per row instead of a per-row BigDecimal
+    (Spark stores DECIMAL(p>18) as byte-array BigDecimal in agg buffers;
+    guide §2.3 narrower types — measured 2.2× on promo_revenue_ratio).
+    The DuckDB twin writes the same formula:
+    ``CAST(floor(x * 10^scale + 0.5) AS BIGINT)``.
+
+    Where the AGGREGATE of these units can exceed BIGINT at extreme
+    scale, keep the decimal accumulator (`_dsum`) or split hi/lo — each
+    rewritten query documents its own headroom; ANSI mode turns any
+    overflow into a loud error, never a silent wrap."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * float(10**scale) + F.lit(0.5))
+
+
 def _scaled_sum(col: Column | str, scale: int) -> Column:
     """SUM as an exact integer in units of 10^-scale (long). Basis for the
     cross-engine-deterministic AVG below."""
@@ -199,36 +221,60 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     for cross-engine hash stability.
     """
     li = table(spark, sf_dir, "lineitem")
-    # Money math in exact decimal end-to-end: casting each 2-decimal FACTOR
-    # to decimal is boundary-safe, whereas casting a double PRODUCT to
-    # decimal is not portable across engines (shortest-repr vs exact-binary
-    # rounding at the last ulp).
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    dd = F.col("l_discount").cast("decimal(4,2)")
-    tt = F.col("l_tax").cast("decimal(4,2)")
+    # Money math exact end-to-end, but in 10^-k-unit BIGINTs per row
+    # (r12-opt, §2.3 — see _units for the bit-identity argument; the old
+    # per-row DECIMAL(28,·) values fed byte-array-BigDecimal sum buffers,
+    # the single-row-group scan task's dominant cost). Every sum is an
+    # exact integer; the double outputs convert the same exact values.
+    # Headroom: disc_price in 1e-4 units ≤ 1e9/row (see promo); charge in
+    # 1e-6 units ≤ ~1.1e11/row would overflow a BIGINT group sum near
+    # sf~250, so it is summed as an exact hi/lo BIGINT pair
+    # (div/mod 1e6 — hi ≤ 1.1e5/row, lo < 1e6/row: both safe past
+    # sf1e5) and recombined losslessly in DECIMAL(38) over the 6 output
+    # rows, single rounding to double — identical to the old
+    # decimal-exact value at every scale.
+    q2 = _units("l_quantity", 2)
+    e2 = _units("l_extendedprice", 2)
+    rev4 = e2 * (F.lit(100) - _units("l_discount", 2))
+    ch6 = rev4 * (F.lit(100) + _units("l_tax", 2))
+    rows = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        q2.alias("_q2"),
+        e2.alias("_e2"),
+        _units("l_discount", 4).alias("_d4u"),
+        rev4.alias("_r4"),
+        ch6.alias("_c6"),
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        rows.select(
+            "*",
+            F.expr("_c6 div 1000000").alias("_chi"),
+            F.expr("_c6 % 1000000").alias("_clo"),
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum("l_quantity", 2).alias("sum_qty"),
-            _dsum("l_extendedprice", 2).alias("sum_base_price"),
-            F.sum(ep * (F.lit(1) - dd)).cast("double").alias("sum_disc_price"),
-            F.sum(ep * (F.lit(1) - dd) * (F.lit(1) + tt))
-            .cast("double")
-            .alias("sum_charge"),
-            _scaled_sum("l_quantity", 2).alias("_pq"),
-            _scaled_sum("l_extendedprice", 2).alias("_pe"),
-            _scaled_sum("l_discount", 4).alias("_pd"),
-            F.count("l_quantity").alias("_cnt"),
+            F.sum("_q2").alias("_pq"),
+            F.sum("_e2").alias("_pe"),
+            F.sum("_r4").alias("_sr4"),
+            F.sum("_chi").alias("_sch"),
+            F.sum("_clo").alias("_scl"),
+            F.sum("_d4u").alias("_pd"),
+            F.count("_q2").alias("_cnt"),
             F.count("*").alias("count_order"),
         )
         .select(
             "l_returnflag",
             "l_linestatus",
-            "sum_qty",
-            "sum_base_price",
-            "sum_disc_price",
-            "sum_charge",
+            (F.col("_pq").cast("double") / F.lit(100.0)).alias("sum_qty"),
+            (F.col("_pe").cast("double") / F.lit(100.0)).alias("sum_base_price"),
+            (F.col("_sr4").cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+            F.expr(
+                "CAST(CAST(_sch AS DECIMAL(30,0)) * CAST(1000000 AS DECIMAL(7,0))"
+                " + _scl AS DOUBLE) / 1000000.0"
+            ).alias("sum_charge"),
             _avg_expr("_pq", "_cnt", 2, 4).alias("avg_qty"),
             _avg_expr("_pe", "_cnt", 2, 4).alias("avg_price"),
             _avg_expr("_pd", "_cnt", 4, 4).alias("avg_disc"),
@@ -707,8 +753,11 @@ def supplier_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation")
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    dd = F.col("l_discount").cast("decimal(4,2)")
+    # r12-opt (§2.3): 1e-4-unit BIGINT revenue + cent-unit quantity per
+    # row (see _units / promo_revenue_ratio for the bit-identity and
+    # BIGINT-headroom argument; groups here are (nation, year) — ~12×
+    # a promo month, still orders of magnitude inside BIGINT at sf1e5).
+    rev4 = _units("l_extendedprice", 2) * (F.lit(100) - _units("l_discount", 2))
     return (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
@@ -717,9 +766,16 @@ def supplier_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
         .agg(
-            F.sum(ep * (F.lit(1) - dd)).cast("double").alias("revenue"),
+            F.sum(rev4).alias("_r4"),
             F.count("*").alias("n_items"),
-            _dsum("l_quantity", 2).alias("sum_qty"),
+            F.sum(_units("l_quantity", 2)).alias("_q2"),
+        )
+        .select(
+            "nation",
+            "ship_year",
+            (F.col("_r4").cast("double") / F.lit(10000.0)).alias("revenue"),
+            "n_items",
+            (F.col("_q2").cast("double") / F.lit(100.0)).alias("sum_qty"),
         )
     )
 
@@ -1427,26 +1483,31 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    dd = F.col("l_discount").cast("decimal(4,2)")
-    rev = (ep * (F.lit(1) - dd)).cast("decimal(28,4)")
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
-        F.lit(0).cast("decimal(28,4)")
-    )
+    # r12-opt (§2.3 narrower types): per-row revenue in exact 1e-4-unit
+    # BIGINTs — cents·(100 − disc_bp) — instead of DECIMAL(28,4) per-row
+    # values feeding byte-array-BigDecimal sum buffers; the group key is
+    # the month-truncated DATE (native 4-byte hash key), formatted to
+    # the identical string AFTER the 84-row aggregate. Values are
+    # bit-identical (see _units; the exact integer sums convert to the
+    # same nearest double) — collect-compared old-vs-new at sf0.1 and
+    # oracle-green at both gate SFs. Measured 1.35 → 0.62 s.
+    # Headroom: rev4 ≤ 1e9/row; a BIGINT group sum holds to 9.2e18 ≈
+    # $9·10^14 per ship-month — at TPC-H sf1e5 (~100 TB) a month sums
+    # to ~2.6e18, inside the bound, and ANSI overflow is loud.
+    rev4 = _units("l_extendedprice", 2) * (F.lit(100) - _units("l_discount", 2))
+    promo4 = F.when(F.col("p_type") == "PROMO", rev4).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .groupBy(F.trunc("l_shipdate", "MM").alias("_m"))
         .agg(
-            F.sum(promo).alias("_p"),
-            F.sum(rev).alias("_t"),
+            F.sum(promo4).alias("_p4"),
+            F.sum(rev4).alias("_t4"),
         )
         .select(
-            "ship_month",
-            F.col("_p").cast("double").alias("promo_revenue"),
-            F.col("_t").cast("double").alias("total_revenue"),
-            _frac_expr(
-                "CAST(_p * 10000 AS BIGINT)", "CAST(_t * 10000 AS BIGINT)"
-            ).alias("promo_frac"),
+            F.date_format("_m", "yyyy-MM").alias("ship_month"),
+            (F.col("_p4").cast("double") / F.lit(10000.0)).alias("promo_revenue"),
+            (F.col("_t4").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+            _frac_expr("_p4", "_t4").alias("promo_frac"),
         )
         .orderBy("ship_month")
     )
@@ -1473,12 +1534,12 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     snat = nat.select(
         F.col("n_nationkey").alias("_s_natkey"), F.col("n_name").alias("_s_nation")
     )
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    dd = F.col("l_discount").cast("decimal(4,2)")
-    rev = (ep * (F.lit(1) - dd)).cast("decimal(28,4)")
-    target = F.when(F.col("_s_nation") == "NATION_7", rev).otherwise(
-        F.lit(0).cast("decimal(28,4)")
-    )
+    # r12-opt (§2.3): 1e-4-unit BIGINT revenue per row (see _units /
+    # promo_revenue_ratio — same bit-identity argument and BIGINT
+    # headroom; here the group is an order YEAR, ~12× the monthly sum,
+    # still ≤ 3e19/12 ≈ inside BIGINT at sf1e5 for the AMERICA slice).
+    rev4 = _units("l_extendedprice", 2) * (F.lit(100) - _units("l_discount", 2))
+    target4 = F.when(F.col("_s_nation") == "NATION_7", rev4).otherwise(F.lit(0))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -1486,14 +1547,12 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(snat), sup.s_nationkey == F.col("_s_natkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
-        .agg(F.sum(target).alias("_n"), F.sum(rev).alias("_t"))
+        .agg(F.sum(target4).alias("_n4"), F.sum(rev4).alias("_t4"))
         .select(
             "order_year",
-            F.col("_n").cast("double").alias("nation_revenue"),
-            F.col("_t").cast("double").alias("total_revenue"),
-            _frac_expr(
-                "CAST(_n * 10000 AS BIGINT)", "CAST(_t * 10000 AS BIGINT)"
-            ).alias("market_share"),
+            (F.col("_n4").cast("double") / F.lit(10000.0)).alias("nation_revenue"),
+            (F.col("_t4").cast("double") / F.lit(10000.0)).alias("total_revenue"),
+            _frac_expr("_n4", "_t4").alias("market_share"),
         )
         .orderBy("order_year")
     )
@@ -1511,13 +1570,13 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
+    # r12-opt (§2.3): cent-unit BIGINT quantities (see _units) — the sum
+    # is exact and integral (quantities are whole units), so `div 100`
+    # reproduces the old DECIMAL-sum-cast-to-long exactly.
     qty = (
         li.groupBy("l_orderkey")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-            .cast("long")
-            .alias("sum_qty")
-        )
+        .agg(F.sum(_units("l_quantity", 2)).alias("_sq"))
+        .select("l_orderkey", F.expr("_sq div 100").alias("sum_qty"))
         .filter(F.col("sum_qty") > 150)
     )
     return (
@@ -1627,9 +1686,14 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier")
     part = table(spark, sf_dir, "part")
+    # r12-opt (§2.3): floor-quantized BIGINT factors (see _units) — the
+    # old per-row DECIMAL casts were the query's hot cost. qty enters as
+    # floor(q·100 + 0.5) div 100, which equals the old
+    # CAST(DECIMAL(12,2) AS BIGINT) truncation for every positive 2-dp
+    # quantity (integral by generation).
     unit = F.expr(
-        "(CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT) * 10000)"
-        " div CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT)"
+        "(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 10000)"
+        " div (CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) div 100)"
     )
     w = Window.partitionBy("l_partkey").orderBy("unit_microprice", "l_suppkey")
     best = (
@@ -2455,16 +2519,17 @@ def important_stock_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cross-multiplication on micro-unit BIGINTs — never a float
     fraction."""
     li = table(spark, sf_dir, "lineitem")
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    qt = F.col("l_quantity").cast("decimal(7,2)")
-    val = (ep * qt).cast("decimal(28,4)")
+    # r12-opt (§2.3): per-row value = cents·qty_cents — exact 1e-4-unit
+    # BIGINTs (see _units; val4 ≤ 5e10/row, a per-PART sum is far inside
+    # BIGINT at any TPC-H scale since rows spread over all parts).
+    val4 = _units("l_extendedprice", 2) * _units("l_quantity", 2)
     per_part = li.groupBy("l_partkey").agg(
-        F.sum(val).alias("_v")
+        F.sum(val4).alias("_v4")
     )
     per_part = per_part.select(
         "l_partkey",
-        F.col("_v").cast("double").alias("part_value"),
-        (F.col("_v") * 10000).cast("long").alias("_vi"),
+        (F.col("_v4").cast("double") / F.lit(10000.0)).alias("part_value"),
+        F.col("_v4").alias("_vi"),
     )
     total = per_part.agg(F.sum("_vi").alias("_ti"))
     return (
@@ -3059,15 +3124,13 @@ def regression_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     in longs, only the six accumulators are wide decimals."""
     from etl_python_sqlite_spark.operators.stats import ols_by_group
 
+    # r12-opt (§2.3): floor-quantized BIGINT cents (see _units) replace
+    # the per-row DECIMAL casts — same integers, no per-row BigDecimal.
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         "l_linestatus",
-        (F.col("l_quantity").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("qty_cents"),
-        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-        .alias("price_cents"),
+        _units("l_quantity", 2).alias("qty_cents"),
+        _units("l_extendedprice", 2).alias("price_cents"),
     )
     return ols_by_group(
         li,
