@@ -3013,10 +3013,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_type
         """,
         "forecast_revenue_change": """
-            SELECT CAST(SUM(CAST(
-                       CAST(l_extendedprice AS DECIMAL(12,2))
-                       * CAST(l_discount AS DECIMAL(4,2))
-                       AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+            SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 10000.0 AS revenue,
                    CAST(COUNT(*) AS BIGINT) AS n_lines
             FROM lineitem
             WHERE year(l_shipdate) = 1996
@@ -3027,10 +3026,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT sn.n_name AS supp_nation,
                    cn.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS INT) AS l_year,
-                   CAST(SUM(CAST(
-                       CAST(l_extendedprice AS DECIMAL(12,2))
-                       * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                       AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+                   CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                        AS DOUBLE) / 10000.0 AS revenue
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -3078,8 +3076,7 @@ def oracle_sql() -> dict[str, str]:
         "small_quantity_order_revenue": """
             WITH lines AS (
                 SELECT l_partkey, l_extendedprice,
-                       CAST(CAST(l_quantity AS DECIMAL(7,2)) * 100 AS BIGINT)
-                           AS qc
+                       CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc
                 FROM lineitem
                 JOIN part ON l_partkey = p_partkey
                 WHERE p_brand = 'Brand#1'
@@ -3095,15 +3092,12 @@ def oracle_sql() -> dict[str, str]:
                 WHERE 5 * qc * n < sq
             ),
             agg AS (
-                SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                                     AS DECIMAL(28,2))) AS DOUBLE)
-                           AS total_revenue,
-                       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                                     * 100 AS BIGINT)) AS BIGINT) AS rc,
+                SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS rc,
                        CAST(COUNT(*) AS BIGINT) AS n_lines
                 FROM qual
             )
-            SELECT total_revenue,
+            SELECT CAST(rc AS DOUBLE) / 100.0 AS total_revenue,
                    ((2 * rc * 1000000 + 700) // (2 * 700)) / 1000000.0
                        AS avg_yearly,
                    n_lines
@@ -3712,8 +3706,9 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_volume": """
             SELECT n.n_name AS nation,
                    CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
-                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                            * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+                   CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+                        AS DOUBLE) / 10000.0 AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -3726,8 +3721,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "returned_items_by_customer": """
             SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                            * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS lost_revenue,
+                   CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT)))
+                        AS DOUBLE) / 10000.0 AS lost_revenue,
                    COUNT(*) AS n_returned_items
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -3822,9 +3818,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_above_customer_avg": """
             SELECT o_custkey, COUNT(*) AS n_above_avg
             FROM orders o
-            WHERE CAST(CAST(o.o_totalprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+            WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
                   * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
-                  > (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(28,2)) * 100) AS BIGINT)
+                  > (SELECT CAST(SUM(CAST(floor(i.o_totalprice * 100 + 0.5)
+                                          AS BIGINT)) AS BIGINT)
                      FROM orders i WHERE i.o_custkey = o.o_custkey)
             GROUP BY o_custkey
             ORDER BY o_custkey
@@ -4036,9 +4033,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "disjunctive_revenue": """
             SELECT p_brand,
-                   CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                                 * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                                 AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+                   CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                        AS DOUBLE) / 10000.0 AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 5
@@ -4211,9 +4208,9 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier_revenue": """
             WITH per_sup AS (
                 SELECT l_suppkey,
-                       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
-                                     * (1 - CAST(l_discount AS DECIMAL(4,2)))
-                                     * 10000 AS BIGINT)) AS BIGINT) AS rev_micro
+                       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                            AS BIGINT) AS rev_micro
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                   AND l_shipdate < TIMESTAMP '1996-04-01'

@@ -978,19 +978,29 @@ def ship_delay_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(orders, li.l_orderkey == orders.o_orderkey)
     return (
         j.select(
-            # month as an ISO string, not a DATE: date-typed cells
-            # round-trip differently through pandas on the two engines
-            # (date vs datetime64) and break the value-hash compare
-            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            # r12-opt (§2.3): group on the month-truncated DATE (native
+            # 4-byte hash key) and format the ISO string AFTER the
+            # ~84-row aggregate — identical strings, no per-row
+            # formatter, no string group keys (the date-typed cell never
+            # reaches the output, so the no-native-temporal-output
+            # invariant holds)
+            F.trunc("o_orderdate", "MM").alias("_m"),
             # long, matching DuckDB's BIGINT datediff (dtype-strict compare)
             F.datediff("l_shipdate", "o_orderdate").cast("long").alias("delay_days"),
         )
-        .groupBy("order_month")
+        .groupBy("_m")
         .agg(
             F.count("*").alias("n_lines"),
             F.min("delay_days").alias("min_delay"),
             F.max("delay_days").alias("max_delay"),
             F.sum("delay_days").cast("long").alias("total_delay_days"),
+        )
+        .select(
+            F.date_format("_m", "yyyy-MM").alias("order_month"),
+            "n_lines",
+            "min_delay",
+            "max_delay",
+            "total_delay_days",
         )
         .orderBy("order_month")
     )
@@ -1007,7 +1017,8 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ambiguity exists on either engine.
     """
     orders = table(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice").cast("decimal(28,2)") * 100).cast("long")
+    # r12-opt (§2.3): floor-quantized BIGINT cents (see _units).
+    cents = _units("o_totalprice", 2)
     w = Window.partitionBy("o_custkey")
     above = (
         orders.select(
@@ -1178,8 +1189,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
     sup = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation")
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    dd = F.col("l_discount").cast("decimal(4,2)")
+    # r12-opt (§2.3): 1e-4-unit BIGINT revenue (see _units /
+    # promo_revenue_ratio — same bit-identity + headroom argument).
+    rev4 = _units("l_extendedprice", 2) * (F.lit(100) - _units("l_discount", 2))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -1191,7 +1203,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("order_year"),
         )
         .agg(
-            F.sum(ep * (F.lit(1) - dd)).cast("double").alias("revenue"),
+            (F.sum(rev4).cast("double") / F.lit(10000.0)).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("nation", "order_year")
@@ -1207,15 +1219,16 @@ def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     nat = table(spark, sf_dir, "nation")
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    dd = F.col("l_discount").cast("decimal(4,2)")
+    # r12-opt (§2.3): 1e-4-unit BIGINT revenue (see _units /
+    # promo_revenue_ratio; per-customer sums are tiny at any scale).
+    rev4 = _units("l_extendedprice", 2) * (F.lit(100) - _units("l_discount", 2))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
-            F.sum(ep * (F.lit(1) - dd)).cast("double").alias("lost_revenue"),
+            (F.sum(rev4).cast("double") / F.lit(10000.0)).alias("lost_revenue"),
             F.count("*").alias("n_returned_items"),
         )
         .orderBy(F.desc("lost_revenue"), "c_custkey")
@@ -1609,8 +1622,6 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part").filter(
         F.col("p_brand").isin("Brand#2", "Brand#17", "Brand#19")
     )
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    dd = F.col("l_discount").cast("decimal(4,2)")
     qty = F.col("l_quantity")
     branch = (
         (
@@ -1629,12 +1640,15 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & qty.between(20, 30)
         )
     )
+    # r12-opt (§2.3): 1e-4-unit BIGINT revenue (see _units /
+    # promo_revenue_ratio — same bit-identity + headroom argument).
+    rev4 = _units("l_extendedprice", 2) * (F.lit(100) - _units("l_discount", 2))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(branch)
         .groupBy("p_brand")
         .agg(
-            _dsum(ep * (F.lit(1) - dd), scale=4).alias("revenue"),
+            (F.sum(rev4).cast("double") / F.lit(10000.0)).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("p_brand")
@@ -1829,9 +1843,10 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
-    rev_u = F.expr(
-        "sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
-        " * (1 - CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT))"
+    # r12-opt (§2.3): the same 1e-4 units, but from floor-quantized
+    # BIGINT factors (see _units) instead of a per-row DECIMAL product.
+    rev_u = F.sum(
+        _units("l_extendedprice", 2) * (F.lit(100) - _units("l_discount", 2))
     )
     per_sup = li.groupBy("l_suppkey").agg(rev_u.alias("rev_micro"))
     best = per_sup.agg(F.max("rev_micro").alias("_best"))
@@ -2456,8 +2471,9 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Revenue = Σ(price·discount) in exact DECIMAL (product of
     two exact decimals; order-independent)."""
     li = table(spark, sf_dir, "lineitem")
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    dd = F.col("l_discount").cast("decimal(4,2)")
+    # r12-opt (§2.3): Σ(price·discount) in exact 1e-4-unit BIGINTs
+    # (see _units / promo_revenue_ratio — same bit-identity + headroom).
+    d4 = _units("l_extendedprice", 2) * _units("l_discount", 2)
     return (
         li.filter(
             (F.year("l_shipdate") == 1996)
@@ -2466,9 +2482,7 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum((ep * dd).cast("decimal(28,4)"))
-            .cast("double")
-            .alias("revenue"),
+            (F.sum(d4).cast("double") / F.lit(10000.0)).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -2493,9 +2507,9 @@ def volume_shipping_bilateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n.filter(F.col("n_name").isin(*pair))),
         c.c_nationkey == n.n_nationkey,
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    dd = F.col("l_discount").cast("decimal(4,2)")
-    rev = (ep * (F.lit(1) - dd)).cast("decimal(28,4)")
+    # r12-opt (§2.3): 1e-4-unit BIGINT revenue (see _units /
+    # promo_revenue_ratio — same bit-identity + headroom argument).
+    rev4 = _units("l_extendedprice", 2) * (F.lit(100) - _units("l_discount", 2))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(cn, o.o_custkey == cn.c_custkey)
@@ -2506,7 +2520,7 @@ def volume_shipping_bilateral(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg((F.sum(rev4).cast("double") / F.lit(10000.0)).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -2569,7 +2583,10 @@ def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer _frac_expr."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
-    qc = (F.col("l_quantity").cast("decimal(7,2)") * 100).cast("long")
+    # r12-opt (§2.3): floor-quantized BIGINT cents (see _units) — and the
+    # revenue needs ONE accumulator, not two: the double output and the
+    # integer _frac_expr numerator are both exact functions of Σcents.
+    qc = _units("l_quantity", 2)
     brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     lines = li.join(
         F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
@@ -2581,16 +2598,14 @@ def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = lines.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.sum("_qc").alias("_sq"), F.count("*").alias("_n")
     )
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
     qual = lines.join(
         F.broadcast(per_part), lines.l_partkey == F.col("_pk")
     ).filter(F.lit(5) * F.col("_qc") * F.col("_n") < F.col("_sq"))
     return qual.agg(
-        F.sum(ep.cast("decimal(28,2)")).cast("double").alias("total_revenue"),
-        (F.sum((ep * 100).cast("long"))).alias("_rc"),
+        F.sum(_units("l_extendedprice", 2)).alias("_rc"),
         F.count("*").alias("n_lines"),
     ).select(
-        "total_revenue",
+        (F.col("_rc").cast("double") / F.lit(100.0)).alias("total_revenue"),
         _frac_expr("_rc", "700").alias("avg_yearly"),
         "n_lines",
     )
@@ -3242,14 +3257,15 @@ def ewma_revenue_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame bounded by the CALENDAR domain (like the cents histogram),
     not data volume, so the single ordered window is scale-safe."""
     orders = table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
-    ).agg(
+    # r12-opt (§2.3): group/order on the native DATE and format the ISO
+    # day string after the per-day rollup — identical strings (ISO
+    # strings order exactly like their dates), no per-row formatter.
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("_d")).agg(
         F.sum(F.floor(F.col("o_totalprice") * 100))
         .cast("long")
         .alias("rev_cents")
     )
-    w = Window.orderBy("day")
+    w = Window.orderBy("_d")
     lags = [F.lag("rev_cents", j).over(w) for j in range(1, 9)]
     weights = [3 ** (j - 1) * 4 ** (8 - j) for j in range(1, 9)]
     num = None
@@ -3257,7 +3273,7 @@ def ewma_revenue_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.lit(wt) * F.coalesce(lg, F.lit(0))
         num = term if num is None else num + term
     smoothed = daily.select(
-        "day",
+        F.date_format("_d", "yyyy-MM-dd").alias("day"),
         "rev_cents",
         num.cast("long").alias("ewma_num"),
         lags[-1].alias("_l8"),
