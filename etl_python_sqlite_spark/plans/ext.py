@@ -47,6 +47,45 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _scan_underparallel(spark: SparkSession, sf_dir: str,
+                        name: str = "documents") -> bool:
+    """True when ``name``'s parquet row-group count cannot keep the
+    cores busy (§2.6): a row group is the unit of scan parallelism, so
+    below this bound every per-row expression in the scan stage
+    serializes onto one task. Footer-metadata only — zero Spark jobs.
+    At warehouse scale inputs arrive as many row groups and this stays
+    False, keeping the scan-stage (exchange-free) plan shapes."""
+    from etl_python_sqlite_spark.sources.parquet import (
+        table_num_row_groups_from_metadata,
+    )
+
+    return (
+        table_num_row_groups_from_metadata(sf_dir, name)
+        < spark.sparkContext.defaultParallelism
+    )
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str, cols: tuple,
+                 key: str | None = "doc_id") -> DataFrame:
+    """documents projected to ``cols`` and — ONLY under the
+    ``_scan_underparallel`` gate — repartitioned to defaultParallelism
+    (hash on ``key``, round-robin when key=None) so heavy per-row JVM
+    text expressions (regex trees, tokenize+sort+md5) run on every core
+    instead of the single scan task a one-row-group file permits. The
+    exchange carries the text payload once, from the scan task —
+    measured wins at sf0.1: quality_scores 2.3×, langid 1.9×,
+    text_stats 1.6× (interleaved A/B ×2, collect-identical). Gate
+    closed at warehouse row-group counts, so no extra exchange exists
+    at scale. This is the JVM-expression sibling of ``_spread`` (whose
+    negative trigram A/B was about explode pipelines, where per-row
+    work is cheap and the exchange dominates — measure each)."""
+    d = _docs(spark, sf_dir).select(*cols)
+    if _scan_underparallel(spark, sf_dir, "documents"):
+        par = spark.sparkContext.defaultParallelism
+        d = d.repartition(par, key) if key else d.repartition(par)
+    return d
+
+
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -470,7 +509,9 @@ def ext_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 — per-document stats: words, chars, tokens, avg word length,
     punctuation ratio."""
-    docs = _docs(spark, sf_dir)
+    # r12-opt session 4: _docs_spread parallelizes the per-row text
+    # expressions when the scan is row-group-bound (§2.6)
+    docs = _docs_spread(spark, sf_dir, ("doc_id", "text"))
     # integer outputs cast to long: DuckDB's len()/length() are BIGINT and
     # a type-strict schema compare must not trip on int32-vs-int64
     return docs.select(
@@ -486,7 +527,7 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4b — stopword-scoring language ID + agreement with the labeled
     ``lang`` column, aggregated per detected language."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir, ("doc_id", "lang", "text"))  # §2.6
     return (
         docs.select("doc_id", "lang", X.langid(F.col("text")).alias("lang_detected"))
         .groupBy("lang_detected")
@@ -501,7 +542,7 @@ def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ext_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4c — composite quality score per doc + decile bucketing."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir, ("doc_id", "text"))  # §2.6
     scored = docs.select(
         "doc_id", F.round(X.quality_score(F.col("text")), 6).alias("quality")
     )
@@ -511,6 +552,8 @@ def ext_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4d — corpus token accounting per source (the 'how many tokens do
     we have' query every training pipeline runs)."""
+    # NOT _docs_spread (r12-s4 negative A/B: 0.31 -> 0.39 s — the
+    # tokenize here is too cheap to pay the text exchange)
     docs = _docs(spark, sf_dir)
     return (
         docs.groupBy("source")
@@ -686,6 +729,9 @@ def ext_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emails, URLs, long digit runs) + corpus rollup per source. The
     mandatory pre-training compliance sweep; patterns kept to the
     Java-regex ∩ RE2 subset so the oracle replays them exactly."""
+    # NOT _docs_spread (r12-s4 negative A/B: 0.29 -> 0.44 s — three
+    # extract_all counts are cheaper than the text exchange; contrast
+    # pii_redact, whose extra replace chain + md5 flips the trade 2.3×)
     docs = _docs(spark, sf_dir)
     email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
     url = rf"https?://[^{X.WS}]+"  # explicit WS class: RE2 \s lacks \x0B
@@ -967,13 +1013,44 @@ def ext_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and (b) evaluates each regex tree ONCE per row instead of once
     # per CASE branch of the stage expression. Same expressions, same
     # values — the oracle twin is unchanged.
-    docs = _docs(spark, sf_dir).select(
-        "doc_id",
-        "n_chars",
-        F.sha2(F.col("text"), 256).alias("_sha"),
-        X.langid(F.col("text")).alias("_lang"),
-        F.round(X.quality_score(F.col("text")), 6).alias("_q6"),
-    )
+    #
+    # r12-opt session 4 (§2.6): a row group is the unit of scan
+    # parallelism, so on a low-row-group file the regex pass above
+    # serializes onto one task (measured 0.69 s of the query's 1.2 s
+    # wall). When the scan cannot keep the cores busy, hash-repartition
+    # on _sha FIRST (REPARTITION_BY_NUM — AQE never coalesces a
+    # user-specified count, and the window's required distribution is
+    # satisfied so no second exchange appears) and run the regex
+    # projection parallel after it; the exchange carries the text
+    # payload once, from the scan task. At warehouse scale inputs
+    # arrive as many row groups, the gate stays closed, and the
+    # text-free pre-exchange shape above is the right one. Interleaved
+    # A/B x2: 1.18-1.60 -> 0.52-0.67 s, collect-identical.
+    par = spark.sparkContext.defaultParallelism
+    raw = _docs(spark, sf_dir)
+    if _scan_underparallel(spark, sf_dir, "documents"):
+        docs = (
+            raw.select(
+                "doc_id", "n_chars", "text",
+                F.sha2(F.col("text"), 256).alias("_sha"),
+            )
+            .repartition(par, "_sha")
+            .select(
+                "doc_id",
+                "n_chars",
+                "_sha",
+                X.langid(F.col("text")).alias("_lang"),
+                F.round(X.quality_score(F.col("text")), 6).alias("_q6"),
+            )
+        )
+    else:
+        docs = raw.select(
+            "doc_id",
+            "n_chars",
+            F.sha2(F.col("text"), 256).alias("_sha"),
+            X.langid(F.col("text")).alias("_lang"),
+            F.round(X.quality_score(F.col("text")), 6).alias("_q6"),
+        )
     keeper = F.min("doc_id").over(Window.partitionBy("_sha"))
     h = F.pmod(F.col("doc_id") * 2654435761, F.lit(2**32)) % 100
     split = F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
@@ -1069,7 +1146,14 @@ def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
+    # r12-opt session 4 (§2.6, the curation-funnel gate): the in-row
+    # n_words/dup_word_frac metrics serialize onto the scan task when
+    # the file has fewer row groups than cores — hash-repartition on
+    # doc_id first (the joins below need that distribution anyway;
+    # REPARTITION_BY_NUM is never AQE-coalesced). Gate closed at
+    # warehouse row-group counts. Interleaved A/B x2: 1.48-1.72 ->
+    # 1.20-1.29 s, collect-identical.
+    docs = _docs_spread(spark, sf_dir, ("doc_id", "text"))
     base = docs.select(
         "doc_id",
         X.n_words(F.col("text")).alias("n_words"),
@@ -1480,7 +1564,7 @@ def ext_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the aggregation; nothing here depends on row order or
     partition count.
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir, ("doc_id", "source", "text"))  # §2.6
     u = (
         F.pmod(F.col("doc_id") * 2654435761, F.lit(2**32)).cast("double")
         / F.lit(2.0**32)
@@ -1535,7 +1619,7 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure map-side regexp_replace chain (one pass, codegen), no
     shuffle until the driver's canonical sort.
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir, ("doc_id", "text"))  # §2.6
     email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
     url = rf"https?://[^{X.WS}]+"  # explicit WS class: RE2 \s lacks \x0B
     digits = r"[0-9]{6,}"
@@ -2273,7 +2357,7 @@ def ext_dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan."""
     from pyspark.sql import Window as W
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir, ("doc_id", "source", "text"))  # §2.6
     wordset_key = F.md5(
         F.concat_ws(
             "\x1f",
@@ -2478,6 +2562,8 @@ def ext_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed flag and the md5 of the normalized text."""
     from etl_python_sqlite_spark.functions.text import nfc_normalize
 
+    # NOT _docs_spread (r12-s4 negative A/B: 0.53 -> 0.87 s — the
+    # Arrow pandas_udf pass loses to the exchange + smaller batches)
     docs = _docs(spark, sf_dir)
     suffix = F.element_at(
         F.array(

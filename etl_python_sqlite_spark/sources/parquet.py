@@ -139,6 +139,33 @@ def table_row_count_from_metadata(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def table_num_row_groups_from_metadata(sf_dir: str, name: str) -> int:
+    """Total parquet row-group count of ``{sf_dir}/{name}.parquet`` from
+    FOOTER metadata only — zero Spark jobs. A row group is the unit of
+    scan parallelism (byte-range splits cannot cut inside one), so this
+    is the exact ceiling on how many tasks a scan of the table can keep
+    busy: queries whose per-row work is heavy gate an explicit
+    pre-compute repartition on ``row_groups < defaultParallelism``
+    (guide §2.6 — at warehouse scale inputs arrive as many row groups
+    and the gate stays closed; the single-row-group bench files are
+    where the scan serializes)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_row_groups
+        return total
+    return pq.ParquetFile(path).metadata.num_row_groups
+
+
 def array_dim_from_metadata(sf_dir: str, name: str, col: str) -> int | None:
     """Element count of the FIRST row's ``col`` array in
     ``{sf_dir}/{name}.parquet`` — one row group of one column read

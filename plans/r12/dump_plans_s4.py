@@ -8,6 +8,11 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..",
 
 tag = sys.argv[1]
 names = sys.argv[2:]
+# optional: dump from a different tree (e.g. the HEAD snapshot) for
+# before-plans — output still lands next to this script
+tree = os.environ.get("DUMP_TREE")
+if tree:
+    sys.path.insert(0, tree)
 
 from pyspark.sql import SparkSession
 
