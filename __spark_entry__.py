@@ -3744,19 +3744,26 @@ def oracle_sql() -> dict[str, str]:
                 )
             ),
             agg AS (
+                -- per-row BIGINT cents (the Spark side's _units); the
+                -- x-squared sum is three exact BIGINT parts recombined
+                -- in HUGEINT — same integers as Spark's DECIMAL(38)
                 SELECT col_name,
                        COUNT(v) AS n_non_null,
                        CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                        CAST(MIN(v) AS DOUBLE) AS min_value,
                        CAST(MAX(v) AS DOUBLE) AS max_value,
-                       CAST(SUM(CAST(CAST(v AS DECIMAL(28,2)) * 100 AS DECIMAL(38,0))) AS BIGINT) AS s,
-                       SUM(CAST(CAST(v AS DECIMAL(28,2)) * 100 AS DECIMAL(38,0))
-                           * CAST(CAST(v AS DECIMAL(28,2)) * 100 AS DECIMAL(38,0))) AS s2
-                FROM prof GROUP BY col_name
+                       CAST(SUM(q) AS BIGINT) AS s,
+                       CAST(SUM((q * q) // 100000000) AS HUGEINT) * 100000000
+                         + CAST(SUM(((q * q) // 10000) % 10000) AS HUGEINT) * 10000
+                         + CAST(SUM((q * q) % 10000) AS HUGEINT) AS s2
+                FROM (SELECT col_name, v,
+                             CAST(floor(v * 100 + 0.5) AS BIGINT) AS q
+                      FROM prof)
+                GROUP BY col_name
             )
             SELECT col_name, n_non_null, n_null, min_value, max_value,
                    ((2 * s * 10000 + n_non_null) // (2 * n_non_null)) / 1000000.0 AS mean_value,
-                   ROUND(sqrt(CAST(n_non_null * s2 - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+                   ROUND(sqrt(CAST(n_non_null * s2 - CAST(s AS HUGEINT) * s AS DOUBLE)
                               / 10000.0
                               / CAST(n_non_null * (n_non_null - 1) AS DOUBLE)), 6) AS stddev_value
             FROM agg

@@ -1051,22 +1051,46 @@ def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
 
     def prof(col: str) -> DataFrame:
-        cents = (F.col(col).cast("decimal(28,2)") * 100).cast("decimal(38,0)")
-        agg = li.agg(
-            F.count(col).alias("n_non_null"),
-            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+        # r12-opt (§2.3): the old per-row DECIMAL(38) cents and the two
+        # byte-array decimal sum buffers per column were the query's
+        # whole cost. Per-row math in BIGINTs (see _units): Σx is a
+        # plain long sum (cents ≤ 1.05e7/row → ≤6.3e18 even at 6e11
+        # rows ≈ sf1e5, inside BIGINT; ANSI overflow is loud), and Σx²
+        # (x² ≤ 1.1e14/row — no single BIGINT accumulator survives
+        # scale) splits into THREE exact long sums (div 1e8 / div 1e4
+        # mod 1e4 / mod 1e4 — each part ≤6.6e17 at sf1e5), recombined
+        # losslessly in DECIMAL(38) over the one output row. The DuckDB
+        # twin recombines the same three sums in HUGEINT — same exact
+        # integers, same single rounding to double.
+        c = _units(col, 2)
+        rows = li.select(F.col(col).alias("_v"), c.alias("_c")).select(
+            "_v",
+            "_c",
+            F.expr("(_c * _c) div 100000000").alias("_a"),
+            F.expr("((_c * _c) div 10000) % 10000").alias("_b"),
+            F.expr("(_c * _c) % 10000").alias("_d"),
+        )
+        agg = rows.agg(
+            F.count("_v").alias("n_non_null"),
+            F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_null"),
-            F.min(col).cast("double").alias("min_value"),
-            F.max(col).cast("double").alias("max_value"),
-            F.sum(cents).alias("_s"),
-            F.sum(cents * cents).alias("_s2"),
+            F.min("_v").cast("double").alias("min_value"),
+            F.max("_v").cast("double").alias("max_value"),
+            F.sum("_c").alias("_s"),
+            F.sum("_a").alias("_s2a"),
+            F.sum("_b").alias("_s2b"),
+            F.sum("_d").alias("_s2d"),
         )
-        n = F.col("n_non_null")
-        var = (
-            (n * F.col("_s2") - F.col("_s") * F.col("_s")).cast("double")
-            / 10000.0
-            / (n * (n - F.lit(1))).cast("double")
+        s2 = (
+            "(CAST(_s2a AS DECIMAL(29,0)) * CAST(100000000 AS DECIMAL(9,0))"
+            " + CAST(_s2b AS DECIMAL(20,0)) * 10000 + _s2d)"
+        )
+        var = F.expr(
+            f"CAST(n_non_null * {s2}"
+            " - CAST(_s AS DECIMAL(19,0)) * CAST(_s AS DECIMAL(19,0))"
+            " AS DOUBLE)"
+            " / 10000.0 / CAST(n_non_null * (n_non_null - 1) AS DOUBLE)"
         )
         return agg.select(
             F.lit(col).alias("col_name"),
@@ -1078,7 +1102,7 @@ def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ROUND(double): near-half doubles round differently across
             # engines. stddev keeps round-6 on the sqrt (irrational
             # outputs — no representable half-way case).
-            _avg_expr("cast(_s as long)", "n_non_null", 2, 6).alias("mean_value"),
+            _avg_expr("_s", "n_non_null", 2, 6).alias("mean_value"),
             F.round(F.sqrt(var), 6).alias("stddev_value"),
         )
 
